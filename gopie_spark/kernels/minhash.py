@@ -1,0 +1,185 @@
+"""MinHash and SimHash kernels — near-duplicate detection / set similarity.
+
+Beyond the reference's own operators (training-data-pipeline additions per
+the build brief).  Both are expressed in the same mergeable-sketch
+lifecycle as the gopie rebuilds:
+
+- MinHash: state = uint64[k] column minima of k hash permutations over a
+  set of shingle hashes.  merge = element-wise min (associative,
+  commutative, idempotent — exactly like HLL register-max).  The Jaccard
+  similarity of two sets is estimated by the fraction of matching
+  signature slots.
+- SimHash: state = int64[64] bit-vote counts; merge = vector add;
+  finalize = sign -> packed uint64 fingerprint.  Near-duplicates have
+  small Hamming distance between fingerprints.
+
+Per-document batch signatures (for LSH dedup over a DataFrame) are
+computed with ``np.minimum.reduceat`` / ``np.add.reduceat`` over document
+boundaries — vectorized across the whole Arrow batch, no per-row Python.
+
+Hash family: splitmix64 finalizer over (shingle_hash XOR seed_i), seeds
+from a fixed deterministic table — byte-stable across runs/machines.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from gopie_spark.kernels import codec
+from gopie_spark.kernels.hashes import fnv1_64_values, mix64
+
+U64 = np.uint64
+I64 = np.int64
+
+
+def _seeds(k: int) -> np.ndarray:
+    # deterministic seed table: mix64 over 1..k
+    return mix64(np.arange(1, k + 1, dtype=U64))
+
+
+def shingle_hashes(text: str, width: int = 4) -> np.ndarray:
+    """Hash the set of word ``width``-shingles of ``text`` to uint64."""
+    toks = text.split()
+    if len(toks) < width:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i:i + width])
+                    for i in range(len(toks) - width + 1)]
+    if not shingles:
+        return np.empty(0, dtype=U64)
+    return np.unique(fnv1_64_values(shingles))
+
+
+@dataclass(frozen=True)
+class MinHash:
+    """Mergeable MinHash sketch over a set of uint64 element hashes."""
+
+    k: int = 128
+
+    def zero(self) -> np.ndarray:
+        return np.full(self.k, np.iinfo(np.uint64).max, dtype=U64)
+
+    def update_hashes(self, state: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+        if hashes.size == 0:
+            return state
+        sig = self.signature_of(hashes)
+        np.minimum(state, sig, out=state)
+        return state
+
+    def update(self, state: np.ndarray, values) -> np.ndarray:
+        return self.update_hashes(state, fnv1_64_values(values))
+
+    def merge(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        if a.shape != b.shape:
+            raise ValueError("minhash k must match")
+        return np.minimum(a, b)
+
+    def signature_of(self, hashes: np.ndarray) -> np.ndarray:
+        """Signature uint64[k] of one set of element hashes."""
+        seeds = _seeds(self.k)
+        mixed = mix64(hashes[:, None] ^ seeds[None, :])
+        return mixed.min(axis=0)
+
+    def batch_signatures(self, hash_arrays: Sequence[np.ndarray]) -> np.ndarray:
+        """Signatures for a batch of documents: returns uint64[n_docs, k].
+
+        Empty documents get the all-max (empty-set) signature.
+        """
+        lens = np.array([a.size for a in hash_arrays], dtype=np.int64)
+        n = len(hash_arrays)
+        out = np.full((n, self.k), np.iinfo(np.uint64).max, dtype=U64)
+        nonempty = np.nonzero(lens > 0)[0]
+        if nonempty.size == 0:
+            return out
+        flat = np.concatenate([hash_arrays[i] for i in nonempty])
+        starts = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]])
+        seeds = _seeds(self.k)
+        mixed = mix64(flat[:, None] ^ seeds[None, :])
+        out[nonempty] = np.minimum.reduceat(mixed, starts, axis=0)
+        return out
+
+    @staticmethod
+    def jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+        return float((sig_a == sig_b).mean())
+
+    def serialize(self, state) -> bytes:
+        return codec.pack(codec.KIND_MINHASH, [
+            (1, np.array([self.k], dtype=I64).tobytes()),
+            (2, np.ascontiguousarray(state).tobytes()),
+        ])
+
+    def deserialize(self, blob: bytes):
+        fields = codec.expect_kind(blob, codec.KIND_MINHASH)
+        if int(np.frombuffer(fields[1], dtype=I64)[0]) != self.k:
+            raise ValueError("minhash k mismatch")
+        return np.frombuffer(fields[2], dtype=U64).copy()
+
+
+_BITS = np.arange(64, dtype=U64)
+
+
+@dataclass(frozen=True)
+class SimHash:
+    """Mergeable 64-bit SimHash: state = per-bit vote counts."""
+
+    def zero(self) -> np.ndarray:
+        return np.zeros(64, dtype=I64)
+
+    def update_hashes(self, state: np.ndarray, hashes: np.ndarray,
+                      weights: np.ndarray = None) -> np.ndarray:
+        if hashes.size == 0:
+            return state
+        bits = ((hashes[:, None] >> _BITS[None, :]) & U64(1)).astype(I64)
+        votes = 2 * bits - 1
+        if weights is not None:
+            votes = votes * np.asarray(weights, dtype=I64)[:, None]
+        state += votes.sum(axis=0)
+        return state
+
+    def update(self, state, values):
+        return self.update_hashes(state, fnv1_64_values(values))
+
+    def merge(self, a, b):
+        return a + b
+
+    def fingerprint(self, state: np.ndarray) -> int:
+        bits = (state > 0).astype(np.uint64)
+        return int((bits << _BITS).sum(dtype=U64))
+
+    def batch_fingerprints(self, hash_arrays: Sequence[np.ndarray]) -> np.ndarray:
+        """uint64 fingerprint per document (vectorized via reduceat)."""
+        lens = np.array([a.size for a in hash_arrays], dtype=np.int64)
+        n = len(hash_arrays)
+        out = np.zeros(n, dtype=U64)
+        nonempty = np.nonzero(lens > 0)[0]
+        if nonempty.size == 0:
+            return out
+        flat = np.concatenate([hash_arrays[i] for i in nonempty])
+        starts = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]])
+        bits = ((flat[:, None] >> _BITS[None, :]) & U64(1)).astype(np.int32)
+        votes = (2 * bits - 1)
+        sums = np.add.reduceat(votes, starts, axis=0)
+        fp = ((sums > 0).astype(U64) << _BITS[None, :]).sum(axis=1, dtype=U64)
+        out[nonempty] = fp
+        return out
+
+    @staticmethod
+    def hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        x = np.bitwise_xor(a, b)
+        # SWAR popcount on uint64
+        x = x - ((x >> U64(1)) & U64(0x5555555555555555))
+        x = (x & U64(0x3333333333333333)) + ((x >> U64(2)) & U64(0x3333333333333333))
+        x = (x + (x >> U64(4))) & U64(0x0F0F0F0F0F0F0F0F)
+        return ((x * U64(0x0101010101010101)) >> U64(56)).astype(np.int64)
+
+    def serialize(self, state) -> bytes:
+        return codec.pack(codec.KIND_SIMHASH, [
+            (2, np.ascontiguousarray(state).tobytes()),
+        ])
+
+    def deserialize(self, blob: bytes):
+        fields = codec.expect_kind(blob, codec.KIND_SIMHASH)
+        return np.frombuffer(fields[2], dtype=I64).copy()
