@@ -1,0 +1,349 @@
+"""Two-level mergeable sketch aggregation over Spark DataFrames.
+
+This is the engine's replacement for the reference's serial
+``New -> Add xN -> Merge xP -> finalize`` lifecycle (SURVEY.md §3.1) in
+Spark's partial/final aggregation model:
+
+- **Stage A (partial, map-side):** ``mapInPandas`` over the *input
+  partitions* builds one sketch state per key per partition, consuming
+  Arrow batches with the vectorized kernels.  Only ``O(keys x partitions)``
+  serialized sketch blobs leave the stage — raw rows never shuffle.  This
+  hand-rolls the Catalyst ``Aggregate(Partial)`` that Python UDAFs don't
+  get (SURVEY.md §4.2.2), i.e. a treeAggregate-style reduction.
+- **Stage B (final):** ``groupBy(keys).applyInPandas`` merges blobs with
+  the kernel's associative ``merge``.  An optional *salt* inserts an
+  intermediate merge round for keys with very many partials (hot-key
+  bounded-load handling, the ringhash precedent — SURVEY.md §2.2).
+- **Global (no keys):** partials tree-merge through a fan-in bucket round
+  so no single task ever sees more than ``fanin`` blobs.
+
+Scale notes (100 TB / 1000 executors): stage A is embarrassingly parallel
+and reads only the projected columns (column pruning reaches the parquet
+scan because the ``select`` happens before ``mapInPandas``); the shuffle
+carries KB-MB blobs; stage B's width is bounded by ``fanin``/salt.  Sketch
+memory per task = keys_in_partition x state_size, independent of rows.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (BinaryType, DoubleType, LongType, StringType,
+                               StructField, StructType)
+
+STATE_COL = "sketch_state"
+
+# sketches whose update() consumes string/bytes; others consume float64
+_NUMERIC_KERNELS = ("TDigest", "KLL")
+
+
+def _is_numeric_kernel(sketch) -> bool:
+    return type(sketch).__name__ in _NUMERIC_KERNELS
+
+
+def _values_for(sketch, series: pd.Series):
+    if _is_numeric_kernel(sketch):
+        return pd.to_numeric(series, errors="coerce").to_numpy(dtype=np.float64)
+    return series
+
+
+def _key_fields(df: DataFrame, keys: Sequence[str]) -> List[StructField]:
+    by_name = {f.name: f for f in df.schema.fields}
+    return [by_name[k] for k in keys]
+
+
+def build_partials(df: DataFrame, keys: Sequence[str], value_col: str,
+                   sketch) -> DataFrame:
+    """Stage A: per-input-partition partial sketch per key.
+
+    Returns DataFrame[keys..., sketch_state: binary] with at most one row
+    per (key, input partition).
+    """
+    keys = list(keys)
+    out_schema = StructType(_key_fields(df, keys) +
+                            [StructField(STATE_COL, BinaryType(), False)])
+    numeric = _is_numeric_kernel(sketch)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if keys:
+                for key, grp in pdf.groupby(keys, sort=False, dropna=False):
+                    if not isinstance(key, tuple):
+                        key = (key,)
+                    st = acc.get(key)
+                    if st is None:
+                        st = sketch.zero()
+                    vals = grp[value_col]
+                    if not numeric:
+                        vals = vals.dropna()
+                        if vals.empty:
+                            acc[key] = st
+                            continue
+                    acc[key] = sketch.update(st, _values_for(sketch, vals))
+            else:
+                st = acc.get(())
+                if st is None:
+                    st = sketch.zero()
+                vals = pdf[value_col]
+                if not numeric:
+                    vals = vals.dropna()
+                if len(vals):
+                    st = sketch.update(st, _values_for(sketch, vals))
+                acc[()] = st
+        if acc:
+            rows = {k: [] for k in keys}
+            blobs = []
+            for key, st in acc.items():
+                for i, kcol in enumerate(keys):
+                    rows[kcol].append(key[i])
+                blobs.append(sketch.serialize(st))
+            out = pd.DataFrame(rows)
+            out[STATE_COL] = blobs
+            yield out
+
+    cols = keys + [value_col] if value_col not in keys else keys
+    return df.select(*cols).mapInPandas(fn, out_schema)
+
+
+def merge_partials(partials: DataFrame, keys: Sequence[str], sketch,
+                   salt: int = 0) -> DataFrame:
+    """Stage B: merge partial states per key (optionally via a salted
+    intermediate round so a hot key's merge fan-in stays bounded)."""
+    keys = list(keys)
+    out_schema = StructType(_key_fields(partials, keys) +
+                            [StructField(STATE_COL, BinaryType(), False)])
+
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        st = None
+        for blob in pdf[STATE_COL]:
+            s = sketch.deserialize(bytes(blob))
+            st = s if st is None else sketch.merge(st, s)
+        out = pdf.iloc[[0]][keys].copy() if keys else pd.DataFrame(index=[0])
+        out[STATE_COL] = [sketch.serialize(st)]
+        return out
+
+    if not keys:
+        return _tree_merge_global(partials, sketch, out_schema, merge_fn)
+
+    if salt and salt > 1:
+        salted_schema = StructType(_key_fields(partials, keys) +
+                                   [StructField("_salt", LongType(), False),
+                                    StructField(STATE_COL, BinaryType(), False)])
+
+        def merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+            st = None
+            for blob in pdf[STATE_COL]:
+                s = sketch.deserialize(bytes(blob))
+                st = s if st is None else sketch.merge(st, s)
+            out = pdf.iloc[[0]][keys + ["_salt"]].copy()
+            out[STATE_COL] = [sketch.serialize(st)]
+            return out
+
+        salted = partials.withColumn(
+            "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)))
+        partials = (salted.groupBy(*keys, "_salt")
+                    .applyInPandas(merge_salted, salted_schema)
+                    .drop("_salt"))
+
+    return partials.groupBy(*keys).applyInPandas(merge_fn, out_schema)
+
+
+def _tree_merge_global(partials: DataFrame, sketch, out_schema,
+                       merge_fn, fanin: int = 64) -> DataFrame:
+    bucketed = partials.withColumn(
+        "_bucket", F.pmod(F.monotonically_increasing_id(), F.lit(fanin)))
+    bucket_schema = StructType([StructField("_bucket", LongType(), False),
+                                StructField(STATE_COL, BinaryType(), False)])
+
+    def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        st = None
+        for blob in pdf[STATE_COL]:
+            s = sketch.deserialize(bytes(blob))
+            st = s if st is None else sketch.merge(st, s)
+        return pd.DataFrame({"_bucket": pdf["_bucket"].iloc[:1],
+                             STATE_COL: [sketch.serialize(st)]})
+
+    level1 = (bucketed.groupBy("_bucket")
+              .applyInPandas(merge_bucket, bucket_schema))
+
+    def merge_all(pdf: pd.DataFrame) -> pd.DataFrame:
+        st = None
+        for blob in pdf[STATE_COL]:
+            s = sketch.deserialize(bytes(blob))
+            st = s if st is None else sketch.merge(st, s)
+        return pd.DataFrame({STATE_COL: [sketch.serialize(st)]})
+
+    return (level1.withColumn("_g", F.lit(0)).groupBy("_g")
+            .applyInPandas(
+                lambda pdf: merge_all(pdf),
+                StructType([StructField(STATE_COL, BinaryType(), False)])))
+
+
+def sketch_agg(df: DataFrame, keys: Sequence[str], value_col: str, sketch,
+               salt: int = 0) -> DataFrame:
+    """build_partials + merge_partials: DataFrame[keys..., sketch_state]."""
+    return merge_partials(build_partials(df, keys, value_col, sketch),
+                          keys, sketch, salt=salt)
+
+
+def global_sketch(df: DataFrame, value_col: str, sketch):
+    """Build one global sketch and return the deserialized state (driver)."""
+    row = sketch_agg(df, [], value_col, sketch).collect()
+    if not row:
+        return sketch.zero()
+    return sketch.deserialize(bytes(row[0][STATE_COL]))
+
+
+# --------------------------------------------------------------------------
+# Convenience finalizing operators
+# --------------------------------------------------------------------------
+
+def hll_count_distinct(df: DataFrame, value_col: str,
+                       keys: Sequence[str] = (), p: int = 14,
+                       salt: int = 0, out_col: str = "approx_distinct",
+                       hash_name: str = "mix64") -> DataFrame:
+    """Approximate COUNT(DISTINCT value) [GROUP BY keys] via mergeable HLL.
+
+    The gopie query `distinct urls per lang` (SURVEY.md §3.1) in one call.
+    """
+    from gopie_spark.kernels import HLL
+    sketch = HLL(p=p, hash_name=hash_name)
+    states = sketch_agg(df, keys, value_col, sketch, salt=salt)
+
+    @F.pandas_udf(LongType())
+    def finalize(blobs: pd.Series) -> pd.Series:
+        return pd.Series([sketch.count(sketch.deserialize(bytes(b)))
+                          for b in blobs], dtype="int64")
+
+    return states.select(*keys, finalize(F.col(STATE_COL)).alias(out_col))
+
+
+def _quantile_states(df, value_col, keys, sketch, qs, out_prefix, salt=0):
+    states = sketch_agg(df, keys, value_col, sketch, salt=salt)
+    qs = list(qs)
+
+    fields = [StructField(f"{out_prefix}{str(q).replace('.', '_')}",
+                          DoubleType()) for q in qs]
+
+    @F.pandas_udf(StructType(fields))
+    def finalize(blobs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in blobs:
+            est = sketch.quantile(sketch.deserialize(bytes(b)), qs)
+            rows.append([float(v) for v in est])
+        return pd.DataFrame(rows, columns=[f.name for f in fields])
+
+    out = states.withColumn("_q", finalize(F.col(STATE_COL)))
+    keys = list(keys)
+    return out.select(*keys, *[F.col(f"_q.{f.name}").alias(f.name)
+                               for f in fields])
+
+
+def tdigest_quantiles(df: DataFrame, value_col: str, qs: Iterable[float],
+                      keys: Sequence[str] = (), delta: float = 100.0,
+                      salt: int = 0, out_prefix: str = "q") -> DataFrame:
+    from gopie_spark.kernels import TDigest
+    return _quantile_states(df, value_col, keys, TDigest(delta=delta), qs,
+                            out_prefix, salt)
+
+
+def kll_quantiles(df: DataFrame, value_col: str, qs: Iterable[float],
+                  keys: Sequence[str] = (), k: int = 200,
+                  salt: int = 0, out_prefix: str = "q") -> DataFrame:
+    from gopie_spark.kernels import KLL
+    return _quantile_states(df, value_col, keys, KLL(k=k), qs,
+                            out_prefix, salt)
+
+
+def cms_build(df: DataFrame, value_col: str, epsilon: float = 0.001,
+              delta: float = 0.99, pre_aggregate: bool = True):
+    """Build a global Count-Min sketch over a column; returns (cms, state).
+
+    With ``pre_aggregate`` the per-partition kernel update hashes each
+    *distinct* value once with its exact in-batch count (map-side combine
+    inside the batch) — the dominant cost at web scale is hashing, and
+    Zipf token streams are mostly duplicates.
+    """
+    from gopie_spark.kernels import CMS
+    cms = CMS.from_guess(epsilon, delta)
+
+    if not pre_aggregate:
+        return cms, global_sketch(df, value_col, cms)
+
+    class _PreAggCMS:
+        """CMS whose update() pre-aggregates the batch to distinct+counts."""
+
+        def zero(self):
+            return cms.zero()
+
+        def update(self, st, values):
+            vals = pd.Series(values)
+            counts = vals.value_counts(sort=False)
+            return cms.update(st, counts.index.astype(str).tolist(),
+                              counts.to_numpy(dtype=np.uint64))
+
+        def merge(self, a, b):
+            return cms.merge(a, b)
+
+        def serialize(self, st):
+            return cms.serialize(st)
+
+        def deserialize(self, blob):
+            return cms.deserialize(blob)
+
+    return cms, global_sketch(df, value_col, _PreAggCMS())
+
+
+def cms_estimate_map(spark: SparkSession, cms, state, df: DataFrame,
+                     value_col: str, out_col: str = "cms_estimate") -> DataFrame:
+    """Point-query every row's value against a broadcast CMS state."""
+    blob = cms.serialize(state)
+    bc = spark.sparkContext.broadcast(blob)
+
+    @F.pandas_udf(LongType())
+    def estimate(vals: pd.Series) -> pd.Series:
+        st = cms.deserialize(bc.value)
+        est = cms.estimate(st, vals.fillna("").astype(str))
+        return pd.Series(est.astype(np.int64))
+
+    return df.withColumn(out_col, estimate(F.col(value_col).cast("string")))
+
+
+def bloom_build(df: DataFrame, value_col: str, n: int, p: float,
+                variant: str = "bit"):
+    """Build a global Bloom filter over a column; returns (bloom, state)."""
+    from gopie_spark.kernels import BloomBit, BloomCounting, BloomScalable
+    bloom = {"bit": BloomBit, "counting": BloomCounting}[variant] \
+        .from_guess(n, p) if variant in ("bit", "counting") \
+        else BloomScalable(n0=n, p=p)
+    return bloom, global_sketch(df, value_col, bloom)
+
+
+def bloom_filter(spark: SparkSession, bloom, state, df: DataFrame,
+                 value_col: str, keep: bool = True,
+                 out_col: Optional[str] = None) -> DataFrame:
+    """Membership semi-join pre-filter: keep (or flag) rows whose value is
+    possibly in the Bloom set.  Never drops a true member (no false
+    negatives); survivors may include ~p false positives — callers needing
+    exactness follow with an exact join on the (much smaller) survivor set,
+    which is exactly Spark's runtime bloom-join pruning pattern."""
+    blob = bloom.serialize(state)
+    bc = spark.sparkContext.broadcast(blob)
+
+    @F.pandas_udf("boolean")
+    def exist(vals: pd.Series) -> pd.Series:
+        st = bloom.deserialize(bc.value)
+        return pd.Series(bloom.exist(st, vals.fillna("").astype(str)))
+
+    flag = exist(F.col(value_col).cast("string"))
+    if out_col:
+        return df.withColumn(out_col, flag)
+    return df.filter(flag if keep else ~flag)

@@ -1,0 +1,41 @@
+"""SparkSession builder with the engine's tuned defaults.
+
+Defaults are chosen for the sketch workload profile: Arrow transfer on,
+AQE on (partition coalescing + skew split for the exact-side queries),
+modest shuffle partitioning (the sketch shuffles carry blobs, not rows).
+All knobs overridable via ``extra``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "gopie_spark",
+              cores: Optional[int] = None,
+              shuffle_partitions: Optional[int] = None,
+              extra: Optional[Dict[str, str]] = None) -> SparkSession:
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+    else:
+        master = f"local[{cores}]"
+    builder = (
+        SparkSession.builder.master(master).appName(app_name)
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or 32))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
