@@ -1,38 +1,533 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Conventions used here so the value-hash comparison is meaningful:
+
+- every computed column is aliased identically on both sides;
+- approximate answers are encoded as *bound checks*: the Spark side
+  computes both the sketch estimate and the exact value and returns
+  ``within_bound`` booleans (plus exact anchors); the oracle returns the
+  same exact anchors with ``TRUE`` — so a hash match literally certifies
+  "estimate within the published bound";
+- float aggregates are rounded via floor(x * 10^s + 0.5) to kill
+  engine-summation last-ulp noise;
+- genuinely non-SQL-expressible ops (LSH blocking, jump-hash, iceflake)
+  have no oracle entry -> driver records the weaker rows-only check.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(_t(sf_dir, "documents"))
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(_t(sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# flagship entry
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-lang approximate-distinct docs via mergeable HLL
+    (the gopie 'distinct per key' query, SURVEY.md §3.1) on sf0.001."""
+    from gopie_spark.operators import hll_count_distinct
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    return hll_count_distinct(docs, "doc_id", keys=["lang"], p=14) \
+        .orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def _q_hll_distinct_global(spark, sf_dir):
+    """HLL distinct doc_id (global): exact anchor + bound certificate."""
+    from gopie_spark.kernels import HLL
+    from gopie_spark.operators import global_sketch
+    docs = _docs(spark, sf_dir)
+    hll = HLL(p=14)
+    st = global_sketch(
+        docs.select(F.col("doc_id").cast("string").alias("v")), "v", hll)
+    est = hll.count(st)
+    bound = 3 * hll.std_err
+    exact_df = docs.agg(F.countDistinct("doc_id").alias("n_exact"))
+    return exact_df.select(
+        "n_exact",
+        (F.lit(float(est)) <= F.col("n_exact") * (1 + bound)) &
+        (F.lit(float(est)) >= F.col("n_exact") * (1 - bound))
+    ).toDF("n_exact", "within_bound")
+
+
+def _q_hll_distinct_per_lang(spark, sf_dir):
+    """HLL distinct doc_id per lang: exact anchors + per-group bound cert."""
+    from gopie_spark.operators import hll_count_distinct
+    docs = _docs(spark, sf_dir)
+    p = 14
+    bound = 3 * 1.04 / math.sqrt(2 ** p)
+    approx = hll_count_distinct(docs, "doc_id", keys=["lang"], p=p)
+    exact = docs.groupBy("lang").agg(F.countDistinct("doc_id").alias("n_exact"))
+    joined = exact.join(approx, "lang")
+    ok = (F.col("approx_distinct") <= F.col("n_exact") * (1 + bound)) & \
+         (F.col("approx_distinct") >= F.col("n_exact") * (1 - bound))
+    return joined.select("lang", "n_exact", ok.alias("within_bound"))
+
+
+def _q_cms_event_type_counts(spark, sf_dir):
+    """CMS point estimates == exact counts at low load (few distinct keys,
+    wide sketch: collision probability (K/w)^d ~ 0)."""
+    from gopie_spark.operators import cms_build
+    events = _events(spark, sf_dir)
+    cms, state = cms_build(events, "event_type")
+    types = sorted(r[0] for r in events.select("event_type").distinct().collect())
+    est = {t: int(v) for t, v in zip(types, cms.estimate(state, types))}
+    rows = [(t, est[t]) for t in types]
+    return spark.createDataFrame(rows, "event_type string, cnt long") \
+        .orderBy("event_type")
+
+
+def _q_cms_topk_heavy_hitters(spark, sf_dir):
+    """Top-5 heavy-hitter event types by CMS estimate (candidates from
+    exact distinct set; ranking by sketch estimate)."""
+    from gopie_spark.operators import cms_build
+    events = _events(spark, sf_dir)
+    cms, state = cms_build(events, "event_type")
+    types = [r[0] for r in events.select("event_type").distinct().collect()]
+    est = list(zip(types, (int(v) for v in cms.estimate(state, types))))
+    top = sorted(est, key=lambda t: (-t[1], t[0]))[:5]
+    return spark.createDataFrame(top, "event_type string, cnt long")
+
+
+def _q_bloom_membership(spark, sf_dir):
+    """Bloom semi-join: users with a 'click' event, tested over all users.
+    p=1e-9 + verified-on-fixture => the flagged set equals the exact
+    semi-join set (no false negatives by construction; false positives
+    vanish at this p for this key count)."""
+    from gopie_spark.operators import bloom_build, bloom_filter
+    events = _events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click") \
+        .select(F.col("user_id").cast("string").alias("u"))
+    n = max(clicks.distinct().count(), 16)
+    bloom, state = bloom_build(clicks, "u", n=n, p=1e-9)
+    users = events.select("user_id").distinct()
+    flagged = bloom_filter(spark, bloom, state, users, "user_id",
+                           out_col="maybe_member")
+    return (flagged.filter(F.col("maybe_member"))
+            .select("user_id").orderBy("user_id"))
+
+
+def _q_tdigest_quantiles(spark, sf_dir):
+    """t-digest quantiles of documents.n_chars: rank-error certificate.
+    For each q, the estimate's true rank must be within eps of q."""
+    from gopie_spark.operators import tdigest_quantiles
+    docs = _docs(spark, sf_dir)
+    qs = [0.25, 0.5, 0.75, 0.9]
+    est_row = tdigest_quantiles(docs, "n_chars", qs).collect()[0]
+    eps = 0.02
+    n = docs.count()
+    checks = []
+    for q in qs:
+        v = float(est_row[f"q{str(q).replace('.', '_')}"])
+        lo_rank = docs.filter(F.col("n_chars") <= v).count() / n
+        hi_rank = docs.filter(F.col("n_chars") < v).count() / n
+        ok = (hi_rank - eps) <= q <= (lo_rank + eps)
+        checks.append((f"q{q}", bool(ok)))
+    return spark.createDataFrame(checks, "quantile string, within_bound boolean")
+
+
+def _q_kll_quantiles(spark, sf_dir):
+    """KLL rank-error certificate on events.value, grouped by event_type."""
+    from gopie_spark.operators import kll_quantiles
+    events = _events(spark, sf_dir)
+    out = kll_quantiles(events, "value", [0.5], keys=["event_type"], k=200)
+    est = {r["event_type"]: r["q0_5"] for r in out.collect()}
+    eps = 0.03
+    rows = []
+    for et in sorted(est):
+        v = float(est[et])
+        grp = events.filter(F.col("event_type") == et)
+        n = grp.count()
+        lo = grp.filter(F.col("value") <= v).count() / n
+        hi = grp.filter(F.col("value") < v).count() / n
+        rows.append((et, bool((hi - eps) <= 0.5 <= (lo + eps))))
+    return spark.createDataFrame(rows, "event_type string, within_bound boolean")
+
+
+def _q_pushsum_mean(spark, sf_dir):
+    """The reference push-sum average (pushsum.go:246-256) as Spark's exact
+    distributed agg: per-event_type mean(value), fixed-point rounded."""
+    events = _events(spark, sf_dir)
+    return (events.groupBy("event_type")
+            .agg(F.floor(F.avg("value") * 10000 + F.lit(0.5))
+                 .cast("long").alias("avg_value_e4"),
+                 F.count("*").alias("n"))
+            .orderBy("event_type"))
+
+
+def _q_topk_orders(spark, sf_dir):
+    """Exact distributed top-k (quickselect/TakeOrderedAndProject analog):
+    top 10 orders by o_totalprice."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    return (orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .select("o_orderkey",
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                    .cast("long").alias("totalprice_e2"))
+            .limit(10))
+
+
+def _q_sorted_range_scan(spark, sf_dir):
+    """Ordered-map capability (skiplist Set/Get/range, SURVEY.md §2.1) as
+    orderBy + range filter over customers."""
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    return (cust.filter((F.col("c_custkey") >= 100) & (F.col("c_custkey") < 200))
+            .select("c_custkey", "c_name")
+            .orderBy("c_custkey"))
+
+
+def _q_window_tumbling_counts(spark, sf_dir):
+    """Sliding/tumbling-window counting (ratelimit sliding-window analog):
+    events per hour per type."""
+    events = _events(spark, sf_dir)
+    return (events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long")
+             .alias("sum_value_e2"))
+        .orderBy("hour", "event_type"))
+
+
+def _q_dedup_exact_stats(spark, sf_dir):
+    """Exact dedup stats by normalized content digest, per lang."""
+    from gopie_spark.operators.dedup import duplicate_stats
+    docs = _docs(spark, sf_dir)
+    return duplicate_stats(docs, by="lang").orderBy("lang")
+
+
+def _q_dedup_exact_keep(spark, sf_dir):
+    """Exact dedup: surviving doc_ids (min id per digest)."""
+    from gopie_spark.operators.dedup import exact_dedup
+    docs = _docs(spark, sf_dir)
+    return (exact_dedup(docs).select("doc_id").orderBy("doc_id"))
+
+
+def _q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (>= 0.8) among first 200 docs."""
+    from gopie_spark.operators.dedup import ngram_jaccard_pairs
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(docs, width=3, threshold=0.8)
+    return (pairs.select("id_a", "id_b",
+                         F.floor(F.col("jaccard") * 10000 + F.lit(0.5))
+                         .cast("long").alias("jaccard_e4"))
+            .orderBy("id_a", "id_b"))
+
+
+def _q_minhash_lsh_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (est Jaccard >= 0.9).
+    Blocking is probabilistic => no SQL oracle (rows-only check); the
+    estimator itself is validated against exact Jaccard in pytest."""
+    from gopie_spark.operators.dedup import minhash_lsh_candidates
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(docs, k=128, bands=32)
+    return (pairs.filter(F.col("est_jaccard") >= 0.9)
+            .select("id_a", "id_b", "est_jaccard").orderBy("id_a", "id_b"))
+
+
+def _q_simhash_dedup(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3). Rows-only check (fingerprint
+    blocking not SQL-expressible); exactness tested in pytest."""
+    from gopie_spark.operators.dedup import simhash_candidates
+    docs = _docs(spark, sf_dir)
+    return simhash_candidates(docs).select("id_a", "id_b", "hamming") \
+        .orderBy("id_a", "id_b")
+
+
+def _q_ann_brute_force(spark, sf_dir):
+    """Exact cosine top-5 for the first 10 vectors (IDs only — cosine kept
+    out of the compared columns to avoid cross-engine float noise)."""
+    from gopie_spark.operators.similarity import brute_force_topk
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = brute_force_topk(spark, emb, queries, k=5)
+    return out.select("query_id", "match_id", "rank") \
+        .orderBy("query_id", "rank")
+
+
+def _q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN top-5 (approximate; rows-only check — recall is
+    gated in pytest against the exact path)."""
+    from gopie_spark.operators.similarity import lsh_topk
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(spark, emb, queries, k=5, n_planes=8, multiprobe=2) \
+        .select("query_id", "match_id", "rank").orderBy("query_id", "rank")
+
+
+def _q_token_stats(spark, sf_dir):
+    """Whitespace token counting per lang — built-ins only."""
+    from gopie_spark.operators.textstats import token_count
+    docs = _docs(spark, sf_dir)
+    return (docs.withColumn("n_tokens", token_count("text"))
+            .groupBy("lang")
+            .agg(F.sum("n_tokens").alias("total_tokens"),
+                 F.floor(F.avg("n_tokens") * 100 + F.lit(0.5)).cast("long")
+                 .alias("avg_tokens_e2"))
+            .orderBy("lang"))
+
+
+def _q_quality_scores(spark, sf_dir):
+    """Quality features: docs below quality threshold per lang."""
+    from gopie_spark.operators.textstats import quality_features
+    docs = _docs(spark, sf_dir)
+    feats = quality_features(docs)
+    return (feats.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("stopword_ratio") > 0.1, 1).otherwise(0))
+                 .alias("n_stopword_rich"),
+                 F.floor(F.avg("punct_ratio") * 100000 + F.lit(0.5))
+                 .cast("long").alias("avg_punct_e5"))
+            .orderBy("lang"))
+
+
+def _q_doc_fingerprints(spark, sf_dir):
+    """Content fingerprints (md5 of normalized text) for first 100 docs."""
+    from gopie_spark.operators.textstats import content_fingerprint
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return docs.select("doc_id",
+                       content_fingerprint("text").alias("fp")) \
+        .orderBy("doc_id")
+
+
+def _q_bitflag_ops(spark, sf_dir):
+    """Bit-flag column ops (bitflag.go analog) — set/toggle/test on
+    event ids, built-ins only."""
+    from gopie_spark.functions import has_flag, set_flag, toggle_flag
+    events = _events(spark, sf_dir)
+    flags = F.col("event_id").bitwiseAND(F.lit(255))
+    return (events.select(
+        "event_id",
+        set_flag(flags, 2).alias("with_bit2"),
+        toggle_flag(flags, 0).alias("toggled0"),
+        has_flag(flags, 7).alias("has_bit7"))
+        .orderBy("event_id").limit(500))
+
+
+def _q_lang_id_agreement(spark, sf_dir):
+    """Language-ID heuristic over documents (rows-only: heuristic has no
+    SQL twin): predicted-language histogram."""
+    from gopie_spark.operators.textstats import add_lang_id
+    docs = _docs(spark, sf_dir)
+    return (add_lang_id(docs).groupBy("lang_pred")
+            .agg(F.count("*").alias("n")).orderBy("lang_pred"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "hll_distinct_global": _q_hll_distinct_global,
+        "hll_distinct_per_lang": _q_hll_distinct_per_lang,
+        "cms_event_type_counts": _q_cms_event_type_counts,
+        "cms_topk_heavy_hitters": _q_cms_topk_heavy_hitters,
+        "bloom_membership": _q_bloom_membership,
+        "tdigest_quantiles": _q_tdigest_quantiles,
+        "kll_quantiles": _q_kll_quantiles,
+        "pushsum_mean": _q_pushsum_mean,
+        "topk_orders": _q_topk_orders,
+        "sorted_range_scan": _q_sorted_range_scan,
+        "window_tumbling_counts": _q_window_tumbling_counts,
+        "dedup_exact_stats": _q_dedup_exact_stats,
+        "dedup_exact_keep": _q_dedup_exact_keep,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "minhash_lsh_dedup": _q_minhash_lsh_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "ann_brute_force": _q_ann_brute_force,
+        "ann_lsh": _q_ann_lsh,
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality_scores,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "bitflag_ops": _q_bitflag_ops,
+        "lang_id_histogram": _q_lang_id_agreement,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "hll_distinct_global": """
+            SELECT count(DISTINCT doc_id) AS n_exact, TRUE AS within_bound
+            FROM documents
+        """,
+        "hll_distinct_per_lang": """
+            SELECT lang, count(DISTINCT doc_id) AS n_exact,
+                   TRUE AS within_bound
+            FROM documents GROUP BY lang
+        """,
+        "cms_event_type_counts": """
+            SELECT event_type, count(*) AS cnt
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "cms_topk_heavy_hitters": """
+            SELECT event_type, count(*) AS cnt
+            FROM events GROUP BY event_type
+            ORDER BY cnt DESC, event_type LIMIT 5
+        """,
+        "bloom_membership": """
+            SELECT DISTINCT user_id FROM events
+            WHERE user_id IN (SELECT user_id FROM events
+                              WHERE event_type = 'click')
+            ORDER BY user_id
+        """,
+        "tdigest_quantiles": """
+            SELECT q AS quantile, TRUE AS within_bound
+            FROM (VALUES ('q0.25'), ('q0.5'), ('q0.75'), ('q0.9')) t(q)
+        """,
+        "kll_quantiles": """
+            SELECT DISTINCT event_type, TRUE AS within_bound
+            FROM events ORDER BY event_type
+        """,
+        "pushsum_mean": """
+            SELECT event_type,
+                   CAST(floor(avg(value) * 10000 + 0.5) AS BIGINT)
+                       AS avg_value_e4,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "topk_orders": """
+            SELECT o_orderkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS totalprice_e2
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "sorted_range_scan": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey >= 100 AND c_custkey < 200
+            ORDER BY c_custkey
+        """,
+        "window_tumbling_counts": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n,
+                   CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)
+                       AS sum_value_e2
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "dedup_exact_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   count(DISTINCT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))))
+                       AS n_unique
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "dedup_exact_keep": """
+            SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER (
+                    PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                    ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn = 1
+            ORDER BY doc_id
+        """,
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(text), '\\s+') AS t
+                FROM documents WHERE doc_id < 200
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(t) >= 3
+                            THEN array_to_string(t[i:i+2], ' ')
+                            ELSE array_to_string(t, ' ') END AS shingle
+                FROM toks,
+                     LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2)))
+                              AS i) g
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(floor(shared * 10000.0 / (sa.n + sb.n - shared) + 0.5)
+                        AS BIGINT) AS jaccard_e4
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        # minhash_lsh_dedup, simhash_dedup, ann_lsh, lang_id_histogram:
+        # probabilistic blocking / heuristics — no SQL oracle (rows-only).
+        "ann_brute_force": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding FROM embeddings
+                WHERE vec_id < 10
+            ), scored AS (
+                SELECT q.query_id, e.vec_id AS match_id,
+                       list_cosine_similarity(q.embedding, e.embedding)
+                           AS cosine
+                FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, match_id, rank FROM (
+                SELECT query_id, match_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, match_id)
+                           AS rank
+                FROM scored)
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "token_stats": """
+            SELECT lang,
+                   sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END) AS total_tokens,
+                   CAST(floor(avg(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END) * 100 + 0.5) AS BIGINT) AS avg_tokens_e2
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "quality_scores": """
+            WITH f AS (
+                SELECT lang,
+                       len(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g'))
+                           * 1.0 / greatest(len(text), 1) AS punct_ratio,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(list_filter(
+                                string_split_regex(lower(trim(text)), '\\s+'),
+                                t -> list_contains(['the','of','and','to','in','a','is','that','for','it','was','on','are','as','with','at','be','by','this'], t)))
+                       END * 1.0 /
+                       greatest(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END, 1) AS stopword_ratio
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   sum(CASE WHEN stopword_ratio > 0.1 THEN 1 ELSE 0 END)
+                       AS n_stopword_rich,
+                   CAST(floor(avg(punct_ratio) * 100000 + 0.5) AS BIGINT)
+                       AS avg_punct_e5
+            FROM f GROUP BY lang ORDER BY lang
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+            FROM documents WHERE doc_id < 100 ORDER BY doc_id
+        """,
+        "bitflag_ops": """
+            SELECT event_id,
+                   (event_id & 255) | 4 AS with_bit2,
+                   xor(event_id & 255, 1) AS toggled0,
+                   ((event_id & 255) & 128) != 0 AS has_bit7
+            FROM events ORDER BY event_id LIMIT 500
+        """,
+    }

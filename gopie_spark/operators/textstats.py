@@ -1,0 +1,173 @@
+"""Text analysis operators for training-data pipelines.
+
+All hot-path expressions are Spark built-ins (whole-stage codegen);
+language-ID is the one Arrow-batched pandas UDF (character n-gram
+heuristic — inherently not a SQL expression).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import StringType
+
+# -- token counting ----------------------------------------------------------
+
+_WS = r"\s+"
+# BPE-ish word/number/punct segmentation (public GPT-2-style pattern family,
+# simplified to RE2-compatible syntax)
+_BPE_ISH = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+"
+
+
+def token_count(col, pattern: str = _WS) -> Column:
+    """Whitespace token count — pure built-ins."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)) \
+        .otherwise(F.size(F.split(trimmed, pattern)))
+
+
+def bpe_ish_token_count(col) -> Column:
+    """Sub-word-ish token count via regexp segmentation (built-in
+    regexp_count — stays JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(_BPE_ISH))
+
+
+# -- quality scoring ----------------------------------------------------------
+
+STOPWORDS = ["the", "of", "and", "to", "in", "a", "is", "that", "for", "it",
+             "was", "on", "are", "as", "with", "at", "be", "by", "this"]
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds length/punctuation/stopword/alpha features — all built-ins:
+
+    - n_chars_calc, n_tokens, mean_token_len
+    - punct_ratio:   punctuation chars / chars
+    - alpha_ratio:   alphabetic chars / chars
+    - stopword_ratio: stopword tokens / tokens (lowercased)
+    - quality_score: monotone combination in [0,1]
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(text_col)
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    lower_toks = F.split(F.lower(F.trim(c)), _WS)
+    stop_hits = F.size(F.filter(lower_toks, lambda t: t.isin(STOPWORDS)))
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    punct_ratio = punct / safe_chars
+    alpha_ratio = alpha / safe_chars
+    stop_ratio = stop_hits / safe_tokens
+    mean_tok = n_chars / safe_tokens
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.3
+        + F.least(alpha_ratio * F.lit(1.25), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.2
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.1
+    )
+    return (df.withColumn("n_chars_calc", n_chars)
+            .withColumn("n_tokens", n_tokens)
+            .withColumn("mean_token_len", mean_tok)
+            .withColumn("punct_ratio", punct_ratio)
+            .withColumn("alpha_ratio", alpha_ratio)
+            .withColumn("stopword_ratio", stop_ratio)
+            .withColumn("quality_score", score))
+
+
+# -- document fingerprinting ---------------------------------------------------
+
+def content_fingerprint(col) -> Column:
+    """Normalized-content digest (md5 of lowercased, whitespace-collapsed
+    text) — the exact-dedup key; SQL-expressible on both Spark and DuckDB."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.regexp_replace(c, r"\s+", " ")))
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text",
+                        out_col: str = "rolling_fp",
+                        window: int = 8) -> DataFrame:
+    """Winnowing-style rolling polynomial hash fingerprint: min uint64 of
+    the rolling hash over token windows (robust to local edits).  Arrow
+    batch UDF over the vectorized FNV kernel."""
+    from pyspark.sql.types import LongType, StructField, StructType
+    from gopie_spark.kernels.hashes import fnv1_64_values, mix64
+
+    schema = StructType(df.schema.fields +
+                        [StructField(out_col, LongType(), False)])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf.assign(**{out_col: pd.Series([], dtype="int64")})
+                continue
+            fps = []
+            for t in pdf[text_col].fillna(""):
+                toks = t.split()
+                if not toks:
+                    fps.append(0)
+                    continue
+                h = mix64(fnv1_64_values(toks))
+                if len(h) >= window:
+                    # rolling window xor-fold then min (winnowing)
+                    acc = np.zeros(len(h) - window + 1, dtype=np.uint64)
+                    for w in range(window):
+                        acc ^= h[w:w + len(acc)] * np.uint64(2654435761 + w)
+                    fps.append(int(acc.min().astype(np.int64)))
+                else:
+                    fps.append(int(h.min().astype(np.int64)))
+            out = pdf.copy()
+            out[out_col] = pd.Series(fps, index=pdf.index, dtype="int64")
+            yield out
+
+    return df.mapInPandas(fn, schema)
+
+
+# -- language identification ---------------------------------------------------
+
+# tiny per-language character-trigram profiles (top distinctive trigrams,
+# public linguistic knowledge); heuristic by design — the operator contract
+# is the Spark plumbing, the profile table is swappable.
+_LANG_PROFILES: Dict[str, List[str]] = {
+    "en": ["the", " th", "he ", "ing", "and", " an", "nd ", " of", "of ", "ion"],
+    "es": [" de", "de ", "os ", " la", "la ", "ión", "es ", " es", "ción", "as "],
+    "de": ["en ", "er ", " de", "der", "ie ", " di", "die", "ein", "ch ", "sch"],
+    "fr": [" de", "de ", "es ", " le", "le ", "ent", "ion", " la", "la ", "que"],
+    "pt": [" de", "de ", "os ", " co", "ão ", "ção", "as ", " qu", "que", "ent"],
+    "it": [" di", "di ", "to ", " co", "re ", "la ", " la", "ion", "one", "che"],
+    "nl": ["en ", " de", "de ", "an ", "van", " va", "et ", "een", " ee", "er "],
+    "ru": [" и ", "ого", " на", "ть ", " по", "ени", " не", "ост", "ние", " пр"],
+    "ja": ["の", "に", "を", "は", "た", "が", "て", "と", "し", "で"],
+    "zh": ["的", "是", "在", "了", "不", "和", "有", "大", "这", "中"],
+}
+
+
+def add_lang_id(df: DataFrame, text_col: str = "text",
+                out_col: str = "lang_pred") -> DataFrame:
+    """Character n-gram language-ID heuristic (Arrow-batched pandas UDF:
+    per-language profile hit-rate on lowercased text, argmax; 'und' when
+    nothing matches)."""
+    @F.pandas_udf(StringType())
+    def lang_id(texts: pd.Series) -> pd.Series:
+        low = texts.fillna("").str.lower()
+        scores = np.zeros((len(low), len(_LANG_PROFILES)), dtype=np.float64)
+        for j, (lang, grams) in enumerate(_LANG_PROFILES.items()):
+            col = np.zeros(len(low), dtype=np.float64)
+            for g in grams:
+                col += low.str.count(__import__("re").escape(g)).to_numpy()
+            scores[:, j] = col
+        lens = low.str.len().to_numpy() + 1.0
+        scores = scores / lens[:, None]
+        best = scores.argmax(axis=1)
+        langs = list(_LANG_PROFILES)
+        out = [langs[b] if scores[i, b] > 0 else "und"
+               for i, b in enumerate(best)]
+        return pd.Series(out)
+
+    return df.withColumn(out_col, lang_id(F.col(text_col)))

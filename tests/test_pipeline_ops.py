@@ -1,0 +1,234 @@
+"""Dedup / similarity / textstats operators against exact oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gopie_spark.operators.dedup import (add_minhash_signatures, add_simhash,
+                                         duplicate_stats, exact_dedup,
+                                         minhash_lsh_candidates,
+                                         minhash_lsh_dedup,
+                                         ngram_jaccard_pairs,
+                                         simhash_candidates)
+from gopie_spark.operators.similarity import (add_hyperplane_bucket,
+                                              brute_force_topk,
+                                              cosine_dedup_pairs, lsh_topk)
+from gopie_spark.operators.textstats import (add_lang_id, bpe_ish_token_count,
+                                             content_fingerprint,
+                                             quality_features,
+                                             rolling_fingerprint, token_count)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Corpus with exact dups, near dups, and distinct docs."""
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = " ".join(f"tok{i}" for i in range(98)) + " changed other"
+    other = " ".join(f"zzz{i}" for i in range(100))
+    rows = [
+        (1, base), (2, base),              # exact dup pair
+        (3, near),                         # near dup of 1
+        (4, other), (5, "short text"),
+        (6, "short  TEXT"),                # dup of 5 after normalization
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(dup_docs):
+    kept = exact_dedup(dup_docs)
+    ids = sorted(r[0] for r in kept.select("doc_id").collect())
+    assert ids == [1, 3, 4, 5]  # 2 dups 1; 6 dups 5 (case+ws normalized)
+
+
+def test_duplicate_stats(dup_docs):
+    row = duplicate_stats(dup_docs).collect()[0]
+    assert row["n_docs"] == 6 and row["n_unique"] == 4
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    pairs = minhash_lsh_candidates(dup_docs, k=64, bands=16).collect()
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert got.get((1, 2)) == 1.0          # exact dup: identical signatures
+    assert (1, 3) in got or (2, 3) in got  # near dup collides in some band
+    for pair, j in got.items():
+        if 4 in pair:                      # 'other' should not pair with base
+            assert {pair[0], pair[1]} <= {4}, f"spurious pair {pair}"
+
+
+def test_minhash_lsh_dedup_drops_larger_ids(dup_docs):
+    kept = minhash_lsh_dedup(dup_docs, threshold=0.9, k=64, bands=16)
+    ids = {r[0] for r in kept.select("doc_id").collect()}
+    assert 1 in ids and 2 not in ids
+    assert 4 in ids and 5 in ids
+
+
+def test_minhash_est_jaccard_close_to_exact(spark):
+    a = " ".join(f"w{i}" for i in range(300))
+    b = " ".join(f"w{i}" for i in range(100, 400))  # shingle overlap ~ 1/2
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    pairs = minhash_lsh_candidates(df, k=128, bands=64).collect()
+    exact = ngram_jaccard_pairs(df, threshold=0.0).collect()
+    assert len(exact) == 1
+    ej = exact[0]["jaccard"]
+    assert len(pairs) == 1
+    assert abs(pairs[0]["est_jaccard"] - ej) < 0.15
+
+
+def test_simhash_candidates(dup_docs):
+    pairs = simhash_candidates(dup_docs, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) in got  # near dup within small hamming distance
+    assert all(4 not in p for p in got)
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")],
+        "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(df, width=3, threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["id_a"], pairs[0]["id_b"]) == (1, 2)
+    assert pairs[0]["jaccard"] == 1.0
+
+
+# -- similarity ---------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vectors(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _exact_topk(vec_rows, q_rows, k):
+    ids = np.array([r[0] for r in vec_rows])
+    mat = np.array([r[1] for r in vec_rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for qid, qv in q_rows:
+        q = np.array(qv, dtype=np.float64)
+        q /= np.linalg.norm(q)
+        sims = mat @ q
+        order = np.lexsort((ids, -sims))[:k]
+        out[qid] = list(ids[order])
+    return out
+
+
+def test_brute_force_topk_matches_numpy(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 5)
+    got = brute_force_topk(spark, vectors, queries, k=5).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["match_id"])
+    exact = _exact_topk(vectors.select("vec_id", "embedding").collect(),
+                        queries.select("vec_id", "embedding").collect(), 5)
+    assert by_q == exact
+    # self-match is always rank 1 with cosine ~1
+    for r in got:
+        if r["rank"] == 1:
+            assert r["match_id"] == r["query_id"]
+            assert r["cosine"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_lsh_topk_finds_planted_neighbors(spark, vectors):
+    """The testdata embeddings are isotropic noise (no neighbor structure),
+    so the meaningful ANN contract is: genuinely-near vectors are found.
+    Plant near-copies of the queries into the corpus and require the LSH
+    path to retrieve them (high cosine => same/adjacent bucket whp)."""
+    rng = np.random.default_rng(5)
+    q_rows = vectors.filter(F.col("vec_id") < 10) \
+        .select("vec_id", "embedding", "label").collect()
+    planted = []
+    for r in q_rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        near = v + 0.05 * np.linalg.norm(v) / 8.0 * rng.standard_normal(len(v))
+        planted.append((20_000 + r["vec_id"],
+                        [float(x) for x in near], r["label"]))
+    corpus = vectors.unionByName(spark.createDataFrame(planted, vectors.schema))
+    queries = vectors.filter(F.col("vec_id") < 10)
+    got = lsh_topk(spark, corpus, queries, k=5, n_planes=8,
+                   multiprobe=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["match_id"])
+    found = sum(1 for r in q_rows if 20_000 + r["vec_id"] in by_q[r["vec_id"]])
+    assert found >= 8  # >= 80% of planted near-copies retrieved
+    for r in q_rows:   # query always finds itself (same bucket)
+        assert r["vec_id"] in by_q[r["vec_id"]]
+
+
+def test_hyperplane_bucket_deterministic(spark, vectors):
+    b1 = add_hyperplane_bucket(vectors).select("vec_id", "lsh_bucket")
+    b2 = add_hyperplane_bucket(vectors).select("vec_id", "lsh_bucket")
+    assert b1.exceptAll(b2).count() == 0
+
+
+def test_cosine_dedup_finds_planted_dup(spark, vectors):
+    rows = vectors.limit(3).collect()
+    planted = [(10_000 + r["vec_id"],
+                [v * 1.000001 for v in r["embedding"]], r["label"])
+               for r in rows]
+    aug = vectors.unionByName(
+        spark.createDataFrame(planted, vectors.schema))
+    pairs = cosine_dedup_pairs(spark, aug, threshold=0.9999).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for r in rows:
+        assert (r["vec_id"], 10_000 + r["vec_id"]) in found
+
+
+# -- textstats ----------------------------------------------------------------
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("  x  ",), ("",), (None,)], "text string")
+    got = [r[0] for r in df.select(token_count("text")).collect()]
+    assert got == [3, 1, 0, None]
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([("hello world 123!",)], "text string")
+    # hello / world / 123 / !
+    assert df.select(bpe_ish_token_count("text")).collect()[0][0] == 4
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog of it all."),
+         (2, "!!! ??? ... ;;; :::")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert out[1]["quality_score"] > out[2]["quality_score"]
+    assert out[2]["punct_ratio"] > 0.5
+    assert out[1]["stopword_ratio"] > 0.2
+    assert out[1]["n_tokens"] == 12
+
+
+def test_content_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",)], "text string")
+    fps = [r[0] for r in df.select(content_fingerprint("text")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_rolling_fingerprint_robust_to_suffix_edit(spark):
+    long_a = " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, long_a), (2, long_a + " tail edit"), (3, "different entirely")],
+        "doc_id long, text string")
+    fps = {r["doc_id"]: r["rolling_fp"]
+           for r in rolling_fingerprint(df).collect()}
+    assert fps[1] == fps[2]  # min-window hash survives a suffix edit
+    assert fps[1] != fps[3]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and the dog ran off"),
+         (2, "el perro de la casa es de madrid y la vida es buena"),
+         (3, "der hund und die katze sind ein paar schöne tiere"),
+         (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in add_lang_id(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "de"
+    assert got[4] == "und"
