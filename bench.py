@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Headline benchmark for the driver: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "docs_per_sec_sketch_suite": ...}
+
+The per-query timings are end-to-end (plan + execute + collect).  The
+sketch-suite docs/sec figure is the north-star throughput proxy at this
+scale (rows consumed by sketch builds / total sketch-build wall time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from gopie_spark.plans import get_spark
+    spark = get_spark("gopie_spark-bench", cores=int(cpus),
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    queries = entrymod.queries()
+
+    headline = [
+        "hll_distinct_global", "hll_distinct_per_lang",
+        "cms_event_type_counts", "cms_topk_heavy_hitters",
+        "bloom_membership", "tdigest_quantiles", "kll_quantiles",
+        "pushsum_mean", "topk_orders", "window_tumbling_counts",
+        "dedup_exact_keep", "minhash_lsh_dedup", "simhash_dedup",
+        "ann_brute_force", "ann_lsh", "token_stats", "quality_scores",
+        "doc_fingerprints", "lang_id_histogram",
+    ]
+    # rows consumed by the sketch-building queries (docs/sec denominator)
+    sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",
+                      "cms_event_type_counts", "cms_topk_heavy_hitters",
+                      "bloom_membership", "tdigest_quantiles",
+                      "kll_quantiles"}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    rows_consumed = {
+        "hll_distinct_global": n_docs, "hll_distinct_per_lang": n_docs,
+        "cms_event_type_counts": n_events, "cms_topk_heavy_hitters": n_events,
+        "bloom_membership": n_events, "tdigest_quantiles": n_docs,
+        "kll_quantiles": n_events,
+    }
+
+    timings = {}
+    sketch_rows = 0
+    sketch_time = 0.0
+    for name in headline:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = len(df.collect())
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        if name in sketch_queries:
+            sketch_rows += rows_consumed[name]
+            sketch_time += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": ("headline query suite wall time (sketches + dedup + "
+                   "similarity + textstats) on testdata"),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(cpus),
+        "docs_per_sec_sketch_suite": round(sketch_rows / sketch_time, 1)
+        if sketch_time else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -159,10 +159,14 @@ class SimHash:
             return out
         flat = np.concatenate([hash_arrays[i] for i in nonempty])
         starts = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]])
-        bits = ((flat[:, None] >> _BITS[None, :]) & U64(1)).astype(np.int32)
-        votes = (2 * bits - 1)
-        sums = np.add.reduceat(votes, starts, axis=0)
-        fp = ((sums > 0).astype(U64) << _BITS[None, :]).sum(axis=1, dtype=U64)
+        # bit-plane sweep keeps memory O(total_tokens), not O(tokens x 64):
+        # bit b's vote sum > half the token count <=> majority of 1s
+        half = lens[nonempty].astype(np.int64)
+        fp = np.zeros(nonempty.size, dtype=U64)
+        for b in range(64):
+            ones = np.add.reduceat(
+                ((flat >> U64(b)) & U64(1)).astype(np.int64), starts)
+            fp |= (2 * ones > half).astype(U64) << U64(b)
         out[nonempty] = fp
         return out
 

@@ -9,6 +9,7 @@ from gopie_spark.operators.sketch_agg import (
     tdigest_quantiles,
     kll_quantiles,
     cms_build,
+    cms_tokens_build,
     cms_estimate_map,
     bloom_build,
     bloom_filter,
@@ -17,5 +18,6 @@ from gopie_spark.operators.sketch_agg import (
 __all__ = [
     "build_partials", "merge_partials", "sketch_agg", "global_sketch",
     "hll_count_distinct", "tdigest_quantiles", "kll_quantiles",
-    "cms_build", "cms_estimate_map", "bloom_build", "bloom_filter",
+    "cms_build", "cms_tokens_build", "cms_estimate_map",
+    "bloom_build", "bloom_filter",
 ]

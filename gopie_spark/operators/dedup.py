@@ -84,20 +84,24 @@ def add_minhash_signatures(df: DataFrame, text_col: str = "text",
     mh = MinHash(k=k)
     schema = StructType(df.schema.fields +
                         [StructField(out_col, ArrayType(LongType()), False)])
+    # (chunk_rows x shingles_per_doc x k) intermediate must stay ~100 MB
+    chunk_rows = max(64, (1 << 23) // max(k, 1))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 yield pdf.assign(**{out_col: pd.Series([], dtype=object)})
                 continue
-            hash_arrays = [
-                _shingle_hashes_fast(t, shingle_width)
-                for t in pdf[text_col].fillna("")
-            ]
-            sigs = mh.batch_signatures(hash_arrays).astype(np.int64)
-            out = pdf.copy()
-            out[out_col] = list(sigs)
-            yield out
+            for lo in range(0, len(pdf), chunk_rows):
+                chunk = pdf.iloc[lo:lo + chunk_rows]
+                hash_arrays = [
+                    _shingle_hashes_fast(t, shingle_width)
+                    for t in chunk[text_col].fillna("")
+                ]
+                sigs = mh.batch_signatures(hash_arrays).astype(np.int64)
+                out = chunk.copy()
+                out[out_col] = list(sigs)
+                yield out
 
     return df.mapInPandas(fn, schema)
 
@@ -192,18 +196,22 @@ def add_simhash(df: DataFrame, text_col: str = "text",
     schema = StructType(df.schema.fields +
                         [StructField(out_col, LongType(), False)])
 
+    chunk_rows = 4096  # (tokens x 64) vote matrix per chunk stays small
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 yield pdf.assign(**{out_col: pd.Series([], dtype="int64")})
                 continue
-            hash_arrays = [fnv1_64_values(t.split()) if t else
-                           np.empty(0, dtype=np.uint64)
-                           for t in pdf[text_col].fillna("")]
-            fps = sh.batch_fingerprints(hash_arrays)
-            out = pdf.copy()
-            out[out_col] = fps.astype(np.int64)
-            yield out
+            for lo in range(0, len(pdf), chunk_rows):
+                chunk = pdf.iloc[lo:lo + chunk_rows]
+                hash_arrays = [fnv1_64_values(t.split()) if t else
+                               np.empty(0, dtype=np.uint64)
+                               for t in chunk[text_col].fillna("")]
+                fps = sh.batch_fingerprints(hash_arrays)
+                out = chunk.copy()
+                out[out_col] = fps.astype(np.int64)
+                yield out
 
     return df.mapInPandas(fn, schema)
 

@@ -1,0 +1,99 @@
+"""Sharded Bloom membership — the distributed-filter design for web scale.
+
+A single Bloom filter for 10^12 keys at p=0.001 is ~1.7 TB of bits; it can
+never live in one task or be merged through one reducer.  The scale design
+shards the key space by hash: shard i holds an independently-sized filter
+over its keys, built entirely inside shard i's task after one hash
+shuffle.  Properties:
+
+- build: one shuffle of the key column; each shard's filter is built
+  vectorized and never leaves its task (no merge tail at all — the
+  "merge" of the global structure is the union of disjoint shards);
+- query: rows route to shards by the same hash; membership is evaluated
+  per shard via a cogrouped applyInPandas — no broadcast of the filter;
+- semantics: identical FPR per shard (each shard sized from its expected
+  key share); zero false negatives, like the unsharded kernel;
+- incremental: per-shard states are ordinary mergeable BloomBit states,
+  so day-2 data merges shard-by-shard (bit-OR) with checkpoint lineage.
+
+The unsharded ``bloom_build``/``bloom_filter`` (sketch_agg.py) remains the
+right tool when the filter fits a broadcast (<= ~100 MB).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (BinaryType, BooleanType, LongType,
+                               StructField, StructType)
+
+from gopie_spark.kernels.bloom import BloomBit
+
+SHARD_COL = "bloom_shard"
+STATE_COL = "sketch_state"
+
+
+def _shard_expr(col: str, shards: int):
+    # xxhash64 is Spark-native (stays in codegen); stable across runs
+    return F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(shards)) \
+        .alias(SHARD_COL)
+
+
+def bloom_shards_build(df: DataFrame, value_col: str, n: int, p: float,
+                       shards: int = 64) -> DataFrame:
+    """Build DataFrame[bloom_shard, sketch_state] over ``df[value_col]``.
+
+    ``n`` is the expected total key count; each shard is sized for its
+    share (n/shards) at the same per-shard FPR ``p``.
+    """
+    per_shard = BloomBit.from_guess(max(n // shards, 64), p)
+    out_schema = StructType([StructField(SHARD_COL, LongType(), False),
+                             StructField(STATE_COL, BinaryType(), False)])
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        st = per_shard.zero()
+        vals = pdf[value_col].dropna().astype(str)
+        if len(vals):
+            per_shard.update(st, vals)
+        return pd.DataFrame({SHARD_COL: pdf[SHARD_COL].iloc[:1],
+                             STATE_COL: [per_shard.serialize(st)]})
+
+    keyed = df.select(_shard_expr(value_col, shards),
+                      F.col(value_col).cast("string").alias(value_col))
+    states = keyed.groupBy(SHARD_COL).applyInPandas(build, out_schema)
+    return states
+
+
+def bloom_shards_filter(spark: SparkSession, shard_states: DataFrame,
+                        df: DataFrame, value_col: str, n: int, p: float,
+                        shards: int = 64,
+                        out_col: Optional[str] = None,
+                        keep: bool = True) -> DataFrame:
+    """Membership-test ``df[value_col]`` against sharded filters via a
+    cogrouped join — the filter never concentrates on one node."""
+    per_shard = BloomBit.from_guess(max(n // shards, 64), p)
+    probe = df.withColumn(SHARD_COL, _shard_expr(value_col, shards))
+    out_schema = StructType(probe.schema.fields +
+                            [StructField("_maybe_member", BooleanType(), False)])
+
+    def test(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return left.assign(_maybe_member=pd.Series([], dtype=bool))
+        if right.empty:
+            return left.assign(_maybe_member=False)
+        st = per_shard.deserialize(bytes(right[STATE_COL].iloc[0]))
+        vals = left[value_col].fillna("").astype(str)
+        return left.assign(_maybe_member=per_shard.exist(st, vals))
+
+    flagged = (probe.groupBy(SHARD_COL)
+               .cogroup(shard_states.groupBy(SHARD_COL))
+               .applyInPandas(test, out_schema))
+    if out_col:
+        return flagged.withColumnRenamed("_maybe_member", out_col) \
+            .drop(SHARD_COL)
+    cond = F.col("_maybe_member") if keep else ~F.col("_maybe_member")
+    return flagged.filter(cond).drop("_maybe_member", SHARD_COL)

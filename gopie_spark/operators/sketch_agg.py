@@ -57,60 +57,101 @@ def _key_fields(df: DataFrame, keys: Sequence[str]) -> List[StructField]:
     return [by_name[k] for k in keys]
 
 
+def _kernel_values(sketch, arr):
+    """Adapt a pyarrow Array to what the kernel's update() consumes."""
+    import pyarrow as pa
+    if _is_numeric_kernel(sketch):
+        return np.asarray(arr.cast(pa.float64()), dtype=np.float64)
+    return arr  # hash kernels consume Arrow arrays zero-copy
+
+
 def build_partials(df: DataFrame, keys: Sequence[str], value_col: str,
-                   sketch) -> DataFrame:
+                   sketch, coalesce_to: Optional[int] = None) -> DataFrame:
     """Stage A: per-input-partition partial sketch per key.
 
     Returns DataFrame[keys..., sketch_state: binary] with at most one row
     per (key, input partition).
+
+    Implemented on ``mapInArrow`` so values stay in Arrow memory end to
+    end — the hash kernels read the Arrow binary layout zero-copy, and no
+    per-row Python string objects are ever materialized (an Arrow->pandas
+    round trip on a wide text column costs more than the sketch math).
+
+    ``coalesce_to`` caps the number of partials without a shuffle — use it
+    for big-state sketches (Bloom/CMS, MBs per state) where the serialized
+    partial volume (#partitions x state size), not the row scan, dominates:
+    set it to ~the executor-core count.
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.pandas.types import to_arrow_schema
+
     keys = list(keys)
+    if coalesce_to:
+        df = df.coalesce(coalesce_to)
+    cols = keys + [value_col] if value_col not in keys else keys
+    df = df.select(*cols)
     out_schema = StructType(_key_fields(df, keys) +
                             [StructField(STATE_COL, BinaryType(), False)])
+    arrow_out = to_arrow_schema(out_schema)
     numeric = _is_numeric_kernel(sketch)
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         acc = {}
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            if keys:
-                for key, grp in pdf.groupby(keys, sort=False, dropna=False):
-                    if not isinstance(key, tuple):
-                        key = (key,)
-                    st = acc.get(key)
-                    if st is None:
-                        st = sketch.zero()
-                    vals = grp[value_col]
-                    if not numeric:
-                        vals = vals.dropna()
-                        if vals.empty:
-                            acc[key] = st
-                            continue
-                    acc[key] = sketch.update(st, _values_for(sketch, vals))
-            else:
-                st = acc.get(())
-                if st is None:
-                    st = sketch.zero()
-                vals = pdf[value_col]
-                if not numeric:
-                    vals = vals.dropna()
-                if len(vals):
-                    st = sketch.update(st, _values_for(sketch, vals))
-                acc[()] = st
-        if acc:
-            rows = {k: [] for k in keys}
-            blobs = []
-            for key, st in acc.items():
-                for i, kcol in enumerate(keys):
-                    rows[kcol].append(key[i])
-                blobs.append(sketch.serialize(st))
-            out = pd.DataFrame(rows)
-            out[STATE_COL] = blobs
-            yield out
 
-    cols = keys + [value_col] if value_col not in keys else keys
-    return df.select(*cols).mapInPandas(fn, out_schema)
+        def upd(key_tuple, values):
+            if not numeric:
+                values = values.drop_null()
+            if len(values) == 0 and key_tuple not in acc:
+                acc[key_tuple] = sketch.zero()
+                return
+            st = acc.get(key_tuple)
+            if st is None:
+                st = sketch.zero()
+            acc[key_tuple] = sketch.update(st, _kernel_values(sketch, values))
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            col = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+            vals = col[value_col]
+            if not keys:
+                upd((), vals)
+                continue
+            if len(keys) == 1:
+                keyarr = col[keys[0]]
+            else:
+                # composite key: null-safe string join (actual typed values
+                # are recovered per group from a representative row)
+                keyarr = pc.binary_join_element_wise(
+                    *[pc.fill_null(pc.cast(col[k], pa.string()), "\x1eNUL\x1e")
+                      for k in keys], "\x1f")
+            dic = keyarr.dictionary_encode()
+            indices = dic.indices
+            for code, keyval in enumerate(dic.dictionary):
+                mask = pc.equal(indices, code)
+                sub = vals.filter(mask)
+                if len(keys) == 1:
+                    upd((keyval.as_py(),), sub)
+                else:
+                    # recover typed key values from the first matching row
+                    row = pc.index(mask, True).as_py()
+                    upd(tuple(col[k][row].as_py() for k in keys), sub)
+            if dic.null_count:
+                mask = pc.is_null(indices)
+                upd((None,) * len(keys), vals.filter(mask))
+
+        if acc:
+            arrays = []
+            for i, k in enumerate(keys):
+                arrays.append(pa.array([kt[i] for kt in acc],
+                                       type=arrow_out.field(k).type))
+            arrays.append(pa.array([sketch.serialize(st)
+                                    for st in acc.values()],
+                                   type=pa.binary()))
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_out)
+
+    return df.mapInArrow(fn, out_schema)
 
 
 def merge_partials(partials: DataFrame, keys: Sequence[str], sketch,
@@ -156,8 +197,28 @@ def merge_partials(partials: DataFrame, keys: Sequence[str], sketch,
     return partials.groupBy(*keys).applyInPandas(merge_fn, out_schema)
 
 
+def _merge_all_states(pdf: pd.DataFrame, sketch) -> pd.DataFrame:
+    st = None
+    for blob in pdf[STATE_COL]:
+        s = sketch.deserialize(bytes(blob))
+        st = s if st is None else sketch.merge(st, s)
+    return pd.DataFrame({STATE_COL: [sketch.serialize(st)]})
+
+
 def _tree_merge_global(partials: DataFrame, sketch, out_schema,
-                       merge_fn, fanin: int = 64) -> DataFrame:
+                       merge_fn, fanin: Optional[int] = None) -> DataFrame:
+    p = max(1, partials.rdd.getNumPartitions())
+    if fanin is None:
+        # sqrt(P) buckets balances level-1 width against the final task's
+        # fan-in; bounded so neither level degenerates at huge P
+        fanin = int(min(256, max(8, math.isqrt(p))))
+    if p <= 64:
+        # small partial count: one merge task beats paying the Arrow
+        # ser/deser of every state twice through an intermediate level
+        return (partials.withColumn("_g", F.lit(0)).groupBy("_g")
+                .applyInPandas(
+                    lambda pdf: _merge_all_states(pdf, sketch),
+                    StructType([StructField(STATE_COL, BinaryType(), False)])))
     bucketed = partials.withColumn(
         "_bucket", F.pmod(F.monotonically_increasing_id(), F.lit(fanin)))
     bucket_schema = StructType([StructField("_bucket", LongType(), False),
@@ -188,15 +249,18 @@ def _tree_merge_global(partials: DataFrame, sketch, out_schema,
 
 
 def sketch_agg(df: DataFrame, keys: Sequence[str], value_col: str, sketch,
-               salt: int = 0) -> DataFrame:
+               salt: int = 0, coalesce_to: Optional[int] = None) -> DataFrame:
     """build_partials + merge_partials: DataFrame[keys..., sketch_state]."""
-    return merge_partials(build_partials(df, keys, value_col, sketch),
-                          keys, sketch, salt=salt)
+    return merge_partials(
+        build_partials(df, keys, value_col, sketch, coalesce_to=coalesce_to),
+        keys, sketch, salt=salt)
 
 
-def global_sketch(df: DataFrame, value_col: str, sketch):
+def global_sketch(df: DataFrame, value_col: str, sketch,
+                  coalesce_to: Optional[int] = None):
     """Build one global sketch and return the deserialized state (driver)."""
-    row = sketch_agg(df, [], value_col, sketch).collect()
+    row = sketch_agg(df, [], value_col, sketch,
+                     coalesce_to=coalesce_to).collect()
     if not row:
         return sketch.zero()
     return sketch.deserialize(bytes(row[0][STATE_COL]))
@@ -263,32 +327,102 @@ def kll_quantiles(df: DataFrame, value_col: str, qs: Iterable[float],
                             out_prefix, salt)
 
 
+def cms_tokens_build(df: DataFrame, text_col: str = "text",
+                     epsilon: float = 0.001, delta: float = 0.99):
+    """Token-frequency CMS with JVM exact pre-aggregation.
+
+    ``explode(split(text)) -> groupBy(token).count()`` runs entirely in
+    whole-stage codegen with Catalyst's *partial* hash aggregate map-side,
+    so the shuffle carries (token, partial_count) pairs — the classic
+    wordcount shuffle — and the Python boundary only ever sees the
+    aggregated (token, count) stream (KBs..MBs), never the raw text
+    (GBs..TBs).  The sketch update is then one vectorized pass per shuffle
+    partition, merged associatively.
+
+    This is the scale path for token heavy-hitters; the pure-sketch path
+    (``cms_build(tokenize=True)``) avoids the row shuffle entirely and
+    wins when the token universe per partition is huge but the Arrow ship
+    of raw text is cheap.
+    """
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from gopie_spark.kernels import CMS
+    cms = CMS.from_guess(epsilon, delta)
+
+    counted = (df.select(F.explode(F.split(F.col(text_col), r"\s+"))
+                         .alias("tok"))
+               .filter(F.col("tok") != "")
+               .groupBy("tok").agg(F.count("*").alias("cnt")))
+
+    out_schema = StructType([StructField(STATE_COL, BinaryType(), False)])
+
+    def fn(batches):
+        st = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            if st is None:
+                st = cms.zero()
+            cms.update(st, rb.column(0),
+                       np.asarray(rb.column(1)).astype(np.uint64))
+        if st is not None:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([cms.serialize(st)], type=pa.binary())],
+                names=[STATE_COL])
+
+    partials = counted.mapInArrow(fn, out_schema)
+    row = merge_partials(partials, [], cms).collect()
+    state = cms.deserialize(bytes(row[0][STATE_COL])) if row else cms.zero()
+    return cms, state
+
+
 def cms_build(df: DataFrame, value_col: str, epsilon: float = 0.001,
-              delta: float = 0.99, pre_aggregate: bool = True):
+              delta: float = 0.99, pre_aggregate: bool = True,
+              tokenize: bool = False, coalesce_to: Optional[int] = None):
     """Build a global Count-Min sketch over a column; returns (cms, state).
 
     With ``pre_aggregate`` the per-partition kernel update hashes each
     *distinct* value once with its exact in-batch count (map-side combine
     inside the batch) — the dominant cost at web scale is hashing, and
-    Zipf token streams are mostly duplicates.
+    Zipf token streams are mostly duplicates: per-partition distincts are
+    vocabulary-bounded, so the update is O(vocab) per batch regardless of
+    row count.
+
+    ``tokenize=True`` counts whitespace *tokens of* the column instead of
+    whole values (the per-lang heavy-hitter-token workload) — splitting
+    happens inside the Arrow batch (pandas str.split + explode), so token
+    rows never hit the Spark row stream.
     """
     from gopie_spark.kernels import CMS
     cms = CMS.from_guess(epsilon, delta)
 
-    if not pre_aggregate:
-        return cms, global_sketch(df, value_col, cms)
+    if not pre_aggregate and not tokenize:
+        return cms, global_sketch(df, value_col, cms, coalesce_to=coalesce_to)
 
     class _PreAggCMS:
-        """CMS whose update() pre-aggregates the batch to distinct+counts."""
+        """CMS whose update() pre-aggregates the batch to distinct+counts.
+
+        Arrow-native end to end: whitespace split, flatten, and
+        value_counts run in Arrow C++ (no Python object arrays — at 32
+        concurrent workers the pandas explode/value_counts equivalent
+        allocation-storms the memory subsystem), and the distinct-token
+        StringArray feeds the FNV kernel zero-copy."""
 
         def zero(self):
             return cms.zero()
 
         def update(self, st, values):
-            vals = pd.Series(values)
-            counts = vals.value_counts(sort=False)
-            return cms.update(st, counts.index.astype(str).tolist(),
-                              counts.to_numpy(dtype=np.uint64))
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            arr = pa.Array.from_pandas(values) \
+                if not isinstance(values, pa.Array) else values
+            if tokenize:
+                arr = pc.list_flatten(
+                    pc.split_pattern_regex(arr, r"\s+"))
+            vc = arr.value_counts()
+            return cms.update(st, vc.field("values"),
+                              vc.field("counts").to_numpy()
+                              .astype(np.uint64))
 
         def merge(self, a, b):
             return cms.merge(a, b)
@@ -299,7 +433,8 @@ def cms_build(df: DataFrame, value_col: str, epsilon: float = 0.001,
         def deserialize(self, blob):
             return cms.deserialize(blob)
 
-    return cms, global_sketch(df, value_col, _PreAggCMS())
+    return cms, global_sketch(df, value_col, _PreAggCMS(),
+                              coalesce_to=coalesce_to)
 
 
 def cms_estimate_map(spark: SparkSession, cms, state, df: DataFrame,

@@ -24,11 +24,15 @@ _BPE_ISH = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+"
 
 
 def token_count(col, pattern: str = _WS) -> Column:
-    """Whitespace token count — pure built-ins."""
+    """Whitespace token count — pure built-ins.
+
+    Uses regexp_count(separators)+1 instead of size(split(...)): counting
+    separators never materializes the token array, which matters when the
+    text column is hundreds of bytes x 10^12 rows."""
     c = F.col(col) if isinstance(col, str) else col
     trimmed = F.trim(c)
     return F.when(F.length(trimmed) == 0, F.lit(0)) \
-        .otherwise(F.size(F.split(trimmed, pattern)))
+        .otherwise(F.regexp_count(trimmed, F.lit(pattern)) + 1)
 
 
 def bpe_ish_token_count(col) -> Column:

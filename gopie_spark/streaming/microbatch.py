@@ -1,0 +1,104 @@
+"""Structured Streaming sketch builds — the pubsub/batch lifecycle on Spark.
+
+Reference lifecycle (SURVEY.md §3.3): ``NewTopic -> Publish -> fan-out ->
+Subscription.Receive`` with ``batch.Batch`` flushing on count/timeout
+(pkg/pubsub/pubsub.go:112-314, pkg/batch/batch.go:27-137).  Spark's
+equivalent: a streaming source -> micro-batch trigger -> ``foreachBatch``
+subscription.  The sketch state is the natural streaming aggregate — each
+micro-batch builds partials with the same two-level kernel aggregation
+and merges into a persisted running state (associativity makes the
+micro-batch boundaries invisible, exactly like the checkpoint/resume
+path).
+
+``Latest``-conflation (pkg/latest/latest.go) maps to only ever keeping
+the newest merged state per key.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gopie_spark.operators.sketch_agg import (STATE_COL, build_partials,
+                                              merge_partials)
+
+
+class StreamingSketch:
+    """Continuously-merged sketch over a stream, via foreachBatch.
+
+    State layout: ``<state_dir>/current/`` holds one parquet of
+    (keys..., state) — the Latest-conflated running sketch.  Each
+    micro-batch merges (previous state ∪ batch partials) per key and
+    atomically replaces it.
+    """
+
+    def __init__(self, spark: SparkSession, sketch, keys: Sequence[str],
+                 value_col: str, state_dir: str):
+        self.spark = spark
+        self.sketch = sketch
+        self.keys = list(keys)
+        self.value_col = value_col
+        self.state_dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+
+    @property
+    def _current(self) -> str:
+        return os.path.join(self.state_dir, "current")
+
+    def current_states(self) -> Optional[DataFrame]:
+        if not os.path.exists(self._current):
+            return None
+        return self.spark.read.parquet(self._current)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch hook: merge this micro-batch into the running state."""
+        partials = build_partials(batch_df, self.keys, self.value_col,
+                                  self.sketch)
+        prev = self.current_states()
+        if prev is not None:
+            partials = partials.unionByName(prev)
+        merged = merge_partials(partials, self.keys, self.sketch)
+        tmp = os.path.join(self.state_dir, f"_tmp_batch_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        # atomic swap (rename) so readers never see a half-written state
+        bak = os.path.join(self.state_dir, f"_old_{batch_id}")
+        if os.path.exists(self._current):
+            os.rename(self._current, bak)
+        os.rename(tmp, self._current)
+        if os.path.exists(bak):
+            import shutil
+            shutil.rmtree(bak)
+
+    def start_file_stream(self, input_dir: str, schema,
+                          checkpoint_dir: Optional[str] = None,
+                          available_now: bool = True):
+        """Consume a file-source stream (new parquet files = new events),
+        merging each micro-batch.  ``available_now`` drains what exists
+        and stops — the batch-like trigger used in tests."""
+        reader = (self.spark.readStream.schema(schema)
+                  .parquet(input_dir))
+        writer = (reader.writeStream
+                  .foreachBatch(self.process_batch)
+                  .option("checkpointLocation",
+                          checkpoint_dir or
+                          os.path.join(self.state_dir, "_stream_ckpt")))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+def windowed_stream_counts(stream_df: DataFrame, ts_col: str,
+                           window: str = "1 hour",
+                           slide: Optional[str] = None,
+                           watermark: str = "2 hours",
+                           keys: Sequence[str] = ()) -> DataFrame:
+    """Watermarked sliding/tumbling window counts on a streaming DataFrame
+    (late data beyond the watermark is dropped; OutputMode update gives
+    Latest-conflation of window results)."""
+    win = (F.window(F.col(ts_col), window, slide) if slide
+           else F.window(F.col(ts_col), window))
+    return (stream_df.withWatermark(ts_col, watermark)
+            .groupBy(win.alias("window"), *list(keys))
+            .agg(F.count("*").alias("n")))

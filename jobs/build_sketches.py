@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Production entrypoint: build the sketch suite over a pages table.
+
+Run with spark-submit and the packaged library (north-rule packaging):
+
+    cd /root/repo && zip -qr /tmp/gopie_spark.zip gopie_spark
+    spark-submit --py-files /tmp/gopie_spark.zip jobs/build_sketches.py \\
+        --input /path/to/pages_parquet \\
+        --checkpoint /path/to/ckpt \\
+        --output /path/to/results \\
+        [--salt 8] [--hll-p 14] [--resume-only]
+
+Resumable: work is bucketed by jump-hash of input file names (stable
+across cluster sizes); re-running after a failure processes only the
+missing buckets, and the final merged states are byte-identical to an
+uninterrupted run (see plans/checkpoint.py).
+
+Skew: the per-lang aggregation salts hot keys (--salt) — en is ~45% of a
+Common-Crawl-style corpus; salting bounds any single merge task's fan-in
+and cannot change results (merge associativity).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--hll-p", type=int, default=14)
+    ap.add_argument("--salt", type=int, default=8)
+    ap.add_argument("--n-buckets", type=int, default=256)
+    ap.add_argument("--resume-only", action="store_true",
+                    help="finalize from existing checkpoint without "
+                         "processing new buckets")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+    from gopie_spark.plans import get_spark
+    from gopie_spark.plans.checkpoint import SketchCheckpoint
+    from gopie_spark.kernels import HLL, KLL
+    from gopie_spark.operators import cms_tokens_build
+    from gopie_spark.operators.membership import bloom_shards_build
+    from gopie_spark.operators.sketch_agg import STATE_COL
+
+    spark = get_spark("gopie-build-sketches")
+    t0 = time.perf_counter()
+
+    hll = HLL(p=args.hll_p)
+    ckpt = SketchCheckpoint(args.checkpoint, hll, ["lang"], "url",
+                            n_buckets=args.n_buckets)
+    if not args.resume_only:
+        ckpt.run_until_complete(spark, args.input)
+    states = ckpt.finalize(spark)
+    states.write.mode("overwrite").parquet(f"{args.output}/hll_lang_url")
+
+    pages = spark.read.parquet(args.input)
+    n = pages.count()
+
+    cms, cms_state = cms_tokens_build(pages.select("text"), "text")
+    with open(f"{args.checkpoint}/cms_tokens.bin", "wb") as fh:
+        fh.write(cms.serialize(cms_state))
+
+    shard_states = bloom_shards_build(pages.select("url"), "url",
+                                      n=n, p=0.001, shards=256)
+    shard_states.write.mode("overwrite") \
+        .parquet(f"{args.output}/bloom_url_shards")
+
+    summary = {
+        "rows": n,
+        "seconds": round(time.perf_counter() - t0, 3),
+        "outputs": ["hll_lang_url", "bloom_url_shards", "cms_tokens.bin"],
+    }
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -232,3 +232,26 @@ def test_lang_id(spark):
     assert got[2] == "es"
     assert got[3] == "de"
     assert got[4] == "und"
+
+
+# -- sharded bloom ------------------------------------------------------------
+
+def test_bloom_shards_membership(spark):
+    from gopie_spark.operators.membership import (bloom_shards_build,
+                                                  bloom_shards_filter)
+    members = spark.createDataFrame(
+        [(f"user-{i}",) for i in range(2000)], "u string")
+    probes = spark.createDataFrame(
+        [(f"user-{i}",) for i in range(1500, 2500)]
+        + [(f"ghost-{i}",) for i in range(2000)], "u string")
+    states = bloom_shards_build(members, "u", n=2000, p=1e-6, shards=16)
+    assert states.count() == 16
+    flagged = bloom_shards_filter(spark, states, probes, "u",
+                                  n=2000, p=1e-6, shards=16,
+                                  out_col="maybe")
+    got = {r["u"]: r["maybe"] for r in flagged.collect()}
+    for i in range(1500, 2000):
+        assert got[f"user-{i}"], "false negative"
+    fp = sum(1 for k, v in got.items()
+             if v and (k.startswith("ghost") or int(k.split("-")[1]) >= 2000))
+    assert fp == 0  # p=1e-6 on 3000 probes -> expected 0 deterministically

@@ -1,0 +1,100 @@
+"""Windowed sketches, streaming micro-batch merges, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gopie_spark.kernels import HLL
+from gopie_spark.operators.sketch_agg import STATE_COL, sketch_agg
+from gopie_spark.operators.windows import (sliding_window_counts,
+                                           windowed_sketch_agg)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def test_tumbling_window_sketch_matches_exact(spark, events):
+    hll = HLL(p=14)
+    out = windowed_sketch_agg(events, "ts", "user_id", hll, width_s=3600)
+    got = {}
+    for r in out.collect():
+        st = hll.deserialize(bytes(r[STATE_COL]))
+        got[r["window_start"]] = hll.count(st)
+    exact = {r["w"]: r["n"] for r in events.groupBy(
+        F.timestamp_seconds((F.unix_timestamp("ts") / 3600).cast("long") * 3600)
+        .alias("w")).agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(got) == set(exact)
+    for w, n in exact.items():
+        assert abs(got[w] - n) / max(n, 1) <= 3 * hll.std_err + 0.05
+
+
+def test_sliding_window_counts_overlap(spark):
+    rows = [(f"2026-01-01 00:{m:02d}:00",) for m in (0, 1, 5, 9, 10)]
+    df = spark.createDataFrame(rows, "ts_s string") \
+        .select(F.to_timestamp("ts_s").alias("ts"))
+    out = {r["window_start"].isoformat(): r["n"]
+           for r in sliding_window_counts(df, "ts", width_s=600,
+                                          slide_s=300).collect()}
+    assert out["2026-01-01T00:00:00"] == 4   # [00:00,00:10): 00,01,05,09
+    assert out["2026-01-01T00:05:00"] == 3   # [00:05,00:15): 05,09,10
+    assert out["2026-01-01T00:10:00"] == 1   # [00:10,00:20): 10
+
+
+def test_sliding_equals_tumbling_when_same(spark, events):
+    hll = HLL(p=10)
+    a = windowed_sketch_agg(events, "ts", "user_id", hll,
+                            width_s=3600, slide_s=3600)
+    b = windowed_sketch_agg(events, "ts", "user_id", hll, width_s=3600)
+    sa = {r["window_start"]: bytes(r[STATE_COL]) for r in a.collect()}
+    sb = {r["window_start"]: bytes(r[STATE_COL]) for r in b.collect()}
+    assert sa == sb
+
+
+def test_streaming_sketch_equals_batch(spark, tmp_path):
+    """Micro-batch-merged streaming HLL == one-shot batch HLL (byte-equal),
+    via a file-source stream drained with availableNow."""
+    from gopie_spark.sources.pages import generate_pages
+    from gopie_spark.streaming import StreamingSketch
+
+    src = str(tmp_path / "stream_src")
+    generate_pages(src, 2000, n_files=4, seed=9)
+    hll = HLL(p=12)
+
+    df_all = spark.read.parquet(src)
+    batch_states = {r["lang"]: bytes(r[STATE_COL])
+                    for r in sketch_agg(df_all.select("lang", "url"),
+                                        ["lang"], "url", hll).collect()}
+
+    ss = StreamingSketch(spark, hll, ["lang"], "url",
+                         str(tmp_path / "state"))
+    q = ss.start_file_stream(src, df_all.schema)
+    q.awaitTermination(120)
+    cur = ss.current_states()
+    got = {r["lang"]: bytes(r[STATE_COL]) for r in cur.collect()}
+    assert got == batch_states
+
+
+def test_multimodal_plumbing(spark):
+    from gopie_spark.sources.multimodal import (FEATURE_DIM, decode_image,
+                                                extract_features,
+                                                fake_feature_extractor,
+                                                frame_sample, synth_media)
+    media = synth_media(spark, n=30)
+    feats = extract_features(media).select("media_id", "features").collect()
+    assert all(len(r["features"]) == FEATURE_DIM for r in feats)
+    # deterministic: same payload -> same features across runs
+    one = synth_media(spark, n=30).filter("media_id = 0") \
+        .select("payload").first()[0]
+    direct = fake_feature_extractor(bytes(one))
+    spark_row = [r for r in feats if r["media_id"] == 0][0]
+    assert np.allclose(spark_row["features"], direct, atol=1e-6)
+
+    frames = frame_sample(media, n_frames=4).select("media_id", "frames")
+    for r in frames.collect():
+        assert 1 <= len(r["frames"]) <= 4
+        assert all(isinstance(bytes(f), bytes) for f in r["frames"])
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
