@@ -326,6 +326,143 @@ def _q_bitflag_ops(spark, sf_dir):
         .orderBy("event_id").limit(500))
 
 
+def _q_cms_token_heavy_hitters(spark, sf_dir):
+    """Token-frequency CMS (JVM pre-agg) bound certificate: for the exact
+    top-20 tokens, the CMS estimate must satisfy exact <= est <= exact +
+    2N/w (countmin.go:21-22 published bound, deterministic here given the
+    fixed hash)."""
+    from gopie_spark.operators import cms_tokens_build
+    docs = _docs(spark, sf_dir)
+    cms, state = cms_tokens_build(docs.select("text"), "text")
+    top = (docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
+           .filter(F.col("tok") != "")
+           .groupBy("tok").agg(F.count("*").alias("cnt"))
+           .orderBy(F.desc("cnt"), F.asc("tok")).limit(20).collect())
+    toks = [r["tok"] for r in top]
+    est = cms.estimate(state, toks)
+    n = cms.count(state)
+    bound = 2.0 * n / cms.width
+    rows = [(t, int(r["cnt"]),
+             bool(r["cnt"] <= int(e) <= r["cnt"] + bound))
+            for t, r, e in zip(toks, top, est)]
+    return spark.createDataFrame(
+        rows, "tok string, cnt long, within_bound boolean")
+
+
+def _q_sliding_window_epoch_counts(spark, sf_dir):
+    """Sliding-window event counts (ratelimit sliding_window.go analog):
+    1h windows every 30min, keyed by epoch seconds for engine-neutral
+    comparison."""
+    from gopie_spark.operators.windows import sliding_window_counts
+    events = _events(spark, sf_dir)
+    out = sliding_window_counts(events, "ts", width_s=3600, slide_s=1800)
+    return (out.select(F.unix_timestamp("window_start").alias("window_epoch"),
+                       "n")
+            .orderBy("window_epoch"))
+
+
+def _q_cosine_pairs_bruteforce(spark, sf_dir):
+    """Exact cosine pairs >= 0.3 among the first 50 embeddings (JVM
+    zip_with dot product; ids only, floats kept out of the compare)."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings")) \
+        .filter(F.col("vec_id") < 50) \
+        .select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(b, F.col("a._id") < F.col("b._id")) \
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                F.col("a._v").alias("_va"), F.col("b._v").alias("_vb"))
+    dot = F.aggregate(F.zip_with("_va", "_vb",
+                                 lambda x, y: x.cast("double") * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform("_va", lambda x: x.cast("double") * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform("_vb", lambda x: x.cast("double") * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return (pairs.withColumn("_cos", dot / (na * nb))
+            .filter(F.col("_cos") >= 0.3)
+            .select("id_a", "id_b").orderBy("id_a", "id_b"))
+
+
+def _q_iceflake_unique(spark, sf_dir):
+    """Iceflake-style distributed id assignment (sequence/memflake.go
+    analog): ids must be unique across partitions."""
+    from gopie_spark.functions import iceflake_ids
+    docs = _docs(spark, sf_dir).repartition(8)
+    out = iceflake_ids(docs, "seq_id")
+    return out.agg(F.count("*").alias("n"),
+                   F.countDistinct("seq_id").alias("n_ids"))
+
+
+def _q_jumphash_balance(spark, sf_dir):
+    """Jump consistent hash (jumphash.go:16-29 analog): deterministic
+    bucket assignment of user ids; certificate = all 32 buckets used and
+    max/min load within 3x (uniform keys)."""
+    import numpy as np
+    from gopie_spark.functions.jumphash import jump_hash
+    events = _events(spark, sf_dir)
+    ids = np.array([r[0] for r in
+                    events.select("user_id").distinct().collect()],
+                   dtype=np.uint64)
+    buckets = jump_hash(ids, 32)
+    valid = bool((buckets >= 0).all() and (buckets < 32).all()
+                 and np.array_equal(buckets, jump_hash(ids, 32)))
+    # balance is asserted on a key population large enough for the law of
+    # large numbers (the sf0.01 user set is ~150 keys — pure Poisson noise)
+    big = jump_hash(np.arange(10_000, dtype=np.uint64), 32)
+    counts = np.bincount(big, minlength=32)
+    balanced = bool(valid and counts.min() > 0
+                    and counts.max() < 1.25 * counts.mean())
+    return spark.createDataFrame([(32, balanced)],
+                                 "n_buckets int, balanced boolean")
+
+
+def _q_bloom_scalable_membership(spark, sf_dir):
+    """Scalable Bloom (bloomscale.go analog) grown past several levels,
+    then exact-set membership (zero false negatives; FP ~ 0 at p=1e-8)."""
+    from gopie_spark.kernels import BloomScalable
+    from gopie_spark.operators import global_sketch
+    events = _events(spark, sf_dir)
+    users = events.select(F.col("user_id").cast("string").alias("u")) \
+        .distinct()
+    bf = BloomScalable(n0=256, p=1e-8)
+    state = global_sketch(users, "u", bf)
+    import numpy as np
+    all_users = sorted(r[0] for r in
+                       events.select("user_id").distinct().collect())
+    probe = [str(u) for u in all_users] + \
+        [f"absent-{i}" for i in range(len(all_users))]
+    hits = bf.exist(state, probe)
+    present = [(u,) for u, h in zip(all_users, hits[:len(all_users)]) if h]
+    absent_fp = int(hits[len(all_users):].sum())
+    rows = [(int(u[0]), absent_fp) for u in present]
+    return spark.createDataFrame(rows, "user_id long, absent_fp long") \
+        .orderBy("user_id")
+
+
+def _q_tdigest_grouped_median(spark, sf_dir):
+    """Grouped t-digest median of events.value per event_type — rank-error
+    certificate per group."""
+    from itertools import chain
+    from gopie_spark.operators import tdigest_quantiles
+    events = _events(spark, sf_dir)
+    out = tdigest_quantiles(events, "value", [0.5], keys=["event_type"])
+    est = {r["event_type"]: float(r["q0_5"]) for r in out.collect()}
+    eps = 0.02
+    est_col = F.create_map(*list(chain.from_iterable(
+        (F.lit(k), F.lit(v)) for k, v in est.items())))[F.col("event_type")]
+    ranks = (events.withColumn("_est", est_col)
+             .groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.when(F.col("value") <= F.col("_est"), 1)
+                        .otherwise(0)).alias("le"),
+                  F.sum(F.when(F.col("value") < F.col("_est"), 1)
+                        .otherwise(0)).alias("lt")))
+    ok = ((F.col("lt") / F.col("n") - eps) <= 0.5) & \
+         (0.5 <= (F.col("le") / F.col("n") + eps))
+    return (ranks.select("event_type", ok.alias("within_bound"))
+            .orderBy("event_type"))
+
+
 def _q_lang_id_agreement(spark, sf_dir):
     """Language-ID heuristic over documents (rows-only: heuristic has no
     SQL twin): predicted-language histogram."""
@@ -360,6 +497,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "bitflag_ops": _q_bitflag_ops,
         "lang_id_histogram": _q_lang_id_agreement,
+        "cms_token_heavy_hitters": _q_cms_token_heavy_hitters,
+        "sliding_window_epoch_counts": _q_sliding_window_epoch_counts,
+        "cosine_pairs_bruteforce": _q_cosine_pairs_bruteforce,
+        "iceflake_unique": _q_iceflake_unique,
+        "jumphash_balance": _q_jumphash_balance,
+        "bloom_scalable_membership": _q_bloom_scalable_membership,
+        "tdigest_grouped_median": _q_tdigest_grouped_median,
     }
 
 
@@ -529,5 +673,45 @@ def oracle_sql() -> dict[str, str]:
                    xor(event_id & 255, 1) AS toggled0,
                    ((event_id & 255) & 128) != 0 AS has_bit7
             FROM events ORDER BY event_id LIMIT 500
+        """,
+        "cms_token_heavy_hitters": """
+            SELECT tok, cnt, TRUE AS within_bound FROM (
+                SELECT tok, count(*) AS cnt
+                FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+                      FROM documents)
+                WHERE tok != ''
+                GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20)
+        """,
+        "sliding_window_epoch_counts": """
+            WITH slots AS (
+                SELECT CAST(floor(epoch(ts) / 1800) AS BIGINT) AS slot
+                FROM events
+            )
+            SELECT s * 1800 AS window_epoch, count(*) AS n
+            FROM (SELECT slot AS s FROM slots
+                  UNION ALL SELECT slot - 1 AS s FROM slots)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "cosine_pairs_bruteforce": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 50 AND b.vec_id < 50
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+            ORDER BY id_a, id_b
+        """,
+        "iceflake_unique": """
+            SELECT count(*) AS n, count(*) AS n_ids FROM documents
+        """,
+        "jumphash_balance": """
+            SELECT CAST(32 AS INTEGER) AS n_buckets, TRUE AS balanced
+        """,
+        "bloom_scalable_membership": """
+            SELECT user_id, CAST(0 AS BIGINT) AS absent_fp
+            FROM (SELECT DISTINCT user_id FROM events)
+            ORDER BY user_id
+        """,
+        "tdigest_grouped_median": """
+            SELECT DISTINCT event_type, TRUE AS within_bound
+            FROM events ORDER BY event_type
         """,
     }

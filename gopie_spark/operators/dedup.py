@@ -84,8 +84,9 @@ def add_minhash_signatures(df: DataFrame, text_col: str = "text",
     mh = MinHash(k=k)
     schema = StructType(df.schema.fields +
                         [StructField(out_col, ArrayType(LongType()), False)])
-    # (chunk_rows x shingles_per_doc x k) intermediate must stay ~100 MB
-    chunk_rows = max(64, (1 << 23) // max(k, 1))
+    # the (total_shingles x k) mixed-hash intermediate must stay ~100 MB:
+    # ~150 shingles/doc x k x 8 B => chunk of ~1k docs at k=128
+    chunk_rows = max(64, (1 << 27) // (max(k, 1) * 8 * 150))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
