@@ -116,7 +116,9 @@ Reproduce: `python BENCH/run_scaling.py`
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(md)
-    print("# wrote BENCH/BASELINE.md", file=sys.stderr)
+    with open(os.path.join(REPO, "BENCH", "scaling_summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print("# wrote BENCH/BASELINE.md + scaling_summary.json", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -463,6 +463,51 @@ def _q_tdigest_grouped_median(spark, sf_dir):
             .orderBy("event_type"))
 
 
+def _q_bloom_counting_remove(spark, sf_dir):
+    """Counting Bloom with Remove (bloom.go:94-114): insert all distinct
+    users, remove the odd ones, membership must equal the even set
+    (p=1e-9 => no false positives on this key count, deterministically)."""
+    from gopie_spark.kernels import BloomCounting
+    events = _events(spark, sf_dir)
+    users = sorted(r[0] for r in events.select("user_id").distinct().collect())
+    bf = BloomCounting.from_guess(max(len(users), 64), 1e-9)
+    st = bf.zero()
+    bf.update(st, [str(u) for u in users])
+    bf.remove(st, [str(u) for u in users if u % 2 == 1])
+    flags = bf.exist(st, [str(u) for u in users])
+    rows = [(int(u),) for u, f in zip(users, flags) if f]
+    return spark.createDataFrame(rows, "user_id long").orderBy("user_id")
+
+
+def _q_base58_roundtrip(spark, sf_dir):
+    """Base58 codec (base58.go:33-67 analog): encode/decode doc ids,
+    certificate = every id round-trips and encodings are distinct."""
+    import numpy as np
+    from gopie_spark.functions import base58_decode, base58_encode
+    docs = _docs(spark, sf_dir)
+    ids = np.array([r[0] for r in docs.select("doc_id").collect()],
+                   dtype=np.uint64)
+    enc = base58_encode(ids)
+    ok = bool(np.array_equal(base58_decode(enc), ids)
+              and len(set(enc)) == len(set(ids.tolist())))
+    return spark.createDataFrame([(len(ids), ok)],
+                                 "n long, roundtrip_ok boolean")
+
+
+def _q_sort_multi_key(spark, sf_dir):
+    """Distributed multi-key sort (heapsort/mergesort/quicksort analogs —
+    Spark orderBy): lineitem by returnflag, linestatus, quantity desc."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (li.orderBy(F.asc("l_returnflag"), F.asc("l_linestatus"),
+                       F.desc("l_quantity"), F.asc("l_orderkey"),
+                       F.asc("l_linenumber"))
+            .select("l_returnflag", "l_linestatus",
+                    F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+                    .cast("long").alias("qty_e2"),
+                    "l_orderkey")
+            .limit(200))
+
+
 def _q_lang_id_agreement(spark, sf_dir):
     """Language-ID heuristic over documents (rows-only: heuristic has no
     SQL twin): predicted-language histogram."""
@@ -504,6 +549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jumphash_balance": _q_jumphash_balance,
         "bloom_scalable_membership": _q_bloom_scalable_membership,
         "tdigest_grouped_median": _q_tdigest_grouped_median,
+        "bloom_counting_remove": _q_bloom_counting_remove,
+        "base58_roundtrip": _q_base58_roundtrip,
+        "sort_multi_key": _q_sort_multi_key,
     }
 
 
@@ -713,5 +761,21 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_grouped_median": """
             SELECT DISTINCT event_type, TRUE AS within_bound
             FROM events ORDER BY event_type
+        """,
+        "bloom_counting_remove": """
+            SELECT DISTINCT user_id FROM events
+            WHERE user_id % 2 = 0 ORDER BY user_id
+        """,
+        "base58_roundtrip": """
+            SELECT count(*) AS n, TRUE AS roundtrip_ok FROM documents
+        """,
+        "sort_multi_key": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_e2,
+                   l_orderkey
+            FROM lineitem
+            ORDER BY l_returnflag, l_linestatus, l_quantity DESC,
+                     l_orderkey, l_linenumber
+            LIMIT 200
         """,
     }

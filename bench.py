@@ -75,6 +75,20 @@ def main() -> None:
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    scaling = None
+    summary_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "scaling_summary.json")
+    if os.path.exists(summary_path):
+        with open(summary_path) as fh:
+            s = json.load(fh)
+        scaling = {
+            "pages_rows": s["pages_rows"],
+            "docs_per_sec_by_cores": {c: v["docs_per_sec"]
+                                      for c, v in s["levels"].items()},
+            "efficiency_2_to_8": s["scaling_efficiency_2_to_8"],
+            "efficiency_8_to_32": s["scaling_efficiency_8_to_32"],
+            "gate_pass": s["pass"],
+        }
     out = {
         "metric": ("headline query suite wall time (sketches + dedup + "
                    "similarity + textstats) on testdata"),
@@ -85,6 +99,7 @@ def main() -> None:
         "cpus": int(cpus),
         "docs_per_sec_sketch_suite": round(sketch_rows / sketch_time, 1)
         if sketch_time else None,
+        "scaling": scaling,
     }
     print(json.dumps(out))
     spark.stop()

@@ -1,0 +1,111 @@
+"""Property-based kernel tests (hypothesis).
+
+The reference's tests are example-based; these generalize the load-bearing
+invariants over arbitrary inputs:
+
+- vectorized hashes == scalar references on arbitrary byte strings;
+- split/merge invariance: any partitioning of any input yields the serial
+  state byte-for-byte (HLL/CMS/Bloom/MinHash/SimHash);
+- CMS never undercounts; Bloom never false-negatives;
+- quantile sketches respect rank-error bounds on arbitrary floats.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from gopie_spark.kernels import (CMS, HLL, KLL, BloomBit, MinHash, SimHash,
+                                 TDigest)
+from gopie_spark.kernels import hashes
+from tests import reference_impls as ref
+
+byte_strings = st.lists(st.binary(min_size=0, max_size=64),
+                        min_size=1, max_size=50)
+tokens = st.lists(st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
+                          min_size=1, max_size=12),
+                  min_size=1, max_size=200)
+
+
+@settings(max_examples=50, deadline=None)
+@given(byte_strings)
+def test_fnv32_matches_scalar(data):
+    assert hashes.fnv1_32_values(data).tolist() == \
+        [ref.fnv1_32(b) for b in data]
+
+
+@settings(max_examples=50, deadline=None)
+@given(byte_strings)
+def test_fnv64_matches_scalar(data):
+    assert hashes.fnv1_64_values(data).tolist() == \
+        [ref.fnv1_64(b) for b in data]
+
+
+@settings(max_examples=50, deadline=None)
+@given(byte_strings)
+def test_siphash_matches_scalar(data):
+    assert hashes.siphash24_values(data).tolist() == \
+        [ref.siphash24(ref.GOPIE_SIP_KEY, b) for b in data]
+
+
+def _split(values, cut_points):
+    cuts = sorted({c % (len(values) + 1) for c in cut_points})
+    parts, prev = [], 0
+    for c in cuts + [len(values)]:
+        parts.append(values[prev:c])
+        prev = c
+    return parts
+
+
+@settings(max_examples=25, deadline=None)
+@given(tokens, st.lists(st.integers(0, 10_000), min_size=1, max_size=5))
+def test_sketch_split_merge_invariance(toks, cuts):
+    for sketch in (HLL(p=8), CMS(width=64, depth=3),
+                   BloomBit(m=512, k=3), MinHash(k=16), SimHash()):
+        serial = sketch.zero()
+        sketch.update(serial, toks)
+        merged = None
+        for part in _split(toks, cuts):
+            stp = sketch.zero()
+            if part:
+                sketch.update(stp, part)
+            merged = stp if merged is None else sketch.merge(merged, stp)
+        assert sketch.serialize(merged) == sketch.serialize(serial), \
+            type(sketch).__name__
+
+
+@settings(max_examples=25, deadline=None)
+@given(tokens)
+def test_cms_never_undercounts(toks):
+    cms = CMS(width=32, depth=3)  # deliberately tiny: collisions guaranteed
+    st_ = cms.zero()
+    cms.update(st_, toks)
+    uniq, counts = np.unique(toks, return_counts=True)
+    est = cms.estimate(st_, list(uniq))
+    assert (est.astype(np.int64) >= counts).all()
+    assert cms.count(st_) == len(toks)
+
+
+@settings(max_examples=25, deadline=None)
+@given(tokens)
+def test_bloom_no_false_negatives(toks):
+    bf = BloomBit(m=512, k=3)
+    st_ = bf.zero()
+    bf.update(st_, toks)
+    assert bf.exist(st_, toks).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.floats(min_value=-1e9, max_value=1e9,
+                          allow_nan=False, allow_infinity=False),
+                min_size=20, max_size=2000))
+def test_quantile_sketches_rank_bounds(xs):
+    data = np.asarray(xs, dtype=np.float64)
+    n = len(data)
+    srt = np.sort(data)
+    for sk, eps in ((TDigest(delta=100), 0.05), (KLL(k=200), 0.05)):
+        st_ = sk.zero()
+        sk.update(st_, data)
+        for q in (0.1, 0.5, 0.9):
+            est = float(sk.quantile(st_, [q])[0])
+            lo = np.searchsorted(srt, est, side="left") / n
+            hi = np.searchsorted(srt, est, side="right") / n
+            assert lo - eps <= q <= hi + eps, (type(sk).__name__, q, est)

@@ -98,3 +98,36 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_stateful_streaming_hll(spark, tmp_path):
+    """applyInPandasWithState per-key HLL: final emitted estimates match a
+    batch HLL build over the same data."""
+    from gopie_spark.sources.pages import generate_pages
+    from gopie_spark.streaming.stateful import streaming_hll_estimates
+    from gopie_spark.operators import hll_count_distinct
+
+    src = str(tmp_path / "src")
+    generate_pages(src, 1500, n_files=3, seed=13)
+    df_all = spark.read.parquet(src)
+
+    stream = spark.readStream.schema(df_all.schema).parquet(src) \
+        .select("lang", "url")
+    out = streaming_hll_estimates(stream, "lang", "url", p=12)
+    sink = str(tmp_path / "sink")
+    q = (out.writeStream.format("memory").queryName("hll_stream")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from hll_stream").collect()
+    # keep the last emission per key (Update mode re-emits)
+    last = {}
+    for r in rows:
+        if r["lang"] not in last or r["n_batches"] > last[r["lang"]]["n_batches"]:
+            last[r["lang"]] = r
+    batch = {r["lang"]: r["approx_distinct"]
+             for r in hll_count_distinct(df_all, "url", keys=["lang"],
+                                         p=12).collect()}
+    got = {k: v["approx_distinct"] for k, v in last.items()}
+    assert got == batch
