@@ -93,7 +93,7 @@ def _q_cms_event_type_counts(spark, sf_dir):
     wide sketch: collision probability (K/w)^d ~ 0)."""
     from gopie_spark.operators import cms_build
     events = _events(spark, sf_dir)
-    cms, state = cms_build(events, "event_type")
+    cms, state = cms_build(events, "event_type", jvm_pre_aggregate=True)
     types = sorted(r[0] for r in events.select("event_type").distinct().collect())
     est = {t: int(v) for t, v in zip(types, cms.estimate(state, types))}
     rows = [(t, est[t]) for t in types]
@@ -106,7 +106,7 @@ def _q_cms_topk_heavy_hitters(spark, sf_dir):
     exact distinct set; ranking by sketch estimate)."""
     from gopie_spark.operators import cms_build
     events = _events(spark, sf_dir)
-    cms, state = cms_build(events, "event_type")
+    cms, state = cms_build(events, "event_type", jvm_pre_aggregate=True)
     types = [r[0] for r in events.select("event_type").distinct().collect()]
     est = list(zip(types, (int(v) for v in cms.estimate(state, types))))
     top = sorted(est, key=lambda t: (-t[1], t[0]))[:5]
@@ -122,7 +122,9 @@ def _q_bloom_membership(spark, sf_dir):
     events = _events(spark, sf_dir)
     clicks = events.filter(F.col("event_type") == "click") \
         .select(F.col("user_id").cast("string").alias("u"))
-    n = max(clicks.distinct().count(), 16)
+    # size by row count (upper bound on distincts): avoids a full distinct
+    # shuffle just for sizing; oversizing only lowers the realized FPR
+    n = max(clicks.count(), 16)
     bloom, state = bloom_build(clicks, "u", n=n, p=1e-9)
     users = events.select("user_id").distinct()
     flagged = bloom_filter(spark, bloom, state, users, "user_id",
@@ -139,12 +141,22 @@ def _q_tdigest_quantiles(spark, sf_dir):
     qs = [0.25, 0.5, 0.75, 0.9]
     est_row = tdigest_quantiles(docs, "n_chars", qs).collect()[0]
     eps = 0.02
-    n = docs.count()
-    checks = []
+    # single-pass rank certificate: all <=/< counts for every quantile in
+    # one aggregate scan (vs 2 scans per quantile)
+    aggs = [F.count("*").alias("n")]
     for q in qs:
         v = float(est_row[f"q{str(q).replace('.', '_')}"])
-        lo_rank = docs.filter(F.col("n_chars") <= v).count() / n
-        hi_rank = docs.filter(F.col("n_chars") < v).count() / n
+        tag = str(q).replace('.', '_')
+        aggs.append(F.sum(F.when(F.col("n_chars") <= v, 1).otherwise(0))
+                    .alias(f"le_{tag}"))
+        aggs.append(F.sum(F.when(F.col("n_chars") < v, 1).otherwise(0))
+                    .alias(f"lt_{tag}"))
+    r = docs.agg(*aggs).collect()[0]
+    checks = []
+    for q in qs:
+        tag = str(q).replace('.', '_')
+        lo_rank = r[f"le_{tag}"] / r["n"]
+        hi_rank = r[f"lt_{tag}"] / r["n"]
         ok = (hi_rank - eps) <= q <= (lo_rank + eps)
         checks.append((f"q{q}", bool(ok)))
     return spark.createDataFrame(checks, "quantile string, within_bound boolean")
@@ -152,20 +164,26 @@ def _q_tdigest_quantiles(spark, sf_dir):
 
 def _q_kll_quantiles(spark, sf_dir):
     """KLL rank-error certificate on events.value, grouped by event_type."""
+    from itertools import chain
     from gopie_spark.operators import kll_quantiles
     events = _events(spark, sf_dir)
     out = kll_quantiles(events, "value", [0.5], keys=["event_type"], k=200)
-    est = {r["event_type"]: r["q0_5"] for r in out.collect()}
+    est = {r["event_type"]: float(r["q0_5"]) for r in out.collect()}
     eps = 0.03
-    rows = []
-    for et in sorted(est):
-        v = float(est[et])
-        grp = events.filter(F.col("event_type") == et)
-        n = grp.count()
-        lo = grp.filter(F.col("value") <= v).count() / n
-        hi = grp.filter(F.col("value") < v).count() / n
-        rows.append((et, bool((hi - eps) <= 0.5 <= (lo + eps))))
-    return spark.createDataFrame(rows, "event_type string, within_bound boolean")
+    # single-pass per-group rank certificate via a broadcast literal map
+    est_col = F.create_map(*list(chain.from_iterable(
+        (F.lit(k), F.lit(v)) for k, v in est.items())))[F.col("event_type")]
+    ranks = (events.withColumn("_est", est_col)
+             .groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.when(F.col("value") <= F.col("_est"), 1)
+                        .otherwise(0)).alias("le"),
+                  F.sum(F.when(F.col("value") < F.col("_est"), 1)
+                        .otherwise(0)).alias("lt")))
+    ok = ((F.col("lt") / F.col("n") - eps) <= 0.5) & \
+         (0.5 <= (F.col("le") / F.col("n") + eps))
+    return (ranks.select("event_type", ok.alias("within_bound"))
+            .orderBy("event_type"))
 
 
 def _q_pushsum_mean(spark, sf_dir):

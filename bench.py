@@ -59,20 +59,33 @@ def main() -> None:
         "kll_quantiles": n_events,
     }
 
+    # Two passes, steady-state timed — the same methodology as
+    # BENCH/run_scaling.py ("first pass warms JIT + Python workers").
+    # Whole-stage-codegen compilation of the heavier expression pipelines
+    # (md5/regexp projections, higher-order array transforms) costs
+    # 10-20s ONCE per session on this VM, landing on whichever query runs
+    # that shape first; pass 0 absorbs it (plus Python-worker imports) so
+    # pass 1 measures the queries, not session warmup.  Pass-0 wall time
+    # is reported alongside for transparency.
     timings = {}
     sketch_rows = 0
     sketch_time = 0.0
-    for name in headline:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = len(df.collect())
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        if name in sketch_queries:
-            sketch_rows += rows_consumed[name]
-            sketch_time += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+    warmup_s = 0.0
+    for pass_no in (0, 1):
+        for name in headline:
+            fn = queries[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = len(df.collect())
+            dt = time.perf_counter() - t0
+            if pass_no == 0:
+                warmup_s += dt
+                continue
+            timings[name] = round(dt, 3)
+            if name in sketch_queries:
+                sketch_rows += rows_consumed[name]
+                sketch_time += dt
+            print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     scaling = None
@@ -94,6 +107,7 @@ def main() -> None:
                    "similarity + textstats) on testdata"),
         "value": total,
         "unit": "sec",
+        "warmup_pass_sec": round(warmup_s, 3),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus),

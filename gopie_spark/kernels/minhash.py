@@ -97,8 +97,15 @@ class MinHash:
         flat = np.concatenate([hash_arrays[i] for i in nonempty])
         starts = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]])
         seeds = _seeds(self.k)
-        mixed = mix64(flat[:, None] ^ seeds[None, :])
-        out[nonempty] = np.minimum.reduceat(mixed, starts, axis=0)
+        # seed-chunked sweep: the full (shingles x k) mixed matrix is
+        # O(GB) for realistic batches and memory-bandwidth-bound; capping
+        # the intermediate at ~32 MB keeps every pass in cache
+        per = max(1, (1 << 25) // (8 * max(flat.size, 1)))
+        for lo in range(0, self.k, per):
+            sub = seeds[lo:lo + per]
+            mixed = mix64(flat[:, None] ^ sub[None, :])
+            out[nonempty, lo:lo + per] = \
+                np.minimum.reduceat(mixed, starts, axis=0)
         return out
 
     @staticmethod

@@ -47,16 +47,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", normalize: bool = True,
                 keep: str = "min") -> DataFrame:
     """Exact dedup by content digest: keeps one representative per digest
-    (the min/max id — deterministic).  One hash-shuffle on the digest;
-    digests are uniform so no skew handling needed."""
+    (the min/max id — deterministic).
+
+    Plan: ``groupBy(digest).agg(min(struct(id, row...)))`` — the struct
+    min orders on its leading field, so the representative is the min/max
+    id.  Unlike a ``row_number`` window this is *partially aggregable*:
+    Catalyst's map-side HashAggregate collapses each partition's
+    duplicates before the shuffle, so at 10^12 docs the shuffle carries
+    ~one row per distinct digest per partition instead of every row plus
+    a per-partition sort.  Digests are uniform so no skew handling
+    needed."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     fp = F.md5(norm if normalize else F.col(text_col))
-    w = Window.partitionBy("_fp").orderBy(
-        F.col(id_col).asc() if keep == "min" else F.col(id_col).desc())
+    cols = df.columns
+    others = [c for c in cols if c != id_col]
+    rep = F.struct(F.col(id_col), *[F.col(c) for c in others])
+    agg = F.min(rep) if keep == "min" else F.max(rep)
     return (df.withColumn("_fp", fp)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_fp", "_rn"))
+            .groupBy("_fp").agg(agg.alias("_rep"))
+            .select([F.col(f"_rep.{c}").alias(c) for c in cols]))
 
 
 def duplicate_stats(df: DataFrame, text_col: str = "text",
@@ -74,6 +83,17 @@ def duplicate_stats(df: DataFrame, text_col: str = "text",
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
+
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the source has too
+    few partitions for a CPU-heavy per-row stage.  Small/single-file inputs
+    otherwise serialize the whole signature build into one task; at real
+    scale (many input splits) this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 
 def add_minhash_signatures(df: DataFrame, text_col: str = "text",
                            k: int = 128, shingle_width: int = 3,
@@ -104,7 +124,7 @@ def add_minhash_signatures(df: DataFrame, text_col: str = "text",
                 out[out_col] = list(sigs)
                 yield out
 
-    return df.mapInPandas(fn, schema)
+    return _widen(df).mapInPandas(fn, schema)
 
 
 def _shingle_hashes_fast(text: str, width: int) -> np.ndarray:
@@ -117,6 +137,32 @@ def _shingle_hashes_fast(text: str, width: int) -> np.ndarray:
         shingles = [" ".join(toks[i:i + width])
                     for i in range(len(toks) - width + 1)]
     return np.unique(fnv1_64_values(shingles))
+
+
+def _bucket_pairs(exploded: DataFrame, bucket_cols: List[str],
+                  max_bucket: int) -> DataFrame:
+    """(id_a, id_b) candidate pairs from bucket membership, one shuffle.
+
+    ``groupBy(bucket).agg(sorted, capped id list)`` is a partial-aggregable
+    single shuffle; pair expansion then happens JVM-side inside the array
+    (``transform`` x ``transform`` -> flatten -> explode), so bucket work
+    is bounded by ``max_bucket^2`` regardless of how viral a boilerplate
+    bucket gets — the alternative window-cap + self-join costs two extra
+    shuffles and a per-bucket sort.  Pairs from different buckets dedupe
+    with one final ``distinct``."""
+    ids = F.slice(F.array_sort(F.collect_set("_id")), 1, max_bucket)
+    buckets = exploded.groupBy(*bucket_cols).agg(ids.alias("_ids")) \
+        .filter(F.size("_ids") >= 2)
+    pair_structs = F.flatten(F.transform(
+        F.col("_ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("_ids"), i + 2,
+                    F.greatest(F.size("_ids") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    return (buckets.select(F.explode(pair_structs).alias("p"))
+            .select(F.col("p.id_a").alias("id_a"),
+                    F.col("p.id_b").alias("id_b"))
+            .distinct())
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
@@ -148,18 +194,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     exploded = (sigs.select("_id", F.explode(F.array(*band_cols)).alias("bk"))
                 .select("_id", F.col("bk.band").alias("band"),
                         F.col("bk.bh").alias("bh")))
-    # cap pathological buckets (boilerplate): keep first max_bucket ids
-    wb = Window.partitionBy("band", "bh").orderBy("_id")
-    capped = (exploded.withColumn("_rn", F.row_number().over(wb))
-              .filter(F.col("_rn") <= max_bucket).drop("_rn"))
-    a = capped.alias("a")
-    b = capped.alias("b")
-    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.bh") == F.col("b.bh"))
-                    & (F.col("a._id") < F.col("b._id")))
-             .select(F.col("a._id").alias("id_a"),
-                     F.col("b._id").alias("id_b"))
-             .distinct())
+    pairs = _bucket_pairs(exploded, ["band", "bh"], max_bucket)
     sa = sigs.select(F.col("_id").alias("id_a"),
                      F.col(sig_col).alias("_sig_a"))
     sb = sigs.select(F.col("_id").alias("id_b"),
@@ -214,7 +249,7 @@ def add_simhash(df: DataFrame, text_col: str = "text",
                 out[out_col] = fps.astype(np.int64)
                 yield out
 
-    return df.mapInPandas(fn, schema)
+    return _widen(df).mapInPandas(fn, schema)
 
 
 def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
@@ -234,15 +269,7 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
     exploded = (fps.select("_id", F.explode(F.array(*chunk_cols)).alias("ck"))
                 .select("_id", F.col("ck.chunk").alias("chunk"),
                         F.col("ck.cv").alias("cv")))
-    wb = Window.partitionBy("chunk", "cv").orderBy("_id")
-    capped = (exploded.withColumn("_rn", F.row_number().over(wb))
-              .filter(F.col("_rn") <= max_bucket).drop("_rn"))
-    a, b = capped.alias("a"), capped.alias("b")
-    pairs = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
-                    & (F.col("a.cv") == F.col("b.cv"))
-                    & (F.col("a._id") < F.col("b._id")))
-             .select(F.col("a._id").alias("id_a"),
-                     F.col("b._id").alias("id_b")).distinct())
+    pairs = _bucket_pairs(exploded, ["chunk", "cv"], max_bucket)
     fa = fps.select(F.col("_id").alias("id_a"), F.col("simhash").alias("_fa"))
     fb = fps.select(F.col("_id").alias("id_b"), F.col("simhash").alias("_fb"))
     ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))

@@ -378,7 +378,8 @@ def cms_tokens_build(df: DataFrame, text_col: str = "text",
 
 def cms_build(df: DataFrame, value_col: str, epsilon: float = 0.001,
               delta: float = 0.99, pre_aggregate: bool = True,
-              tokenize: bool = False, coalesce_to: Optional[int] = None):
+              tokenize: bool = False, coalesce_to: Optional[int] = None,
+              jvm_pre_aggregate: bool = False):
     """Build a global Count-Min sketch over a column; returns (cms, state).
 
     With ``pre_aggregate`` the per-partition kernel update hashes each
@@ -388,13 +389,49 @@ def cms_build(df: DataFrame, value_col: str, epsilon: float = 0.001,
     vocabulary-bounded, so the update is O(vocab) per batch regardless of
     row count.
 
+    ``jvm_pre_aggregate=True`` goes further for *low-cardinality* columns:
+    Catalyst's partial+final HashAggregate computes exact
+    ``groupBy(value).count()`` entirely in whole-stage codegen, and only
+    the (value, count) pairs — bounded by the value universe, not the row
+    count — ever cross the Arrow boundary into one vectorized sketch
+    update.  At 10^12 rows over an enum-like column this is the only
+    sensible plan: raw values never reach Python and the shuffle carries
+    partial counts.
+
     ``tokenize=True`` counts whitespace *tokens of* the column instead of
     whole values (the per-lang heavy-hitter-token workload) — splitting
     happens inside the Arrow batch (pandas str.split + explode), so token
     rows never hit the Spark row stream.
     """
+    import pyarrow as pa
     from gopie_spark.kernels import CMS
     cms = CMS.from_guess(epsilon, delta)
+
+    if jvm_pre_aggregate and not tokenize:
+        counted = (df.select(F.col(value_col).cast("string").alias("v"))
+                   .filter(F.col("v").isNotNull())
+                   .groupBy("v").agg(F.count("*").alias("cnt")))
+        out_schema = StructType([StructField(STATE_COL, BinaryType(), False)])
+
+        def fn(batches):
+            st = None
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                if st is None:
+                    st = cms.zero()
+                cms.update(st, rb.column(0),
+                           np.asarray(rb.column(1)).astype(np.uint64))
+            if st is not None:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([cms.serialize(st)], type=pa.binary())],
+                    names=[STATE_COL])
+
+        partials = counted.mapInArrow(fn, out_schema)
+        row = merge_partials(partials, [], cms).collect()
+        state = cms.deserialize(bytes(row[0][STATE_COL])) if row \
+            else cms.zero()
+        return cms, state
 
     if not pre_aggregate and not tokenize:
         return cms, global_sketch(df, value_col, cms, coalesce_to=coalesce_to)
