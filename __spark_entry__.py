@@ -186,6 +186,43 @@ def _q_kll_quantiles(spark, sf_dir):
             .orderBy("event_type"))
 
 
+def _q_hll_distinct_per_window(spark, sf_dir):
+    """Windowed sketch composition (SURVEY.md §2.5): per-hour tumbling
+    HLL distinct-user estimate over events — exact anchors + per-window
+    bound certificate.  Sketch states build/merge per (window, partition)
+    exactly like any other key, so the same two-level aggregation serves
+    event-time windows unchanged."""
+    from gopie_spark.kernels import HLL
+    from gopie_spark.operators.sketch_agg import STATE_COL
+    from gopie_spark.operators.windows import windowed_sketch_agg
+    events = _events(spark, sf_dir)
+    p = 14
+    sketch = HLL(p=p)
+    bound = 3 * 1.04 / math.sqrt(2 ** p)
+    states = windowed_sketch_agg(events, "ts", "user_id", sketch,
+                                 width_s=3600)
+
+    def _fin(blobs):
+        import pandas as pd
+        return pd.Series([sketch.count(sketch.deserialize(bytes(b)))
+                          for b in blobs], dtype="int64")
+
+    finalize = F.pandas_udf(_fin, "long")
+    approx = states.select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        finalize(F.col(STATE_COL)).alias("approx"))
+    exact = (events.groupBy(
+        ((F.unix_timestamp("ts") / 3600).cast("long") * 3600)
+        .alias("window_epoch"))
+        .agg(F.countDistinct("user_id").alias("n_exact")))
+    joined = exact.join(approx, "window_epoch")
+    ok = (F.col("approx") <= F.col("n_exact") * (1 + bound)) & \
+         (F.col("approx") >= F.col("n_exact") * (1 - bound))
+    return (joined.select("window_epoch", "n_exact",
+                          ok.alias("within_bound"))
+            .orderBy("window_epoch"))
+
+
 def _q_pushsum_mean(spark, sf_dir):
     """The reference push-sum average (pushsum.go:246-256) as Spark's exact
     distributed agg: per-event_type mean(value), fixed-point rounded."""
@@ -539,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_distinct_global": _q_hll_distinct_global,
         "hll_distinct_per_lang": _q_hll_distinct_per_lang,
+        "hll_distinct_per_window": _q_hll_distinct_per_window,
         "cms_event_type_counts": _q_cms_event_type_counts,
         "cms_topk_heavy_hitters": _q_cms_topk_heavy_hitters,
         "bloom_membership": _q_bloom_membership,
@@ -583,6 +621,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(DISTINCT doc_id) AS n_exact,
                    TRUE AS within_bound
             FROM documents GROUP BY lang
+        """,
+        "hll_distinct_per_window": """
+            SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
+                       AS window_epoch,
+                   count(DISTINCT user_id) AS n_exact,
+                   TRUE AS within_bound
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "cms_event_type_counts": """
             SELECT event_type, count(*) AS cnt

@@ -35,6 +35,7 @@ def main() -> None:
 
     headline = [
         "hll_distinct_global", "hll_distinct_per_lang",
+        "hll_distinct_per_window",
         "cms_event_type_counts", "cms_topk_heavy_hitters",
         "bloom_membership", "tdigest_quantiles", "kll_quantiles",
         "pushsum_mean", "topk_orders", "window_tumbling_counts",
@@ -47,6 +48,7 @@ def main() -> None:
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",
+                      "hll_distinct_per_window",
                       "cms_event_type_counts", "cms_topk_heavy_hitters",
                       "bloom_membership", "tdigest_quantiles",
                       "kll_quantiles"}
@@ -54,6 +56,7 @@ def main() -> None:
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     rows_consumed = {
         "hll_distinct_global": n_docs, "hll_distinct_per_lang": n_docs,
+        "hll_distinct_per_window": n_events,
         "cms_event_type_counts": n_events, "cms_topk_heavy_hitters": n_events,
         "bloom_membership": n_events, "tdigest_quantiles": n_docs,
         "kll_quantiles": n_events,

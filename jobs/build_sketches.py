@@ -31,6 +31,10 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
+    ap.add_argument("--format", default="parquet",
+                    help="input table format: parquet (default) or "
+                         "iceberg (catalog table name or path; requires "
+                         "the Iceberg runtime jar — see sources/catalog.py)")
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--hll-p", type=int, default=14)
@@ -48,6 +52,7 @@ def main() -> None:
     from gopie_spark.operators import cms_tokens_build
     from gopie_spark.operators.membership import bloom_shards_build
     from gopie_spark.operators.sketch_agg import STATE_COL
+    from gopie_spark.sources.catalog import load_table
 
     spark = get_spark("gopie-build-sketches")
     t0 = time.perf_counter()
@@ -60,7 +65,7 @@ def main() -> None:
     states = ckpt.finalize(spark)
     states.write.mode("overwrite").parquet(f"{args.output}/hll_lang_url")
 
-    pages = spark.read.parquet(args.input)
+    pages = load_table(spark, args.input, args.format)
     n = pages.count()
 
     cms, cms_state = cms_tokens_build(pages.select("text"), "text")

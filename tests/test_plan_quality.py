@@ -1,0 +1,91 @@
+"""Physical-plan quality gates.
+
+The engine's scale story rests on specific plan shapes, not just correct
+answers.  These tests pin them so a refactor that silently degrades the
+plan (full-column scans, lost pushdown, window sorts creeping back into
+the dedup path) fails CI even though results stay correct.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_text(df, mode="formatted"):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_sketch_scan_prunes_columns(spark):
+    """Stage A of the two-level sketch agg must read ONLY the key+value
+    columns — a text-column read on a 100 TB pages table is the
+    difference between scanning 2% and 100% of the bytes."""
+    from gopie_spark.kernels import HLL
+    from gopie_spark.operators.sketch_agg import build_partials
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    partials = build_partials(docs, ["lang"], "doc_id", HLL(p=12))
+    plan = plan_text(partials)
+    scan = plan[plan.index("Scan parquet"):]
+    read_schema = [ln for ln in scan.splitlines()
+                   if ln.startswith("ReadSchema")][0]
+    assert "doc_id" in read_schema and "lang" in read_schema
+    assert "text" not in read_schema and "n_chars" not in read_schema
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """A filter ahead of the sketch build must land in PushedFilters on
+    the parquet scan (partition/row-group pruning at scale)."""
+    from gopie_spark.kernels import HLL
+    from gopie_spark.operators.sketch_agg import build_partials
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .filter(F.col("lang") == "en")
+    partials = build_partials(docs, [], "doc_id", HLL(p=12))
+    plan = plan_text(partials)
+    pushed = [ln for ln in plan.splitlines()
+              if ln.startswith("PushedFilters")][0]
+    assert "EqualTo(lang,en)" in pushed
+
+
+def test_exact_dedup_is_partial_aggregable(spark):
+    """exact_dedup must plan as partial+final aggregate (map-side combine
+    before the shuffle) with no window operator."""
+    from gopie_spark.operators.dedup import exact_dedup
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_text(exact_dedup(docs), "extended")
+    assert "partial_min" in plan
+    assert "Window" not in plan
+
+
+def test_lsh_candidates_have_no_window(spark):
+    """Bucket-pair generation must not plan a window sort; the cap lives
+    inside the (partially aggregable) collect_set aggregate."""
+    from gopie_spark.operators.dedup import (minhash_lsh_candidates,
+                                             simhash_candidates)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    for df in (minhash_lsh_candidates(docs, k=16, bands=4),
+               simhash_candidates(docs)):
+        assert "Window" not in plan_text(df, "extended")
+
+
+def test_topk_plans_take_ordered(spark):
+    """Exact top-k must plan as TakeOrderedAndProject (distributed
+    per-partition top-k + merge), never a global sort."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    df = orders.orderBy(F.desc("o_totalprice")).limit(10)
+    assert "TakeOrderedAndProject" in plan_text(df, "simple")
+
+
+def test_cms_jvm_preagg_shuffles_counts_not_rows(spark):
+    """The JVM pre-agg CMS path must plan a partial HashAggregate below
+    the exchange: the shuffle carries (value, partial count), not rows."""
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    counted = (events.select(F.col("event_type").alias("v"))
+               .groupBy("v").agg(F.count("*").alias("cnt")))
+    plan = plan_text(counted, "extended")
+    assert "partial_count" in plan
