@@ -332,6 +332,17 @@ def _q_ann_lsh(spark, sf_dir):
         .select("query_id", "match_id", "rank").orderBy("query_id", "rank")
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF-bucketed ANN top-5 (approximate scale path: probe nprobe
+    nearest centroid cells, rescore within; rows-only check — planted-
+    neighbor recall is gated in pytest)."""
+    from gopie_spark.operators.similarity import ivf_topk
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(spark, emb, queries, k=5, n_centroids=32, nprobe=4) \
+        .select("query_id", "match_id", "rank").orderBy("query_id", "rank")
+
+
 def _q_token_stats(spark, sf_dir):
     """Whitespace token counting per lang — built-ins only."""
     from gopie_spark.operators.textstats import token_count
@@ -593,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": _q_simhash_dedup,
         "ann_brute_force": _q_ann_brute_force,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality_scores,
         "doc_fingerprints": _q_doc_fingerprints,

@@ -156,6 +156,40 @@ def test_lsh_topk_finds_planted_neighbors(spark, vectors):
         assert r["vec_id"] in by_q[r["vec_id"]]
 
 
+def test_ivf_topk_finds_planted_neighbors(spark, vectors):
+    """IVF scale path, same planted-neighbor contract as the LSH test:
+    near-copies land in the same (or a probed) centroid cell."""
+    from gopie_spark.operators.similarity import ivf_topk
+    rng = np.random.default_rng(6)
+    q_rows = vectors.filter(F.col("vec_id") < 10) \
+        .select("vec_id", "embedding", "label").collect()
+    planted = []
+    for r in q_rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        near = v + 0.05 * np.linalg.norm(v) / 8.0 * rng.standard_normal(len(v))
+        planted.append((20_000 + r["vec_id"],
+                        [float(x) for x in near], r["label"]))
+    corpus = vectors.unionByName(spark.createDataFrame(planted, vectors.schema))
+    queries = vectors.filter(F.col("vec_id") < 10)
+    got = ivf_topk(spark, corpus, queries, k=5, n_centroids=16,
+                   nprobe=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["match_id"])
+    found = sum(1 for r in q_rows if 20_000 + r["vec_id"] in by_q[r["vec_id"]])
+    assert found >= 8  # >= 80% of planted near-copies retrieved
+    for r in q_rows:   # query probes its own cell -> always finds itself
+        assert r["vec_id"] in by_q[r["vec_id"]]
+
+
+def test_ivf_centroids_deterministic(spark, vectors):
+    from gopie_spark.operators.similarity import train_ivf_centroids
+    c1 = train_ivf_centroids(vectors, n_centroids=16)
+    c2 = train_ivf_centroids(vectors, n_centroids=16)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
 def test_hyperplane_bucket_deterministic(spark, vectors):
     b1 = add_hyperplane_bucket(vectors).select("vec_id", "lsh_bucket")
     b2 = add_hyperplane_bucket(vectors).select("vec_id", "lsh_bucket")
