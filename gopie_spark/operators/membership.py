@@ -49,23 +49,23 @@ def bloom_shards_build(df: DataFrame, value_col: str, n: int, p: float,
 
     ``n`` is the expected total key count; each shard is sized for its
     share (n/shards) at the same per-shard FPR ``p``.
+
+    Memory-bounded at any key volume: the input is hash-repartitioned so
+    each task owns whole shards, then the two-level aggregation streams
+    Arrow batches through the task — at no point does a shard's key set
+    materialize at once (a plain ``groupBy(shard).applyInPandas`` would
+    load 10^12/shards keys into one pandas frame and OOM).  A task holds
+    only the ~1-2 shard states routed to its partition (the filter bits),
+    never the keys; co-location means stage B merges ~one blob per shard.
     """
     per_shard = BloomBit.from_guess(max(n // shards, 64), p)
-    out_schema = StructType([StructField(SHARD_COL, LongType(), False),
-                             StructField(STATE_COL, BinaryType(), False)])
-
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        st = per_shard.zero()
-        vals = pdf[value_col].dropna().astype(str)
-        if len(vals):
-            per_shard.update(st, vals)
-        return pd.DataFrame({SHARD_COL: pdf[SHARD_COL].iloc[:1],
-                             STATE_COL: [per_shard.serialize(st)]})
-
+    from gopie_spark.operators.sketch_agg import (build_partials,
+                                                  merge_partials)
     keyed = df.select(_shard_expr(value_col, shards),
-                      F.col(value_col).cast("string").alias(value_col))
-    states = keyed.groupBy(SHARD_COL).applyInPandas(build, out_schema)
-    return states
+                      F.col(value_col).cast("string").alias(value_col)) \
+        .repartition(shards, SHARD_COL)
+    partials = build_partials(keyed, [SHARD_COL], value_col, per_shard)
+    return merge_partials(partials, [SHARD_COL], per_shard)
 
 
 def bloom_shards_filter(spark: SparkSession, shard_states: DataFrame,

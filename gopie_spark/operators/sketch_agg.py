@@ -339,10 +339,18 @@ def cms_tokens_build(df: DataFrame, text_col: str = "text",
     (GBs..TBs).  The sketch update is then one vectorized pass per shuffle
     partition, merged associatively.
 
-    This is the scale path for token heavy-hitters; the pure-sketch path
-    (``cms_build(tokenize=True)``) avoids the row shuffle entirely and
-    wins when the token universe per partition is huge but the Arrow ship
-    of raw text is cheap.
+    Trade-off vs the pure-sketch path (``cms_build(tokenize=True)``),
+    which tokenizes + value_counts inside each Arrow batch and never
+    shuffles a token row: measured on the 4M-row pages table at 8 pinned
+    cores, the Arrow path is ~1.8x faster end-to-end (22s vs 39s,
+    byte-identical sketch) because the wordcount shuffle's 260M-row
+    hash-aggregate costs more than piping the text bytes to Python.  BUT
+    the Arrow path is memory-bandwidth-bound, so it scales worse as cores
+    share one node's memory bus (measured 0.69 vs 0.81 scaling efficiency
+    2->8 pinned cores) — prefer this shuffle path when scaling comes from
+    more cores per node, the Arrow path when it comes from more nodes.
+    The JVM pre-agg also wins outright when the value column is *already*
+    low-cardinality (see ``cms_build(jvm_pre_aggregate=True)``).
     """
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema

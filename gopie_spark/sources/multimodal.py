@@ -82,6 +82,44 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(fn, schema)
 
 
+def fake_resizer(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Deterministic resize stand-in: nearest-neighbor downsample of the
+    raw byte grid to ``target_w x target_h`` bytes.  A real pipeline swaps
+    in an image resizer (PIL/libvips) with the same signature; the Spark
+    batching/schema below is unchanged."""
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    n = target_w * target_h
+    if raw.size == 0:
+        return bytes(n)
+    idx = np.linspace(0, raw.size - 1, n).astype(np.int64)
+    return raw[idx].tobytes()
+
+
+def resize_media(df: DataFrame, payload_col: str = "payload",
+                 target_w: int = 64, target_h: int = 64,
+                 out_col: str = "resized",
+                 resizer=fake_resizer) -> DataFrame:
+    """Add a resized-payload column via mapInPandas (binary in, binary
+    out, fixed output size) — the shape of a real thumbnail stage.  Output
+    width/height land in the schema as metadata columns so downstream
+    stages never re-decode to learn dimensions."""
+    schema = StructType(df.schema.fields +
+                        [StructField(out_col, BinaryType(), False),
+                         StructField(f"{out_col}_w", IntegerType(), False),
+                         StructField(f"{out_col}_h", IntegerType(), False)])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out[out_col] = [resizer(bytes(p), target_w, target_h)
+                            for p in pdf[payload_col]]
+            out[f"{out_col}_w"] = np.int32(target_w)
+            out[f"{out_col}_h"] = np.int32(target_h)
+            yield out
+
+    return df.mapInPandas(fn, schema)
+
+
 def frame_sample(df: DataFrame, payload_col: str = "payload",
                  n_frames: int = 4, frame_bytes: int = 256,
                  out_col: str = "frames") -> DataFrame:

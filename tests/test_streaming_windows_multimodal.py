@@ -99,6 +99,16 @@ def test_multimodal_plumbing(spark):
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
 
+    from gopie_spark.sources.multimodal import fake_resizer, resize_media
+    resized = resize_media(media, target_w=16, target_h=8) \
+        .select("media_id", "resized", "resized_w", "resized_h").collect()
+    assert all(len(bytes(r["resized"])) == 16 * 8 for r in resized)
+    assert all((r["resized_w"], r["resized_h"]) == (16, 8) for r in resized)
+    # deterministic + matches the serial stand-in per row
+    direct_rs = fake_resizer(bytes(one), 16, 8)
+    row0 = [r for r in resized if r["media_id"] == 0][0]
+    assert bytes(row0["resized"]) == direct_rs
+
 
 def test_stateful_streaming_hll(spark, tmp_path):
     """applyInPandasWithState per-key HLL: final emitted estimates match a
