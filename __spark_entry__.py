@@ -133,6 +133,26 @@ def _q_bloom_membership(spark, sf_dir):
             .select("user_id").orderBy("user_id"))
 
 
+def _q_bloom_shards_membership(spark, sf_dir):
+    """Sharded Bloom membership (the 10^12-key scale design,
+    operators/membership.py): filters stay distributed — built per shard
+    after one hash shuffle, probed via cogroup, never broadcast.  At
+    p=1e-9 the flagged set equals the exact semi-join set."""
+    from gopie_spark.operators.membership import (bloom_shards_build,
+                                                  bloom_shards_filter)
+    events = _events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click") \
+        .select(F.col("user_id").cast("string").alias("u"))
+    n = max(clicks.count(), 64)
+    states = bloom_shards_build(clicks, "u", n=n, p=1e-9, shards=16)
+    users = events.select(F.col("user_id").cast("string").alias("u")) \
+        .distinct()
+    hits = bloom_shards_filter(spark, states, users, "u", n=n, p=1e-9,
+                               shards=16)
+    return (hits.select(F.col("u").cast("long").alias("user_id"))
+            .orderBy("user_id"))
+
+
 def _q_tdigest_quantiles(spark, sf_dir):
     """t-digest quantiles of documents.n_chars: rank-error certificate.
     For each q, the estimate's true rank must be within eps of q."""
@@ -591,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_event_type_counts": _q_cms_event_type_counts,
         "cms_topk_heavy_hitters": _q_cms_topk_heavy_hitters,
         "bloom_membership": _q_bloom_membership,
+        "bloom_shards_membership": _q_bloom_shards_membership,
         "tdigest_quantiles": _q_tdigest_quantiles,
         "kll_quantiles": _q_kll_quantiles,
         "pushsum_mean": _q_pushsum_mean,
@@ -651,6 +672,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cnt DESC, event_type LIMIT 5
         """,
         "bloom_membership": """
+            SELECT DISTINCT user_id FROM events
+            WHERE user_id IN (SELECT user_id FROM events
+                              WHERE event_type = 'click')
+            ORDER BY user_id
+        """,
+        "bloom_shards_membership": """
             SELECT DISTINCT user_id FROM events
             WHERE user_id IN (SELECT user_id FROM events
                               WHERE event_type = 'click')

@@ -37,7 +37,8 @@ def main() -> None:
         "hll_distinct_global", "hll_distinct_per_lang",
         "hll_distinct_per_window",
         "cms_event_type_counts", "cms_topk_heavy_hitters",
-        "bloom_membership", "tdigest_quantiles", "kll_quantiles",
+        "bloom_membership", "bloom_shards_membership",
+        "tdigest_quantiles", "kll_quantiles",
         "pushsum_mean", "topk_orders", "window_tumbling_counts",
         "dedup_exact_keep", "minhash_lsh_dedup", "simhash_dedup",
         "ann_brute_force", "ann_lsh", "token_stats", "quality_scores",

@@ -13,11 +13,12 @@ from gopie_spark.operators.sketch_agg import (
     cms_estimate_map,
     bloom_build,
     bloom_filter,
+    suggest_salt,
 )
 
 __all__ = [
     "build_partials", "merge_partials", "sketch_agg", "global_sketch",
     "hll_count_distinct", "tdigest_quantiles", "kll_quantiles",
     "cms_build", "cms_tokens_build", "cms_estimate_map",
-    "bloom_build", "bloom_filter",
+    "bloom_build", "bloom_filter", "suggest_salt",
 ]

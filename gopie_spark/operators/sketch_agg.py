@@ -248,6 +248,32 @@ def _tree_merge_global(partials: DataFrame, sketch, out_schema,
                 StructType([StructField(STATE_COL, BinaryType(), False)])))
 
 
+def suggest_salt(df: DataFrame, keys: Sequence[str],
+                 factor: float = 1.25,
+                 sample_fraction: Optional[float] = None) -> int:
+    """Data-driven salt factor for skewed grouping keys — the reference's
+    bounded-load consistent hashing made batch (ringhash.go:135-162:
+    no node may exceed ``ceil(avg * factor)`` load; here: no merge task's
+    key may exceed that share of rows, hot keys split into ceil(share /
+    bound) salted sub-groups whose sketches merge back for free).
+
+    Returns the salt for the hottest key (1 = no salting needed).  Pass
+    ``sample_fraction`` at very large scale — key *shares* converge on a
+    small uniform sample, and the exact counts are never needed.
+    """
+    keys = list(keys)
+    if not keys:
+        return 1
+    probe = df.sample(sample_fraction) if sample_fraction else df
+    counts = probe.groupBy(*keys).agg(F.count("*").alias("_n"))
+    row = counts.agg(F.max("_n").alias("mx"), F.avg("_n").alias("avg")) \
+        .collect()[0]
+    if not row["mx"]:
+        return 1
+    bound = row["avg"] * factor
+    return max(1, int(math.ceil(row["mx"] / bound)))
+
+
 def sketch_agg(df: DataFrame, keys: Sequence[str], value_col: str, sketch,
                salt: int = 0, coalesce_to: Optional[int] = None) -> DataFrame:
     """build_partials + merge_partials: DataFrame[keys..., sketch_state]."""

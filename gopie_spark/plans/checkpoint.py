@@ -146,11 +146,15 @@ class SketchCheckpoint:
             pass
 
     # -- finalize --------------------------------------------------------------
-    def finalize(self, spark: SparkSession) -> DataFrame:
-        """Merge all manifested partials per key: DataFrame[keys..., state]."""
+    def finalize(self, spark: SparkSession, salt: int = 0) -> DataFrame:
+        """Merge all manifested partials per key: DataFrame[keys..., state].
+
+        ``salt`` bounds a hot key's merge fan-in (partials from every
+        bucket land on one task otherwise); associativity guarantees the
+        salted result is identical."""
         runs = self._manifested_runs()
         if not runs:
             raise ValueError("no committed runs to finalize")
         paths = [os.path.join(self.dir, "partials", f"run={r}") for r in runs]
         partials = spark.read.parquet(*paths).drop("_bucket")
-        return merge_partials(partials, self.keys, self.sketch)
+        return merge_partials(partials, self.keys, self.sketch, salt=salt)

@@ -71,15 +71,13 @@ class StreamingSketch:
             import shutil
             shutil.rmtree(bak)
 
-    def start_file_stream(self, input_dir: str, schema,
-                          checkpoint_dir: Optional[str] = None,
-                          available_now: bool = True):
-        """Consume a file-source stream (new parquet files = new events),
-        merging each micro-batch.  ``available_now`` drains what exists
-        and stops — the batch-like trigger used in tests."""
-        reader = (self.spark.readStream.schema(schema)
-                  .parquet(input_dir))
-        writer = (reader.writeStream
+    def attach(self, stream_df: DataFrame,
+               checkpoint_dir: Optional[str] = None,
+               available_now: bool = True):
+        """Attach to any streaming DataFrame: each micro-batch merges into
+        the running state.  ``available_now`` drains what exists and stops
+        — the batch-like trigger used in tests."""
+        writer = (stream_df.writeStream
                   .foreachBatch(self.process_batch)
                   .option("checkpointLocation",
                           checkpoint_dir or
@@ -87,6 +85,44 @@ class StreamingSketch:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+    def start_file_stream(self, input_dir: str, schema,
+                          checkpoint_dir: Optional[str] = None,
+                          available_now: bool = True):
+        """Consume a file-source stream (new parquet files = new events),
+        merging each micro-batch."""
+        reader = (self.spark.readStream.schema(schema)
+                  .parquet(input_dir))
+        return self.attach(reader, checkpoint_dir, available_now)
+
+
+def windowed_streaming_sketch(spark: SparkSession, sketch,
+                              stream_df: DataFrame, ts_col: str,
+                              value_col: str, width_s: int,
+                              state_dir: str, keys: Sequence[str] = (),
+                              checkpoint_dir: Optional[str] = None,
+                              available_now: bool = True):
+    """Per-event-time-window sketch over a stream: the tumbling window
+    start is just another grouping key, so the same foreachBatch merge
+    machinery applies unchanged (SURVEY.md §2.5 windowed sketches,
+    streaming form).  Returns ``(streaming_query, StreamingSketch)`` —
+    read running per-window states via ``.current_states()``.
+
+    Late data needs NO watermark for *correctness* — a late row's partial
+    simply merges into its window's state (merge associativity), unlike
+    exact streaming aggregates where the watermark bounds correctness.
+    A watermark would only bound state *retention*; per-window state is
+    O(sketch), so retention is cheap and left to the caller's compaction
+    policy.
+    """
+    from gopie_spark.operators.windows import _tumbling_start
+
+    ss = StreamingSketch(spark, sketch, ["window_start"] + list(keys),
+                         value_col, state_dir)
+    windowed = stream_df.withColumn("window_start",
+                                    _tumbling_start(ts_col, width_s))
+    query = ss.attach(windowed, checkpoint_dir, available_now)
+    return query, ss
 
 
 def windowed_stream_counts(stream_df: DataFrame, ts_col: str,

@@ -62,7 +62,7 @@ def main() -> None:
                             n_buckets=args.n_buckets)
     if not args.resume_only:
         ckpt.run_until_complete(spark, args.input)
-    states = ckpt.finalize(spark)
+    states = ckpt.finalize(spark, salt=args.salt)
     states.write.mode("overwrite").parquet(f"{args.output}/hll_lang_url")
 
     pages = load_table(spark, args.input, args.format)

@@ -113,6 +113,22 @@ def _exact_topk(vec_rows, q_rows, k):
     return out
 
 
+def test_bucket_pairs_caps_viral_bucket(spark):
+    """The LSH blocking cap (skew defense): a boilerplate bucket with B >>
+    max_bucket members must emit exactly C(cap, 2) pairs over the cap
+    smallest ids — bounded work per bucket no matter how viral the key."""
+    from gopie_spark.operators.dedup import _bucket_pairs
+    rows = ([(i, "hot") for i in range(50)] +
+            [(100 + i, f"cold{i}") for i in range(5)])
+    df = spark.createDataFrame(rows, "_id long, bk string")
+    pairs = _bucket_pairs(df, ["bk"], max_bucket=10).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    want = {(a, b) for a in range(10) for b in range(10) if a < b}
+    assert got == want  # 45 pairs from the 10 smallest ids; cold singletons drop
+    # pairs across distinct buckets never appear
+    assert all(b < 50 for _, b in got)
+
+
 def test_brute_force_topk_matches_numpy(spark, vectors):
     queries = vectors.filter(F.col("vec_id") < 5)
     got = brute_force_topk(spark, vectors, queries, k=5).collect()

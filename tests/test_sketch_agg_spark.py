@@ -68,6 +68,26 @@ def test_salted_merge_equals_unsalted(spark, docs):
     assert plain == salted
 
 
+def test_suggest_salt_detects_zipf_skew(spark, docs):
+    """Bounded-load salting (ringhash analog): the Zipf lang key (en ~45%
+    of docs) must demand salting; a uniform key must not; and running the
+    aggregation with the suggested salt cannot change results."""
+    from gopie_spark.operators import suggest_salt
+    s = suggest_salt(docs, ["lang"])
+    assert s > 1
+    uniform = docs.withColumn("_u", F.pmod(F.col("doc_id"), F.lit(8)))
+    assert suggest_salt(uniform, ["_u"]) == 1
+    assert suggest_salt(docs, []) == 1
+    hll = HLL(p=12)
+    df = docs.select("lang", F.col("doc_id").cast("string").alias("v")) \
+             .repartition(16)
+    plain = {r["lang"]: bytes(r[STATE_COL])
+             for r in sketch_agg(df, ["lang"], "v", hll, salt=0).collect()}
+    salted = {r["lang"]: bytes(r[STATE_COL])
+              for r in sketch_agg(df, ["lang"], "v", hll, salt=s).collect()}
+    assert plain == salted
+
+
 def test_hll_count_distinct_within_bound(spark, docs):
     p = 14
     got = {r["lang"]: r["approx_distinct"]

@@ -76,6 +76,34 @@ def test_streaming_sketch_equals_batch(spark, tmp_path):
     assert got == batch_states
 
 
+def test_streaming_windowed_sketch_equals_batch(spark, tmp_path):
+    """Streaming per-window HLL == batch windowed_sketch_agg (byte-equal
+    per window), including 'late' rows: files arrive in an order unrelated
+    to event time and still merge into the right windows — no watermark
+    needed for correctness (associativity)."""
+    from gopie_spark.sources.pages import generate_pages
+    from gopie_spark.streaming.microbatch import windowed_streaming_sketch
+
+    src = str(tmp_path / "wsrc")
+    generate_pages(src, 2000, n_files=4, seed=21)
+    hll = HLL(p=12)
+    df_all = spark.read.parquet(src)
+
+    batch = windowed_sketch_agg(df_all, "warc_ts", "url", hll,
+                                width_s=21600)
+    want = {r["window_start"]: bytes(r[STATE_COL]) for r in batch.collect()}
+
+    stream = spark.readStream.schema(df_all.schema).parquet(src) \
+        .select("warc_ts", "url")
+    q, ss = windowed_streaming_sketch(spark, hll, stream, "warc_ts", "url",
+                                      width_s=21600,
+                                      state_dir=str(tmp_path / "wstate"))
+    q.awaitTermination(120)
+    got = {r["window_start"]: bytes(r[STATE_COL])
+           for r in ss.current_states().collect()}
+    assert got == want
+
+
 def test_multimodal_plumbing(spark):
     from gopie_spark.sources.multimodal import (FEATURE_DIM, decode_image,
                                                 extract_features,
