@@ -435,6 +435,41 @@ def _q_cms_token_heavy_hitters(spark, sf_dir):
         rows, "tok string, cnt long, within_bound boolean")
 
 
+def _q_cms_topk_tokens_per_lang(spark, sf_dir):
+    """The north-star heavy-hitter query: per-lang token frequencies via
+    per-lang Count-Min sketches (grouped sketch_agg over a tokenizing
+    Arrow pre-agg kernel).  For each lang's exact top-3 tokens the CMS
+    estimate must satisfy exact <= est <= exact + 2*N_lang/w
+    (countmin.go:21-22 bound; deterministic given the fixed FNV hash)."""
+    from pyspark.sql import Window
+    from gopie_spark.kernels import CMS
+    from gopie_spark.operators.sketch_agg import (PreAggCMS, STATE_COL,
+                                                  sketch_agg)
+    docs = _docs(spark, sf_dir)
+    cms = CMS.from_guess(0.001, 0.99)
+    states = sketch_agg(docs.select("lang", "text"), ["lang"], "text",
+                        PreAggCMS(cms, tokenize=True))
+    by_lang = {r["lang"]: cms.deserialize(bytes(r[STATE_COL]))
+               for r in states.collect()}
+    toks = (docs.select("lang",
+                        F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
+            .filter(F.col("tok") != "")
+            .groupBy("lang", "tok").agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tok"))
+    top = (toks.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") <= 3).drop("_rn").collect())
+    rows = []
+    for r in top:
+        st = by_lang[r["lang"]]
+        est = int(cms.estimate(st, [r["tok"]])[0])
+        bound = 2.0 * cms.count(st) / cms.width
+        rows.append((r["lang"], r["tok"], int(r["cnt"]),
+                     bool(r["cnt"] <= est <= r["cnt"] + bound)))
+    return spark.createDataFrame(
+        rows, "lang string, tok string, cnt long, within_bound boolean") \
+        .orderBy("lang", F.desc("cnt"), "tok")
+
+
 def _q_sliding_window_epoch_counts(spark, sf_dir):
     """Sliding-window event counts (ratelimit sliding_window.go analog):
     1h windows every 30min, keyed by epoch seconds for engine-neutral
@@ -632,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitflag_ops": _q_bitflag_ops,
         "lang_id_histogram": _q_lang_id_agreement,
         "cms_token_heavy_hitters": _q_cms_token_heavy_hitters,
+        "cms_topk_tokens_per_lang": _q_cms_topk_tokens_per_lang,
         "sliding_window_epoch_counts": _q_sliding_window_epoch_counts,
         "cosine_pairs_bruteforce": _q_cosine_pairs_bruteforce,
         "iceflake_unique": _q_iceflake_unique,
@@ -831,6 +867,19 @@ def oracle_sql() -> dict[str, str]:
                       FROM documents)
                 WHERE tok != ''
                 GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20)
+        """,
+        "cms_topk_tokens_per_lang": """
+            SELECT lang, tok, cnt, TRUE AS within_bound FROM (
+                SELECT lang, tok, count(*) AS cnt,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY count(*) DESC, tok)
+                           AS rn
+                FROM (SELECT lang,
+                             unnest(string_split_regex(text, '\\s+')) AS tok
+                      FROM documents)
+                WHERE tok != ''
+                GROUP BY lang, tok)
+            WHERE rn <= 3 ORDER BY lang, cnt DESC, tok
         """,
         "sliding_window_epoch_counts": """
             WITH slots AS (

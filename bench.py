@@ -43,7 +43,8 @@ def main() -> None:
         "dedup_exact_keep", "minhash_lsh_dedup", "simhash_dedup",
         "ann_brute_force", "ann_lsh", "token_stats", "quality_scores",
         "doc_fingerprints", "lang_id_histogram",
-        "cms_token_heavy_hitters", "sliding_window_epoch_counts",
+        "cms_token_heavy_hitters", "cms_topk_tokens_per_lang",
+        "sliding_window_epoch_counts",
         "cosine_pairs_bruteforce", "iceflake_unique",
         "bloom_scalable_membership", "tdigest_grouped_median",
     ]

@@ -470,42 +470,52 @@ def cms_build(df: DataFrame, value_col: str, epsilon: float = 0.001,
     if not pre_aggregate and not tokenize:
         return cms, global_sketch(df, value_col, cms, coalesce_to=coalesce_to)
 
-    class _PreAggCMS:
-        """CMS whose update() pre-aggregates the batch to distinct+counts.
-
-        Arrow-native end to end: whitespace split, flatten, and
-        value_counts run in Arrow C++ (no Python object arrays — at 32
-        concurrent workers the pandas explode/value_counts equivalent
-        allocation-storms the memory subsystem), and the distinct-token
-        StringArray feeds the FNV kernel zero-copy."""
-
-        def zero(self):
-            return cms.zero()
-
-        def update(self, st, values):
-            import pyarrow as pa
-            import pyarrow.compute as pc
-            arr = pa.Array.from_pandas(values) \
-                if not isinstance(values, pa.Array) else values
-            if tokenize:
-                arr = pc.list_flatten(
-                    pc.split_pattern_regex(arr, r"\s+"))
-            vc = arr.value_counts()
-            return cms.update(st, vc.field("values"),
-                              vc.field("counts").to_numpy()
-                              .astype(np.uint64))
-
-        def merge(self, a, b):
-            return cms.merge(a, b)
-
-        def serialize(self, st):
-            return cms.serialize(st)
-
-        def deserialize(self, blob):
-            return cms.deserialize(blob)
-
-    return cms, global_sketch(df, value_col, _PreAggCMS(),
+    return cms, global_sketch(df, value_col, PreAggCMS(cms, tokenize),
                               coalesce_to=coalesce_to)
+
+
+class PreAggCMS:
+    """CMS whose update() pre-aggregates each batch to distinct+counts.
+
+    Arrow-native end to end: whitespace split, flatten, and value_counts
+    run in Arrow C++ (no Python object arrays — at 32 concurrent workers
+    the pandas explode/value_counts equivalent allocation-storms the
+    memory subsystem), and the distinct-token StringArray feeds the FNV
+    kernel zero-copy.  With ``tokenize`` the value column is whitespace-
+    split first (token-frequency sketches over a text column).  Usable
+    anywhere a sketch is (sketch_agg keys, streaming, checkpoint) since
+    it keeps the CMS state/merge/serialize contract."""
+
+    def __init__(self, cms, tokenize: bool = False):
+        self.cms = cms
+        self.tokenize = tokenize
+
+    def zero(self):
+        return self.cms.zero()
+
+    def update(self, st, values):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        arr = pa.Array.from_pandas(values) \
+            if not isinstance(values, pa.Array) else values
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if self.tokenize:
+            arr = pc.list_flatten(pc.split_pattern_regex(arr, r"\s+"))
+            arr = arr.filter(pc.not_equal(arr, ""))
+        vc = arr.value_counts()
+        return self.cms.update(st, vc.field("values"),
+                               vc.field("counts").to_numpy()
+                               .astype(np.uint64))
+
+    def merge(self, a, b):
+        return self.cms.merge(a, b)
+
+    def serialize(self, st):
+        return self.cms.serialize(st)
+
+    def deserialize(self, blob):
+        return self.cms.deserialize(blob)
 
 
 def cms_estimate_map(spark: SparkSession, cms, state, df: DataFrame,
