@@ -76,12 +76,14 @@ def main() -> None:
     sketch_rows = 0
     sketch_time = 0.0
     warmup_s = 0.0
+    bound_checks = bound_passed = 0  # north-star error-bound pass-rate
     for pass_no in (0, 1):
         for name in headline:
             fn = queries[name]
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = len(df.collect())
+            rows = df.collect()
+            n = len(rows)
             dt = time.perf_counter() - t0
             if pass_no == 0:
                 warmup_s += dt
@@ -90,6 +92,9 @@ def main() -> None:
             if name in sketch_queries:
                 sketch_rows += rows_consumed[name]
                 sketch_time += dt
+            if "within_bound" in df.columns:
+                bound_checks += n
+                bound_passed += sum(1 for r in rows if r["within_bound"])
             print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -118,6 +123,9 @@ def main() -> None:
         "cpus": int(cpus),
         "docs_per_sec_sketch_suite": round(sketch_rows / sketch_time, 1)
         if sketch_time else None,
+        "error_bound_pass_rate": round(bound_passed / bound_checks, 4)
+        if bound_checks else None,
+        "error_bound_checks": bound_checks,
         "scaling": scaling,
     }
     print(json.dumps(out))
