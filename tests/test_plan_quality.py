@@ -81,6 +81,24 @@ def test_topk_plans_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan_text(df, "simple")
 
 
+def test_builtin_textstats_stay_in_codegen(spark):
+    """token_count / quality_features / fingerprints claim 'built-ins
+    only' — their plans must contain no Python evaluation node (the whole
+    pipeline stays in whole-stage codegen)."""
+    from gopie_spark.operators.textstats import (content_fingerprint,
+                                                 quality_features,
+                                                 token_count)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plans = [
+        plan_text(docs.select(token_count("text").alias("n")), "simple"),
+        plan_text(quality_features(docs), "simple"),
+        plan_text(docs.select(content_fingerprint("text").alias("fp")),
+                  "simple"),
+    ]
+    for p in plans:
+        assert "EvalPython" not in p  # Batch/ArrowEvalPython both absent
+
+
 def test_cms_jvm_preagg_shuffles_counts_not_rows(spark):
     """The JVM pre-agg CMS path must plan a partial HashAggregate below
     the exchange: the shuffle carries (value, partial count), not rows."""
