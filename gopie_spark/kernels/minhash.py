@@ -53,6 +53,55 @@ def shingle_hashes(text: str, width: int = 4) -> np.ndarray:
     return np.unique(fnv1_64_values(shingles))
 
 
+_SHINGLE_PRIME = U64(1099511628211)  # FNV-64 prime as the polynomial base
+
+
+def shingle_hashes_flat(token_hashes: np.ndarray, lens: np.ndarray,
+                        width: int):
+    """Hash every word-``width``-shingle of each document, fully
+    vectorized over a whole batch: input is the flat token-hash array
+    plus per-document token counts (the Arrow list_flatten layout).
+
+    Shingle hash = polynomial combine of the member token hashes,
+    finalized with mix64 — a uniform 64-bit family that never
+    materializes joined shingle *strings* (MinHash needs consistency and
+    uniformity from the family, not any particular string hash).  The
+    rolling combine is ``width-1`` vectorized passes over the flat array;
+    window validity (not crossing a document boundary) is a mask.  Docs
+    with ``0 < len < width`` produce one shingle over all their tokens
+    (matching the joined-short-doc convention).  Returns
+    ``(flat_shingle_hashes, shingle_lens)`` in document order.
+    """
+    h = np.ascontiguousarray(token_hashes, dtype=U64)
+    lens = np.asarray(lens, dtype=np.int64)
+    s_lens = np.where(lens >= width, lens - width + 1,
+                      np.where(lens > 0, 1, 0)).astype(np.int64)
+    out = np.empty(int(s_lens.sum()), dtype=U64)
+    if h.size == 0:
+        return out, s_lens
+    doc_starts = np.concatenate([[0], np.cumsum(lens)])
+    m = h.size - width + 1
+    is_full = lens >= width
+    if m > 0 and is_full.any():
+        c = h[:m].copy()
+        for j in range(1, width):
+            c = c * _SHINGLE_PRIME ^ h[j:m + j]
+        # window starting at p is valid iff it ends inside p's document
+        pos_doc_end = np.repeat(doc_starts[1:], lens)[:m]
+        valid = (np.arange(m) + width) <= pos_doc_end
+        out[np.repeat(is_full, s_lens)] = mix64(c[valid])
+    # short docs (0 < len < width): one combined hash over all tokens
+    out_off = np.concatenate([[0], np.cumsum(s_lens)])
+    prime = int(_SHINGLE_PRIME)
+    for d in np.nonzero((lens > 0) & ~is_full)[0]:
+        a = h[doc_starts[d]:doc_starts[d] + lens[d]]
+        c = int(a[0])
+        for j in range(1, int(lens[d])):
+            c = ((c * prime) & 0xFFFFFFFFFFFFFFFF) ^ int(a[j])
+        out[out_off[d]] = mix64(np.array([c], dtype=U64))[0]
+    return out, s_lens
+
+
 @dataclass(frozen=True)
 class MinHash:
     """Mergeable MinHash sketch over a set of uint64 element hashes."""
@@ -89,12 +138,25 @@ class MinHash:
         Empty documents get the all-max (empty-set) signature.
         """
         lens = np.array([a.size for a in hash_arrays], dtype=np.int64)
-        n = len(hash_arrays)
+        flat = np.concatenate(hash_arrays) if hash_arrays \
+            else np.empty(0, dtype=U64)
+        return self.batch_signatures_flat(flat, lens)
+
+    def batch_signatures_flat(self, flat: np.ndarray,
+                              lens: np.ndarray) -> np.ndarray:
+        """Signatures from a flat hash array + per-document lengths
+        (``flat[sum(lens[:i]) : sum(lens[:i+1])]`` = doc i's hashes) —
+        the zero-copy path for Arrow-flattened batches.  Duplicate hashes
+        within a document are harmless (min over a multiset equals min
+        over its set)."""
+        lens = np.asarray(lens, dtype=np.int64)
+        n = lens.size
         out = np.full((n, self.k), np.iinfo(np.uint64).max, dtype=U64)
         nonempty = np.nonzero(lens > 0)[0]
         if nonempty.size == 0:
             return out
-        flat = np.concatenate([hash_arrays[i] for i in nonempty])
+        flat = np.ascontiguousarray(flat, dtype=U64)
+        # flat holds only nonempty docs' hashes (empty docs contribute 0)
         starts = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]])
         seeds = _seeds(self.k)
         # seed-chunked sweep: the full (shingles x k) mixed matrix is
@@ -159,12 +221,21 @@ class SimHash:
     def batch_fingerprints(self, hash_arrays: Sequence[np.ndarray]) -> np.ndarray:
         """uint64 fingerprint per document (vectorized via reduceat)."""
         lens = np.array([a.size for a in hash_arrays], dtype=np.int64)
-        n = len(hash_arrays)
+        flat = np.concatenate(hash_arrays) if hash_arrays \
+            else np.empty(0, dtype=U64)
+        return self.batch_fingerprints_flat(flat, lens)
+
+    def batch_fingerprints_flat(self, flat: np.ndarray,
+                                lens: np.ndarray) -> np.ndarray:
+        """Fingerprints from a flat hash array + per-doc lengths (the
+        zero-copy path for Arrow-flattened batches)."""
+        lens = np.asarray(lens, dtype=np.int64)
+        n = lens.size
         out = np.zeros(n, dtype=U64)
         nonempty = np.nonzero(lens > 0)[0]
         if nonempty.size == 0:
             return out
-        flat = np.concatenate([hash_arrays[i] for i in nonempty])
+        flat = np.ascontiguousarray(flat, dtype=U64)
         starts = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]])
         # bit-plane sweep keeps memory O(total_tokens), not O(tokens x 64):
         # bit b's vote sum > half the token count <=> majority of 1s

@@ -95,12 +95,36 @@ def _widen(df: DataFrame) -> DataFrame:
     return df
 
 
+def _flat_token_hashes(texts: pd.Series):
+    """Whitespace-tokenize a batch and FNV-hash every token with NO
+    per-document Python: one Arrow split per batch (C++), one vectorized
+    FNV pass over the flattened tokens.  Returns (flat uint64 hashes of
+    the non-empty tokens, per-doc non-empty token counts) — identical
+    token multisets to ``str.split()`` semantics."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    arr = pa.Array.from_pandas(texts.fillna(""))
+    tok = pc.split_pattern_regex(arr, r"\s+")
+    flat = pc.list_flatten(tok)
+    lens = pc.list_value_length(tok).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    hashes = fnv1_64_values(flat)[nonempty]
+    doc_of = np.repeat(np.arange(len(texts)), lens)
+    ne_lens = np.bincount(doc_of[nonempty], minlength=len(texts)) \
+        .astype(np.int64)
+    return hashes, ne_lens
+
+
 def add_minhash_signatures(df: DataFrame, text_col: str = "text",
                            k: int = 128, shingle_width: int = 3,
                            out_col: str = "minhash") -> DataFrame:
     """Add an ``array<bigint>`` MinHash signature column (uint64 slots
-    viewed as int64).  Shingling + hashing + signatures are fully
-    vectorized per Arrow batch (kernels.minhash.batch_signatures)."""
+    viewed as int64).  The whole chain — tokenize, shingle-hash (rolling
+    polynomial over token hashes, kernels.minhash.shingle_hashes_flat),
+    k-permutation minima — is vectorized across the batch with no
+    per-document Python loop."""
+    from gopie_spark.kernels.minhash import shingle_hashes_flat
     mh = MinHash(k=k)
     schema = StructType(df.schema.fields +
                         [StructField(out_col, ArrayType(LongType()), False)])
@@ -115,28 +139,16 @@ def add_minhash_signatures(df: DataFrame, text_col: str = "text",
                 continue
             for lo in range(0, len(pdf), chunk_rows):
                 chunk = pdf.iloc[lo:lo + chunk_rows]
-                hash_arrays = [
-                    _shingle_hashes_fast(t, shingle_width)
-                    for t in chunk[text_col].fillna("")
-                ]
-                sigs = mh.batch_signatures(hash_arrays).astype(np.int64)
+                tok_h, tok_lens = _flat_token_hashes(chunk[text_col])
+                sh_h, sh_lens = shingle_hashes_flat(tok_h, tok_lens,
+                                                    shingle_width)
+                sigs = mh.batch_signatures_flat(sh_h, sh_lens) \
+                    .astype(np.int64)
                 out = chunk.copy()
                 out[out_col] = list(sigs)
                 yield out
 
     return _widen(df).mapInPandas(fn, schema)
-
-
-def _shingle_hashes_fast(text: str, width: int) -> np.ndarray:
-    toks = text.split()
-    if not toks:
-        return np.empty(0, dtype=np.uint64)
-    if len(toks) < width:
-        shingles = [" ".join(toks)]
-    else:
-        shingles = [" ".join(toks[i:i + width])
-                    for i in range(len(toks) - width + 1)]
-    return np.unique(fnv1_64_values(shingles))
 
 
 def _bucket_pairs(exploded: DataFrame, bucket_cols: List[str],
@@ -232,7 +244,7 @@ def add_simhash(df: DataFrame, text_col: str = "text",
     schema = StructType(df.schema.fields +
                         [StructField(out_col, LongType(), False)])
 
-    chunk_rows = 4096  # (tokens x 64) vote matrix per chunk stays small
+    chunk_rows = 4096  # per-chunk flat token buffer stays cache-sized
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -241,10 +253,8 @@ def add_simhash(df: DataFrame, text_col: str = "text",
                 continue
             for lo in range(0, len(pdf), chunk_rows):
                 chunk = pdf.iloc[lo:lo + chunk_rows]
-                hash_arrays = [fnv1_64_values(t.split()) if t else
-                               np.empty(0, dtype=np.uint64)
-                               for t in chunk[text_col].fillna("")]
-                fps = sh.batch_fingerprints(hash_arrays)
+                tok_h, tok_lens = _flat_token_hashes(chunk[text_col])
+                fps = sh.batch_fingerprints_flat(tok_h, tok_lens)
                 out = chunk.copy()
                 out[out_col] = fps.astype(np.int64)
                 yield out

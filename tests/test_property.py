@@ -124,3 +124,34 @@ def test_minhash_batch_equals_per_doc(hash_lists):
     for i, a in enumerate(arrays):
         want = mh.signature_of(a) if a.size else mh.zero()
         assert np.array_equal(batch[i], want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.lists(st.integers(0, 2**63 - 1), min_size=0, max_size=30),
+                min_size=1, max_size=8),
+       st.integers(1, 4))
+def test_shingle_hashes_flat_matches_scalar(docs, width):
+    """Vectorized rolling-polynomial shingle hashing must match a scalar
+    per-window reference, including boundary masking (no shingle spans
+    two docs) and the one-shingle short-doc convention."""
+    from gopie_spark.kernels.minhash import _SHINGLE_PRIME, shingle_hashes_flat
+    from gopie_spark.kernels.hashes import mix64
+    arrays = [np.array(d, dtype=np.uint64) for d in docs]
+    flat = np.concatenate(arrays) if arrays else np.empty(0, dtype=np.uint64)
+    lens = np.array([a.size for a in arrays], dtype=np.int64)
+    got, got_lens = shingle_hashes_flat(flat, lens, width)
+    exp, exp_lens = [], []
+    for a in arrays:
+        if a.size == 0:
+            exp_lens.append(0)
+            continue
+        n_sh = a.size - width + 1 if a.size >= width else 1
+        exp_lens.append(n_sh)
+        for i in range(n_sh):
+            win = a[i:i + width] if a.size >= width else a
+            c = int(win[0])
+            for x in win[1:]:
+                c = ((c * int(_SHINGLE_PRIME)) & 0xFFFFFFFFFFFFFFFF) ^ int(x)
+            exp.append(int(mix64(np.array([c], dtype=np.uint64))[0]))
+    assert got_lens.tolist() == exp_lens
+    assert got.tolist() == exp
