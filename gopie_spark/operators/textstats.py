@@ -97,11 +97,18 @@ def content_fingerprint(col) -> Column:
 def rolling_fingerprint(df: DataFrame, text_col: str = "text",
                         out_col: str = "rolling_fp",
                         window: int = 8) -> DataFrame:
-    """Winnowing-style rolling polynomial hash fingerprint: min uint64 of
-    the rolling hash over token windows (robust to local edits).  Arrow
-    batch UDF over the vectorized FNV kernel."""
+    """Winnowing-style rolling-hash fingerprint: min uint64 over the
+    hashes of all token ``window``-grams (robust to local edits — a
+    suffix edit perturbs only the windows that overlap it).
+
+    No per-document Python: tokenization + hashing + rolling window
+    hashes come from the batch-flat kernels (one Arrow split, one FNV
+    pass, ``window-1`` vectorized combine passes), and the per-document
+    min is one ``np.minimum.reduceat``."""
     from pyspark.sql.types import LongType, StructField, StructType
-    from gopie_spark.kernels.hashes import fnv1_64_values, mix64
+    from gopie_spark.kernels.hashes import mix64
+    from gopie_spark.kernels.minhash import shingle_hashes_flat
+    from gopie_spark.operators.dedup import _flat_token_hashes
 
     schema = StructType(df.schema.fields +
                         [StructField(out_col, LongType(), False)])
@@ -111,21 +118,14 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text",
             if pdf.empty:
                 yield pdf.assign(**{out_col: pd.Series([], dtype="int64")})
                 continue
-            fps = []
-            for t in pdf[text_col].fillna(""):
-                toks = t.split()
-                if not toks:
-                    fps.append(0)
-                    continue
-                h = mix64(fnv1_64_values(toks))
-                if len(h) >= window:
-                    # rolling window xor-fold then min (winnowing)
-                    acc = np.zeros(len(h) - window + 1, dtype=np.uint64)
-                    for w in range(window):
-                        acc ^= h[w:w + len(acc)] * np.uint64(2654435761 + w)
-                    fps.append(int(acc.min().astype(np.int64)))
-                else:
-                    fps.append(int(h.min().astype(np.int64)))
+            tok_h, lens = _flat_token_hashes(pdf[text_col])
+            win_h, w_lens = shingle_hashes_flat(mix64(tok_h), lens, window)
+            fps = np.zeros(len(pdf), dtype=np.int64)
+            nz = np.nonzero(w_lens > 0)[0]
+            if nz.size:
+                starts = np.concatenate([[0], np.cumsum(w_lens[nz])[:-1]])
+                fps[nz] = np.minimum.reduceat(win_h, starts) \
+                    .astype(np.int64)
             out = pdf.copy()
             out[out_col] = pd.Series(fps, index=pdf.index, dtype="int64")
             yield out
