@@ -260,19 +260,21 @@ def cosine_dedup_pairs(spark: SparkSession, df: DataFrame,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        max_bucket: int = 512) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucket blocking + exact cosine
-    verify.  DataFrame[id_a, id_b, cosine] with id_a < id_b."""
+    verify.  DataFrame[id_a, id_b, cosine] with id_a < id_b.  Candidate
+    pairs come from the single-shuffle capped-bucket expansion
+    (operators.dedup._bucket_pairs — no window sort, bucket work bounded
+    by max_bucket^2); vectors join back onto the (small) pair set."""
+    from gopie_spark.operators.dedup import _bucket_pairs
     bucketed = add_hyperplane_bucket(df, vec_col, n_planes) \
         .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
                 "lsh_bucket")
-    wb = Window.partitionBy("lsh_bucket").orderBy("_id")
-    capped = (bucketed.withColumn("_rn", F.row_number().over(wb))
-              .filter(F.col("_rn") <= max_bucket).drop("_rn"))
-    a, b = capped.alias("a"), capped.alias("b")
-    pairs = (a.join(b, (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
-                    & (F.col("a._id") < F.col("b._id")))
-             .select(F.col("a._id").alias("id_a"),
-                     F.col("b._id").alias("id_b"),
-                     F.col("a._v").alias("_va"), F.col("b._v").alias("_vb")))
+    ids = _bucket_pairs(bucketed.select("_id", "lsh_bucket"),
+                        ["lsh_bucket"], max_bucket)
+    va = bucketed.select(F.col("_id").alias("id_a"),
+                         F.col("_v").alias("_va"))
+    vb = bucketed.select(F.col("_id").alias("id_b"),
+                         F.col("_v").alias("_vb"))
+    pairs = ids.join(va, "id_a").join(vb, "id_b")
     dot = F.aggregate(F.zip_with("_va", "_vb",
                                  lambda x, y: x.cast("double") * y),
                       F.lit(0.0), lambda acc, v: acc + v)

@@ -67,9 +67,12 @@ def test_lsh_candidates_have_no_window(spark):
     inside the (partially aggregable) collect_set aggregate."""
     from gopie_spark.operators.dedup import (minhash_lsh_candidates,
                                              simhash_candidates)
+    from gopie_spark.operators.similarity import cosine_dedup_pairs
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
     for df in (minhash_lsh_candidates(docs, k=16, bands=4),
-               simhash_candidates(docs)):
+               simhash_candidates(docs),
+               cosine_dedup_pairs(spark, emb)):
         assert "Window" not in plan_text(df, "extended")
 
 
