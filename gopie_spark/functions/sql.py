@@ -1,0 +1,110 @@
+"""SQL-registered sketch functions — query sketch states from spark.sql.
+
+The reference has no query language (SURVEY.md §2.6); the Spark-first
+engine's natural SQL surface is: sketch *states* live in tables as binary
+blobs (the ``sketch_state`` column every aggregation produces), and these
+registered functions finalize/probe them from plain SQL:
+
+    states.createOrReplaceTempView("lang_sketches")
+    spark.sql("SELECT lang, gopie_hll_estimate(sketch_state) AS n "
+              "FROM lang_sketches ORDER BY n DESC")
+
+All functions are Arrow-batched pandas UDFs; each blob carries its own
+parameters (p / d x w / m,k / delta / k) in the TLV header, so the kernel
+is reconstructed per blob via ``from_blob`` — states of different sizes
+can share a column.  Probe arguments (quantile, value) are ordinary
+columns, not just literals.
+
+Registered names (idempotent to re-register):
+
+- ``gopie_hll_estimate(state) -> bigint``
+- ``gopie_cms_estimate(state, value) -> bigint``
+- ``gopie_cms_total(state) -> bigint``
+- ``gopie_bloom_exist(state, value) -> boolean``   (bit variant)
+- ``gopie_tdigest_quantile(state, q) -> double``
+- ``gopie_kll_quantile(state, q) -> double``
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import SparkSession
+
+
+def register_sql_functions(spark: SparkSession,
+                           prefix: str = "gopie_") -> None:
+    """Register the sketch SQL surface on this session."""
+    from pyspark.sql.functions import pandas_udf
+    from gopie_spark.kernels import CMS, HLL, KLL, BloomBit, TDigest
+
+    def _hll_estimate(blobs):
+        out = np.zeros(len(blobs), dtype=np.int64)
+        for i, b in enumerate(blobs):
+            if b is None:
+                continue
+            hll = HLL.from_blob(bytes(b))
+            out[i] = int(hll.count(hll.deserialize(bytes(b))))
+        return pd.Series(out)
+
+    def _cms_estimate(blobs, values):
+        out = np.zeros(len(blobs), dtype=np.int64)
+        for i, (b, v) in enumerate(zip(blobs, values)):
+            if b is None or v is None:
+                continue
+            cms = CMS.from_blob(bytes(b))
+            out[i] = int(cms.estimate(cms.deserialize(bytes(b)),
+                                      [str(v)])[0])
+        return pd.Series(out)
+
+    def _cms_total(blobs):
+        out = np.zeros(len(blobs), dtype=np.int64)
+        for i, b in enumerate(blobs):
+            if b is None:
+                continue
+            cms = CMS.from_blob(bytes(b))
+            out[i] = int(cms.count(cms.deserialize(bytes(b))))
+        return pd.Series(out)
+
+    def _bloom_exist(blobs, values):
+        out = np.zeros(len(blobs), dtype=bool)
+        for i, (b, v) in enumerate(zip(blobs, values)):
+            if b is None or v is None:
+                continue
+            bf = BloomBit.from_blob(bytes(b))
+            out[i] = bool(bf.exist(bf.deserialize(bytes(b)), [str(v)])[0])
+        return pd.Series(out)
+
+    def _tdigest_quantile(blobs, qs):
+        td = TDigest()  # delta only affects compression, not estimation
+        out = np.full(len(blobs), np.nan)
+        for i, (b, q) in enumerate(zip(blobs, qs)):
+            if b is None or q is None:
+                continue
+            out[i] = float(td.quantile(td.deserialize(bytes(b)),
+                                       [float(q)])[0])
+        return pd.Series(out)
+
+    def _kll_quantile(blobs, qs):
+        out = np.full(len(blobs), np.nan)
+        for i, (b, q) in enumerate(zip(blobs, qs)):
+            if b is None or q is None:
+                continue
+            kll = KLL.from_blob(bytes(b))
+            out[i] = float(kll.quantile(kll.deserialize(bytes(b)),
+                                        [float(q)])[0])
+        return pd.Series(out)
+
+    spark.udf.register(f"{prefix}hll_estimate",
+                       pandas_udf(_hll_estimate, "long"))
+    spark.udf.register(f"{prefix}cms_estimate",
+                       pandas_udf(_cms_estimate, "long"))
+    spark.udf.register(f"{prefix}cms_total",
+                       pandas_udf(_cms_total, "long"))
+    spark.udf.register(f"{prefix}bloom_exist",
+                       pandas_udf(_bloom_exist, "boolean"))
+    spark.udf.register(f"{prefix}tdigest_quantile",
+                       pandas_udf(_tdigest_quantile, "double"))
+    spark.udf.register(f"{prefix}kll_quantile",
+                       pandas_udf(_kll_quantile, "double"))

@@ -245,6 +245,13 @@ class BloomBit:
             (3, np.ascontiguousarray(state["words"]).tobytes()),
         ])
 
+    @classmethod
+    def from_blob(cls, blob: bytes) -> "BloomBit":
+        """Reconstruct a correctly-sized filter from a state blob."""
+        fields = codec.expect_kind(blob, codec.KIND_BLOOM_BIT)
+        m, k = np.frombuffer(fields[1], dtype=U64)
+        return cls(m=int(m), k=int(k))
+
     def deserialize(self, blob: bytes):
         fields = codec.expect_kind(blob, codec.KIND_BLOOM_BIT)
         m, k = np.frombuffer(fields[1], dtype=U64)

@@ -125,6 +125,13 @@ class CMS:
             (3, np.ascontiguousarray(state["matrix"]).tobytes()),
         ])
 
+    @classmethod
+    def from_blob(cls, blob: bytes) -> "CMS":
+        """Reconstruct a correctly-shaped sketch from a state blob."""
+        fields = codec.expect_kind(blob, codec.KIND_CMS)
+        d, w = np.frombuffer(fields[1], dtype=np.uint32)
+        return cls(width=int(w), depth=int(d))
+
     def deserialize(self, blob: bytes):
         fields = codec.expect_kind(blob, codec.KIND_CMS)
         d, w = np.frombuffer(fields[1], dtype=np.uint32)

@@ -133,6 +133,15 @@ class HLL:
             (3, self.hash_name.encode()),
         ])
 
+    @classmethod
+    def from_blob(cls, blob: bytes) -> "HLL":
+        """Reconstruct a correctly-parameterized sketch from a state blob
+        (the blob header carries p and the hash name)."""
+        fields = codec.expect_kind(blob, codec.KIND_HLL)
+        p = int(np.frombuffer(fields[1], dtype=U32)[0])
+        hname = fields.get(3, b"").decode() or "mix64"
+        return cls(p=p, hash_name=hname)
+
     def deserialize(self, blob: bytes) -> np.ndarray:
         fields = codec.expect_kind(blob, codec.KIND_HLL)
         p = int(np.frombuffer(fields[1], dtype=U32)[0])

@@ -155,6 +155,13 @@ class KLL:
             fields.append((10 + h, np.ascontiguousarray(lv).tobytes()))
         return codec.pack(codec.KIND_KLL, fields)
 
+    @classmethod
+    def from_blob(cls, blob: bytes) -> "KLL":
+        """Reconstruct a correctly-parameterized sketch from a state blob."""
+        fields = codec.expect_kind(blob, codec.KIND_KLL)
+        k, _ = np.frombuffer(fields[1], dtype=np.int64)
+        return cls(k=int(k))
+
     def deserialize(self, blob: bytes):
         fields = codec.expect_kind(blob, codec.KIND_KLL)
         k, nlevels = np.frombuffer(fields[1], dtype=np.int64)

@@ -1,0 +1,102 @@
+"""SQL surface: sketch states queryable from spark.sql via registered
+Arrow-batched functions; each blob self-describes its parameters."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gopie_spark.functions.sql import register_sql_functions
+from gopie_spark.kernels import HLL, KLL, TDigest
+from gopie_spark.operators.sketch_agg import STATE_COL, sketch_agg
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    register_sql_functions(spark)
+    return spark
+
+
+def test_hll_estimate_from_sql(registered, spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hll = HLL(p=12)
+    states = sketch_agg(docs.selectExpr("lang", "cast(doc_id as string) v"),
+                        ["lang"], "v", hll)
+    states.createOrReplaceTempView("lang_states")
+    got = {r["lang"]: r["n"] for r in spark.sql(
+        "SELECT lang, gopie_hll_estimate(sketch_state) AS n "
+        "FROM lang_states").collect()}
+    direct = {r["lang"]: hll.count(hll.deserialize(bytes(r[STATE_COL])))
+              for r in states.collect()}
+    assert got == direct
+
+
+def test_hll_sql_handles_mixed_p_blobs(registered, spark):
+    """Blob-driven parameterization: states of different p in one column
+    both finalize correctly (no fixed-shape assumption in the SQL fn)."""
+    vals = [str(i) for i in range(3000)]
+    rows = []
+    for p in (10, 14):
+        h = HLL(p=p)
+        st = h.zero()
+        h.update(st, vals)
+        rows.append((p, bytearray(h.serialize(st))))
+    df = spark.createDataFrame(rows, "p int, sketch_state binary")
+    df.createOrReplaceTempView("mixed_states")
+    got = {r["p"]: r["n"] for r in spark.sql(
+        "SELECT p, gopie_hll_estimate(sketch_state) AS n "
+        "FROM mixed_states").collect()}
+    for p, n in got.items():
+        assert abs(n - 3000) <= 3 * (1.04 / 2 ** (p / 2)) * 3000 + 5
+
+
+def test_quantile_fns_from_sql(registered, spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for kernel, fn in ((TDigest(), "gopie_tdigest_quantile"),
+                       (KLL(k=200), "gopie_kll_quantile")):
+        states = sketch_agg(
+            docs.selectExpr("lang", "cast(n_chars as double) v"),
+            ["lang"], "v", kernel)
+        states.createOrReplaceTempView("q_states")
+        rows = spark.sql(
+            f"SELECT lang, {fn}(sketch_state, 0.5) AS med "
+            "FROM q_states").collect()
+        med = {r["lang"]: r["med"] for r in rows}
+        exact = {r["lang"]: r["m"] for r in docs.groupBy("lang").agg(
+            F.expr("percentile(n_chars, 0.5)").alias("m")).collect()}
+        for lang in exact:
+            assert abs(med[lang] - exact[lang]) / max(exact[lang], 1) < 0.25
+
+
+def test_cms_and_bloom_from_sql(registered, spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    from gopie_spark.operators import bloom_build, cms_build
+    cms, cst = cms_build(ev, "event_type", jvm_pre_aggregate=True)
+    bloom, bst = bloom_build(
+        ev.selectExpr("cast(user_id as string) u"), "u",
+        n=ev.count(), p=1e-6)
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    probe = spark.createDataFrame(
+        [(bytearray(cms.serialize(cst)), bytearray(bloom.serialize(bst)), t)
+         for t in types] +
+        [(bytearray(cms.serialize(cst)), bytearray(bloom.serialize(bst)),
+          "no-such-type")],
+        "cms binary, bloom binary, probe string")
+    probe.createOrReplaceTempView("probe")
+    rows = spark.sql(
+        "SELECT probe, gopie_cms_estimate(cms, probe) AS est, "
+        "gopie_cms_total(cms) AS total FROM probe").collect()
+    exact = dict(ev.groupBy("event_type").count().collect())
+    for r in rows:
+        want = exact.get(r["probe"], 0)
+        assert r["est"] == want  # exact at low load
+        assert r["total"] == sum(exact.values())
+    hits = spark.sql(
+        "SELECT gopie_bloom_exist(bloom, cast(501 as string)) AS h "
+        "FROM probe LIMIT 1").collect()
+    # membership of an actual user id must be True (no false negatives)
+    uid = str(ev.select("user_id").first()[0])
+    hit = spark.sql(
+        f"SELECT gopie_bloom_exist(bloom, '{uid}') AS h FROM probe LIMIT 1"
+    ).collect()[0]["h"]
+    assert hit is True
