@@ -127,19 +127,29 @@ def build_partials(df: DataFrame, keys: Sequence[str], value_col: str,
                     *[pc.fill_null(pc.cast(col[k], pa.string()), "\x1eNUL\x1e")
                       for k in keys], "\x1f")
             dic = keyarr.dictionary_encode()
-            indices = dic.indices
-            for code, keyval in enumerate(dic.dictionary):
-                mask = pc.equal(indices, code)
-                sub = vals.filter(mask)
-                if len(keys) == 1:
-                    upd((keyval.as_py(),), sub)
+            # group by one stable sort of the dictionary codes + boundary
+            # slicing: O(n log n + K) per batch instead of a full-column
+            # filter per present key (O(n*K) — quadratic-ish when a batch
+            # holds many groups, e.g. per-window sketches).  Stable order
+            # preserves each group's original row order, so partials stay
+            # byte-identical for order-sensitive kernels.
+            codes = np.asarray(pc.fill_null(dic.indices, -1))
+            order = np.argsort(codes, kind="stable")
+            sorted_codes = codes[order]
+            sorted_vals = vals.take(pa.array(order))
+            present, starts_ = np.unique(sorted_codes, return_index=True)
+            bounds = np.append(starts_, len(sorted_codes))
+            for gi, code in enumerate(present):
+                sub = sorted_vals.slice(
+                    int(bounds[gi]), int(bounds[gi + 1] - bounds[gi]))
+                if code < 0:
+                    upd((None,) * len(keys), sub)
+                elif len(keys) == 1:
+                    upd((dic.dictionary[int(code)].as_py(),), sub)
                 else:
-                    # recover typed key values from the first matching row
-                    row = pc.index(mask, True).as_py()
+                    # recover typed key values from a representative row
+                    row = int(order[bounds[gi]])
                     upd(tuple(col[k][row].as_py() for k in keys), sub)
-            if dic.null_count:
-                mask = pc.is_null(indices)
-                upd((None,) * len(keys), vals.filter(mask))
 
         if acc:
             arrays = []
