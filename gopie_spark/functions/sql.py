@@ -68,12 +68,23 @@ def register_sql_functions(spark: SparkSession,
         return pd.Series(out)
 
     def _bloom_exist(blobs, values):
+        from gopie_spark.kernels import BloomCounting, BloomScalable
+        from gopie_spark.kernels import codec
         out = np.zeros(len(blobs), dtype=bool)
         for i, (b, v) in enumerate(zip(blobs, values)):
             if b is None or v is None:
                 continue
-            bf = BloomBit.from_blob(bytes(b))
-            out[i] = bool(bf.exist(bf.deserialize(bytes(b)), [str(v)])[0])
+            b = bytes(b)
+            kind, _ = codec.unpack(b)
+            if kind == codec.KIND_BLOOM_BIT:
+                bf = BloomBit.from_blob(b)
+            elif kind == codec.KIND_BLOOM_COUNTING:
+                bf = BloomCounting.from_blob(b)
+            elif kind == codec.KIND_BLOOM_SCALABLE:
+                bf = BloomScalable.from_blob(b)
+            else:
+                raise ValueError(f"not a bloom state (kind {kind})")
+            out[i] = bool(bf.exist(bf.deserialize(b), [str(v)])[0])
         return pd.Series(out)
 
     def _tdigest_quantile(blobs, qs):

@@ -163,6 +163,13 @@ class BloomCounting:
             (3, np.ascontiguousarray(state["counters"]).tobytes()),
         ])
 
+    @classmethod
+    def from_blob(cls, blob: bytes) -> "BloomCounting":
+        """Reconstruct a correctly-sized filter from a state blob."""
+        fields = codec.expect_kind(blob, codec.KIND_BLOOM_COUNTING)
+        m, k = np.frombuffer(fields[1], dtype=U64)
+        return cls(m=int(m), k=int(k))
+
     def deserialize(self, blob: bytes):
         fields = codec.expect_kind(blob, codec.KIND_BLOOM_COUNTING)
         m, k = np.frombuffer(fields[1], dtype=U64)
@@ -390,6 +397,15 @@ class BloomScalable:
         for i, lv in enumerate(state["levels"]):
             fields.append((10 + i, np.ascontiguousarray(lv["words"]).tobytes()))
         return codec.pack(codec.KIND_BLOOM_SCALABLE, fields)
+
+    @classmethod
+    def from_blob(cls, blob: bytes) -> "BloomScalable":
+        """Reconstruct the growth parameters from a state blob (level
+        geometry is a pure function of (n0, p, r), all in the header)."""
+        fields = codec.expect_kind(blob, codec.KIND_BLOOM_SCALABLE)
+        n0 = int(np.frombuffer(fields[1][:8], dtype=U64)[0])
+        p, r, fill = np.frombuffer(fields[1][8:], dtype=np.float64)
+        return cls(n0=n0, p=float(p), r=float(r), fill_ratio=float(fill))
 
     def deserialize(self, blob: bytes):
         fields = codec.expect_kind(blob, codec.KIND_BLOOM_SCALABLE)

@@ -100,3 +100,37 @@ def test_cms_and_bloom_from_sql(registered, spark):
         f"SELECT gopie_bloom_exist(bloom, '{uid}') AS h FROM probe LIMIT 1"
     ).collect()[0]["h"]
     assert hit is True
+
+
+def test_bloom_exist_dispatches_all_variants(registered, spark):
+    """gopie_bloom_exist sniffs the blob kind: bit, counting, and
+    scalable states all answer membership from SQL."""
+    from gopie_spark.kernels import BloomBit, BloomCounting, BloomScalable
+    keys = [f"k{i}" for i in range(500)]
+    rows = []
+    for name, bf in (("bit", BloomBit.from_guess(500, 1e-6)),
+                     ("counting", BloomCounting.from_guess(500, 1e-6)),
+                     ("scalable", BloomScalable(n0=64, p=1e-6))):
+        st = bf.zero()
+        bf.update(st, keys)
+        rows.append((name, bytearray(bf.serialize(st))))
+    df = spark.createDataFrame(rows, "variant string, state binary")
+    df.createOrReplaceTempView("blooms")
+    hit = spark.sql("SELECT variant, gopie_bloom_exist(state, 'k7') AS h, "
+                    "gopie_bloom_exist(state, 'absent-xyz') AS miss "
+                    "FROM blooms").collect()
+    assert len(hit) == 3
+    for r in hit:
+        assert r["h"] is True, r["variant"]
+        assert r["miss"] is False, r["variant"]
+
+
+def test_suggest_salt_sampling_path(spark):
+    """suggest_salt(sample_fraction=...) detects the same Zipf skew from a
+    uniform sample (key shares converge on samples)."""
+    from gopie_spark.operators import suggest_salt
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    full = suggest_salt(docs, ["lang"])
+    sampled = suggest_salt(docs, ["lang"], sample_fraction=0.5)
+    assert full > 1 and sampled >= 1
+    assert abs(sampled - full) <= 1  # shares converge; off-by-one slack
