@@ -88,6 +88,34 @@ def _q_hll_distinct_per_lang(spark, sf_dir):
     return joined.select("lang", "n_exact", ok.alias("within_bound"))
 
 
+def _q_hll_union_reuse(spark, sf_dir):
+    """Merge-as-query: per-lang HLL states are built ONCE, then the
+    distinct count over any lang subset is answered by merging states —
+    no second scan of the data (the core reuse property of mergeable
+    sketches; register-max IS the union sketch).  Certificate: merged
+    estimate for the two lexicographically-first langs within the 3-sigma
+    bound of the exact union distinct count."""
+    from gopie_spark.kernels import HLL
+    from gopie_spark.operators.sketch_agg import STATE_COL, sketch_agg
+    docs = _docs(spark, sf_dir)
+    p = 14
+    hll = HLL(p=p)
+    states = {r["lang"]: hll.deserialize(bytes(r[STATE_COL]))
+              for r in sketch_agg(
+                  docs.select("lang",
+                              F.col("doc_id").cast("string").alias("v")),
+                  ["lang"], "v", hll).collect()}
+    la, lb = sorted(states)[:2]
+    est = hll.union_count(states[la], states[lb])
+    bound = 3 * 1.04 / math.sqrt(2 ** p)
+    exact_df = (docs.filter(F.col("lang").isin([la, lb]))
+                .agg(F.countDistinct("doc_id").alias("n_exact")))
+    ok = (F.lit(float(est)) <= F.col("n_exact") * (1 + bound)) & \
+         (F.lit(float(est)) >= F.col("n_exact") * (1 - bound))
+    return exact_df.select(F.lit(f"{la}+{lb}").alias("lang_pair"),
+                           "n_exact", ok.alias("within_bound"))
+
+
 def _q_cms_event_type_counts(spark, sf_dir):
     """CMS point estimates == exact counts at low load (few distinct keys,
     wide sketch: collision probability (K/w)^d ~ 0)."""
@@ -648,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_global": _q_hll_distinct_global,
         "hll_distinct_per_lang": _q_hll_distinct_per_lang,
         "hll_distinct_per_window": _q_hll_distinct_per_window,
+        "hll_union_reuse": _q_hll_union_reuse,
         "cms_event_type_counts": _q_cms_event_type_counts,
         "cms_topk_heavy_hitters": _q_cms_topk_heavy_hitters,
         "bloom_membership": _q_bloom_membership,
@@ -695,6 +724,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(DISTINCT doc_id) AS n_exact,
                    TRUE AS within_bound
             FROM documents GROUP BY lang
+        """,
+        "hll_union_reuse": """
+            WITH langs AS (SELECT DISTINCT lang FROM documents
+                           ORDER BY lang LIMIT 2)
+            SELECT (SELECT string_agg(lang, '+' ORDER BY lang) FROM langs)
+                       AS lang_pair,
+                   count(DISTINCT doc_id) AS n_exact,
+                   TRUE AS within_bound
+            FROM documents WHERE lang IN (SELECT lang FROM langs)
         """,
         "hll_distinct_per_window": """
             SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600

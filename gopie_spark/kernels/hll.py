@@ -133,6 +133,19 @@ class HLL:
             (3, self.hash_name.encode()),
         ])
 
+    def union_count(self, a: np.ndarray, b: np.ndarray) -> int:
+        """Distinct count of the union — exact sketch algebra (register
+        max IS the union sketch; no approximation beyond HLL itself)."""
+        return self.count(self.merge(a, b))
+
+    def intersection_estimate(self, a: np.ndarray, b: np.ndarray) -> int:
+        """Inclusion-exclusion intersection estimate
+        |A ∩ B| ~= |A| + |B| − |A ∪ B|.  Relative error is against the
+        UNION size, so small intersections of large sets are noisy —
+        standard HLL caveat, documented rather than hidden."""
+        est = self.count(a) + self.count(b) - self.union_count(a, b)
+        return max(0, int(est))
+
     @classmethod
     def from_blob(cls, blob: bytes) -> "HLL":
         """Reconstruct a correctly-parameterized sketch from a state blob

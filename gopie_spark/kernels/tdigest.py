@@ -125,6 +125,44 @@ class TDigest:
                 out[i] = means[j - 1] + frac * (means[j] - means[j - 1])
         return out
 
+    def rank(self, state, values) -> np.ndarray:
+        """Estimated CDF: normalized rank of each value in [0,1]
+        (piecewise-linear between centroid midpoints — the inverse of
+        :meth:`quantile`)."""
+        x = np.atleast_1d(np.asarray(values, dtype=F8))
+        means, weights = state["means"], state["weights"]
+        out = np.full(x.shape, np.nan, dtype=F8)
+        if means.size == 0:
+            return out
+        order = np.argsort(means, kind="stable")
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        lo, hi = state["minmax"][0], state["minmax"][1]
+        if means.size == 1:
+            out[:] = np.where(x < means[0], 0.0,
+                              np.where(x > means[0], 1.0, 0.5))
+            return out
+        cum = np.cumsum(weights)
+        mid = cum - weights / 2.0
+        for i, v in enumerate(x):
+            if v <= lo:
+                out[i] = 0.0
+            elif v >= hi:
+                out[i] = 1.0
+            elif v <= means[0]:
+                span = means[0] - lo
+                out[i] = (mid[0] * ((v - lo) / span if span > 0 else 1.0)) \
+                    / total
+            elif v >= means[-1]:
+                span = hi - means[-1]
+                frac = (v - means[-1]) / span if span > 0 else 0.0
+                out[i] = (mid[-1] + frac * (total - mid[-1])) / total
+            else:
+                j = np.searchsorted(means, v, side="right")
+                frac = (v - means[j - 1]) / (means[j] - means[j - 1])
+                out[i] = (mid[j - 1] + frac * (mid[j] - mid[j - 1])) / total
+        return out
+
     def count(self, state) -> int:
         return int(state["n"][0])
 

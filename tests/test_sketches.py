@@ -468,3 +468,35 @@ def test_simhash_merge_matches_serial():
     sh.update(a, toks[:200])
     sh.update(b, toks[200:])
     assert np.array_equal(sh.merge(a, b), serial)
+
+
+def test_tdigest_rank_inverts_quantile():
+    import numpy as np
+    from gopie_spark.kernels import TDigest
+    rng = np.random.default_rng(3)
+    xs = rng.lognormal(3.0, 1.0, 20000)
+    td = TDigest(delta=100.0)
+    st = td.zero()
+    td.update(st, xs)
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+        v = td.quantile(st, [q])[0]
+        r = td.rank(st, [v])[0]
+        assert abs(r - q) < 0.02
+    assert td.rank(st, [xs.min() - 1])[0] == 0.0
+    assert td.rank(st, [xs.max() + 1])[0] == 1.0
+
+
+def test_hll_union_and_intersection_estimates():
+    import numpy as np
+    from gopie_spark.kernels import HLL
+    hll = HLL(p=14)
+    a, b = hll.zero(), hll.zero()
+    hll.update(a, [f"a{i}" for i in range(6000)] +
+               [f"s{i}" for i in range(2000)])
+    hll.update(b, [f"b{i}" for i in range(4000)] +
+               [f"s{i}" for i in range(2000)])
+    union = hll.union_count(a, b)
+    inter = hll.intersection_estimate(a, b)
+    assert abs(union - 12000) <= 3 * hll.std_err * 12000 + 5
+    # intersection error scales with the union size (documented caveat)
+    assert abs(inter - 2000) <= 3 * hll.std_err * 12000 + 5
