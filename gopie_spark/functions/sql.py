@@ -23,6 +23,8 @@ Registered names (idempotent to re-register):
 - ``gopie_bloom_exist(state, value) -> boolean``   (bit variant)
 - ``gopie_tdigest_quantile(state, q) -> double``
 - ``gopie_kll_quantile(state, q) -> double``
+- ``gopie_tdigest_rank(state, value) -> double``   (CDF)
+- ``gopie_kll_rank(state, value) -> double``       (CDF)
 """
 
 from __future__ import annotations
@@ -88,13 +90,33 @@ def register_sql_functions(spark: SparkSession,
         return pd.Series(out)
 
     def _tdigest_quantile(blobs, qs):
-        td = TDigest()  # delta only affects compression, not estimation
         out = np.full(len(blobs), np.nan)
         for i, (b, q) in enumerate(zip(blobs, qs)):
             if b is None or q is None:
                 continue
+            td = TDigest.from_blob(bytes(b))
             out[i] = float(td.quantile(td.deserialize(bytes(b)),
                                        [float(q)])[0])
+        return pd.Series(out)
+
+    def _tdigest_rank(blobs, vs):
+        out = np.full(len(blobs), np.nan)
+        for i, (b, v) in enumerate(zip(blobs, vs)):
+            if b is None or v is None:
+                continue
+            td = TDigest.from_blob(bytes(b))
+            out[i] = float(td.rank(td.deserialize(bytes(b)),
+                                   [float(v)])[0])
+        return pd.Series(out)
+
+    def _kll_rank(blobs, vs):
+        out = np.full(len(blobs), np.nan)
+        for i, (b, v) in enumerate(zip(blobs, vs)):
+            if b is None or v is None:
+                continue
+            kll = KLL.from_blob(bytes(b))
+            out[i] = float(kll.rank(kll.deserialize(bytes(b)),
+                                    [float(v)])[0])
         return pd.Series(out)
 
     def _kll_quantile(blobs, qs):
@@ -119,3 +141,7 @@ def register_sql_functions(spark: SparkSession,
                        pandas_udf(_tdigest_quantile, "double"))
     spark.udf.register(f"{prefix}kll_quantile",
                        pandas_udf(_kll_quantile, "double"))
+    spark.udf.register(f"{prefix}tdigest_rank",
+                       pandas_udf(_tdigest_rank, "double"))
+    spark.udf.register(f"{prefix}kll_rank",
+                       pandas_udf(_kll_rank, "double"))

@@ -177,6 +177,14 @@ class TDigest:
             (5, np.ascontiguousarray(state["weights"]).tobytes()),
         ])
 
+    @classmethod
+    def from_blob(cls, blob: bytes) -> "TDigest":
+        """Reconstruct a correctly-parameterized digest from a state blob
+        (delta and compression threshold ride in the header)."""
+        fields = codec.expect_kind(blob, codec.KIND_TDIGEST)
+        delta, thresh = np.frombuffer(fields[1], dtype=F8)
+        return cls(delta=float(delta), compress_threshold=int(thresh))
+
     def deserialize(self, blob: bytes):
         fields = codec.expect_kind(blob, codec.KIND_TDIGEST)
         return {

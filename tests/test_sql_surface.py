@@ -134,3 +134,20 @@ def test_suggest_salt_sampling_path(spark):
     sampled = suggest_salt(docs, ["lang"], sample_fraction=0.5)
     assert full > 1 and sampled >= 1
     assert abs(sampled - full) <= 1  # shares converge; off-by-one slack
+
+
+def test_rank_functions_invert_quantiles_from_sql(registered, spark):
+    """gopie_*_rank are the CDF inverses of the quantile functions."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for q_fn, r_fn, kernel in (
+            ("gopie_tdigest_quantile", "gopie_tdigest_rank", TDigest()),
+            ("gopie_kll_quantile", "gopie_kll_rank", KLL(k=200))):
+        states = sketch_agg(
+            docs.selectExpr("lang", "cast(n_chars as double) v"),
+            ["lang"], "v", kernel)
+        states.createOrReplaceTempView("r_states")
+        rows = spark.sql(
+            f"SELECT lang, {r_fn}(sketch_state, "
+            f"{q_fn}(sketch_state, 0.5)) AS r FROM r_states").collect()
+        for r in rows:
+            assert abs(r["r"] - 0.5) < 0.08, (q_fn, r["lang"], r["r"])
