@@ -26,14 +26,13 @@ bucket otherwise produces O(n^2) pairs in one task.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Optional
 
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import (ArrayType, LongType, StringType, StructField,
-                               StructType)
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from gopie_spark.kernels.minhash import MinHash, SimHash
 from gopie_spark.kernels.hashes import fnv1_64_values

@@ -28,8 +28,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import (BinaryType, BooleanType, LongType,
-                               StructField, StructType)
+from pyspark.sql.types import BooleanType, StructField, StructType
 
 from gopie_spark.kernels.bloom import BloomBit
 

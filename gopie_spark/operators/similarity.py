@@ -19,14 +19,14 @@ LSH buckets with exact cosine verification.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
-from pyspark.sql.types import (ArrayType, DoubleType, FloatType, LongType,
-                               StructField, StructType)
+from pyspark.sql.types import (DoubleType, LongType, StructField,
+                               StructType)
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:

@@ -33,7 +33,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import (BinaryType, DoubleType, LongType, StringType,
+from pyspark.sql.types import (BinaryType, DoubleType, LongType,
                                StructField, StructType)
 
 STATE_COL = "sketch_state"
