@@ -141,6 +141,24 @@ def _q_cms_topk_heavy_hitters(spark, sf_dir):
     return spark.createDataFrame(top, "event_type string, cnt long")
 
 
+def _q_mg_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy hitters (mergeable top-k summary, PODS 2012
+    "Mergeable Summaries"): unlike the CMS path it needs NO exact
+    candidate pre-pass — the summary itself tracks the heavy keys in one
+    pass.  With capacity >= distinct count the summary is exact
+    (err == 0), so the top-5 matches the exact oracle deterministically."""
+    from gopie_spark.kernels import MisraGries
+    from gopie_spark.operators import global_sketch
+    events = _events(spark, sf_dir)
+    mg = MisraGries(k=64)
+    st = global_sketch(
+        events.select(F.col("event_type").alias("v")), "v", mg)
+    assert mg.error_bound(st) == 0  # capacity covers the key universe
+    keys, counts = mg.topk(st, 5)
+    rows = [(str(k), int(c)) for k, c in zip(keys, counts)]
+    return spark.createDataFrame(rows, "event_type string, cnt long")
+
+
 def _q_bloom_membership(spark, sf_dir):
     """Bloom semi-join: users with a 'click' event, tested over all users.
     p=1e-9 + verified-on-fixture => the flagged set equals the exact
@@ -679,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_union_reuse": _q_hll_union_reuse,
         "cms_event_type_counts": _q_cms_event_type_counts,
         "cms_topk_heavy_hitters": _q_cms_topk_heavy_hitters,
+        "mg_heavy_hitters": _q_mg_heavy_hitters,
         "bloom_membership": _q_bloom_membership,
         "bloom_shards_membership": _q_bloom_shards_membership,
         "tdigest_quantiles": _q_tdigest_quantiles,
@@ -746,6 +765,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "cms_topk_heavy_hitters": """
+            SELECT event_type, count(*) AS cnt
+            FROM events GROUP BY event_type
+            ORDER BY cnt DESC, event_type LIMIT 5
+        """,
+        "mg_heavy_hitters": """
             SELECT event_type, count(*) AS cnt
             FROM events GROUP BY event_type
             ORDER BY cnt DESC, event_type LIMIT 5

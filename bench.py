@@ -37,6 +37,7 @@ def main() -> None:
         "hll_distinct_global", "hll_distinct_per_lang",
         "hll_distinct_per_window", "hll_union_reuse",
         "cms_event_type_counts", "cms_topk_heavy_hitters",
+        "mg_heavy_hitters",
         "bloom_membership", "bloom_shards_membership",
         "tdigest_quantiles", "kll_quantiles",
         "pushsum_mean", "topk_orders", "window_tumbling_counts",

@@ -25,6 +25,7 @@ Registered names (idempotent to re-register):
 - ``gopie_kll_quantile(state, q) -> double``
 - ``gopie_tdigest_rank(state, value) -> double``   (CDF)
 - ``gopie_kll_rank(state, value) -> double``       (CDF)
+- ``gopie_mg_estimate(state, value) -> bigint``    (Misra–Gries lower bound)
 """
 
 from __future__ import annotations
@@ -39,7 +40,8 @@ def register_sql_functions(spark: SparkSession,
                            prefix: str = "gopie_") -> None:
     """Register the sketch SQL surface on this session."""
     from pyspark.sql.functions import pandas_udf
-    from gopie_spark.kernels import CMS, HLL, KLL, BloomBit, TDigest
+    from gopie_spark.kernels import (CMS, HLL, KLL, BloomBit, MisraGries,
+                                     TDigest)
 
     def _hll_estimate(blobs):
         out = np.zeros(len(blobs), dtype=np.int64)
@@ -129,6 +131,18 @@ def register_sql_functions(spark: SparkSession,
                                         [float(q)])[0])
         return pd.Series(out)
 
+    def _mg_estimate(blobs, values):
+        out = np.zeros(len(blobs), dtype=np.int64)
+        for i, (b, v) in enumerate(zip(blobs, values)):
+            if b is None or v is None:
+                continue
+            mg = MisraGries.from_blob(bytes(b))
+            out[i] = int(mg.estimate(mg.deserialize(bytes(b)),
+                                     [str(v)])[0])
+        return pd.Series(out)
+
+    spark.udf.register(f"{prefix}mg_estimate",
+                       pandas_udf(_mg_estimate, "long"))
     spark.udf.register(f"{prefix}hll_estimate",
                        pandas_udf(_hll_estimate, "long"))
     spark.udf.register(f"{prefix}cms_estimate",

@@ -16,8 +16,9 @@ from gopie_spark.kernels.bloom import BloomBit, BloomCounting, BloomScalable
 from gopie_spark.kernels.tdigest import TDigest
 from gopie_spark.kernels.kll import KLL
 from gopie_spark.kernels.minhash import MinHash, SimHash
+from gopie_spark.kernels.misragries import MisraGries
 
 __all__ = [
     "HLL", "CMS", "BloomBit", "BloomCounting", "BloomScalable",
-    "TDigest", "KLL", "MinHash", "SimHash",
+    "TDigest", "KLL", "MinHash", "SimHash", "MisraGries",
 ]

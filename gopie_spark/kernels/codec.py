@@ -33,6 +33,7 @@ KIND_TDIGEST = 6
 KIND_KLL = 7
 KIND_MINHASH = 8
 KIND_SIMHASH = 9
+KIND_MISRAGRIES = 10
 
 
 def pack(kind: int, fields: List[Tuple[int, bytes]]) -> bytes:

@@ -174,3 +174,29 @@ def test_nulls_ignored_for_string_sketches(spark):
     serial = hll.zero()
     hll.update(serial, ["a", "b"])
     assert hll.serialize(st) == hll.serialize(serial)
+
+
+def test_misra_gries_distributed_heavy_hitters(spark, docs):
+    """MG through the two-level aggregation over a Zipf token column: the
+    distributed merge keeps the heavy-hitter guarantee (est <= true <=
+    est + err, every key with count > err tracked)."""
+    import collections
+    from gopie_spark.kernels import MisraGries
+    from gopie_spark.operators import global_sketch
+    toks = docs.select(F.explode(F.split(F.lower("text"), r"\s+"))
+                       .alias("v")).filter(F.col("v") != "")
+    mg = MisraGries(k=128)
+    st = global_sketch(toks, "v", mg)
+    true = collections.Counter(
+        t for r in docs.select("text").collect()
+        for t in r["text"].lower().split())
+    n = sum(true.values())
+    err = mg.error_bound(st)
+    assert mg.count(st) == n
+    assert err <= n // 129 + 1
+    est = {k: int(c) for k, c in zip(st["keys"], st["counts"])}
+    for key, cnt in true.items():
+        if cnt > err:
+            assert key in est, (key, cnt, err)
+        if key in est:
+            assert est[key] <= cnt <= est[key] + err

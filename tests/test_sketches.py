@@ -500,3 +500,78 @@ def test_hll_union_and_intersection_estimates():
     assert abs(union - 12000) <= 3 * hll.std_err * 12000 + 5
     # intersection error scales with the union size (documented caveat)
     assert abs(inter - 2000) <= 3 * hll.std_err * 12000 + 5
+
+
+def test_misra_gries_exact_when_capacity_sufficient():
+    import numpy as np
+    from gopie_spark.kernels import MisraGries
+    mg = MisraGries(k=16)
+    st = mg.zero()
+    vals = ["a"] * 5 + ["b"] * 3 + ["c"] * 2
+    mg.update(st, vals)
+    assert mg.error_bound(st) == 0
+    assert mg.count(st) == 10
+    keys, counts = mg.topk(st)
+    assert list(keys) == ["a", "b", "c"]
+    assert list(counts) == [5, 3, 2]
+    # roundtrip + k-mismatch + from_blob
+    blob = mg.serialize(st)
+    st2 = mg.deserialize(blob)
+    assert list(st2["keys"]) == list(st["keys"])
+    assert MisraGries.from_blob(blob).k == 16
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        MisraGries(k=8).deserialize(blob)
+
+
+def test_misra_gries_heavy_hitter_guarantee_zipf():
+    import numpy as np
+    from gopie_spark.kernels import MisraGries
+    rng = np.random.default_rng(11)
+    stream = [f"t{z}" for z in (rng.zipf(1.3, size=40000) % 2000)]
+    import collections
+    true = collections.Counter(stream)
+    n = len(stream)
+    k = 64
+    mg = MisraGries(k=k)
+    st = mg.zero()
+    for lo in range(0, n, 4096):  # batched updates
+        mg.update(st, stream[lo:lo + 4096])
+    err = mg.error_bound(st)
+    assert err <= n // (k + 1) + 1
+    tracked = set(st["keys"])
+    est = {kk: int(c) for kk, c in zip(st["keys"], st["counts"])}
+    for key, cnt in true.items():
+        if cnt > err:
+            assert key in tracked, (key, cnt, err)
+        if key in est:
+            assert est[key] <= cnt <= est[key] + err
+
+
+def test_misra_gries_merge_preserves_guarantee():
+    import numpy as np
+    from gopie_spark.kernels import MisraGries
+    rng = np.random.default_rng(12)
+    stream = [f"t{z}" for z in (rng.zipf(1.4, size=30000) % 500)]
+    import collections
+    true = collections.Counter(stream)
+    n = len(stream)
+    mg = MisraGries(k=48)
+    parts = [stream[i::7] for i in range(7)]  # arbitrary split
+    states = []
+    for p in parts:
+        st = mg.zero()
+        mg.update(st, p)
+        states.append(st)
+    merged = states[0]
+    for st in states[1:]:
+        merged = mg.merge(merged, st)
+    err = mg.error_bound(merged)
+    assert mg.count(merged) == n
+    assert err <= n // 49 + 1
+    est = {kk: int(c) for kk, c in zip(merged["keys"], merged["counts"])}
+    for key, cnt in true.items():
+        if cnt > err:
+            assert key in est
+        if key in est:
+            assert est[key] <= cnt <= est[key] + err

@@ -151,3 +151,23 @@ def test_rank_functions_invert_quantiles_from_sql(registered, spark):
             f"{q_fn}(sketch_state, 0.5)) AS r FROM r_states").collect()
         for r in rows:
             assert abs(r["r"] - 0.5) < 0.08, (q_fn, r["lang"], r["r"])
+
+
+def test_mg_estimate_from_sql(registered, spark):
+    from gopie_spark.kernels import MisraGries
+    from gopie_spark.operators import global_sketch
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    mg = MisraGries(k=64)
+    st = global_sketch(ev.selectExpr("event_type AS v"), "v", mg)
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    df = spark.createDataFrame(
+        [(bytearray(mg.serialize(st)), t) for t in types + ["absent"]],
+        "state binary, probe string")
+    df.createOrReplaceTempView("mg_probe")
+    got = {r["probe"]: r["est"] for r in spark.sql(
+        "SELECT probe, gopie_mg_estimate(state, probe) AS est "
+        "FROM mg_probe").collect()}
+    exact = dict(ev.groupBy("event_type").count().collect())
+    for t in types:
+        assert got[t] == exact[t]  # exact: capacity covers universe
+    assert got["absent"] == 0
