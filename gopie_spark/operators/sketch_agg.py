@@ -253,7 +253,8 @@ def _tree_merge_global(partials: DataFrame, sketch, out_schema,
 
 def suggest_salt(df: DataFrame, keys: Sequence[str],
                  factor: float = 1.25,
-                 sample_fraction: Optional[float] = None) -> int:
+                 sample_fraction: Optional[float] = None,
+                 seed: int = 0x5A17) -> int:
     """Data-driven salt factor for skewed grouping keys — the reference's
     bounded-load consistent hashing made batch (ringhash.go:135-162:
     no node may exceed ``ceil(avg * factor)`` load; here: no merge task's
@@ -267,7 +268,7 @@ def suggest_salt(df: DataFrame, keys: Sequence[str],
     keys = list(keys)
     if not keys:
         return 1
-    probe = df.sample(sample_fraction) if sample_fraction else df
+    probe = df.sample(sample_fraction, seed=seed) if sample_fraction else df
     counts = probe.groupBy(*keys).agg(F.count("*").alias("_n"))
     row = counts.agg(F.max("_n").alias("mx"), F.avg("_n").alias("avg")) \
         .collect()[0]
