@@ -52,6 +52,8 @@ def brute_force_topk(spark: SparkSession, corpus: DataFrame,
     fit in executor memory (broadcast) — that's the contract of a top-k
     *lookup*, not a join of two corpora.
     """
+    import pyarrow as pa
+
     q_ids, q_mat = _collect_queries(queries, id_col, vec_col)
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
@@ -61,13 +63,19 @@ def brute_force_topk(spark: SparkSession, corpus: DataFrame,
         StructField("cosine", DoubleType(), False),
     ])
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        # mapInArrow: the embedding matrix comes from the Arrow list
+        # values buffer (flatten + reshape), never through per-cell
+        # Python objects — this is the full-corpus scan, the one stage
+        # that touches every byte at 10^12 rows
         ids, qm = bc.value
-        for pdf in batches:
-            if pdf.empty:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            c_mat = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            c_ids = np.asarray(rb.column(0), dtype=np.int64)
+            vec = rb.column(1)
+            flat = np.asarray(vec.flatten(), dtype=np.float64)
+            c_mat = _normalize(flat.reshape(len(c_ids), -1))
             sims = qm @ c_mat.T  # (n_queries, batch)
             take = min(k, sims.shape[1])
             # per-query batch top-k (argpartition then exact sort)
@@ -75,10 +83,13 @@ def brute_force_topk(spark: SparkSession, corpus: DataFrame,
             rows_q = np.repeat(ids, take)
             rows_m = c_ids[part].ravel()
             rows_s = np.take_along_axis(sims, part, axis=1).ravel()
-            yield pd.DataFrame({"query_id": rows_q, "match_id": rows_m,
-                                "cosine": rows_s})
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(rows_q, type=pa.int64()),
+                 pa.array(rows_m, type=pa.int64()),
+                 pa.array(rows_s, type=pa.float64())],
+                names=["query_id", "match_id", "cosine"])
 
-    candidates = corpus.select(id_col, vec_col).mapInPandas(fn, out_schema)
+    candidates = corpus.select(id_col, vec_col).mapInArrow(fn, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("match_id"))
     return (candidates.withColumn("rank", F.row_number().over(w))
@@ -108,7 +119,7 @@ def add_hyperplane_bucket(df: DataFrame, vec_col: str = "embedding",
             if pdf.empty:
                 yield pdf.assign(**{out_col: pd.Series([], dtype="int64")})
                 continue
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             bits = (mat @ planes.T) > 0
             bucket = np.zeros(len(pdf), dtype=np.int64)
             for b in range(n_planes):
@@ -208,7 +219,8 @@ def add_ivf_cell(df: DataFrame, centroids: np.ndarray,
             if pdf.empty:
                 yield pdf.assign(**{out_col: pd.Series([], dtype="int64")})
                 continue
-            mat = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            mat = _normalize(np.stack(pdf[vec_col].to_numpy())
+                             .astype(np.float64))
             sims = mat @ cents.T
             p = min(nprobe, sims.shape[1])
             cells = np.argsort(-sims, axis=1)[:, :p]
