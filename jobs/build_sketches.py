@@ -8,7 +8,11 @@ Run with spark-submit and the packaged library (north-rule packaging):
         --input /path/to/pages_parquet \\
         --checkpoint /path/to/ckpt \\
         --output /path/to/results \\
-        [--salt 8] [--hll-p 14] [--resume-only]
+        [--format parquet|iceberg] [--salt 8] [--hll-p 14] [--resume-only]
+
+For Iceberg inputs pass ``--format iceberg --input catalog.db.pages`` and
+launch with the Iceberg runtime on the classpath (sources/catalog.py has
+the exact spark-submit configuration).
 
 Resumable: work is bucketed by jump-hash of input file names (stable
 across cluster sizes); re-running after a failure processes only the
