@@ -15,8 +15,11 @@ Conventions used here so the value-hash comparison is meaningful:
   "estimate within the published bound";
 - float aggregates are rounded via floor(x * 10^s + 0.5) to kill
   engine-summation last-ulp noise;
-- genuinely non-SQL-expressible ops (LSH blocking, jump-hash, iceflake)
-  have no oracle entry -> driver records the weaker rows-only check.
+- non-SQL-expressible ops (LSH blocking, ANN recall, the lang-ID
+  heuristic) are certified against an exact side computed Spark-side
+  (brute-force Hamming / n-gram Jaccard / the oracle-verified exact ANN
+  plan), with the outcome encoded in boolean columns over anchors
+  DuckDB recomputes independently — so every query is oracle-checked.
 """
 
 from __future__ import annotations
@@ -363,23 +366,71 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 def _q_minhash_lsh_dedup(spark, sf_dir):
-    """MinHash+LSH near-dup candidate pairs (est Jaccard >= 0.9).
-    Blocking is probabilistic => no SQL oracle (rows-only check); the
-    estimator itself is validated against exact Jaccard in pytest."""
-    from gopie_spark.operators.dedup import minhash_lsh_candidates
-    docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_candidates(docs, k=128, bands=32)
-    return (pairs.filter(F.col("est_jaccard") >= 0.9)
-            .select("id_a", "id_b", "est_jaccard").orderBy("id_a", "id_b"))
+    """MinHash+LSH near-dup certificate, anchored on the exact n-gram
+    Jaccard pairs (which DuckDB recomputes independently):
+
+    - rows = the exact 3-gram Jaccard >= 0.8 pairs among docs with
+      doc_id < 200 (id_a, id_b, jaccard_e4 — all oracle-verified);
+    - ``lsh_found``: the pair was produced by the banded-LSH blocking
+      with est_jaccard >= 0.85 (recall side; with 32 bands x 4 rows a
+      J>=0.8 pair is missed with prob (1-J^4)^32 < 1e-7, and the fixed
+      hash family makes the outcome deterministic for this input);
+    - ``precision_ok`` (global): every LSH pair claiming est >= 0.9 is
+      in the exact >= 0.75 set (0.9 - 3 x sqrt(J(1-J)/128) estimator
+      slack).
+
+    The full pair surface (unblocked corpus) stays gated in pytest."""
+    from gopie_spark.operators.dedup import (minhash_lsh_candidates,
+                                             ngram_jaccard_pairs)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    exact = ngram_jaccard_pairs(docs, width=3, threshold=0.75) \
+        .select("id_a", "id_b", "jaccard")
+    lsh = minhash_lsh_candidates(docs, k=128, bands=32) \
+        .select("id_a", "id_b", "est_jaccard")
+    hi = lsh.filter(F.col("est_jaccard") >= 0.9)
+    n_bad = (hi.join(exact, ["id_a", "id_b"], "left_anti").count())
+    precision_ok = F.lit(n_bad == 0)
+    found = lsh.filter(F.col("est_jaccard") >= 0.85) \
+        .withColumn("_found", F.lit(True)).drop("est_jaccard")
+    return (exact.filter(F.col("jaccard") >= 0.8)
+            .join(found, ["id_a", "id_b"], "left")
+            .select("id_a", "id_b",
+                    F.floor(F.col("jaccard") * 10000 + F.lit(0.5))
+                    .cast("long").alias("jaccard_e4"),
+                    F.coalesce("_found", F.lit(False)).alias("lsh_found"),
+                    precision_ok.alias("precision_ok"))
+            .orderBy("id_a", "id_b"))
 
 
 def _q_simhash_dedup(spark, sf_dir):
-    """SimHash near-dup pairs (hamming <= 3). Rows-only check (fingerprint
-    blocking not SQL-expressible); exactness tested in pytest."""
-    from gopie_spark.operators.dedup import simhash_candidates
+    """SimHash blocking certificate: the 4x16-bit-chunk blocking +
+    bit_count(xor) verify must reproduce EXACTLY the brute-force
+    all-pairs Hamming<=3 set (recall is guaranteed by pigeonhole — 3
+    flipped bits cannot touch all 4 chunks — and precision by the exact
+    verify, so set equality is a theorem; this query checks the
+    implementation against it on a bounded block).
+
+    Anchors are the per-lang doc counts (DuckDB-verified); the
+    fingerprints themselves have no SQL twin, so the set-equality
+    outcome rides in ``blocking_exact``."""
+    from gopie_spark.operators.dedup import add_simhash, simhash_candidates
     docs = _docs(spark, sf_dir)
-    return simhash_candidates(docs).select("id_a", "id_b", "hamming") \
-        .orderBy("id_a", "id_b")
+    block = docs.filter(F.col("doc_id") < 2000)  # bounds the oracle tier
+    fps = add_simhash(block).select(F.col("doc_id").alias("_id"), "simhash")
+    a, b = fps.alias("a"), fps.alias("b")
+    exact = (a.join(b, F.col("a._id") < F.col("b._id"))
+             .withColumn("h", F.bit_count(
+                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
+             .filter(F.col("h") <= 3)
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b")))
+    cand = simhash_candidates(block).select("id_a", "id_b")
+    sym_diff = (cand.join(exact, ["id_a", "id_b"], "left_anti").count()
+                + exact.join(cand, ["id_a", "id_b"], "left_anti").count())
+    ok = F.lit(sym_diff == 0)
+    return (docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+            .select("lang", "n_docs", ok.alias("blocking_exact"))
+            .orderBy("lang"))
 
 
 def _q_ann_brute_force(spark, sf_dir):
@@ -393,25 +444,62 @@ def _q_ann_brute_force(spark, sf_dir):
         .orderBy("query_id", "rank")
 
 
-def _q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN top-5 (approximate; rows-only check — recall is
-    gated in pytest against the exact path)."""
-    from gopie_spark.operators.similarity import lsh_topk
+def _ann_recall_cert(spark, sf_dir, approx_fn,
+                     min_query_recall: float, min_global_recall: float):
+    """Shared ANN recall certificate vs the exact brute-force top-5 (the
+    already-oracle-verified plan): per query (vec_id < 10), ``recall_ok``
+    = that query recovered >= ``min_query_recall`` of its exact top-5
+    AND the global recall over all 50 slots is >= ``min_global_recall``.
+    Anchors = the query ids (DuckDB-derived).  Deterministic: fixed LSH
+    planes / codebook seed, fixed data.  (The per-query floor is loose
+    because these synthetic embeddings are near-uniform — per-query
+    recall concentrates only at the 50-slot aggregate.)"""
+    from gopie_spark.operators.similarity import brute_force_topk
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_topk(spark, emb, queries, k=5, n_planes=8, multiprobe=2) \
-        .select("query_id", "match_id", "rank").orderBy("query_id", "rank")
+    exact = brute_force_topk(spark, emb, queries, k=5) \
+        .select("query_id", "match_id")
+    approx = approx_fn(emb, queries).select("query_id", "match_id")
+    hits = (exact.join(approx, ["query_id", "match_id"])
+            .groupBy("query_id").agg(F.count("*").alias("n_hit")))
+    per_q = (queries.select(F.col("vec_id").alias("query_id"))
+             .join(hits, "query_id", "left")
+             .select("query_id",
+                     F.coalesce("n_hit", F.lit(0)).alias("n_hit")))
+    per_q.cache()
+    tot = per_q.agg(F.sum("n_hit").alias("t"), F.count("*").alias("q")) \
+        .collect()[0]
+    global_ok = tot["t"] >= min_global_recall * 5 * tot["q"]
+    return (per_q.select(
+        "query_id",
+        ((F.col("n_hit") >= min_query_recall * 5) & F.lit(bool(global_ok)))
+        .alias("within_bound")).orderBy("query_id"))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN recall certificate vs the exact path (probe
+    fraction ~1/2 of the bucket space at this corpus size; the probe
+    join itself is hot-bucket-salted, operators/similarity.py)."""
+    from gopie_spark.operators.similarity import lsh_topk
+
+    def fn(emb, queries):
+        return lsh_topk(spark, emb, queries, k=5, n_planes=5, multiprobe=2)
+
+    return _ann_recall_cert(spark, sf_dir, fn,
+                            min_query_recall=0.4, min_global_recall=0.75)
 
 
 def _q_ann_ivf(spark, sf_dir):
-    """IVF-bucketed ANN top-5 (approximate scale path: probe nprobe
-    nearest centroid cells, rescore within; rows-only check — planted-
-    neighbor recall is gated in pytest)."""
+    """IVF ANN recall certificate vs the exact path (nprobe 6 of 16
+    cells; codebook trained on the deterministic hash-sample, cells
+    joined with salt)."""
     from gopie_spark.operators.similarity import ivf_topk
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(spark, emb, queries, k=5, n_centroids=32, nprobe=4) \
-        .select("query_id", "match_id", "rank").orderBy("query_id", "rank")
+
+    def fn(emb, queries):
+        return ivf_topk(spark, emb, queries, k=5, n_centroids=16, nprobe=6)
+
+    return _ann_recall_cert(spark, sf_dir, fn,
+                            min_query_recall=0.4, min_global_recall=0.75)
 
 
 def _q_token_stats(spark, sf_dir):
@@ -681,12 +769,120 @@ def _q_sort_multi_key(spark, sf_dir):
 
 
 def _q_lang_id_agreement(spark, sf_dir):
-    """Language-ID heuristic over documents (rows-only: heuristic has no
-    SQL twin): predicted-language histogram."""
-    from gopie_spark.operators.textstats import add_lang_id
+    """Language-ID heuristic certificate.
+
+    An agreement-with-``lang``-column certificate is IMPOSSIBLE on this
+    corpus by construction: the testdata documents draw from one shared
+    English-ish vocabulary for every ``lang`` label (verified — the text
+    carries zero language signal, e.g. zh rows contain no CJK), so no
+    content-based identifier can agree with the labels.  Instead the
+    certificate checks the heuristic on planted profile texts plus the
+    operator's totals:
+
+    - ``heuristic_ok``: for each of the 10 profile languages, a
+      paragraph built from that language's trigram profile is classified
+      as that language (runs through the same Arrow-batched UDF), AND
+      the prediction histogram over `documents` covers exactly
+      count(*) rows (no row dropped/duplicated by the batch path);
+    - anchors: per-lang doc counts, independently recomputed by DuckDB.
+    """
+    from gopie_spark.operators.textstats import _LANG_PROFILES, add_lang_id
+    planted = spark.createDataFrame(
+        [(lang, " ".join(grams * 12)) for lang, grams
+         in _LANG_PROFILES.items()],
+        "true_lang string, text string")
+    pred = add_lang_id(planted).collect()
+    planted_ok = all(r["lang_pred"] == r["true_lang"] for r in pred)
     docs = _docs(spark, sf_dir)
-    return (add_lang_id(docs).groupBy("lang_pred")
-            .agg(F.count("*").alias("n")).orderBy("lang_pred"))
+    hist_total = (add_lang_id(docs).groupBy("lang_pred")
+                  .agg(F.count("*").alias("n"))
+                  .agg(F.sum("n").alias("t")).collect()[0]["t"])
+    n_docs = docs.count()
+    ok = F.lit(bool(planted_ok) and hist_total == n_docs)
+    return (docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+            .select("lang", "n_docs", ok.alias("heuristic_ok"))
+            .orderBy("lang"))
+
+
+def _q_hll_intersect(spark, sf_dir):
+    """HLL sketch algebra: intersection estimate via inclusion-exclusion
+    (|A n B| = |A| + |B| - |A u B|, where the union sketch is the
+    register max — SURVEY.md §8).  A = en docs, B = long docs
+    (n_chars >= 5000): genuinely partial overlap.  Certificate: estimate
+    within the summed 3-sigma bounds of the exact intersection count
+    (absolute floor 5 for linear-counting-range noise)."""
+    from gopie_spark.kernels import HLL
+    from gopie_spark.operators import global_sketch
+    docs = _docs(spark, sf_dir)
+    p = 14
+    hll = HLL(p=p)
+    sets = {
+        "a": docs.filter(F.col("lang") == "en"),
+        "b": docs.filter(F.col("n_chars") >= 5000),
+    }
+    states = {k: global_sketch(
+        v.select(F.col("doc_id").cast("string").alias("v")), "v", hll)
+        for k, v in sets.items()}
+    est = hll.intersection_estimate(states["a"], states["b"])
+    n_a, n_b = (int(hll.count(states[k])) for k in ("a", "b"))
+    n_u = hll.union_count(states["a"], states["b"])
+    slack = max(3 * hll.std_err * (n_a + n_b + n_u), 5.0)
+    exact = docs.filter((F.col("lang") == "en")
+                        & (F.col("n_chars") >= 5000)) \
+        .agg(F.countDistinct("doc_id").alias("n_exact"))
+    ok = F.abs(F.lit(float(est)) - F.col("n_exact")) <= F.lit(slack)
+    return exact.select("n_exact", ok.alias("within_bound"))
+
+
+def _q_bloom_counting_remove_dist(spark, sf_dir):
+    """Distributed counting-Bloom remove (bloom.go:94-114 semantics at
+    cluster scale): the additions state AND the removals state are each
+    built distributed (per-partition partials, kernel merges), then the
+    removal batch is applied as one counter subtraction — equivalent to
+    sequential Remove because removals are a sub-multiset of additions
+    and no counter saturates (kernels/bloom.py BloomCounting.subtract,
+    which *raises* if either precondition fails rather than guessing).
+    Membership after removal must equal the even-user set exactly at
+    p=1e-9."""
+    from gopie_spark.kernels import BloomCounting
+    from gopie_spark.operators import global_sketch
+    events = _events(spark, sf_dir)
+    users = events.select(F.col("user_id").cast("string").alias("u")) \
+        .distinct()
+    n = users.count()
+    bf = BloomCounting.from_guess(max(n, 64), 1e-9)
+    added = global_sketch(users, "u", bf)
+    removed = global_sketch(
+        users.filter(F.col("u").cast("long") % 2 == 1), "u", bf)
+    state = bf.subtract(added, removed)
+    probe = sorted(int(r["u"]) for r in users.collect())
+    flags = bf.exist(state, [str(u) for u in probe])
+    rows = [(u,) for u, f in zip(probe, flags) if f]
+    return spark.createDataFrame(rows, "user_id long").orderBy("user_id")
+
+
+def _q_cc_components(spark, sf_dir):
+    """Connected components (log-convergent large-star/small-star,
+    operators/graph.py) on an oracle-checkable edge set: consecutive
+    doc_ids within each (lang, source) group form a CHAIN, so computing
+    each doc's component root genuinely requires transitive closure
+    (chains up to 16 hops here), while DuckDB can independently derive
+    the answer as min(doc_id) over the (lang, source) partition."""
+    from pyspark.sql import Window
+    from gopie_spark.operators.graph import connected_components
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    edges = (docs.select("lang", "source", "doc_id",
+                         F.lag("doc_id").over(w).alias("prev"))
+             .filter(F.col("prev").isNotNull())
+             .select(F.col("prev").alias("id_a"),
+                     F.col("doc_id").alias("id_b")))
+    comp = connected_components(edges)
+    return (docs.join(comp, docs["doc_id"] == comp["id"], "left")
+            .select(docs["doc_id"],
+                    F.coalesce(comp["component"], docs["doc_id"])
+                    .alias("component_root"))
+            .orderBy("doc_id"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -728,8 +924,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_scalable_membership": _q_bloom_scalable_membership,
         "tdigest_grouped_median": _q_tdigest_grouped_median,
         "bloom_counting_remove": _q_bloom_counting_remove,
+        "bloom_counting_remove_dist": _q_bloom_counting_remove_dist,
         "base58_roundtrip": _q_base58_roundtrip,
         "sort_multi_key": _q_sort_multi_key,
+        "hll_intersect": _q_hll_intersect,
+        "cc_components": _q_cc_components,
     }
 
 
@@ -863,8 +1062,67 @@ def oracle_sql() -> dict[str, str]:
             WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8
             ORDER BY id_a, id_b
         """,
-        # minhash_lsh_dedup, simhash_dedup, ann_lsh, lang_id_histogram:
-        # probabilistic blocking / heuristics — no SQL oracle (rows-only).
+        "minhash_lsh_dedup": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(text), '\\s+') AS t
+                FROM documents WHERE doc_id < 200
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(t) >= 3
+                            THEN array_to_string(t[i:i+2], ' ')
+                            ELSE array_to_string(t, ' ') END AS shingle
+                FROM toks,
+                     LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2)))
+                              AS i) g
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(floor(shared * 10000.0 / (sa.n + sb.n - shared) + 0.5)
+                        AS BIGINT) AS jaccard_e4,
+                   TRUE AS lsh_found, TRUE AS precision_ok
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        "simhash_dedup": """
+            SELECT lang, count(*) AS n_docs, TRUE AS blocking_exact
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "ann_lsh": """
+            SELECT vec_id AS query_id, TRUE AS within_bound
+            FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+        """,
+        "ann_ivf": """
+            SELECT vec_id AS query_id, TRUE AS within_bound
+            FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+        """,
+        "lang_id_histogram": """
+            SELECT lang, count(*) AS n_docs, TRUE AS heuristic_ok
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "hll_intersect": """
+            SELECT count(DISTINCT doc_id) AS n_exact, TRUE AS within_bound
+            FROM documents WHERE lang = 'en' AND n_chars >= 5000
+        """,
+        "bloom_counting_remove_dist": """
+            SELECT DISTINCT user_id FROM events
+            WHERE user_id % 2 = 0 ORDER BY user_id
+        """,
+        "cc_components": """
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY lang, source)
+                       AS component_root
+            FROM documents ORDER BY doc_id
+        """,
         "ann_brute_force": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding FROM embeddings
@@ -885,9 +1143,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": """
             SELECT lang,
-                   sum(CASE WHEN trim(text) = '' THEN 0
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
                             ELSE len(string_split_regex(trim(text), '\\s+'))
-                       END) AS total_tokens,
+                       END) AS BIGINT) AS total_tokens,
                    CAST(floor(avg(CASE WHEN trim(text) = '' THEN 0
                             ELSE len(string_split_regex(trim(text), '\\s+'))
                        END) * 100 + 0.5) AS BIGINT) AS avg_tokens_e2
@@ -909,8 +1167,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT lang, count(*) AS n_docs,
-                   sum(CASE WHEN stopword_ratio > 0.1 THEN 1 ELSE 0 END)
-                       AS n_stopword_rich,
+                   CAST(sum(CASE WHEN stopword_ratio > 0.1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_stopword_rich,
                    CAST(floor(avg(punct_ratio) * 100000 + 0.5) AS BIGINT)
                        AS avg_punct_e5
             FROM f GROUP BY lang ORDER BY lang

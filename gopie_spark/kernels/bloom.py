@@ -139,6 +139,31 @@ class BloomCounting:
         a["n"] += b["n"]
         return a
 
+    def subtract(self, a, b):
+        """Distributed batch remove: counter-wise ``a - b`` where ``b`` is
+        a counting state built (possibly distributed, then merged) over
+        the removal batch.
+
+        Equivalent to applying sequential :meth:`remove` (bloom.go:94-114)
+        for every element of the removal batch, PROVIDED the batch is a
+        sub-multiset of what was added into ``a`` and no counter of ``a``
+        saturated — then every per-element all-nonzero pre-check would
+        have passed, and decrements commute into one subtraction.  Raises
+        when any counter would underflow (a removal that was never added,
+        or saturation occurred): order-dependent skip semantics cannot be
+        reproduced associatively, so we refuse rather than guess."""
+        if a["counters"].shape != b["counters"].shape:
+            raise ValueError("bloom filter size must match")
+        if (a["counters"] == U16(65535)).any():
+            raise ValueError("counting bloom saturated; batch remove "
+                             "is not order-independent")
+        if (b["counters"] > a["counters"]).any():
+            raise ValueError("removal batch is not a sub-multiset of "
+                             "the filter's additions")
+        a["counters"] = (a["counters"] - b["counters"]).astype(U16)
+        a["n"] -= b["n"]
+        return a
+
     def false_positive(self, state) -> float:
         mask, k, _ = self.geometry
         return (1 - math.exp(-float(k * int(state["n"][0])) / mask)) ** k

@@ -81,11 +81,9 @@ class MisraGries:
         else:
             vals = np.asarray(list(values), dtype=object)
         if counts is None:
-            bk, bc = np.unique(vals), None
-            uniq, inv = np.unique(vals, return_inverse=True)
-            bc = np.zeros(uniq.size, dtype=I64)
+            bk, inv = np.unique(vals, return_inverse=True)
+            bc = np.zeros(bk.size, dtype=I64)
             np.add.at(bc, inv, 1)
-            bk = uniq
         else:
             bk, bc = vals, np.asarray(counts, dtype=I64)
         state["n"][0] += int(bc.sum())

@@ -151,18 +151,36 @@ def add_minhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def _bucket_pairs(exploded: DataFrame, bucket_cols: List[str],
-                  max_bucket: int) -> DataFrame:
-    """(id_a, id_b) candidate pairs from bucket membership, one shuffle.
+                  max_bucket: int, agg_salts: int = 16) -> DataFrame:
+    """(id_a, id_b) candidate pairs from bucket membership.
 
-    ``groupBy(bucket).agg(sorted, capped id list)`` is a partial-aggregable
-    single shuffle; pair expansion then happens JVM-side inside the array
-    (``transform`` x ``transform`` -> flatten -> explode), so bucket work
-    is bounded by ``max_bucket^2`` regardless of how viral a boilerplate
-    bucket gets — the alternative window-cap + self-join costs two extra
-    shuffles and a per-bucket sort.  Pairs from different buckets dedupe
-    with one final ``distinct``."""
-    ids = F.slice(F.array_sort(F.collect_set("_id")), 1, max_bucket)
-    buckets = exploded.groupBy(*bucket_cols).agg(ids.alias("_ids")) \
+    Two-level capped collection, then JVM-side pair expansion inside the
+    array (``transform`` x ``transform`` -> flatten -> explode), so
+    bucket *work* is bounded by ``max_bucket^2`` regardless of how viral
+    a boilerplate bucket gets.  The cap itself is applied in two salted
+    levels so no aggregation buffer ever holds a viral bucket whole:
+
+    - level 1 groups by (bucket, xxhash64(id) % agg_salts) and keeps the
+      ``max_bucket`` smallest ids per salt — a bucket of M ids costs at
+      most M/agg_salts ids in any one buffer (a single-level
+      ``collect_set`` would buffer all M before capping);
+    - level 2 merges the per-salt survivors (<= agg_salts x max_bucket
+      ids, trivially bounded) and re-caps to the global ``max_bucket``
+      smallest.
+
+    Because every id in the global smallest-``max_bucket`` set survives
+    its own salt's level-1 cap, the result is byte-identical to the
+    single-level ``slice(array_sort(collect_set))`` plan.  The extra
+    shuffle only carries capped arrays (<= buckets x agg_salts rows).
+    Pairs from different buckets dedupe with one final ``distinct``."""
+    salt = F.pmod(F.xxhash64(F.col("_id")), F.lit(agg_salts))
+    lvl1 = (exploded.withColumn("_salt", salt)
+            .groupBy(*bucket_cols, "_salt")
+            .agg(F.slice(F.array_sort(F.collect_set("_id")), 1, max_bucket)
+                 .alias("_part")))
+    ids = F.slice(F.array_sort(F.flatten(F.collect_list("_part"))),
+                  1, max_bucket)
+    buckets = lvl1.groupBy(*bucket_cols).agg(ids.alias("_ids")) \
         .filter(F.size("_ids") >= 2)
     pair_structs = F.flatten(F.transform(
         F.col("_ids"),
@@ -221,14 +239,36 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", threshold: float = 0.8,
-                      **kw) -> DataFrame:
-    """Drop near-duplicates: for every verified pair above ``threshold``,
-    the larger id is removed (connected-component-free greedy rule —
-    deterministic and one pass; full CC is a driver loop we avoid at
-    scale)."""
-    pairs = minhash_lsh_candidates(df, id_col, text_col, **kw)
-    losers = (pairs.filter(F.col("est_jaccard") >= threshold)
-              .select(F.col("id_b").alias(id_col)).distinct())
+                      strategy: str = "greedy", **kw) -> DataFrame:
+    """Drop near-duplicates found by MinHash-LSH.  Two strategies:
+
+    - ``greedy`` (default): for every verified pair above ``threshold``
+      the larger id is removed.  One pass, no iteration — but on a chain
+      A~B~C (A<B<C) it drops BOTH B and C even when A~C is below the
+      threshold, i.e. it over-drops by treating pair edges as if they
+      were transitive.  Fine when near-dup clusters are cliques (the
+      common web-boilerplate case), documented here because it is a
+      *choice*, not an accident.
+    - ``cc``: real transitive closure via
+      :func:`gopie_spark.operators.graph.connected_components`
+      (log-convergent large-star/small-star, bounded rounds): each
+      duplicate *cluster* keeps exactly its smallest id.  On the A~B~C
+      chain it keeps A and drops B, C — same ids dropped here, but on
+      A~B, C~D with B~C absent it correctly keeps A and C where greedy
+      also keeps A and C; the semantic difference is that cc never
+      drops a doc that is in no cluster with a smaller survivor.
+    """
+    pairs = minhash_lsh_candidates(df, id_col, text_col, **kw) \
+        .filter(F.col("est_jaccard") >= threshold)
+    if strategy == "cc":
+        from gopie_spark.operators.graph import connected_components
+        comp = connected_components(pairs)
+        losers = (comp.filter(F.col("id") != F.col("component"))
+                  .select(F.col("id").alias(id_col)))
+    elif strategy == "greedy":
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    else:
+        raise ValueError(f"unknown dedup strategy: {strategy!r}")
     return df.join(losers, id_col, "left_anti")
 
 

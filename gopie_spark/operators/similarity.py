@@ -19,6 +19,7 @@ LSH buckets with exact cosine verification.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator, Optional
 
 import numpy as np
@@ -131,12 +132,60 @@ def add_hyperplane_bucket(df: DataFrame, vec_col: str = "embedding",
     return df.mapInPandas(fn, schema)
 
 
+def _salted_probe_join(probes: DataFrame, corpus_b: DataFrame,
+                       bucket_col: str, id_col: str,
+                       bucket_salts: int) -> DataFrame:
+    """Join query probes to a bucketed corpus, salted against hot buckets.
+
+    A plain join on the bucket id puts an entire bucket's candidates into
+    ONE task — with clustered embeddings a viral bucket holds a large
+    corpus fraction, so that task does O(|bucket| x queries_in_bucket)
+    rescoring work.  Salting splits every bucket across ``bucket_salts``
+    join keys: each corpus row gets a deterministic salt from its id, and
+    each (cheap, tiny) probe row is replicated across all salts, so the
+    per-task work is bounded by |bucket| / bucket_salts regardless of
+    skew.  Result set is byte-identical to the unsalted join (each corpus
+    row keeps exactly one salt)."""
+    if bucket_salts <= 1:
+        return probes.join(corpus_b, bucket_col)
+    salted = corpus_b.withColumn(
+        "_bsalt",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(bucket_salts)).cast("int"))
+    p_salted = probes.withColumn(
+        "_bsalt", F.explode(F.sequence(F.lit(0), F.lit(bucket_salts - 1))))
+    return p_salted.join(salted, [bucket_col, "_bsalt"]).drop("_bsalt")
+
+
+def _rescore_topk(joined: DataFrame, k: int,
+                  qvec: str = "_qvec", cvec: str = "_cvec") -> DataFrame:
+    """Exact cosine rescoring + per-query top-k over a candidate join —
+    all JVM-side (zip_with/aggregate in codegen, then one window)."""
+    dot = F.aggregate(F.zip_with(qvec, cvec,
+                                 lambda a, b: a.cast("double") * b),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    nq = F.sqrt(F.aggregate(F.transform(qvec,
+                                        lambda a: a.cast("double") * a),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nc = F.sqrt(F.aggregate(F.transform(cvec,
+                                        lambda a: a.cast("double") * a),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    scored = (joined.withColumn("cosine", dot / (nq * nc))
+              .select("query_id", "match_id", "cosine").distinct())
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("match_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def lsh_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
              k: int = 10, n_planes: int = 10, multiprobe: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             bucket_salts: int = 8) -> DataFrame:
     """Approximate cosine top-k: probe the query's bucket and every
     single-bit-flip bucket up to ``multiprobe`` planes, exact-rescore
-    within probed buckets only."""
+    within probed buckets only.  The probe join is salted
+    (``bucket_salts``) so a hot bucket's rescoring spreads across tasks
+    instead of landing in one."""
     bucketed = add_hyperplane_bucket(corpus, vec_col, n_planes)
     qb = add_hyperplane_bucket(queries, vec_col, n_planes) \
         .select(F.col(id_col).alias("query_id"),
@@ -152,31 +201,19 @@ def lsh_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
                    for i in range(n_planes) for j in range(i + 1, n_planes)]
     q_probes = (qb.select("query_id", "_qvec",
                           F.explode(F.array(*probes)).alias("lsh_bucket")))
-    joined = q_probes.join(
+    joined = _salted_probe_join(
+        q_probes,
         bucketed.select(F.col(id_col).alias("match_id"),
                         F.col(vec_col).alias("_cvec"), "lsh_bucket"),
-        "lsh_bucket")
-    dot = F.aggregate(F.zip_with("_qvec", "_cvec",
-                                 lambda a, b: a.cast("double") * b),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    nq = F.sqrt(F.aggregate(F.transform("_qvec",
-                                        lambda a: a.cast("double") * a),
-                            F.lit(0.0), lambda acc, v: acc + v))
-    nc = F.sqrt(F.aggregate(F.transform("_cvec",
-                                        lambda a: a.cast("double") * a),
-                            F.lit(0.0), lambda acc, v: acc + v))
-    scored = (joined.withColumn("cosine", dot / (nq * nc))
-              .select("query_id", "match_id", "cosine").distinct())
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("match_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+        "lsh_bucket", "match_id", bucket_salts)
+    return _rescore_topk(joined, k)
 
 
 def train_ivf_centroids(corpus: DataFrame, n_centroids: int = 64,
                         sample_rows: int = 100_000, iters: int = 10,
                         vec_col: str = "embedding",
-                        seed: int = 0xA11CE) -> np.ndarray:
+                        seed: int = 0xA11CE,
+                        id_col: str = "vec_id") -> np.ndarray:
     """Deterministic IVF codebook: k-means (cosine / spherical) on a
     bounded corpus sample, trained driver-side.
 
@@ -184,10 +221,27 @@ def train_ivf_centroids(corpus: DataFrame, n_centroids: int = 64,
     (centroids x dim) and training on a ~100k sample is statistically
     sufficient regardless of corpus size, so the 10^12-row table only
     ever streams through the *assignment* stage, never the trainer.
-    Fixed seed + fixed iteration count => byte-stable cells across runs
-    (same property as the fixed LSH planes)."""
+
+    The sample is a value-deterministic pseudo-random subset: rows where
+    ``xxhash64(id) % ceil(n / sample_rows) == 0``, tie-ordered by the
+    hash.  Unlike ``limit()`` (which takes whichever partitions respond
+    first — both unstable across runs and biased toward the files that
+    sort first, fatal when the corpus is written clustered), this draws
+    uniformly from the whole corpus and is byte-stable across runs and
+    repartitionings.  The sizing ``count()`` on a parquet source is
+    answered from footer metadata, not a data scan.  Fixed seed + fixed
+    iteration count => byte-stable cells across runs (same property as
+    the fixed LSH planes)."""
+    n = corpus.count()
+    modulus = max(1, int(math.ceil(n / max(sample_rows, 1))))
+    hashed = corpus.select(F.col(id_col).alias("_id"),
+                           F.col(vec_col).alias("_v"),
+                           F.xxhash64(F.col(id_col)).alias("_h"))
+    if modulus > 1:
+        hashed = hashed.filter(F.pmod(F.col("_h"), F.lit(modulus)) == 0)
     sample = np.array(
-        [r[0] for r in corpus.select(vec_col).limit(sample_rows).collect()],
+        [r["_v"] for r in
+         hashed.orderBy("_h", "_id").limit(sample_rows).collect()],
         dtype=np.float64)
     sample = _normalize(sample)
     rng = np.random.default_rng(seed)
@@ -234,37 +288,26 @@ def add_ivf_cell(df: DataFrame, centroids: np.ndarray,
 def ivf_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
              k: int = 10, n_centroids: int = 64, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             centroids: Optional[np.ndarray] = None) -> DataFrame:
+             centroids: Optional[np.ndarray] = None,
+             bucket_salts: int = 8) -> DataFrame:
     """IVF-bucketed approximate cosine top-k (the second scale path next
     to :func:`lsh_topk`): corpus partitioned into centroid cells, queries
     probe their ``nprobe`` nearest cells, exact rescoring only within
     probed cells.  Scanned fraction ~ nprobe/n_centroids of the corpus;
-    recall tunable by nprobe."""
+    recall tunable by nprobe.  The cell join is salted (``bucket_salts``)
+    so a skewed cell's rescoring spreads across tasks."""
     if centroids is None:
         centroids = train_ivf_centroids(corpus, n_centroids,
-                                        vec_col=vec_col)
+                                        vec_col=vec_col, id_col=id_col)
     cells = add_ivf_cell(corpus, centroids, vec_col) \
         .select(F.col(id_col).alias("match_id"),
                 F.col(vec_col).alias("_cvec"), "ivf_cell")
     q_cells = add_ivf_cell(queries, centroids, vec_col, nprobe=nprobe) \
         .select(F.col(id_col).alias("query_id"),
                 F.col(vec_col).alias("_qvec"), "ivf_cell")
-    joined = q_cells.join(cells, "ivf_cell")
-    dot = F.aggregate(F.zip_with("_qvec", "_cvec",
-                                 lambda a, b: a.cast("double") * b),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    nq = F.sqrt(F.aggregate(F.transform("_qvec",
-                                        lambda a: a.cast("double") * a),
-                            F.lit(0.0), lambda acc, v: acc + v))
-    nc = F.sqrt(F.aggregate(F.transform("_cvec",
-                                        lambda a: a.cast("double") * a),
-                            F.lit(0.0), lambda acc, v: acc + v))
-    scored = (joined.withColumn("cosine", dot / (nq * nc))
-              .select("query_id", "match_id", "cosine").distinct())
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("match_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    joined = _salted_probe_join(q_cells, cells, "ivf_cell", "match_id",
+                                bucket_salts)
+    return _rescore_topk(joined, k)
 
 
 def cosine_dedup_pairs(spark: SparkSession, df: DataFrame,

@@ -86,14 +86,20 @@ class SketchCheckpoint:
 
     # -- stage A --------------------------------------------------------------
     def run_partials(self, spark: SparkSession, input_dir: str,
-                     max_buckets: Optional[int] = None) -> int:
+                     max_buckets: Optional[int] = None,
+                     fmt: str = "parquet") -> int:
         """Build + persist partial states for pending buckets.  Returns the
         number of buckets processed (0 = nothing pending).  ``max_buckets``
-        lets tests simulate an interrupted run."""
-        import glob
-        files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+        lets tests simulate an interrupted run.
+
+        ``fmt='iceberg'`` plans buckets from the table's ``.files``
+        metadata table instead of a filesystem glob (``input_dir`` is then
+        a catalog table name); data files are still read as parquet, which
+        sources/catalog.py verifies is sound (append-only snapshot)."""
+        from gopie_spark.sources.catalog import list_data_files
+        files = list_data_files(spark, input_dir, fmt)
         if not files:
-            raise ValueError(f"no parquet files under {input_dir}")
+            raise ValueError(f"no data files under {input_dir}")
         fb = self.bucket_of_files(files)
         done = self.done_buckets(spark)
         pending = sorted({b for b in fb.values() if b not in done})
@@ -141,8 +147,9 @@ class SketchCheckpoint:
         self._commit_run(run_id)
         return len(pending)
 
-    def run_until_complete(self, spark: SparkSession, input_dir: str) -> None:
-        while self.run_partials(spark, input_dir) > 0:
+    def run_until_complete(self, spark: SparkSession, input_dir: str,
+                           fmt: str = "parquet") -> None:
+        while self.run_partials(spark, input_dir, fmt=fmt) > 0:
             pass
 
     # -- finalize --------------------------------------------------------------

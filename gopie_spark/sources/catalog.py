@@ -70,6 +70,44 @@ def load_table(spark: SparkSession, ref: str,
     return spark.read.format(fmt).load(ref)
 
 
+def list_data_files(spark: SparkSession, ref: str,
+                    fmt: Optional[str] = None) -> list:
+    """Data-file paths backing a table — the work-unit listing for the
+    checkpoint/resume bucket planner (plans/checkpoint.py).
+
+    - parquet: driver-side glob of ``<ref>/*.parquet``;
+    - iceberg: the ``<table>.files`` metadata table (no file-system
+      listing at all — the scan is a metadata read).  Raises if the
+      current snapshot carries row-level delete files (content != 0):
+      the resumable builder reads data files directly as parquet, which
+      is only sound for append-only tables.
+    """
+    fmt = (fmt or "parquet").lower()
+    if fmt == "iceberg":
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "Iceberg runtime not on the classpath; launch via "
+                "spark-submit --packages org.apache.iceberg:"
+                "iceberg-spark-runtime-... (see sources/catalog.py)")
+        if "/" in ref:
+            raise ValueError(
+                "checkpointed builds need a catalog table name "
+                "(catalog.db.table) so the .files metadata table is "
+                "addressable; path-based Iceberg refs are not supported")
+        rows = spark.sql(
+            f"SELECT file_path, content FROM {ref}.files").collect()
+        bad = [r["file_path"] for r in rows if r["content"] != 0]
+        if bad:
+            raise ValueError(
+                f"{ref} has {len(bad)} row-level delete files; the "
+                "file-bucketed resumable build is only sound for "
+                "append-only tables — compact the table first")
+        return sorted(r["file_path"] for r in rows)
+    import glob
+    import os
+    return sorted(glob.glob(os.path.join(ref, "*.parquet")))
+
+
 def snapshot_identity(spark: SparkSession, ref: str,
                       fmt: Optional[str] = None) -> Optional[str]:
     """Stable input identity for checkpoint lineage: the current Iceberg

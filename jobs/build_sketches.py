@@ -65,7 +65,9 @@ def main() -> None:
     ckpt = SketchCheckpoint(args.checkpoint, hll, ["lang"], "url",
                             n_buckets=args.n_buckets)
     if not args.resume_only:
-        ckpt.run_until_complete(spark, args.input)
+        # iceberg: buckets are planned from the <table>.files metadata
+        # table (sources/catalog.py), same resumability guarantees
+        ckpt.run_until_complete(spark, args.input, fmt=args.format)
     states = ckpt.finalize(spark, salt=args.salt)
     states.write.mode("overwrite").parquet(f"{args.output}/hll_lang_url")
 
