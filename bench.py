@@ -42,12 +42,15 @@ def main() -> None:
         "tdigest_quantiles", "kll_quantiles",
         "pushsum_mean", "topk_orders", "window_tumbling_counts",
         "dedup_exact_keep", "minhash_lsh_dedup", "simhash_dedup",
-        "ann_brute_force", "ann_lsh", "token_stats", "quality_scores",
+        "ann_brute_force", "ann_lsh", "ann_ivf",
+        "token_stats", "quality_scores",
         "doc_fingerprints", "lang_id_histogram",
         "cms_token_heavy_hitters", "cms_topk_tokens_per_lang",
         "sliding_window_epoch_counts",
         "cosine_pairs_bruteforce", "iceflake_unique",
         "bloom_scalable_membership", "tdigest_grouped_median",
+        # round 2: sketch algebra, distributed remove, transitive closure
+        "hll_intersect", "bloom_counting_remove_dist", "cc_components",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",

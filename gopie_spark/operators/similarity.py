@@ -23,7 +23,6 @@ import math
 from typing import Iterator, Optional
 
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import (DoubleType, LongType, StructField,
@@ -105,31 +104,41 @@ def _planes(dim: int, n_planes: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _batch_matrix(rb, vec_idx: int) -> np.ndarray:
+    """(rows, dim) float64 matrix from an Arrow list column's values
+    buffer — flatten + reshape, no per-cell Python objects."""
+    vec = rb.column(vec_idx)
+    flat = np.asarray(vec.flatten(), dtype=np.float64)
+    return flat.reshape(rb.num_rows, -1)
+
+
 def add_hyperplane_bucket(df: DataFrame, vec_col: str = "embedding",
                           n_planes: int = 12,
                           out_col: str = "lsh_bucket") -> DataFrame:
     """Random-hyperplane LSH bucket id (int64) per vector — deterministic
-    fixed-seed planes so buckets are stable across jobs/runs."""
+    fixed-seed planes so buckets are stable across jobs/runs.  mapInArrow:
+    the embedding matrix comes straight from the Arrow values buffer
+    (one reshape + one BLAS matmul per batch)."""
+    import pyarrow as pa
+
     dim = len(df.select(vec_col).first()[0])
     planes = _planes(dim, n_planes)
     schema = StructType(df.schema.fields +
                         [StructField(out_col, LongType(), False)])
+    vec_idx = df.columns.index(vec_col)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                yield pdf.assign(**{out_col: pd.Series([], dtype="int64")})
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bits = (mat @ planes.T) > 0
-            bucket = np.zeros(len(pdf), dtype=np.int64)
-            for b in range(n_planes):
-                bucket |= bits[:, b].astype(np.int64) << b
-            out = pdf.copy()
-            out[out_col] = bucket
-            yield out
+            bits = (_batch_matrix(rb, vec_idx) @ planes.T) > 0
+            bucket = bits @ weights
+            yield pa.RecordBatch.from_arrays(
+                list(rb.columns) + [pa.array(bucket, type=pa.int64())],
+                names=list(rb.schema.names) + [out_col])
 
-    return df.mapInPandas(fn, schema)
+    return df.mapInArrow(fn, schema)
 
 
 def _salted_probe_join(probes: DataFrame, corpus_b: DataFrame,
@@ -263,26 +272,34 @@ def add_ivf_cell(df: DataFrame, centroids: np.ndarray,
     """Assign each vector its nearest-centroid cell (``nprobe=1``) or
     explode to its ``nprobe`` nearest cells (query-side multiprobe).
     One BLAS matmul per Arrow batch against the broadcast codebook."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     bc = df.sparkSession.sparkContext.broadcast(centroids)
     schema = StructType(df.schema.fields +
                         [StructField(out_col, LongType(), False)])
+    vec_idx = df.columns.index(vec_col)
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         cents = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                yield pdf.assign(**{out_col: pd.Series([], dtype="int64")})
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            mat = _normalize(np.stack(pdf[vec_col].to_numpy())
-                             .astype(np.float64))
-            sims = mat @ cents.T
+            sims = _normalize(_batch_matrix(rb, vec_idx)) @ cents.T
             p = min(nprobe, sims.shape[1])
-            cells = np.argsort(-sims, axis=1)[:, :p]
-            out = pdf.loc[pdf.index.repeat(p)].reset_index(drop=True)
-            out[out_col] = cells.ravel().astype(np.int64)
-            yield out
+            if p == 1:
+                cells = np.argmax(sims, axis=1).astype(np.int64)
+                cols = list(rb.columns)
+            else:
+                cells = np.argsort(-sims, axis=1)[:, :p].ravel() \
+                    .astype(np.int64)
+                idx = pa.array(np.repeat(np.arange(rb.num_rows), p))
+                cols = [pc.take(c, idx) for c in rb.columns]
+            yield pa.RecordBatch.from_arrays(
+                cols + [pa.array(cells, type=pa.int64())],
+                names=list(rb.schema.names) + [out_col])
 
-    return df.mapInPandas(fn, schema)
+    return df.mapInArrow(fn, schema)
 
 
 def ivf_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
