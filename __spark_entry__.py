@@ -521,6 +521,20 @@ def _q_token_stats(spark, sf_dir):
             .orderBy("lang"))
 
 
+def _q_bpe_token_stats(spark, sf_dir):
+    """Sub-word-ish (BPE-style regex segmentation) token counting per
+    lang — pure built-ins (regexp_count, stays in codegen); DuckDB
+    recomputes with regexp_extract_all."""
+    from gopie_spark.operators.textstats import bpe_ish_token_count
+    docs = _docs(spark, sf_dir)
+    n = bpe_ish_token_count("text")
+    return (docs.groupBy("lang")
+            .agg(F.sum(n).alias("total_bpe_tokens"),
+                 F.floor(F.avg(n) * 100 + F.lit(0.5)).cast("long")
+                 .alias("avg_bpe_tokens_e2"))
+            .orderBy("lang"))
+
+
 def _q_quality_scores(spark, sf_dir):
     """Quality features: docs below quality threshold per lang."""
     from gopie_spark.operators.textstats import quality_features
@@ -918,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "token_stats": _q_token_stats,
+        "bpe_token_stats": _q_bpe_token_stats,
         "quality_scores": _q_quality_scores,
         "doc_fingerprints": _q_doc_fingerprints,
         "bitflag_ops": _q_bitflag_ops,
@@ -1156,6 +1171,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(avg(CASE WHEN trim(text) = '' THEN 0
                             ELSE len(string_split_regex(trim(text), '\\s+'))
                        END) * 100 + 0.5) AS BIGINT) AS avg_tokens_e2
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "bpe_token_stats": """
+            SELECT lang,
+                   CAST(sum(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+')))
+                        AS BIGINT) AS total_bpe_tokens,
+                   CAST(floor(avg(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+')))
+                        * 100 + 0.5) AS BIGINT) AS avg_bpe_tokens_e2
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "quality_scores": """

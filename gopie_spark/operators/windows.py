@@ -35,7 +35,16 @@ def windowed_sketch_agg(df: DataFrame, ts_col: str, value_col: str, sketch,
                         keys: Sequence[str] = (),
                         out_window_col: str = "window_start") -> DataFrame:
     """DataFrame[window_start, keys..., sketch_state] over event-time
-    windows of ``width_s`` seconds (sliding every ``slide_s`` if given)."""
+    windows of ``width_s`` seconds (sliding every ``slide_s`` if given).
+
+    State sizing at scale: total sketch state is
+    ``n_windows x n_key_combos x state_bytes`` — with HLL p=14 (16 KB)
+    and a year of hourly windows x 100 keys that is ~14 GB spread over
+    the shuffle, fine; with millions of fine-grained windows prefer a
+    smaller ``p`` (p=12 -> 4 KB, std err 1.6%) or coarser windows and
+    merge states downstream (register-max union means coarse windows
+    are recoverable from fine ones, never the reverse).  States stay
+    distributed — nothing here collects to the driver."""
     keys = list(keys)
     if slide_s is None or slide_s == width_s:
         windowed = df.withColumn(out_window_col,

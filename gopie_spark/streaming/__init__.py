@@ -1,8 +1,11 @@
-"""Structured Streaming surface: micro-batch sketch builds."""
+"""Structured Streaming surface: micro-batch sketch builds + dedup."""
 
+from gopie_spark.streaming.dedup import (BloomStreamingDedup,
+                                         streaming_exact_dedup)
 from gopie_spark.streaming.microbatch import (StreamingSketch,
                                               windowed_stream_counts)
 from gopie_spark.streaming.stateful import streaming_hll_estimates
 
 __all__ = ["StreamingSketch", "windowed_stream_counts",
-           "streaming_hll_estimates"]
+           "streaming_hll_estimates", "BloomStreamingDedup",
+           "streaming_exact_dedup"]

@@ -110,3 +110,48 @@ def test_cms_jvm_preagg_shuffles_counts_not_rows(spark):
                .groupBy("v").agg(F.count("*").alias("cnt")))
     plan = plan_text(counted, "extended")
     assert "partial_count" in plan
+
+
+def test_cc_star_round_is_partial_aggregable(spark):
+    """One large-star round must plan its neighborhood min as a
+    partial+final aggregate (map-side combine) — the property that lets a
+    viral component's neighborhood reduce before the shuffle — and no
+    window operator anywhere."""
+    from gopie_spark.operators.graph import _canon, _star
+    edges = _canon(spark.range(100).select(
+        F.col("id").alias("_u"), (F.col("id") + 1).alias("_v")))
+    plan = plan_text(_star(edges, large=True), "extended")
+    assert "partial_min" in plan
+    assert "Window" not in plan
+
+
+def test_salted_probe_join_no_cartesian(spark):
+    """The salted ANN probe join must stay an equi-join on
+    (bucket, salt) — never a cartesian/broadcast-nested-loop."""
+    from gopie_spark.operators.similarity import (_salted_probe_join,
+                                                  add_hyperplane_bucket)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    bucketed = add_hyperplane_bucket(emb, "embedding", 6) \
+        .select(F.col("vec_id").alias("match_id"),
+                F.col("embedding").alias("_cvec"), "lsh_bucket")
+    probes = add_hyperplane_bucket(emb.limit(5), "embedding", 6) \
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("_qvec"), "lsh_bucket")
+    plan = plan_text(
+        _salted_probe_join(probes, bucketed, "lsh_bucket", "match_id", 8),
+        "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_scan_prunes_to_id_and_vector(spark):
+    """The brute-force ANN corpus scan must read only (id, vector) —
+    embeddings tables often carry wide metadata columns."""
+    from gopie_spark.operators.similarity import brute_force_topk
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = brute_force_topk(spark, emb, emb.limit(3), k=5)
+    plan = plan_text(out)
+    scan = plan[plan.index("Scan parquet"):]
+    read_schema = [ln for ln in scan.splitlines()
+                   if ln.startswith("ReadSchema")][0]
+    assert "vec_id" in read_schema and "embedding" in read_schema

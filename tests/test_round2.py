@@ -225,3 +225,70 @@ def test_list_data_files_iceberg_requires_runtime(spark):
         pytest.skip("iceberg runtime present")
     with pytest.raises(RuntimeError, match="Iceberg runtime"):
         list_data_files(spark, "lake.db.pages", "iceberg")
+
+
+# -- streaming dedup -----------------------------------------------------------
+
+def _dup_docs_files(spark, base, n_files=3):
+    """Parquet files with in-file and cross-file duplicate texts."""
+    rows = []
+    did = 0
+    for f in range(n_files):
+        for i in range(30):
+            text = f"shared duplicate text number {i % 10}" if i % 3 == 0 \
+                else f"unique text f{f} i{i} " * 3
+            rows.append((did, text, f))
+            did += 1
+    import os
+    os.makedirs(base, exist_ok=True)
+    df = spark.createDataFrame(rows, "doc_id long, text string, f int")
+    for f in range(n_files):
+        df.filter(F.col("f") == f).coalesce(1).write.mode("overwrite") \
+            .parquet(f"{base}/part{f}")
+    return [f"{base}/part{f}" for f in range(n_files)]
+
+
+def test_bloom_streaming_dedup_equals_batch_exact(spark, tmp_path):
+    """Bloom-gated streaming dedup over micro-batches == batch
+    exact_dedup (at tiny p there are no false positives, so the bounded
+    -state path is exact here), regardless of batch boundaries."""
+    from gopie_spark.operators.dedup import exact_dedup
+    from gopie_spark.streaming.dedup import BloomStreamingDedup
+
+    paths = _dup_docs_files(spark, str(tmp_path / "src"))
+    all_df = spark.read.parquet(*paths).drop("f")
+    want = sorted(r["doc_id"] for r in exact_dedup(all_df).collect())
+
+    out_dir = str(tmp_path / "out")
+    d = BloomStreamingDedup(spark, out_dir, p=1e-9)
+    # feed files as separate micro-batches, in order
+    for bid, p in enumerate(paths):
+        d.process_batch(spark.read.parquet(p).drop("f"), bid)
+    got = sorted(r["doc_id"] for r in
+                 spark.read.parquet(out_dir).collect())
+    assert got == want
+
+
+def test_streaming_exact_dedup_drained(spark, tmp_path):
+    """streaming_exact_dedup over a file stream: every digest survives
+    exactly once after draining with availableNow."""
+    from gopie_spark.streaming.dedup import content_digest, \
+        streaming_exact_dedup
+
+    base = str(tmp_path / "ssrc")
+    _dup_docs_files(spark, base)
+    static = spark.read.parquet(f"{base}/part*")
+    stream = spark.readStream.schema(static.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(f"{base}/part*")
+    out = streaming_exact_dedup(stream, "text")
+    q = (out.writeStream.format("parquet")
+         .option("path", str(tmp_path / "sout"))
+         .option("checkpointLocation", str(tmp_path / "sckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "sout"))
+    n_digests = static.select(content_digest("text").alias("d")) \
+        .distinct().count()
+    assert got.count() == n_digests
+    assert got.select(content_digest("text")).distinct().count() \
+        == n_digests
