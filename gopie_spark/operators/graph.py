@@ -55,13 +55,17 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     """DataFrame[id, component] for every vertex appearing in ``pairs``;
     ``component`` is the smallest id in the vertex's component.
 
-    Convergence is detected by a (count, hash-sum) checksum of the
+    Convergence is detected by a (count, hash-xor) checksum of the
     canonical edge set — one tiny aggregate per round instead of a full
-    except-join.  Lineage is cut with ``localCheckpoint`` every round so
-    25 rounds don't stack 50 shuffles of lineage into one plan.
-    ``max_iter`` rounds handle components of ~2^max_iter vertices
-    (log-convergence); hitting the cap raises rather than returning a
-    silently-unfinished clustering.
+    except-join.  Lineage is cut with ``localCheckpoint`` EVERY round:
+    each star round references its input edge set several times (u->v
+    plus v->u views, then a join back onto the neighborhood mins), so an
+    untruncated plan recomputes the previous round per reference and
+    compounds — measured on the sf0.1 chain workload: checkpoint every
+    round 8.1 s, every *2* rounds 115 s (14x), plain ``persist`` did not
+    finish.  ``max_iter`` rounds handle components of ~2^max_iter
+    vertices (log-convergence); hitting the cap raises rather than
+    returning a silently-unfinished clustering.
     """
     edges = _canon(pairs.select(F.col(src).alias("_u"),
                                 F.col(dst).alias("_v")))

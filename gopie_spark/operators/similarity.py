@@ -255,7 +255,25 @@ def train_ivf_centroids(corpus: DataFrame, n_centroids: int = 64,
     sample = _normalize(sample)
     rng = np.random.default_rng(seed)
     n_centroids = min(n_centroids, len(sample))
-    cents = sample[rng.choice(len(sample), n_centroids, replace=False)]
+    # k-means++ seeding (cosine distance), vectorized: spreads the
+    # initial centers instead of risking several seeds in one dense
+    # cluster — same determinism (fixed rng), markedly better cell
+    # balance on clustered corpora
+    first = int(rng.integers(len(sample)))
+    cents = np.empty((n_centroids, sample.shape[1]))
+    cents[0] = sample[first]
+    d2 = 1.0 - sample @ cents[0]
+    np.maximum(d2, 0.0, out=d2)
+    for c in range(1, n_centroids):
+        tot = d2.sum()
+        if tot <= 0:
+            cents[c:] = sample[rng.integers(0, len(sample),
+                                            n_centroids - c)]
+            break
+        nxt = int(np.searchsorted(np.cumsum(d2), rng.random() * tot))
+        cents[c] = sample[min(nxt, len(sample) - 1)]
+        np.minimum(d2, 1.0 - sample @ cents[c], out=d2)
+        np.maximum(d2, 0.0, out=d2)
     for _ in range(iters):
         assign = np.argmax(sample @ cents.T, axis=1)
         for c in range(n_centroids):

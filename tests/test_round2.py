@@ -292,3 +292,25 @@ def test_streaming_exact_dedup_drained(spark, tmp_path):
     assert got.count() == n_digests
     assert got.select(content_digest("text")).distinct().count() \
         == n_digests
+
+
+def test_ivf_kmeanspp_separates_many_clusters(spark):
+    """16 well-separated clusters, 16 centroids: k-means++ seeding must
+    give every cluster its own cell (plain random seeding frequently
+    drops several seeds into one cluster and merges others)."""
+    from gopie_spark.operators.similarity import (add_ivf_cell,
+                                                  train_ivf_centroids)
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((16, 24)) * 6
+    rows = [(c * 60 + i, c,
+             (centers[c] + 0.05 * rng.standard_normal(24)).tolist())
+            for c in range(16) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, cluster int, embedding array<double>")
+    cents = train_ivf_centroids(df, n_centroids=16, sample_rows=960)
+    assigned = add_ivf_cell(df, cents, "embedding")
+    per = (assigned.groupBy("cluster")
+           .agg(F.countDistinct("ivf_cell").alias("n"),
+                F.first("ivf_cell").alias("cell")).collect())
+    assert all(r["n"] == 1 for r in per)
+    assert len({r["cell"] for r in per}) == 16
