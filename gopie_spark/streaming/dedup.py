@@ -96,10 +96,14 @@ class BloomStreamingDedup:
 
         survivors = in_batch.filter(~_seen(F.col("_fp")))
         survivors.persist()
-        survivors.select(*cols).write.mode("append").parquet(self.out_dir)
-        # fold this batch's new digests into the filter (driver-side:
-        # the digest list per batch is bounded by the batch size)
-        new_fps = [r["_fp"] for r in survivors.select("_fp").collect()]
-        if new_fps:
-            self.bloom.update(self.state, new_fps)
-        survivors.unpersist()
+        try:
+            survivors.select(*cols).write.mode("append") \
+                .parquet(self.out_dir)
+            # fold this batch's new digests into the filter (driver-side:
+            # the digest list per batch is bounded by the batch size)
+            new_fps = [r["_fp"] for r in survivors.select("_fp").collect()]
+            if new_fps:
+                self.bloom.update(self.state, new_fps)
+        finally:
+            survivors.unpersist()
+            bc.unpersist()  # one broadcast per batch; don't accumulate

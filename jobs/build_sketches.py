@@ -61,6 +61,17 @@ def main() -> None:
     spark = get_spark("gopie-build-sketches")
     t0 = time.perf_counter()
 
+    # fail fast with a clear message if --input is not a pages table
+    # (a directory of mixed parquet tables otherwise dies deep inside
+    # the checkpoint stage with a schema-mismatch plan dump)
+    probe = load_table(spark, args.input, args.format)
+    missing = {"url", "text", "lang"} - set(probe.columns)
+    if missing:
+        raise SystemExit(
+            f"--input {args.input} is not a pages table: missing "
+            f"column(s) {sorted(missing)}; expected the schema from "
+            "sources/pages.py (url, warc_ts, html, text, lang)")
+
     hll = HLL(p=args.hll_p)
     ckpt = SketchCheckpoint(args.checkpoint, hll, ["lang"], "url",
                             n_buckets=args.n_buckets)

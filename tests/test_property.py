@@ -155,3 +155,69 @@ def test_shingle_hashes_flat_matches_scalar(docs, width):
             exp.append(int(mix64(np.array([c], dtype=np.uint64))[0]))
     assert got_lens.tolist() == exp_lens
     assert got.tolist() == exp
+
+
+# -- round 2: counting-Bloom subtract == sequential remove --------------------
+
+@given(st.lists(st.integers(0, 60), min_size=1, max_size=120, unique=True),
+       st.data())
+@settings(max_examples=25, deadline=None)
+def test_bloom_subtract_matches_sequential_remove(keys, data):
+    """For any keyset, any sub-multiset of removals, and any 2-way
+    partition split of the additions: distributed build + counter
+    subtract == sequential per-element Remove."""
+    import numpy as np
+    from gopie_spark.kernels import BloomCounting
+    bf = BloomCounting.from_guess(max(len(keys), 16), 1e-6)
+    ks = [f"k{k}" for k in keys]
+    rm = [k for k in ks if data.draw(st.booleans())]
+    cut = data.draw(st.integers(0, len(ks)))
+
+    seq = bf.zero()
+    bf.update(seq, ks)
+    bf.remove(seq, rm)
+
+    a, b, r = bf.zero(), bf.zero(), bf.zero()
+    if ks[:cut]:
+        bf.update(a, ks[:cut])
+    if ks[cut:]:
+        bf.update(b, ks[cut:])
+    merged = bf.merge(a, b)
+    if rm:
+        bf.update(r, rm)
+    got = bf.subtract(merged, r)
+    assert np.array_equal(got["counters"], seq["counters"])
+    assert got["n"][0] == seq["n"][0]
+
+
+# -- round 2: connected components == union-find oracle -----------------------
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                min_size=1, max_size=80))
+@settings(max_examples=10, deadline=None)
+def test_cc_matches_union_find(spark, pairs):
+    """Large-star/small-star CC == a driver-side union-find oracle on
+    arbitrary random graphs (self-loops and duplicate edges included)."""
+    from gopie_spark.operators.graph import connected_components
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in connected_components(df).collect()}
+    want = _uf_components([(a, b) for a, b in pairs if a != b])
+    assert got == want
