@@ -866,7 +866,7 @@ def _q_bloom_counting_remove_dist(spark, sf_dir):
     Membership after removal must equal the even-user set exactly at
     p=1e-9."""
     from gopie_spark.kernels import BloomCounting
-    from gopie_spark.operators import global_sketch
+    from gopie_spark.operators import bloom_filter, global_sketch
     events = _events(spark, sf_dir)
     users = events.select(F.col("user_id").cast("string").alias("u")) \
         .distinct()
@@ -876,10 +876,11 @@ def _q_bloom_counting_remove_dist(spark, sf_dir):
     removed = global_sketch(
         users.filter(F.col("u").cast("long") % 2 == 1), "u", bf)
     state = bf.subtract(added, removed)
-    probe = sorted(int(r["u"]) for r in users.collect())
-    flags = bf.exist(state, [str(u) for u in probe])
-    rows = [(u,) for u, f in zip(probe, flags) if f]
-    return spark.createDataFrame(rows, "user_id long").orderBy("user_id")
+    # probe distributed: the generic bloom_filter semi-join broadcasts
+    # the post-removal state; no driver-side membership loop
+    hits = bloom_filter(spark, bf, state, users, "u")
+    return (hits.select(F.col("u").cast("long").alias("user_id"))
+            .orderBy("user_id"))
 
 
 def _q_cc_components(spark, sf_dir):
