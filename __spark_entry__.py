@@ -889,7 +889,13 @@ def _q_cc_components(spark, sf_dir):
     doc_ids within each (lang, source) group form a CHAIN, so computing
     each doc's component root genuinely requires transitive closure
     (chains up to 16 hops here), while DuckDB can independently derive
-    the answer as min(doc_id) over the (lang, source) partition."""
+    the answer as min(doc_id) over the (lang, source) partition.
+
+    The lag-window edge construction is certificate scaffolding (it
+    makes an oracle-checkable chain graph out of a plain table); in
+    production the edge list comes from the dedup pair operators, and
+    the operator under test — connected_components — never sorts or
+    windows, only partial-aggregable mins per round."""
     from pyspark.sql import Window
     from gopie_spark.operators.graph import connected_components
     docs = _docs(spark, sf_dir)
