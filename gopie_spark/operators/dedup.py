@@ -198,13 +198,22 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 128,
                            bands: int = 32, shingle_width: int = 3,
                            max_bucket: int = 64,
-                           sig_col: str = "minhash") -> DataFrame:
+                           sig_col: str = "minhash",
+                           sig_path: Optional[str] = None) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     Returns DataFrame[id_a, id_b, est_jaccard] with id_a < id_b.
     Two docs collide if any of ``bands`` bands (k/bands rows each) matches
     exactly; est_jaccard = matching-slot fraction of the full signatures.
-    """
+
+    The signature table is consumed three times (band explode + both
+    sides of the verification join).  By default it is persisted with
+    Spark's MEMORY_AND_DISK DataFrame cache; pass ``sig_path`` to
+    materialize it to parquet instead — at corpus scale (10^12 docs x
+    k x 8 B of signatures) an explicit parquet materialization is
+    preferable: it survives executor loss without recomputing the
+    (k-linear, most expensive) signature stage, and later runs /
+    incremental dedup can reuse it."""
     if k % bands:
         raise ValueError("bands must divide k")
     rows = k // bands
@@ -212,7 +221,11 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                                   shingle_width=shingle_width,
                                   out_col=sig_col) \
         .select(F.col(id_col).alias("_id"), sig_col)
-    sigs.cache()
+    if sig_path is not None:
+        sigs.write.mode("overwrite").parquet(sig_path)
+        sigs = df.sparkSession.read.parquet(sig_path)
+    else:
+        sigs.cache()
 
     band_cols = [
         F.struct(F.lit(b).alias("band"),

@@ -314,3 +314,21 @@ def test_ivf_kmeanspp_separates_many_clusters(spark):
                 F.first("ivf_cell").alias("cell")).collect())
     assert all(r["n"] == 1 for r in per)
     assert len({r["cell"] for r in per}) == 16
+
+
+def test_minhash_sig_path_materialization(spark, tmp_path):
+    """sig_path materializes signatures to parquet and yields the same
+    pairs as the cached path."""
+    from gopie_spark.operators.dedup import minhash_lsh_candidates
+    base = "omega psi chi phi upsilon tau sigma rho pi omicron " * 6
+    rows = [(0, base + "a"), (1, base + "a b"), (2, "other words " * 30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "sigs")
+    got = sorted((r["id_a"], r["id_b"]) for r in
+                 minhash_lsh_candidates(df, k=64, bands=16,
+                                        sig_path=p).collect())
+    ref = sorted((r["id_a"], r["id_b"]) for r in
+                 minhash_lsh_candidates(df, k=64, bands=16).collect())
+    assert got == ref and got
+    import glob
+    assert glob.glob(f"{p}/*.parquet")
