@@ -1,5 +1,25 @@
 """Spark-side operator surface for gopie_spark."""
 
+from gopie_spark.operators.dedup import (
+    duplicate_stats,
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from gopie_spark.operators.graph import connected_components
+from gopie_spark.operators.membership import (
+    bloom_shards_build,
+    bloom_shards_filter,
+)
+from gopie_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_dedup_pairs,
+    ivf_topk,
+    lsh_topk,
+    train_ivf_centroids,
+)
 from gopie_spark.operators.sketch_agg import (
     build_partials,
     merge_partials,
@@ -15,10 +35,31 @@ from gopie_spark.operators.sketch_agg import (
     bloom_filter,
     suggest_salt,
 )
+from gopie_spark.operators.textstats import (
+    add_lang_id,
+    bpe_ish_token_count,
+    content_fingerprint,
+    quality_features,
+    rolling_fingerprint,
+    token_count,
+)
+from gopie_spark.operators.windows import (
+    sliding_window_counts,
+    windowed_sketch_agg,
+)
 
 __all__ = [
     "build_partials", "merge_partials", "sketch_agg", "global_sketch",
     "hll_count_distinct", "tdigest_quantiles", "kll_quantiles",
     "cms_build", "cms_tokens_build", "cms_estimate_map",
     "bloom_build", "bloom_filter", "suggest_salt",
+    "exact_dedup", "duplicate_stats", "minhash_lsh_candidates",
+    "minhash_lsh_dedup", "simhash_candidates", "ngram_jaccard_pairs",
+    "connected_components",
+    "bloom_shards_build", "bloom_shards_filter",
+    "brute_force_topk", "lsh_topk", "ivf_topk", "train_ivf_centroids",
+    "cosine_dedup_pairs",
+    "token_count", "bpe_ish_token_count", "quality_features",
+    "content_fingerprint", "rolling_fingerprint", "add_lang_id",
+    "sliding_window_counts", "windowed_sketch_agg",
 ]
