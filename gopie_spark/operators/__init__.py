@@ -1,6 +1,7 @@
 """Spark-side operator surface for gopie_spark."""
 
 from gopie_spark.operators.dedup import (
+    bucket_cap_stats,
     duplicate_stats,
     exact_dedup,
     minhash_lsh_candidates,
@@ -53,7 +54,8 @@ __all__ = [
     "hll_count_distinct", "tdigest_quantiles", "kll_quantiles",
     "cms_build", "cms_tokens_build", "cms_estimate_map",
     "bloom_build", "bloom_filter", "suggest_salt",
-    "exact_dedup", "duplicate_stats", "minhash_lsh_candidates",
+    "exact_dedup", "duplicate_stats", "bucket_cap_stats",
+    "minhash_lsh_candidates",
     "minhash_lsh_dedup", "simhash_candidates", "ngram_jaccard_pairs",
     "connected_components",
     "bloom_shards_build", "bloom_shards_filter",

@@ -19,9 +19,10 @@ that survives 10^12 documents:
   usable directly on small blocks).
 
 Skew note: hot shingles/bands (boilerplate) explode self-joins; both LSH
-paths cap bucket width (``max_bucket``) and report how many buckets were
-dropped — at 100 TB you always cap, because a single viral boilerplate
-bucket otherwise produces O(n^2) pairs in one task.
+paths cap bucket width (``max_bucket``; :func:`bucket_cap_stats` reports
+how many buckets the cap touched) — at 100 TB you always cap, because a
+single viral boilerplate bucket otherwise produces O(n^2) pairs in one
+task.
 """
 
 from __future__ import annotations
@@ -192,6 +193,23 @@ def _bucket_pairs(exploded: DataFrame, bucket_cols: List[str],
             .select(F.col("p.id_a").alias("id_a"),
                     F.col("p.id_b").alias("id_b"))
             .distinct())
+
+
+def bucket_cap_stats(exploded: DataFrame, bucket_cols: List[str],
+                     max_bucket: int) -> DataFrame:
+    """Observability for the blocking stage: one row with
+    ``(n_buckets, n_capped, max_bucket_size)`` — how many buckets exist,
+    how many exceeded ``max_bucket`` (and therefore lost candidate
+    pairs to the cap), and the largest bucket seen.  Run it on the same
+    exploded (id, bucket) frame the pair expansion consumes when tuning
+    ``max_bucket``: a rising ``n_capped`` means boilerplate is eating
+    recall; a huge ``max_bucket_size`` confirms the cap is earning its
+    keep."""
+    sizes = exploded.groupBy(*bucket_cols).agg(F.count("*").alias("_sz"))
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum((F.col("_sz") > max_bucket).cast("long")).alias("n_capped"),
+        F.max("_sz").alias("max_bucket_size"))
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",

@@ -1,20 +1,25 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two tiers:
+Three tiers:
 
 - :func:`brute_force_topk` — exact cosine top-k of every query against the
   corpus.  Queries are broadcast as one NumPy matrix; each Arrow batch of
-  corpus vectors does ONE BLAS matmul against all queries (mapInPandas),
-  emits its per-batch top-k, and a final per-query reduce keeps the global
-  top-k.  Work is embarrassingly parallel over corpus partitions; shuffle
-  volume is O(n_queries x k x partitions) candidate rows, never the corpus.
-- :func:`lsh_topk` — approximate scale path: random-hyperplane signature
-  (sign of dot with H fixed planes) buckets the corpus; queries probe
-  their own bucket plus ``multiprobe`` single-bit flips, then exact-rescore
-  only within probed buckets.  Recall tunable by H/multiprobe.
+  corpus vectors does ONE BLAS matmul against all queries (mapInArrow,
+  vectors loaded straight from the Arrow values buffer), emits its
+  per-batch top-k, and a final per-query reduce keeps the global top-k.
+  Work is embarrassingly parallel over corpus partitions; shuffle volume
+  is O(n_queries x k x partitions) candidate rows, never the corpus.
+- :func:`lsh_topk` — approximate: random-hyperplane signatures bucket the
+  corpus; queries probe their own bucket plus ``multiprobe`` bit flips,
+  exact-rescore within probed buckets.  Recall tunable by H/multiprobe.
+- :func:`ivf_topk` — approximate: spherical k-means++ codebook (trained on
+  a deterministic hash-sample), corpus assigned to nearest-centroid
+  cells, queries probe their ``nprobe`` nearest cells.
 
-Also :func:`cosine_dedup_pairs` — embedding near-dup blocking via the same
-LSH buckets with exact cosine verification.
+Both approximate tiers salt their probe join (``bucket_salts``) so a hot
+bucket/cell's rescoring spreads across tasks instead of landing in one.
+Also :func:`cosine_dedup_pairs` — embedding near-dup blocking via the
+LSH buckets with exact cosine verification (capped buckets).
 """
 
 from __future__ import annotations

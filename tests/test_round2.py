@@ -332,3 +332,13 @@ def test_minhash_sig_path_materialization(spark, tmp_path):
     assert got == ref and got
     import glob
     assert glob.glob(f"{p}/*.parquet")
+
+
+def test_bucket_cap_stats(spark):
+    from gopie_spark.operators.dedup import bucket_cap_stats
+    rows = [(i, 0) for i in range(50)] + [(i, 1) for i in range(5)] \
+        + [(99, 2)]
+    df = spark.createDataFrame(rows, "_id long, bh long")
+    r = bucket_cap_stats(df, ["bh"], max_bucket=16).collect()[0]
+    assert (r["n_buckets"], r["n_capped"], r["max_bucket_size"]) \
+        == (3, 1, 50)
