@@ -342,3 +342,31 @@ def test_bucket_cap_stats(spark):
     r = bucket_cap_stats(df, ["bh"], max_bucket=16).collect()[0]
     assert (r["n_buckets"], r["n_capped"], r["max_bucket_size"]) \
         == (3, 1, 50)
+
+
+def test_streaming_exact_dedup_watermark_path(spark, tmp_path):
+    """The bounded-state watermark variant: duplicates inside the
+    horizon are dropped; the digest state store is horizon-bounded."""
+    import os
+    from gopie_spark.streaming.dedup import streaming_exact_dedup
+    base = str(tmp_path / "wsrc")
+    os.makedirs(base)
+    rows = [(i, f"text {i % 7}", f"2026-01-01 00:{i % 50:02d}:00")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts_s string") \
+        .select("doc_id", "text", F.to_timestamp("ts_s").alias("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{base}/p0")
+    stream = spark.readStream.schema(
+        spark.read.parquet(f"{base}/p0").schema).parquet(f"{base}/p0")
+    out = streaming_exact_dedup(stream, "text", ts_col="ts",
+                                within="10 minutes")
+    q = (out.writeStream.format("parquet")
+         .option("path", str(tmp_path / "wout"))
+         .option("checkpointLocation", str(tmp_path / "wckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "wout"))
+    # 7 distinct texts; every text's occurrences fall inside the
+    # horizon in this batch -> exactly one survivor per digest
+    assert got.select("text").distinct().count() == 7
+    assert got.count() == 7
