@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Production entrypoint: deduplicate a pages corpus end to end.
+
+    cd /root/repo && zip -qr /tmp/gopie_spark.zip gopie_spark
+    spark-submit --py-files /tmp/gopie_spark.zip jobs/dedup_corpus.py \\
+        --input /path/to/pages_parquet --output /path/to/deduped \\
+        [--format parquet|iceberg] [--sig-dir /path/for/signatures] \\
+        [--threshold 0.8] [--strategy cc|greedy] [--k 128] [--bands 32] \\
+        [--max-bucket 64]
+
+Pipeline (all stages scale-shaped — see operators/dedup.py):
+
+1. **Exact dedup** — normalized content digest, one partially-aggregable
+   shuffle; survivors keep the smallest doc id per digest.
+2. **MinHash-LSH near-dup pairs** over the exact survivors — signatures
+   materialized to ``--sig-dir`` (parquet) when given, so a re-run or an
+   incremental pass never repeats the k-linear signature stage.
+3. **Survivor selection** — ``cc`` (default): connected components over
+   the verified pairs, keep each cluster's smallest id (true transitive
+   closure, log-convergent rounds); or ``greedy``: drop the larger id of
+   every pair (one pass, over-drops on chains — see minhash_lsh_dedup).
+4. Write the deduped corpus + a one-line JSON report (counts per
+   stage; use operators.bucket_cap_stats separately when tuning
+   ``--max-bucket``).
+
+The doc id is synthesized as a content-independent dense id when the
+input has none (monotonically_increasing_id — stable within one run,
+recorded in the output so later incremental runs can join on it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--format", default="parquet")
+    ap.add_argument("--sig-dir", default=None,
+                    help="materialize MinHash signatures to this parquet "
+                         "dir (reusable by later runs)")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--strategy", choices=("cc", "greedy"), default="cc")
+    ap.add_argument("--k", type=int, default=128)
+    ap.add_argument("--bands", type=int, default=32)
+    ap.add_argument("--max-bucket", type=int, default=64)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+    from gopie_spark.plans import get_spark
+    from gopie_spark.operators.dedup import exact_dedup, minhash_lsh_dedup
+    from gopie_spark.sources.catalog import load_table
+
+    spark = get_spark("gopie-dedup-corpus")
+    t0 = time.perf_counter()
+
+    pages = load_table(spark, args.input, args.format)
+    if args.text_col not in pages.columns:
+        raise SystemExit(f"--input has no '{args.text_col}' column "
+                         f"(columns: {pages.columns})")
+    if "doc_id" not in pages.columns:
+        pages = pages.withColumn("doc_id", F.monotonically_increasing_id())
+    n_input = pages.count()
+
+    # stage 1: exact dedup (cheap, removes byte-identical boilerplate
+    # before the k-linear signature stage sees it)
+    survivors = exact_dedup(pages, text_col=args.text_col).persist()
+    n_exact = survivors.count()
+
+    # stage 2+3: near-dup pairs + survivor selection
+    deduped = minhash_lsh_dedup(
+        survivors, text_col=args.text_col, threshold=args.threshold,
+        strategy=args.strategy, k=args.k, bands=args.bands,
+        max_bucket=args.max_bucket, sig_path=args.sig_dir).persist()
+    n_final = deduped.count()
+
+    deduped.write.mode("overwrite").parquet(args.output)
+
+    report = {
+        "rows_in": n_input,
+        "after_exact_dedup": n_exact,
+        "after_near_dedup": n_final,
+        "exact_dups_removed": n_input - n_exact,
+        "near_dups_removed": n_exact - n_final,
+        "strategy": args.strategy,
+        "threshold": args.threshold,
+        "seconds": round(time.perf_counter() - t0, 3),
+        "signatures": args.sig_dir,
+    }
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

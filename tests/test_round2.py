@@ -370,3 +370,32 @@ def test_streaming_exact_dedup_watermark_path(spark, tmp_path):
     # horizon in this batch -> exactly one survivor per digest
     assert got.select("text").distinct().count() == 7
     assert got.count() == 7
+
+
+def test_dedup_corpus_job_end_to_end(tmp_path):
+    """jobs/dedup_corpus.py as a black box (own SparkSession in a
+    subprocess): removes the known near-dup clusters from the documents
+    table, materializes signatures, prints one JSON report line."""
+    import json
+    import os
+    import subprocess
+    import sys
+    out = str(tmp_path / "out")
+    sigs = str(tmp_path / "sigs")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8",
+               PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "jobs/dedup_corpus.py",
+         "--input", "/root/testdata/sf0.01/documents.parquet",
+         "--output", out, "--sig-dir", sigs],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=400)
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    assert report["rows_in"] == 500
+    assert report["near_dups_removed"] > 0
+    assert report["after_near_dedup"] \
+        == report["rows_in"] - report["exact_dups_removed"] \
+        - report["near_dups_removed"]
+    import glob
+    assert glob.glob(f"{out}/*.parquet") and glob.glob(f"{sigs}/*.parquet")
