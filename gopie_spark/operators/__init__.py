@@ -16,6 +16,8 @@ from gopie_spark.operators.membership import (
 )
 from gopie_spark.operators.similarity import (
     brute_force_topk,
+    build_ivf_index,
+    ivf_topk_indexed,
     cosine_dedup_pairs,
     ivf_topk,
     lsh_topk,
@@ -60,6 +62,7 @@ __all__ = [
     "connected_components",
     "bloom_shards_build", "bloom_shards_filter",
     "brute_force_topk", "lsh_topk", "ivf_topk", "train_ivf_centroids",
+    "build_ivf_index", "ivf_topk_indexed",
     "cosine_dedup_pairs",
     "token_count", "bpe_ish_token_count", "quality_features",
     "content_fingerprint", "rolling_fingerprint", "add_lang_id",

@@ -350,6 +350,61 @@ def ivf_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
     return _rescore_topk(joined, k)
 
 
+def build_ivf_index(corpus: DataFrame, out_dir: str,
+                    n_centroids: int = 64,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    **train_kw) -> np.ndarray:
+    """Persist an IVF index: ``<out_dir>/codebook`` (cell -> centroid)
+    and ``<out_dir>/cells`` — the corpus written ``partitionBy(ivf_cell)``.
+
+    Partitioning by cell is what makes IVF pay at rest: a later probe
+    reads ONLY its ``nprobe`` cell directories (static partition pruning
+    — verified by plan test), i.e. ~nprobe/n_centroids of the bytes,
+    with no index structure beyond parquet layout.  Returns the trained
+    codebook (also persisted, so :func:`ivf_topk_indexed` needs only
+    ``out_dir``)."""
+    spark = corpus.sparkSession
+    cents = train_ivf_centroids(corpus, n_centroids, vec_col=vec_col,
+                                id_col=id_col, **train_kw)
+    codebook = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "ivf_cell long, centroid array<double>")
+    codebook.coalesce(1).write.mode("overwrite") \
+        .parquet(f"{out_dir}/codebook")
+    add_ivf_cell(corpus, cents, vec_col).write.mode("overwrite") \
+        .partitionBy("ivf_cell").parquet(f"{out_dir}/cells")
+    return cents
+
+
+def ivf_topk_indexed(spark: SparkSession, index_dir: str,
+                     queries: DataFrame, k: int = 10, nprobe: int = 4,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     bucket_salts: int = 8) -> DataFrame:
+    """Approximate cosine top-k against a persisted
+    :func:`build_ivf_index`: queries are assigned their ``nprobe``
+    nearest cells from the stored codebook, the probed cell set (tiny —
+    queries are a lookup set) prunes the partitioned corpus scan
+    *statically*, and rescoring runs only over the read cells.  Same
+    result contract as :func:`ivf_topk` with the same codebook."""
+    cb = spark.read.parquet(f"{index_dir}/codebook") \
+        .orderBy("ivf_cell").collect()
+    cents = np.array([r["centroid"] for r in cb], dtype=np.float64)
+    q_cells = add_ivf_cell(queries, cents, vec_col, nprobe=nprobe) \
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("_qvec"), "ivf_cell")
+    q_cells = q_cells.persist()
+    probed = sorted({r["ivf_cell"] for r in
+                     q_cells.select("ivf_cell").distinct().collect()})
+    corpus = (spark.read.parquet(f"{index_dir}/cells")
+              .filter(F.col("ivf_cell").isin(probed))
+              .select(F.col(id_col).alias("match_id"),
+                      F.col(vec_col).alias("_cvec"), "ivf_cell"))
+    joined = _salted_probe_join(q_cells, corpus, "ivf_cell", "match_id",
+                                bucket_salts)
+    out = _rescore_topk(joined, k)
+    return out
+
+
 def cosine_dedup_pairs(spark: SparkSession, df: DataFrame,
                        threshold: float = 0.95, n_planes: int = 10,
                        id_col: str = "vec_id", vec_col: str = "embedding",

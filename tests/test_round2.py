@@ -399,3 +399,34 @@ def test_dedup_corpus_job_end_to_end(tmp_path):
         - report["near_dups_removed"]
     import glob
     assert glob.glob(f"{out}/*.parquet") and glob.glob(f"{sigs}/*.parquet")
+
+
+# -- persisted IVF index with partition-pruned probing ------------------------
+
+def test_ivf_index_prunes_partitions_and_matches_inline(spark, tmp_path,
+                                                        sf_dir):
+    """ivf_topk_indexed == ivf_topk with the same codebook, AND the
+    probed scan reads only the probed cell partitions (static partition
+    pruning visible in the plan)."""
+    import io
+    from contextlib import redirect_stdout
+    from gopie_spark.operators.similarity import (build_ivf_index,
+                                                  ivf_topk,
+                                                  ivf_topk_indexed)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_idx")
+    cents = build_ivf_index(emb, idx, n_centroids=8)
+    q = emb.filter(F.col("vec_id") < 5)
+    got = ivf_topk_indexed(spark, idx, q, k=5, nprobe=3)
+    want = ivf_topk(spark, emb, q, k=5, nprobe=3, centroids=cents)
+    assert sorted(map(tuple, got.select("query_id", "match_id", "rank")
+                      .collect())) == \
+        sorted(map(tuple, want.select("query_id", "match_id", "rank")
+                   .collect()))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    scan = plan[plan.index("Scan parquet"):]
+    assert "PartitionFilters" in scan
+    assert "ivf_cell" in scan.split("PartitionFilters", 1)[1].split("\n")[0]
