@@ -17,6 +17,8 @@ from gopie_spark.operators.membership import (
 from gopie_spark.operators.similarity import (
     brute_force_topk,
     build_ivf_index,
+    build_lsh_index,
+    lsh_topk_indexed,
     ivf_topk_indexed,
     cosine_dedup_pairs,
     ivf_topk,
@@ -63,6 +65,7 @@ __all__ = [
     "bloom_shards_build", "bloom_shards_filter",
     "brute_force_topk", "lsh_topk", "ivf_topk", "train_ivf_centroids",
     "build_ivf_index", "ivf_topk_indexed",
+    "build_lsh_index", "lsh_topk_indexed",
     "cosine_dedup_pairs",
     "token_count", "bpe_ish_token_count", "quality_features",
     "content_fingerprint", "rolling_fingerprint", "add_lang_id",

@@ -206,15 +206,7 @@ def lsh_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
                 F.col(vec_col).alias("_qvec"), F.col("lsh_bucket"))
     # multiprobe = max Hamming radius of probed buckets (0 = own bucket,
     # 1 = +single-bit flips, 2 = +double-bit flips)
-    probes = [F.col("lsh_bucket")]
-    if multiprobe >= 1:
-        probes += [F.col("lsh_bucket").bitwiseXOR(F.lit(1 << b))
-                   for b in range(n_planes)]
-    if multiprobe >= 2:
-        probes += [F.col("lsh_bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
-                   for i in range(n_planes) for j in range(i + 1, n_planes)]
-    q_probes = (qb.select("query_id", "_qvec",
-                          F.explode(F.array(*probes)).alias("lsh_bucket")))
+    q_probes = _lsh_probe_buckets(qb, n_planes, multiprobe)
     joined = _salted_probe_join(
         q_probes,
         bucketed.select(F.col(id_col).alias("match_id"),
@@ -347,6 +339,67 @@ def ivf_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
                 F.col(vec_col).alias("_qvec"), "ivf_cell")
     joined = _salted_probe_join(q_cells, cells, "ivf_cell", "match_id",
                                 bucket_salts)
+    return _rescore_topk(joined, k)
+
+
+def _lsh_probe_buckets(qb: DataFrame, n_planes: int,
+                       multiprobe: int) -> DataFrame:
+    """Explode each query row to its probed bucket ids (own bucket +
+    bit flips up to Hamming radius ``multiprobe``)."""
+    probes = [F.col("lsh_bucket")]
+    if multiprobe >= 1:
+        probes += [F.col("lsh_bucket").bitwiseXOR(F.lit(1 << b))
+                   for b in range(n_planes)]
+    if multiprobe >= 2:
+        probes += [F.col("lsh_bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                   for i in range(n_planes) for j in range(i + 1, n_planes)]
+    return (qb.select("query_id", "_qvec",
+                      F.explode(F.array(*probes)).alias("lsh_bucket")))
+
+
+def build_lsh_index(corpus: DataFrame, out_dir: str, n_planes: int = 10,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Persist an LSH index: the corpus written
+    ``partitionBy(lsh_bucket)`` under ``<out_dir>/buckets`` (the planes
+    are the fixed-seed family, so no codebook file is needed — only
+    ``n_planes`` must match at probe time, recorded in
+    ``<out_dir>/_n_planes=<H>``).  Keep ``n_planes`` <= ~12: the layout
+    creates 2^H directories, and probing prunes statically to the
+    probed ones (~probes/2^H of the bytes read)."""
+    if n_planes > 14:
+        raise ValueError("n_planes > 14 creates >16k partition dirs; "
+                         "use IVF for finer partitioning")
+    bucketed = add_hyperplane_bucket(corpus, vec_col, n_planes)
+    bucketed.write.mode("overwrite").partitionBy("lsh_bucket") \
+        .parquet(f"{out_dir}/buckets")
+    # record the plane count in the layout (empty marker dir)
+    corpus.sparkSession.createDataFrame([(n_planes,)], "n_planes int") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/meta")
+
+
+def lsh_topk_indexed(spark: SparkSession, index_dir: str,
+                     queries: DataFrame, k: int = 10, multiprobe: int = 2,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     bucket_salts: int = 8) -> DataFrame:
+    """Approximate cosine top-k against a persisted
+    :func:`build_lsh_index`: the probed bucket set statically prunes
+    the partitioned corpus scan.  Same results as :func:`lsh_topk` with
+    the same ``n_planes``/``multiprobe``."""
+    n_planes = spark.read.parquet(f"{index_dir}/meta") \
+        .collect()[0]["n_planes"]
+    qb = add_hyperplane_bucket(queries, vec_col, n_planes) \
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("_qvec"), "lsh_bucket")
+    q_probes = _lsh_probe_buckets(qb, n_planes, multiprobe).persist()
+    probed = sorted({r["lsh_bucket"] for r in
+                     q_probes.select("lsh_bucket").distinct().collect()})
+    corpus = (spark.read.parquet(f"{index_dir}/buckets")
+              .filter(F.col("lsh_bucket").isin(probed))
+              .select(F.col(id_col).alias("match_id"),
+                      F.col(vec_col).alias("_cvec"), "lsh_bucket"))
+    joined = _salted_probe_join(q_probes, corpus, "lsh_bucket",
+                                "match_id", bucket_salts)
     return _rescore_topk(joined, k)
 
 

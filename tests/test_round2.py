@@ -430,3 +430,31 @@ def test_ivf_index_prunes_partitions_and_matches_inline(spark, tmp_path,
     scan = plan[plan.index("Scan parquet"):]
     assert "PartitionFilters" in scan
     assert "ivf_cell" in scan.split("PartitionFilters", 1)[1].split("\n")[0]
+
+
+def test_lsh_index_prunes_partitions_and_matches_inline(spark, tmp_path,
+                                                        sf_dir):
+    import io
+    from contextlib import redirect_stdout
+    from gopie_spark.operators.similarity import (build_lsh_index,
+                                                  lsh_topk,
+                                                  lsh_topk_indexed)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "lsh_idx")
+    build_lsh_index(emb, idx, n_planes=6)
+    q = emb.filter(F.col("vec_id") < 5)
+    got = lsh_topk_indexed(spark, idx, q, k=5, multiprobe=1)
+    want = lsh_topk(spark, emb, q, k=5, n_planes=6, multiprobe=1)
+    assert sorted(map(tuple, got.select("query_id", "match_id", "rank")
+                      .collect())) == \
+        sorted(map(tuple, want.select("query_id", "match_id", "rank")
+                   .collect()))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    pf_lines = [ln for ln in plan.splitlines()
+                if "PartitionFilters" in ln and "lsh_bucket" in ln]
+    assert pf_lines, f"no lsh_bucket PartitionFilters in plan:\n{plan}"
+    with pytest.raises(ValueError):
+        build_lsh_index(emb, idx, n_planes=15)
