@@ -171,9 +171,13 @@ def _q_bloom_membership(spark, sf_dir):
     events = _events(spark, sf_dir)
     clicks = events.filter(F.col("event_type") == "click") \
         .select(F.col("user_id").cast("string").alias("u"))
-    # size by row count (upper bound on distincts): avoids a full distinct
-    # shuffle just for sizing; oversizing only lowers the realized FPR
-    n = max(clicks.count(), 16)
+    # size by the TABLE row count — answered from parquet footer
+    # metadata, so sizing costs no data scan at all (a filtered count
+    # would re-read the column).  It over-sizes by 1/selectivity
+    # (~5x here), which only lowers the realized FPR; when the bound
+    # would not fit one task, the sharded tier (bloom_shards_*) is the
+    # right tool anyway.
+    n = max(events.count(), 16)
     bloom, state = bloom_build(clicks, "u", n=n, p=1e-9)
     users = events.select("user_id").distinct()
     flagged = bloom_filter(spark, bloom, state, users, "user_id",
