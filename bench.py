@@ -43,7 +43,7 @@ def main() -> None:
         "pushsum_mean", "topk_orders", "window_tumbling_counts",
         "dedup_exact_keep", "minhash_lsh_dedup", "simhash_dedup",
         "ann_brute_force", "ann_lsh", "ann_ivf",
-        "token_stats", "quality_scores",
+        "token_stats", "bpe_token_stats", "quality_scores",
         "doc_fingerprints", "lang_id_histogram",
         "cms_token_heavy_hitters", "cms_topk_tokens_per_lang",
         "sliding_window_epoch_counts",
