@@ -14,11 +14,24 @@ centers are the component minima in O(log n) rounds — crucially NOT
 O(diameter), so a 1M-long duplicate chain needs ~20 rounds, not 1M.
 No driver-side per-row work: the driver only runs the (bounded) round
 loop and a tiny convergence checksum per round.
+
+Durability: by default lineage is cut per round with ``localCheckpoint``
+(executor-block storage — fine in local mode and for short jobs).  On a
+real cluster a 20-round job over 10^12-doc edge sets *will* lose an
+executor, and ``localCheckpoint`` blocks have no replica — pass
+``checkpoint_dir`` to round-trip the edge set through reliable storage
+(parquet) every ``checkpoint_every`` rounds instead, and the job both
+survives executor loss (only un-checkpointed rounds recompute) and can
+**resume across driver restarts**: a rerun with the same
+``checkpoint_dir`` picks up from the last completed round's files.
 """
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -49,46 +62,167 @@ def _star(edges: DataFrame, large: bool) -> DataFrame:
     return _canon(out)
 
 
+def _checksum(edges: DataFrame):
+    """(count, xor-of-xxhash64) of the canonical edge set — one tiny
+    partial-aggregable job; equal checksums across rounds => converged
+    (xxhash64 collisions cancelling an edge-set change is ~2^-64)."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("_u", "_v")), F.lit(0))
+        .alias("h")).collect()[0]
+    return (row["n"], row["h"])
+
+
+def _local_union_find(edge_rows) -> dict:
+    """Driver-side union-find (path compression + union-by-min) over a
+    driver-sized edge list; returns {vertex: component-min}.  This is
+    the CC endgame, same logic as a broadcast join: once the edge set
+    fits comfortably on the driver, O(E a(E)) locally beats O(log n)
+    more distributed rounds of pure scheduling latency."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent.get(x, x)
+        return root
+
+    for u, v in edge_rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # label every vertex with its component minimum (roots carry the
+    # min because unions always point the larger root at the smaller)
+    return {x: find(x) for x in
+            set(parent) | {u for u, _ in edge_rows} |
+            {v for _, v in edge_rows}}
+
+
+def _round_path(checkpoint_dir: str, rnd: int) -> str:
+    return f"{checkpoint_dir.rstrip('/')}/round_{rnd:05d}"
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm  # noqa: SLF001 — Hadoop FS handle for any scheme
+    uri = jvm.java.net.URI.create(path)
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    return jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf), jvm
+
+
+def _latest_complete_round(spark, checkpoint_dir: str,
+                           max_iter: int) -> Optional[int]:
+    """Largest round index whose parquet dir has a ``_SUCCESS`` marker
+    (a crashed write leaves no marker, so partial rounds are ignored)."""
+    fs, jvm = _hadoop_fs(spark, checkpoint_dir)
+    best = None
+    for rnd in range(max_iter):
+        ok = jvm.org.apache.hadoop.fs.Path(
+            _round_path(checkpoint_dir, rnd) + "/_SUCCESS")
+        if fs.exists(ok):
+            best = rnd
+    return best
+
+
 def connected_components(pairs: DataFrame, src: str = "id_a",
                          dst: str = "id_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         checkpoint_dir: Optional[str] = None,
+                         checkpoint_every: int = 2,
+                         local_threshold: int = 1 << 16) -> DataFrame:
     """DataFrame[id, component] for every vertex appearing in ``pairs``;
     ``component`` is the smallest id in the vertex's component.
 
     Convergence is detected by a (count, hash-xor) checksum of the
-    canonical edge set — one tiny aggregate per round instead of a full
-    except-join.  Lineage is cut with ``localCheckpoint`` EVERY round:
-    each star round references its input edge set several times (u->v
-    plus v->u views, then a join back onto the neighborhood mins), so an
-    untruncated plan recomputes the previous round per reference and
-    compounds — measured on the sf0.1 chain workload: checkpoint every
-    round 8.1 s, every *2* rounds 115 s (14x), plain ``persist`` did not
-    finish.  ``max_iter`` rounds handle components of ~2^max_iter
-    vertices (log-convergence); hitting the cap raises rather than
-    returning a silently-unfinished clustering.
+    canonical edge set.  Lineage is cut EVERY round: each star round
+    references its input edge set several times (u->v plus v->u views,
+    then a join back onto the neighborhood mins), so an untruncated plan
+    recomputes the previous round per reference and compounds — measured
+    on the sf0.1 chain workload: checkpoint every round 8.1 s, every *2*
+    rounds 115 s (14x), plain ``persist`` did not finish.  The cut is a
+    *lazy* ``localCheckpoint``: the per-round checksum aggregate is then
+    the action that materializes it, so each round costs ONE job (the
+    eager-checkpoint + separate-checksum shape costs two; at toy scale
+    the loop is pure scheduling latency, so halving jobs ~halves wall).
+
+    Durability (cluster mode): with ``checkpoint_dir`` set, every
+    ``checkpoint_every``-th round the edge set is written to parquet and
+    re-read — reliable storage instead of un-replicated executor blocks,
+    so executor loss costs at most ``checkpoint_every`` rounds of
+    recompute instead of the whole job.  Rounds between reliable
+    checkpoints still use ``localCheckpoint``.  A rerun with the same
+    ``checkpoint_dir`` RESUMES from the newest round dir that has a
+    ``_SUCCESS`` marker (crashed writes leave none); pass a fresh dir
+    for a fresh run.  ``max_iter`` rounds handle components of
+    ~2^max_iter vertices (log-convergence); hitting the cap raises
+    rather than returning a silently-unfinished clustering.
+
+    Small-graph endgame: whenever the canonical edge count (free — it
+    is the convergence checksum's count) is <= ``local_threshold``, the
+    remaining closure is finished with driver-side union-find instead
+    of more distributed rounds — the same size-gated logic as a
+    broadcast join (64k edges is <1 MB on the driver, microseconds of
+    union-find, vs ~0.7 s of pure scheduling per distributed round).
+    At cluster scale the loop keeps running distributed until the edge
+    set genuinely shrinks under the bound (it may never — fine); set
+    ``local_threshold=0`` to force the fully-distributed path.
     """
     edges = _canon(pairs.select(F.col(src).alias("_u"),
                                 F.col(dst).alias("_v")))
     verts = (edges.select(F.col("_u").alias("id"))
              .union(edges.select(F.col("_v").alias("id"))).distinct())
-    prev = None
-    for _ in range(max_iter):
+    spark = pairs.sparkSession
+
+    def _finish(labels: DataFrame) -> DataFrame:
+        return (verts.join(labels, "id", "left")
+                .select("id", F.coalesce("component", F.col("id"))
+                        .alias("component")))
+
+    def _finish_local(cur_edges: DataFrame) -> DataFrame:
+        comp = _local_union_find(
+            [(r["_u"], r["_v"]) for r in cur_edges.collect()])
+        id_type = cur_edges.schema["_u"].dataType
+        labels = spark.createDataFrame(
+            list(comp.items()),
+            StructType([StructField("id", id_type, False),
+                        StructField("component", id_type, False)]))
+        return _finish(labels)
+
+    start, prev = 0, None
+    if checkpoint_dir is not None:
+        done = _latest_complete_round(spark, checkpoint_dir, max_iter)
+        if done is not None:
+            edges = spark.read.parquet(_round_path(checkpoint_dir, done))
+            prev = _checksum(edges)
+            start = done + 1
+    if local_threshold:
+        n0 = prev[0] if prev is not None else edges.count()
+        if n0 <= local_threshold:
+            return _finish_local(edges)
+    converged = False
+    for rnd in range(start, max_iter):
         edges = _star(_star(edges, large=True), large=False)
-        edges = edges.localCheckpoint(eager=True)
-        chk = edges.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64("_u", "_v")), F.lit(0))
-            .alias("h")).collect()[0]
-        cur = (chk["n"], chk["h"])
+        reliable = (checkpoint_dir is not None
+                    and rnd % max(checkpoint_every, 1) == 0)
+        if reliable:
+            path = _round_path(checkpoint_dir, rnd)
+            edges.write.mode("overwrite").parquet(path)
+            edges = spark.read.parquet(path)
+        else:
+            # lazy: materialized by the checksum job right below
+            edges = edges.localCheckpoint(eager=False)
+        cur = _checksum(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
-    else:
+        if local_threshold and cur[0] <= local_threshold:
+            return _finish_local(edges)
+    if not converged:
         raise RuntimeError(f"connected_components did not converge in "
                            f"{max_iter} rounds")
     # post-convergence: canonical edges are (component-min, member) stars
     labels = edges.select(F.col("_v").alias("id"),
                           F.col("_u").alias("component"))
-    return (verts.join(labels, "id", "left")
-            .select("id", F.coalesce("component", F.col("id"))
-                    .alias("component")))
+    return _finish(labels)

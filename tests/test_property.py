@@ -217,7 +217,12 @@ def test_cc_matches_union_find(spark, pairs):
     arbitrary random graphs (self-loops and duplicate edges included)."""
     from gopie_spark.operators.graph import connected_components
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    # local_threshold=0 forces the distributed star rounds (the default
+    # small-graph endgame IS a union-find, which would test nothing)
     got = {r["id"]: r["component"]
-           for r in connected_components(df).collect()}
+           for r in connected_components(df, local_threshold=0).collect()}
     want = _uf_components([(a, b) for a, b in pairs if a != b])
     assert got == want
+    got_local = {r["id"]: r["component"]
+                 for r in connected_components(df).collect()}
+    assert got_local == want

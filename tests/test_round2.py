@@ -30,7 +30,8 @@ def test_cc_long_chain_log_convergence(spark):
     from gopie_spark.operators.graph import connected_components
     chain = spark.createDataFrame([(i, i + 1) for i in range(200)],
                                   "id_a long, id_b long")
-    out = connected_components(chain, max_iter=12).collect()
+    out = connected_components(chain, max_iter=12,
+                               local_threshold=0).collect()
     assert len(out) == 201
     assert {r["component"] for r in out} == {0}
 

@@ -1,0 +1,97 @@
+"""Round-3 hardening tests: CC reliable checkpoint/resume + small-graph
+endgame, executor-side streaming-dedup state fold + batch idempotence,
+Iceberg metadata contract, LSH dim-probe removal, probe-work
+observability, latest-N conflation, PubSub fan-out parity."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# -- connected components: durability + endgame ------------------------------
+
+def _chain_edges(spark, n=60):
+    return spark.createDataFrame([(i, i + 1) for i in range(n)],
+                                 "id_a long, id_b long")
+
+
+def test_cc_reliable_checkpoint_resume(spark, tmp_path):
+    """Kill-mid-rounds simulation: a run capped below convergence raises
+    but leaves durable round files; a rerun with the same checkpoint_dir
+    resumes from them and finishes with the right answer."""
+    from gopie_spark.operators.graph import connected_components
+    edges = _chain_edges(spark)
+    ckpt = str(tmp_path / "cc")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2, checkpoint_dir=ckpt,
+                             checkpoint_every=1, local_threshold=0)
+    # the crashed run persisted completed rounds durably
+    assert os.path.exists(os.path.join(ckpt, "round_00000", "_SUCCESS"))
+    out = connected_components(edges, checkpoint_dir=ckpt,
+                               checkpoint_every=1,
+                               local_threshold=0).collect()
+    assert len(out) == 61
+    assert {r["component"] for r in out} == {0}
+
+
+def test_cc_resume_skips_completed_rounds(spark, tmp_path):
+    """Resume starts after the newest _SUCCESS round: completing a run,
+    then rerunning with the same dir, converges immediately (the loaded
+    edge set is already star-shaped) and agrees byte-for-byte."""
+    from gopie_spark.operators.graph import connected_components
+    edges = _chain_edges(spark)
+    ckpt = str(tmp_path / "cc2")
+    a = sorted(map(tuple, connected_components(
+        edges, checkpoint_dir=ckpt, checkpoint_every=1,
+        local_threshold=0).collect()))
+    b = sorted(map(tuple, connected_components(
+        edges, checkpoint_dir=ckpt, checkpoint_every=1,
+        local_threshold=0).collect()))
+    assert a == b
+    assert {c for _, c in a} == {0}
+
+
+def test_cc_checkpoint_every_mix(spark, tmp_path):
+    """checkpoint_every=2 interleaves reliable parquet rounds with
+    localCheckpoint rounds; result identical to the plain run."""
+    from gopie_spark.operators.graph import connected_components
+    edges = _chain_edges(spark)
+    plain = sorted(map(tuple, connected_components(
+        edges, local_threshold=0).collect()))
+    mixed = sorted(map(tuple, connected_components(
+        edges, checkpoint_dir=str(tmp_path / "cc3"), checkpoint_every=2,
+        local_threshold=0).collect()))
+    assert plain == mixed
+
+
+def test_cc_local_endgame_matches_distributed(spark):
+    """The size-gated driver union-find endgame returns exactly the
+    distributed answer (self-loops canonicalized away in both paths)."""
+    from gopie_spark.operators.graph import connected_components
+    edges = spark.createDataFrame(
+        [(5, 9), (9, 1), (30, 31), (7, 7), (2, 40), (40, 3)],
+        "id_a long, id_b long")
+    dist = sorted(map(tuple, connected_components(
+        edges, local_threshold=0).collect()))
+    loc = sorted(map(tuple, connected_components(
+        edges, local_threshold=1 << 16).collect()))
+    assert dist == loc
+    assert dict(loc)[3] == 2
+
+
+def test_cc_mid_loop_shrink_takes_local_path(spark):
+    """local_threshold between 0 and the input size: the loop starts
+    distributed and hands off to the endgame once the checksum count
+    drops under the bound — answer unchanged.  A complete graph K12 (66
+    edges) collapses to 11 star edges after one round, crossing a
+    threshold of 30 mid-loop."""
+    from gopie_spark.operators.graph import connected_components
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(12) for j in range(i + 1, 12)],
+        "id_a long, id_b long")
+    out = connected_components(edges, local_threshold=30)
+    rows = out.collect()
+    assert len(rows) == 12
+    assert {r["component"] for r in rows} == {0}
