@@ -23,6 +23,7 @@ inside a batch.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
@@ -56,24 +57,97 @@ class BloomStreamingDedup:
     Bloom filter across micro-batches; first occurrence (by the min of
     ``order_col``) of each digest survives, later ones are dropped.
 
-    Use via ``stream.writeStream.foreachBatch(d.process_batch)`` — the
-    survivors of each batch are appended to ``out_dir`` as parquet.
-    The filter lives on the driver (KBs..MBs for billions of keys at
-    modest p) and each batch's membership probe is a broadcast of the
-    serialized filter, not a shuffle against all history.
+    Use via ``stream.writeStream.foreachBatch(d.process_batch)`` — each
+    batch's survivors land in ``<out_dir>/batch_id=<N>/`` (parquet;
+    ``spark.read.parquet(out_dir)`` sees them all, plus a ``batch_id``
+    partition column).  The filter lives on the driver (KBs..MBs for
+    billions of keys at modest p); each batch's membership probe is a
+    broadcast of the serialized filter, not a shuffle against history.
+
+    Scale + fault tolerance contracts:
+
+    - **Executor-side state fold**: the batch's new digests are folded
+      into a scalable-Bloom state via the distributed ``global_sketch``
+      partial-merge (per-partition partials, associative level-OR
+      merge); the driver receives ONE serialized filter blob — O(bits)
+      — and merges it into its state.  Never an O(survivors) collect,
+      so a 10^7-row micro-batch costs the driver the same bytes as a
+      10^3-row one.
+    - **Idempotent replay**: Structured Streaming re-invokes
+      ``foreachBatch`` with the same ``batch_id`` after a failure.
+      Output is an overwrite of the batch-id-keyed subdir (replay
+      rewrites, never duplicates), and with ``state_dir`` set the
+      filter is rewound to the newest persisted state with id <
+      ``batch_id`` before reprocessing, so the replay sees exactly the
+      pre-batch filter.  Without ``state_dir``, a replay of an
+      already-folded batch is skipped (its output dir is already
+      written; the in-memory filter cannot rewind).
+    - **Restart resume**: with ``state_dir``, the newest persisted
+      filter is loaded at construction, so a restarted stream drops
+      documents already seen before the restart.  Blobs are written
+      atomically (tmp + rename) per committed batch; point it at
+      driver-local or shared storage as the deployment requires.
     """
 
     def __init__(self, spark, out_dir: str, text_col: str = "text",
                  order_col: str = "doc_id", n0: int = 1 << 16,
-                 p: float = 1e-6):
+                 p: float = 1e-6, state_dir: Optional[str] = None):
         self.spark = spark
         self.out_dir = out_dir
         self.text_col = text_col
         self.order_col = order_col
         self.bloom = BloomScalable(n0=n0, p=p)
+        self.state_dir = state_dir
         self.state = self.bloom.zero()
+        self._state_bid: Optional[int] = None
+        if state_dir is not None:
+            os.makedirs(state_dir, exist_ok=True)
+            self._load_newest_state(before=None)
+
+    # -- persisted filter state ------------------------------------------
+
+    def _blob_path(self, bid: int) -> str:
+        return os.path.join(self.state_dir, f"state_{bid:09d}.blob")
+
+    def _saved_bids(self):
+        import re
+        out = []
+        for name in os.listdir(self.state_dir):
+            m = re.fullmatch(r"state_(\d+)\.blob", name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _load_newest_state(self, before: Optional[int]) -> None:
+        """Restore the newest persisted filter (optionally restricted to
+        batch ids < ``before``); zero state if none qualifies."""
+        bids = [b for b in self._saved_bids()
+                if before is None or b < before]
+        if not bids:
+            self.state = self.bloom.zero()
+            self._state_bid = None
+            return
+        with open(self._blob_path(bids[-1]), "rb") as fh:
+            self.state = self.bloom.deserialize(fh.read())
+        self._state_bid = bids[-1]
+
+    def _save_state(self, bid: int) -> None:
+        tmp = self._blob_path(bid) + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(self.bloom.serialize(self.state))
+        os.replace(tmp, self._blob_path(bid))
+
+    # -- the foreachBatch hook -------------------------------------------
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from gopie_spark.operators.sketch_agg import global_sketch
+
+        if self._state_bid is not None and batch_id <= self._state_bid:
+            if self.state_dir is None:
+                # already folded, cannot rewind in-memory state: the
+                # keyed output dir from the earlier attempt stands
+                return
+            self._load_newest_state(before=batch_id)
         cols = batch_df.columns
         rep = F.struct(F.col(self.order_col),
                        *[F.col(c) for c in cols if c != self.order_col])
@@ -97,13 +171,16 @@ class BloomStreamingDedup:
         survivors = in_batch.filter(~_seen(F.col("_fp")))
         survivors.persist()
         try:
-            survivors.select(*cols).write.mode("append") \
-                .parquet(self.out_dir)
-            # fold this batch's new digests into the filter (driver-side:
-            # the digest list per batch is bounded by the batch size)
-            new_fps = [r["_fp"] for r in survivors.select("_fp").collect()]
-            if new_fps:
-                self.bloom.update(self.state, new_fps)
+            survivors.select(*cols).write.mode("overwrite") \
+                .parquet(f"{self.out_dir}/batch_id={batch_id}")
+            # fold the batch's new digests executor-side: distributed
+            # partial filters, one merged blob back to the driver
+            batch_state = global_sketch(survivors.select("_fp"), "_fp",
+                                        self.bloom)
+            self.state = self.bloom.merge(self.state, batch_state)
+            self._state_bid = batch_id
+            if self.state_dir is not None:
+                self._save_state(batch_id)
         finally:
             survivors.unpersist()
             bc.unpersist()  # one broadcast per batch; don't accumulate

@@ -95,3 +95,94 @@ def test_cc_mid_loop_shrink_takes_local_path(spark):
     rows = out.collect()
     assert len(rows) == 12
     assert {r["component"] for r in rows} == {0}
+
+
+# -- streaming dedup: executor-side fold + idempotence -----------------------
+
+def _doc_batches(spark):
+    """Three batches with cross-batch duplicates (same text => same
+    digest): batch0 {a,b}, batch1 {b,c}, batch2 {a,c,d}."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    return [mk([(1, "alpha"), (2, "beta")]),
+            mk([(3, "beta"), (4, "gamma")]),
+            mk([(5, "alpha"), (6, "gamma"), (7, "delta")])]
+
+
+def test_bloom_streaming_dedup_executor_side_fold(spark, tmp_path,
+                                                  monkeypatch):
+    """The driver never receives O(survivors) rows: every collect()
+    issued during process_batch returns at most one row (the merged
+    filter blob / tiny aggregates), yet dedup is still exact across
+    batches at tiny p."""
+    # patch the concrete class (pyspark.sql.DataFrame is the abstract
+    # base in Spark 4; method lookup resolves on the classic subclass)
+    from pyspark.sql.classic.dataframe import DataFrame
+    from gopie_spark.streaming.dedup import BloomStreamingDedup
+
+    collected_sizes = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    d = BloomStreamingDedup(spark, str(tmp_path / "out"), p=1e-9)
+    for bid, b in enumerate(_doc_batches(spark)):
+        d.process_batch(b, bid)
+    monkeypatch.undo()
+    assert collected_sizes and max(collected_sizes) <= 1
+    got = sorted(r["doc_id"] for r in
+                 spark.read.parquet(str(tmp_path / "out")).collect())
+    assert got == [1, 2, 4, 7]
+
+
+def test_bloom_streaming_dedup_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch replay (same batch_id re-delivered after a failure)
+    neither duplicates output rows nor double-folds state: with
+    state_dir the filter rewinds to the pre-batch blob and the keyed
+    output dir is overwritten."""
+    from gopie_spark.streaming.dedup import BloomStreamingDedup
+
+    batches = _doc_batches(spark)
+    out, st = str(tmp_path / "out"), str(tmp_path / "state")
+    d = BloomStreamingDedup(spark, out, p=1e-9, state_dir=st)
+    d.process_batch(batches[0], 0)
+    d.process_batch(batches[1], 1)
+    d.process_batch(batches[1], 1)  # replay after simulated failure
+    d.process_batch(batches[2], 2)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 4, 7]
+
+
+def test_bloom_streaming_dedup_restart_resumes_state(spark, tmp_path):
+    """A new instance with the same state_dir (driver restart) loads the
+    persisted filter: duplicates of pre-restart docs are dropped."""
+    from gopie_spark.streaming.dedup import BloomStreamingDedup
+
+    batches = _doc_batches(spark)
+    out, st = str(tmp_path / "out"), str(tmp_path / "state")
+    d1 = BloomStreamingDedup(spark, out, p=1e-9, state_dir=st)
+    d1.process_batch(batches[0], 0)
+    d1.process_batch(batches[1], 1)
+    del d1
+    d2 = BloomStreamingDedup(spark, out, p=1e-9, state_dir=st)
+    d2.process_batch(batches[2], 2)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 4, 7]
+
+
+def test_bloom_streaming_dedup_replay_without_state_dir_skips(spark,
+                                                              tmp_path):
+    """Without state_dir the in-memory filter cannot rewind; a replay of
+    an already-folded batch is a no-op (output dir stands, no dupes)."""
+    from gopie_spark.streaming.dedup import BloomStreamingDedup
+
+    batches = _doc_batches(spark)
+    out = str(tmp_path / "out")
+    d = BloomStreamingDedup(spark, out, p=1e-9)
+    d.process_batch(batches[0], 0)
+    d.process_batch(batches[0], 0)  # replay
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2]
