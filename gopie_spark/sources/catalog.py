@@ -46,6 +46,20 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def _metadata_rows(spark: SparkSession, ref: str, kind: str,
+                   columns: str, order: str = "") -> list:
+    """Rows from an Iceberg metadata table (``<ref>.files``,
+    ``<ref>.snapshots``...).  The single seam between the engine's
+    guard/lineage logic and the Iceberg runtime — contract tests inject
+    fixture rows here to exercise the logic JVM-jar-free, and a real
+    deployment hits the actual metadata tables (a metadata read, never
+    a data scan)."""
+    sql = f"SELECT {columns} FROM {ref}.{kind}"
+    if order:
+        sql += f" ORDER BY {order}"
+    return spark.sql(sql).collect()
+
+
 def load_table(spark: SparkSession, ref: str,
                fmt: Optional[str] = None) -> DataFrame:
     """Load a table by reference with an explicit or inferred format.
@@ -94,8 +108,7 @@ def list_data_files(spark: SparkSession, ref: str,
                 "checkpointed builds need a catalog table name "
                 "(catalog.db.table) so the .files metadata table is "
                 "addressable; path-based Iceberg refs are not supported")
-        rows = spark.sql(
-            f"SELECT file_path, content FROM {ref}.files").collect()
+        rows = _metadata_rows(spark, ref, "files", "file_path, content")
         bad = [r["file_path"] for r in rows if r["content"] != 0]
         if bad:
             raise ValueError(
@@ -105,6 +118,8 @@ def list_data_files(spark: SparkSession, ref: str,
         return sorted(r["file_path"] for r in rows)
     import glob
     import os
+    if os.path.isfile(ref):
+        return [ref]
     return sorted(glob.glob(os.path.join(ref, "*.parquet")))
 
 
@@ -115,6 +130,6 @@ def snapshot_identity(spark: SparkSession, ref: str,
     file-list hash)."""
     if (fmt or "").lower() != "iceberg" or not iceberg_available(spark):
         return None
-    row = (spark.sql(f"SELECT snapshot_id FROM {ref}.snapshots "
-                     "ORDER BY committed_at DESC LIMIT 1").collect())
-    return str(row[0][0]) if row else None
+    rows = _metadata_rows(spark, ref, "snapshots", "snapshot_id",
+                          order="committed_at DESC LIMIT 1")
+    return str(rows[0][0]) if rows else None
