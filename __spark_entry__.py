@@ -377,9 +377,12 @@ def _q_minhash_lsh_dedup(spark, sf_dir):
       doc_id < 500 (id_a, id_b, jaccard_e4 — all oracle-verified;
       the 500-doc block is SF-independent and non-empty at every SF);
     - ``lsh_found``: the pair was produced by the banded-LSH blocking
-      with est_jaccard >= 0.85 (recall side; with 32 bands x 4 rows a
-      J>=0.8 pair is missed with prob (1-J^4)^32 < 1e-7, and the fixed
-      hash family makes the outcome deterministic for this input);
+      with est_jaccard >= 0.70 — the row threshold 0.8 minus 3-sigma
+      estimator slack (sigma = sqrt(J(1-J)/128) ~ 0.035 at J=0.8), so a
+      true J>=0.8 pair fails the filter only via a >3-sigma estimator
+      miss, mirroring the slack on the precision side (band-collision
+      misses are separately < 1e-7 with 32 bands x 4 rows, and the
+      fixed hash family makes the outcome deterministic per input);
     - ``precision_ok`` (global): every LSH pair claiming est >= 0.9 is
       in the exact >= 0.75 set (0.9 - 3 x sqrt(J(1-J)/128) estimator
       slack).
@@ -395,7 +398,7 @@ def _q_minhash_lsh_dedup(spark, sf_dir):
     hi = lsh.filter(F.col("est_jaccard") >= 0.9)
     n_bad = (hi.join(exact, ["id_a", "id_b"], "left_anti").count())
     precision_ok = F.lit(n_bad == 0)
-    found = lsh.filter(F.col("est_jaccard") >= 0.85) \
+    found = lsh.filter(F.col("est_jaccard") >= 0.70) \
         .withColumn("_found", F.lit(True)).drop("est_jaccard")
     return (exact.filter(F.col("jaccard") >= 0.8)
             .join(found, ["id_a", "id_b"], "left")
@@ -477,14 +480,17 @@ def _ann_recall_cert(spark, sf_dir, approx_fn,
              .join(hits, "query_id", "left")
              .select("query_id",
                      F.coalesce("n_hit", F.lit(0)).alias("n_hit")))
-    per_q.cache()
-    tot = per_q.agg(F.sum("n_hit").alias("t"), F.count("*").alias("q")) \
-        .collect()[0]
-    global_ok = tot["t"] >= min_global_recall * 5 * tot["q"]
-    return (per_q.select(
-        "query_id",
-        ((F.col("n_hit") >= min_query_recall * 5) & F.lit(bool(global_ok)))
-        .alias("within_bound")).orderBy("query_id"))
+    # single action: collect the query-set-sized frame (10 rows) and
+    # derive both the global and per-query verdicts from it — no cache
+    # left behind in a long-lived session
+    rows = per_q.collect()
+    tot = sum(r["n_hit"] for r in rows)
+    global_ok = tot >= min_global_recall * 5 * len(rows)
+    return spark.createDataFrame(
+        [(r["query_id"],
+          bool(r["n_hit"] >= min_query_recall * 5 and global_ok))
+         for r in sorted(rows, key=lambda r: r["query_id"])],
+        "query_id long, within_bound boolean").orderBy("query_id")
 
 
 def _q_ann_lsh(spark, sf_dir):
@@ -810,6 +816,13 @@ def _q_lang_id_agreement(spark, sf_dir):
       the prediction histogram over `documents` covers exactly
       count(*) rows (no row dropped/duplicated by the batch path);
     - anchors: per-lang doc counts, independently recomputed by DuckDB.
+
+    ONE corpus text pass total: the (lang, lang_pred) contingency cells
+    give both the per-lang anchor counts (sum over lang_pred) and the
+    row-conservation total (grand sum) — grouping must reference
+    ``lang_pred`` or Catalyst prunes the UDF and the check is vacuous.
+    ``docs.count()`` is answered from parquet footer metadata, not a
+    text scan.
     """
     from gopie_spark.operators.textstats import _LANG_PROFILES, add_lang_id
     planted = spark.createDataFrame(
@@ -819,14 +832,17 @@ def _q_lang_id_agreement(spark, sf_dir):
     pred = add_lang_id(planted).collect()
     planted_ok = all(r["lang_pred"] == r["true_lang"] for r in pred)
     docs = _docs(spark, sf_dir)
-    hist_total = (add_lang_id(docs).groupBy("lang_pred")
-                  .agg(F.count("*").alias("n"))
-                  .agg(F.sum("n").alias("t")).collect()[0]["t"])
+    cells = (add_lang_id(docs).groupBy("lang", "lang_pred")
+             .agg(F.count("*").alias("n")).collect())
+    hist_total = sum(c["n"] for c in cells)
     n_docs = docs.count()
-    ok = F.lit(bool(planted_ok) and hist_total == n_docs)
-    return (docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
-            .select("lang", "n_docs", ok.alias("heuristic_ok"))
-            .orderBy("lang"))
+    ok = bool(planted_ok) and hist_total == n_docs
+    per_lang: dict = {}
+    for c in cells:
+        per_lang[c["lang"]] = per_lang.get(c["lang"], 0) + c["n"]
+    return spark.createDataFrame(
+        [(lang, n, ok) for lang, n in sorted(per_lang.items())],
+        "lang string, n_docs long, heuristic_ok boolean").orderBy("lang")
 
 
 def _q_hll_intersect(spark, sf_dir):
@@ -877,8 +893,11 @@ def _q_bloom_counting_remove_dist(spark, sf_dir):
     n = users.count()
     bf = BloomCounting.from_guess(max(n, 64), 1e-9)
     added = global_sketch(users, "u", bf)
+    # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+    # odd id would silently diverge from the oracle's `user_id % 2 = 0`
     removed = global_sketch(
-        users.filter(F.col("u").cast("long") % 2 == 1), "u", bf)
+        users.filter(F.pmod(F.col("u").cast("long"), F.lit(2)) == 1),
+        "u", bf)
     state = bf.subtract(added, removed)
     # probe distributed: the generic bloom_filter semi-join broadcasts
     # the post-removal state; no driver-side membership loop

@@ -119,25 +119,34 @@ def _batch_matrix(rb, vec_idx: int) -> np.ndarray:
 
 def add_hyperplane_bucket(df: DataFrame, vec_col: str = "embedding",
                           n_planes: int = 12,
-                          out_col: str = "lsh_bucket") -> DataFrame:
+                          out_col: str = "lsh_bucket",
+                          dim: Optional[int] = None) -> DataFrame:
     """Random-hyperplane LSH bucket id (int64) per vector — deterministic
     fixed-seed planes so buckets are stable across jobs/runs.  mapInArrow:
     the embedding matrix comes straight from the Arrow values buffer
-    (one reshape + one BLAS matmul per batch)."""
+    (one reshape + one BLAS matmul per batch).
+
+    The vector dimension is learned lazily from each task's first Arrow
+    batch (the fixed seed makes every task derive identical planes), so
+    building the expression schedules NO extra Spark job — pass ``dim``
+    only to pin it explicitly (e.g. schema metadata already knows it)."""
     import pyarrow as pa
 
-    dim = len(df.select(vec_col).first()[0])
-    planes = _planes(dim, n_planes)
     schema = StructType(df.schema.fields +
                         [StructField(out_col, LongType(), False)])
     vec_idx = df.columns.index(vec_col)
     weights = (1 << np.arange(n_planes, dtype=np.int64))
+    pinned = _planes(dim, n_planes) if dim is not None else None
 
     def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        planes = pinned
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            bits = (_batch_matrix(rb, vec_idx) @ planes.T) > 0
+            mat = _batch_matrix(rb, vec_idx)
+            if planes is None:
+                planes = _planes(mat.shape[1], n_planes)
+            bits = (mat @ planes.T) > 0
             bucket = bits @ weights
             yield pa.RecordBatch.from_arrays(
                 list(rb.columns) + [pa.array(bucket, type=pa.int64())],
@@ -363,17 +372,18 @@ def build_lsh_index(corpus: DataFrame, out_dir: str, n_planes: int = 10,
     """Persist an LSH index: the corpus written
     ``partitionBy(lsh_bucket)`` under ``<out_dir>/buckets`` (the planes
     are the fixed-seed family, so no codebook file is needed — only
-    ``n_planes`` must match at probe time, recorded in
-    ``<out_dir>/_n_planes=<H>``).  Keep ``n_planes`` <= ~12: the layout
-    creates 2^H directories, and probing prunes statically to the
-    probed ones (~probes/2^H of the bytes read)."""
+    ``n_planes`` must match at probe time, recorded as a one-row
+    parquet at ``<out_dir>/meta``, which :func:`lsh_topk_indexed`
+    reads).  Keep ``n_planes`` <= ~12: the layout creates 2^H
+    directories, and probing prunes statically to the probed ones
+    (~probes/2^H of the bytes read)."""
     if n_planes > 14:
         raise ValueError("n_planes > 14 creates >16k partition dirs; "
                          "use IVF for finer partitioning")
     bucketed = add_hyperplane_bucket(corpus, vec_col, n_planes)
     bucketed.write.mode("overwrite").partitionBy("lsh_bucket") \
         .parquet(f"{out_dir}/buckets")
-    # record the plane count in the layout (empty marker dir)
+    # record the plane count as a one-row parquet under <out_dir>/meta
     corpus.sparkSession.createDataFrame([(n_planes,)], "n_planes int") \
         .coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/meta")
 
@@ -391,7 +401,11 @@ def lsh_topk_indexed(spark: SparkSession, index_dir: str,
     qb = add_hyperplane_bucket(queries, vec_col, n_planes) \
         .select(F.col(id_col).alias("query_id"),
                 F.col(vec_col).alias("_qvec"), "lsh_bucket")
-    q_probes = _lsh_probe_buckets(qb, n_planes, multiprobe).persist()
+    # the probe set is query-sized: localCheckpoint materializes it once
+    # (for the distinct-collect AND the join) without leaving a cached
+    # frame registered for the rest of a long-lived session
+    q_probes = _lsh_probe_buckets(qb, n_planes, multiprobe) \
+        .localCheckpoint(eager=False)
     probed = sorted({r["lsh_bucket"] for r in
                      q_probes.select("lsh_bucket").distinct().collect()})
     corpus = (spark.read.parquet(f"{index_dir}/buckets")
@@ -445,7 +459,9 @@ def ivf_topk_indexed(spark: SparkSession, index_dir: str,
     q_cells = add_ivf_cell(queries, cents, vec_col, nprobe=nprobe) \
         .select(F.col(id_col).alias("query_id"),
                 F.col(vec_col).alias("_qvec"), "ivf_cell")
-    q_cells = q_cells.persist()
+    # query-sized; localCheckpoint instead of persist so nothing stays
+    # registered in the session cache after the probe returns
+    q_cells = q_cells.localCheckpoint(eager=False)
     probed = sorted({r["ivf_cell"] for r in
                      q_cells.select("ivf_cell").distinct().collect()})
     corpus = (spark.read.parquet(f"{index_dir}/cells")

@@ -186,3 +186,40 @@ def test_bloom_streaming_dedup_replay_without_state_dir_skips(spark,
     d.process_batch(batches[0], 0)  # replay
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2]
+
+
+# -- LSH: no driver dim-probe job --------------------------------------------
+
+def test_add_hyperplane_bucket_schedules_no_job(spark):
+    """Building the bucketed frame (and the full lsh_topk plan) must
+    schedule ZERO Spark jobs before an action — the vector dim is
+    learned lazily from each task's first Arrow batch, not via a
+    driver-side first()/collect probe."""
+    from gopie_spark.operators.similarity import (add_hyperplane_bucket,
+                                                  lsh_topk)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sc = spark.sparkContext
+    sc.setJobGroup("lsh-build-probe", "no jobs expected")
+    try:
+        bucketed = add_hyperplane_bucket(emb, n_planes=6, vec_col="embedding")
+        _plan = lsh_topk(spark, emb, emb.filter("vec_id < 3"), k=3,
+                         n_planes=4, multiprobe=1, vec_col="embedding")
+        jobs = sc.statusTracker().getJobIdsForGroup("lsh-build-probe")
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(jobs) == []
+    assert "lsh_bucket" in bucketed.columns
+
+
+def test_lazy_dim_buckets_match_pinned_dim(spark):
+    """Lazy per-task dim inference produces byte-identical buckets to an
+    explicitly pinned dim (fixed-seed planes are a pure function of
+    (dim, n_planes))."""
+    from gopie_spark.operators.similarity import add_hyperplane_bucket
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    lazy = {r["vec_id"]: r["lsh_bucket"] for r in
+            add_hyperplane_bucket(emb, n_planes=8).collect()}
+    pinned = {r["vec_id"]: r["lsh_bucket"] for r in
+              add_hyperplane_bucket(emb, n_planes=8, dim=dim).collect()}
+    assert lazy == pinned and len(lazy) > 0
