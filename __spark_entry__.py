@@ -936,6 +936,24 @@ def _q_cc_components(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_latest_n_events(spark, sf_dir):
+    """Latest-N conflation (the reference's ``latest.NewN`` newest-N
+    ring, /root/reference/pkg/latest/latest.go:34-66, as a keyed top-N):
+    the newest 3 events per user by ts via streaming/conflate.py's
+    ``latest_n`` — a two-level salted capped aggregation (bounded
+    buffers, partial-aggregable, no per-key window sort).  Ties in ts
+    break by the remaining columns descending (event_id first), which
+    the SQL oracle mirrors with row_number ORDER BY ts DESC,
+    event_id DESC."""
+    from gopie_spark.streaming.conflate import latest_n
+    ev = _events(spark, sf_dir)
+    out = latest_n(ev, ["user_id"], "ts", 3)
+    return (out.select("user_id", "event_id",
+                       F.unix_micros(F.col("ts").cast("timestamp"))
+                       .alias("ts_us"))
+            .orderBy("user_id", F.desc("ts_us"), "event_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_distinct_global": _q_hll_distinct_global,
@@ -981,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_multi_key": _q_sort_multi_key,
         "hll_intersect": _q_hll_intersect,
         "cc_components": _q_cc_components,
+        "latest_n_events": _q_latest_n_events,
     }
 
 
@@ -1174,6 +1193,15 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) OVER (PARTITION BY lang, source)
                        AS component_root
             FROM documents ORDER BY doc_id
+        """,
+        "latest_n_events": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM (
+                SELECT user_id, event_id, ts,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC,
+                                                   event_id DESC) AS rn
+                FROM events) WHERE rn <= 3
+            ORDER BY user_id, ts_us DESC, event_id
         """,
         "ann_brute_force": """
             WITH q AS (

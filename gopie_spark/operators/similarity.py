@@ -504,3 +504,69 @@ def cosine_dedup_pairs(spark: SparkSession, df: DataFrame,
     return (pairs.withColumn("cosine", dot / (na * nb))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine").distinct())
+
+
+def probe_work_stats(corpus_bucketed: DataFrame, probes: DataFrame,
+                     bucket_col: str,
+                     bucket_salts: int = 8) -> DataFrame:
+    """Skew observability for the ANN probe join — the similarity-tier
+    twin of the dedup tier's ``bucket_cap_stats``: ONE row with
+
+    - ``n_cells`` / ``max_cell_size`` / ``total_rows``: corpus bucket
+      histogram (a viral cell shows up as max_cell_size >> total/n);
+    - ``n_probed_cells``: how many cells this probe set actually hits;
+    - ``rescore_rows``: total candidate rows the exact-rescoring stage
+      will score (sum over cells of |cell| x probes-in-cell);
+    - ``max_task_rescore_rows``: the largest per-task share AFTER
+      salting (max over cells of ceil(|cell| / bucket_salts) x probes)
+      — the number that decides whether one straggler task burns a day
+      at 100 TB.  If it is >> rescore_rows / tasks, raise
+      ``bucket_salts`` (or n_planes / n_centroids) BEFORE running the
+      probe, not after.
+
+    Feed it the same frames the probe join consumes:
+    ``add_hyperplane_bucket(corpus)`` + the exploded query probes for
+    LSH, or ``add_ivf_cell(corpus, cents)`` + ``add_ivf_cell(queries,
+    cents, nprobe=...)`` for IVF.  Cost: two partial-aggregable
+    groupBys, no join against the corpus rows themselves."""
+    sizes = corpus_bucketed.groupBy(bucket_col) \
+        .agg(F.count("*").alias("_sz"))
+    per_probe = probes.groupBy(bucket_col) \
+        .agg(F.count("*").alias("_np"))
+    j = sizes.join(per_probe, bucket_col, "left") \
+        .withColumn("_np", F.coalesce("_np", F.lit(0)))
+    task_rows = (F.ceil(F.col("_sz") / F.lit(max(bucket_salts, 1)))
+                 * F.col("_np"))
+    return j.agg(
+        F.count("*").alias("n_cells"),
+        F.max("_sz").alias("max_cell_size"),
+        F.sum("_sz").alias("total_rows"),
+        F.sum((F.col("_np") > 0).cast("long")).alias("n_probed_cells"),
+        F.sum(F.col("_sz") * F.col("_np")).alias("rescore_rows"),
+        F.max(task_rows).alias("max_task_rescore_rows"))
+
+
+def lsh_probe_stats(corpus: DataFrame, queries: DataFrame,
+                    n_planes: int = 10, multiprobe: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    bucket_salts: int = 8) -> DataFrame:
+    """:func:`probe_work_stats` for the exact frames :func:`lsh_topk`
+    would join with these parameters."""
+    bucketed = add_hyperplane_bucket(corpus, vec_col, n_planes)
+    qb = add_hyperplane_bucket(queries, vec_col, n_planes) \
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("_qvec"), "lsh_bucket")
+    q_probes = _lsh_probe_buckets(qb, n_planes, multiprobe)
+    return probe_work_stats(bucketed, q_probes, "lsh_bucket",
+                            bucket_salts)
+
+
+def ivf_probe_stats(corpus: DataFrame, queries: DataFrame,
+                    centroids: np.ndarray, nprobe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    bucket_salts: int = 8) -> DataFrame:
+    """:func:`probe_work_stats` for the exact frames :func:`ivf_topk`
+    would join with this codebook."""
+    cells = add_ivf_cell(corpus, centroids, vec_col)
+    q_cells = add_ivf_cell(queries, centroids, vec_col, nprobe=nprobe)
+    return probe_work_stats(cells, q_cells, "ivf_cell", bucket_salts)

@@ -138,3 +138,29 @@ def windowed_stream_counts(stream_df: DataFrame, ts_col: str,
     return (stream_df.withWatermark(ts_col, watermark)
             .groupBy(win.alias("window"), *list(keys))
             .agg(F.count("*").alias("n")))
+
+
+def fanout_foreach_batch(subscriptions):
+    """One-topic / N-subscription fan-out (pubsub parity: the reference
+    topic loop hands every message to every live subscription,
+    /root/reference/pkg/pubsub/pubsub.go:218-246).
+
+    ``subscriptions`` is a sequence of ``fn(batch_df, batch_id)``
+    callables; the returned function is a single ``foreachBatch`` hook
+    that delivers each micro-batch to every subscription.  One source
+    read per batch — attaching N separate writeStream queries to the
+    same source would re-read (and for file sources, re-plan) the data
+    N times; the fan-out happens after the read, exactly like the
+    reference's in-process dispatch.  A persisted batch frame keeps the
+    N deliveries from recomputing the source lineage."""
+    subs = list(subscriptions)
+
+    def hook(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for fn in subs:
+                fn(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return hook

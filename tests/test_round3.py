@@ -223,3 +223,142 @@ def test_lazy_dim_buckets_match_pinned_dim(spark):
     pinned = {r["vec_id"]: r["lsh_bucket"] for r in
               add_hyperplane_bucket(emb, n_planes=8, dim=dim).collect()}
     assert lazy == pinned and len(lazy) > 0
+
+
+# -- latest-N conflation -----------------------------------------------------
+
+def test_latest_n_matches_window_plan(spark):
+    """Two-level capped latest_n == the window row_number reference plan,
+    including a hot key and ties in the order column."""
+    from pyspark.sql import Window
+    from gopie_spark.streaming.conflate import latest_n
+    rows = [(1, t, f"v{t}") for t in range(50)]          # hot key
+    rows += [(2, 5, "a"), (2, 5, "b"), (2, 3, "c")]       # ties on t=5
+    rows += [(3, 9, "z")]                                 # under-full key
+    df = spark.createDataFrame(rows, "k long, t long, v string")
+    got = sorted(map(tuple, latest_n(df, ["k"], "t", 3).collect()))
+    w = Window.partitionBy("k").orderBy(F.desc("t"), F.desc("v"))
+    want = sorted(map(tuple, df.withColumn("_rn", F.row_number().over(w))
+                      .filter(F.col("_rn") <= 3).drop("_rn").collect()))
+    assert got == want
+    assert len(got) == 3 + 3 + 1
+
+
+def test_latest_n_conflate_streaming_equals_batch(spark, tmp_path):
+    """LatestNConflate over micro-batches == latest_n over the union —
+    the conflation is associative, so batch boundaries are invisible."""
+    from gopie_spark.streaming.conflate import LatestNConflate, latest_n
+    b0 = spark.createDataFrame([(1, 1, "a"), (1, 2, "b"), (2, 1, "x")],
+                               "k long, t long, v string")
+    b1 = spark.createDataFrame([(1, 3, "c"), (2, 0, "y"), (3, 7, "q")],
+                               "k long, t long, v string")
+    b2 = spark.createDataFrame([(1, 9, "d"), (1, 0, "e")],
+                               "k long, t long, v string")
+    conf = LatestNConflate(spark, ["k"], "t", 2,
+                           str(tmp_path / "state"))
+    for bid, b in enumerate([b0, b1, b2]):
+        conf.process_batch(b, bid)
+    got = sorted(map(tuple, conf.current().collect()))
+    want = sorted(map(tuple, latest_n(
+        b0.unionByName(b1).unionByName(b2), ["k"], "t", 2).collect()))
+    assert got == want
+
+
+# -- pubsub fan-out parity ---------------------------------------------------
+
+def test_fanout_n_subscriptions_parity(spark, tmp_path):
+    """One rate-limited source, N foreachBatch subscriptions (the
+    reference topic hands every message to every subscription): each
+    sink's drained output equals the batch run of the same pipeline."""
+    from gopie_spark.streaming.microbatch import fanout_foreach_batch
+
+    src = str(tmp_path / "src")
+    docs = spark.createDataFrame(
+        [(i, f"doc {i % 7}") for i in range(60)],
+        "doc_id long, text string")
+    for f in range(3):  # 3 files -> maxFilesPerTrigger=1 gives 3 batches
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == f) \
+            .coalesce(1).write.mode("overwrite").parquet(f"{src}/p{f}")
+    static = spark.read.parquet(f"{src}/p*")
+
+    sink_dirs = [str(tmp_path / f"sink{i}") for i in range(3)]
+
+    def mk_sink(path, transform):
+        def sink(batch_df, batch_id):
+            transform(batch_df).write.mode("append").parquet(path)
+        return sink
+
+    transforms = [
+        lambda df: df,                                         # raw copy
+        lambda df: df.filter(F.col("doc_id") % 2 == 0),        # filter
+        lambda df: df.groupBy("text").agg(                     # per-batch agg
+            F.count("*").alias("n")),
+    ]
+    sinks = [mk_sink(d, t) for d, t in zip(sink_dirs, transforms)]
+
+    stream = spark.readStream.schema(static.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(f"{src}/p*")
+    q = (stream.writeStream
+         .foreachBatch(fanout_foreach_batch(sinks))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # sink 0/1: row-level parity with the batch run
+    got0 = sorted(map(tuple, spark.read.parquet(sink_dirs[0]).collect()))
+    assert got0 == sorted(map(tuple, static.collect()))
+    got1 = sorted(map(tuple, spark.read.parquet(sink_dirs[1]).collect()))
+    assert got1 == sorted(map(tuple,
+                              static.filter(F.col("doc_id") % 2 == 0)
+                              .collect()))
+    # sink 2: per-batch aggregates re-aggregate to the batch answer
+    got2 = spark.read.parquet(sink_dirs[2]).groupBy("text") \
+        .agg(F.sum("n").alias("n"))
+    want2 = static.groupBy("text").agg(F.count("*").alias("n"))
+    assert sorted(map(tuple, got2.collect())) \
+        == sorted(map(tuple, want2.collect()))
+
+
+# -- ANN probe-work observability --------------------------------------------
+
+def test_probe_work_stats_sees_planted_viral_cell(spark):
+    """A planted viral bucket (90% of the corpus in one cell) must show
+    up in max_cell_size, and max_task_rescore_rows must reflect the
+    post-salting per-task bound (~ceil(viral/salts) x probes), not the
+    whole cell."""
+    import math
+    from gopie_spark.operators.similarity import probe_work_stats
+    n, viral = 1000, 900
+    corpus = spark.createDataFrame(
+        [(i, 0 if i < viral else 1 + i % 7) for i in range(n)],
+        "vec_id long, cell long")
+    probes = spark.createDataFrame(
+        [(100 + q, c) for q in range(4) for c in (0, 1)],
+        "query_id long, cell long")
+    row = probe_work_stats(corpus, probes, "cell", bucket_salts=8) \
+        .collect()[0]
+    assert row["max_cell_size"] == viral
+    assert row["total_rows"] == n
+    assert row["n_probed_cells"] == 2
+    # 4 probes hit the viral cell; per-task bound is ceil(900/8)*4
+    assert row["max_task_rescore_rows"] == math.ceil(viral / 8) * 4
+    # total rescore work = 4 probes x (viral cell + cell 1's members)
+    cell1 = sum(1 for i in range(viral, n) if 1 + i % 7 == 1)
+    assert row["rescore_rows"] == 4 * (viral + cell1)
+
+
+def test_lsh_and_ivf_probe_stats_run_on_real_embeddings(spark):
+    """The convenience wrappers produce one coherent stats row on the
+    real embeddings table with the same params the probes use."""
+    from gopie_spark.operators.similarity import (ivf_probe_stats,
+                                                  lsh_probe_stats,
+                                                  train_ivf_centroids)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    r1 = lsh_probe_stats(emb, q, n_planes=4, multiprobe=1).collect()[0]
+    assert r1["n_probed_cells"] >= 1
+    assert r1["max_task_rescore_rows"] <= r1["rescore_rows"]
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    r2 = ivf_probe_stats(emb, q, cents, nprobe=2).collect()[0]
+    assert r2["total_rows"] == emb.count()
+    assert r2["n_probed_cells"] >= 1
