@@ -92,7 +92,21 @@ class LatestNConflate:
             return None
         return self.spark.read.parquet(self._current)
 
+    def committed_batch_id(self) -> Optional[int]:
+        marker = os.path.join(self._current, "_batch_id")
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as fh:
+            return int(fh.read().strip())
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # replay guard: a re-delivered batch would union its rows into
+        # the state a second time and the newest-N would hold duplicate
+        # rows — the batch id commits atomically with the state (marker
+        # written into the tmp dir before the swap) and replays skip
+        last = self.committed_batch_id()
+        if last is not None and batch_id <= last:
+            return
         conflated = latest_n(batch_df, self.keys, self.order_col, self.n)
         prev = self.current()
         if prev is not None:
@@ -100,6 +114,8 @@ class LatestNConflate:
                                  self.keys, self.order_col, self.n)
         tmp = os.path.join(self.state_dir, f"_tmp_batch_{batch_id}")
         conflated.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_batch_id"), "w") as fh:
+            fh.write(str(batch_id))
         bak = os.path.join(self.state_dir, f"_old_{batch_id}")
         if os.path.exists(self._current):
             os.rename(self._current, bak)

@@ -32,7 +32,14 @@ class StreamingSketch:
     (keys..., state) — the Latest-conflated running sketch.  Each
     micro-batch merges (previous state ∪ batch partials) per key and
     atomically replaces it.
-    """
+
+    Replay safety: Structured Streaming re-invokes ``foreachBatch``
+    with the same ``batch_id`` after a failure.  Register-max sketches
+    (HLL, Bloom) merge idempotently, but counter sketches (CMS,
+    t-digest, KLL) would DOUBLE-COUNT a replayed batch — so the batch
+    id rides inside the state dir (an ``_batch_id`` marker written into
+    the tmp dir *before* the atomic swap, so state and marker commit
+    together) and an already-committed batch id is skipped."""
 
     def __init__(self, spark: SparkSession, sketch, keys: Sequence[str],
                  value_col: str, state_dir: str):
@@ -52,8 +59,20 @@ class StreamingSketch:
             return None
         return self.spark.read.parquet(self._current)
 
+    def committed_batch_id(self) -> Optional[int]:
+        """Batch id of the newest committed state (None before the
+        first); parquet readers ignore the underscore marker file."""
+        marker = os.path.join(self._current, "_batch_id")
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as fh:
+            return int(fh.read().strip())
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch hook: merge this micro-batch into the running state."""
+        last = self.committed_batch_id()
+        if last is not None and batch_id <= last:
+            return  # replayed batch: state already includes it
         partials = build_partials(batch_df, self.keys, self.value_col,
                                   self.sketch)
         prev = self.current_states()
@@ -62,6 +81,8 @@ class StreamingSketch:
         merged = merge_partials(partials, self.keys, self.sketch)
         tmp = os.path.join(self.state_dir, f"_tmp_batch_{batch_id}")
         merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_batch_id"), "w") as fh:
+            fh.write(str(batch_id))
         # atomic swap (rename) so readers never see a half-written state
         bak = os.path.join(self.state_dir, f"_old_{batch_id}")
         if os.path.exists(self._current):

@@ -362,3 +362,43 @@ def test_lsh_and_ivf_probe_stats_run_on_real_embeddings(spark):
     r2 = ivf_probe_stats(emb, q, cents, nprobe=2).collect()[0]
     assert r2["total_rows"] == emb.count()
     assert r2["n_probed_cells"] >= 1
+
+
+# -- streaming replay guards (StreamingSketch / LatestNConflate) -------------
+
+def test_streaming_sketch_replay_does_not_double_count(spark, tmp_path):
+    """foreachBatch replay with a counter sketch (CMS — NOT idempotent
+    under re-merge, unlike HLL's register max) must leave the committed
+    state byte-identical; the next new batch still applies."""
+    from gopie_spark.kernels import CMS
+    from gopie_spark.operators.sketch_agg import STATE_COL
+    from gopie_spark.streaming.microbatch import StreamingSketch
+
+    b0 = spark.createDataFrame([("a",), ("a",), ("b",)], "v string")
+    b1 = spark.createDataFrame([("a",), ("c",)], "v string")
+    cms = CMS(width=64, depth=3)
+    ss = StreamingSketch(spark, cms, [], "v", str(tmp_path / "st"))
+    ss.process_batch(b0, 0)
+    blob_after_0 = bytes(ss.current_states().collect()[0][STATE_COL])
+    ss.process_batch(b0, 0)  # replay after simulated failure
+    assert bytes(ss.current_states().collect()[0][STATE_COL]) \
+        == blob_after_0
+    assert ss.committed_batch_id() == 0
+    ss.process_batch(b1, 1)
+    st = cms.deserialize(
+        bytes(ss.current_states().collect()[0][STATE_COL]))
+    assert cms.estimate(st, ["a"])[0] == 3  # 2 from b0 + 1 from b1, once
+    assert ss.committed_batch_id() == 1
+
+
+def test_latest_n_conflate_replay_no_duplicate_rows(spark, tmp_path):
+    """Replaying a conflation batch must not union its rows into the
+    ring twice (newest-N would then hold duplicate rows)."""
+    from gopie_spark.streaming.conflate import LatestNConflate
+    b0 = spark.createDataFrame([(1, 9, "x"), (1, 8, "y")],
+                               "k long, t long, v string")
+    conf = LatestNConflate(spark, ["k"], "t", 2, str(tmp_path / "st"))
+    conf.process_batch(b0, 0)
+    conf.process_batch(b0, 0)  # replay
+    got = sorted(map(tuple, conf.current().collect()))
+    assert got == [(1, 8, "y"), (1, 9, "x")]
