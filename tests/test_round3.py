@@ -402,3 +402,39 @@ def test_latest_n_conflate_replay_no_duplicate_rows(spark, tmp_path):
     conf.process_batch(b0, 0)  # replay
     got = sorted(map(tuple, conf.current().collect()))
     assert got == [(1, 8, "y"), (1, 9, "x")]
+
+
+def test_bloom_streaming_dedup_real_stream(spark, tmp_path):
+    """BloomStreamingDedup attached to a real file stream (availableNow,
+    maxFilesPerTrigger=1) drains to exactly the FIRST-SEEN-in-stream-
+    order survivors (streaming dedup keeps the first arrival of each
+    digest, unlike batch exact_dedup's global min) — exercises the
+    foreachBatch wiring, not just direct calls."""
+    from gopie_spark.streaming.dedup import BloomStreamingDedup
+
+    docs = [(i, f"text {i % 11}") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    for f in range(4):
+        df.filter(F.pmod(F.col("doc_id"), F.lit(4)) == f).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{src}/p{f}")
+    static = spark.read.parquet(f"{src}/p*")
+    # first occurrence per digest in (batch index, doc_id) stream order
+    seen, want = set(), []
+    for i, text in sorted(docs, key=lambda d: (d[0] % 4, d[0])):
+        if text not in seen:
+            seen.add(text)
+            want.append(i)
+    want = sorted(want)
+
+    out = str(tmp_path / "out")
+    d = BloomStreamingDedup(spark, out, p=1e-9,
+                            state_dir=str(tmp_path / "state"))
+    stream = spark.readStream.schema(static.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(f"{src}/p*")
+    q = (stream.writeStream.foreachBatch(d.process_batch)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == want
