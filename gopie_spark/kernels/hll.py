@@ -127,11 +127,30 @@ class HLL:
 
     # -- codec ---------------------------------------------------------------
     def serialize(self, state: np.ndarray) -> bytes:
-        return codec.pack(codec.KIND_HLL, [
-            (1, np.uint32(self.p).tobytes()),
-            (2, np.ascontiguousarray(state).tobytes()),
-            (3, self.hash_name.encode()),
-        ])
+        """Adaptive dense/sparse encoding (HLL++-style sparse mode,
+        public literature): when few registers are set — the norm for
+        PARTIAL states under high-group-cardinality aggregation, e.g.
+        per-window sketches where each (partition, window) partial saw
+        ~hundreds of values against 2^p registers — emit (index, rank)
+        entries packed ``idx << 6 | rank`` in one uint32 each, instead
+        of the full 2^p register array.  At p=14 a 150-value partial is
+        ~0.6 KB sparse vs 16.4 KB dense (~25x fewer shuffle bytes; the
+        partial-blob shuffle is THE cost of grouped sketch aggregation
+        at cluster scale).  Chosen per state by whichever is smaller,
+        so the encoding is a pure function of the registers — equal
+        states serialize byte-equal regardless of build path — and
+        ``deserialize`` reads both (old dense blobs stay valid)."""
+        regs = np.ascontiguousarray(state)
+        nz = np.flatnonzero(regs)
+        fields = [(1, np.uint32(self.p).tobytes())]
+        if 4 * len(nz) < self.m:
+            packed = (nz.astype(np.uint32) << np.uint32(6)) \
+                | regs[nz].astype(np.uint32)
+            fields.append((4, packed.tobytes()))
+        else:
+            fields.append((2, regs.tobytes()))
+        fields.append((3, self.hash_name.encode()))
+        return codec.pack(codec.KIND_HLL, fields)
 
     def union_count(self, a: np.ndarray, b: np.ndarray) -> int:
         """Distinct count of the union — exact sketch algebra (register
@@ -163,4 +182,20 @@ class HLL:
         hname = fields.get(3, b"").decode()
         if hname and hname != self.hash_name:
             raise ValueError(f"HLL hash mismatch: blob {hname}, sketch {self.hash_name}")
-        return np.frombuffer(fields[2], dtype=U8).copy()
+        if 2 in fields:
+            regs = np.frombuffer(fields[2], dtype=U8)
+            if len(regs) != self.m:
+                raise ValueError(
+                    f"HLL register count mismatch: blob {len(regs)}, "
+                    f"sketch {self.m}")
+            return regs.copy()
+        if 4 not in fields:
+            raise ValueError("HLL blob has neither dense nor sparse "
+                             "registers")
+        packed = np.frombuffer(fields[4], dtype=U32)
+        regs = np.zeros(self.m, dtype=U8)
+        idx = (packed >> U32(6)).astype(np.int64)
+        if len(idx) and idx.max() >= self.m:
+            raise ValueError("HLL sparse entry index out of range")
+        regs[idx] = (packed & U32(0x3F)).astype(U8)
+        return regs

@@ -438,3 +438,48 @@ def test_bloom_streaming_dedup_real_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got == want
+
+
+# -- HLL sparse partial encoding ---------------------------------------------
+
+def test_hll_sparse_encoding_roundtrip_and_size():
+    """Sparse blobs round-trip to identical registers, are chosen
+    exactly when smaller, and equal states serialize byte-equal
+    regardless of which path built them."""
+    import numpy as np
+    from gopie_spark.kernels import HLL
+    hll = HLL(p=14)
+    st = hll.zero()
+    hll.update(st, [f"v{i}" for i in range(150)])
+    blob = hll.serialize(st)
+    assert len(blob) < 2000  # sparse: ~150 x 4B, not 16 KB dense
+    assert np.array_equal(hll.deserialize(blob), st)
+    # estimates identical through the sparse round trip
+    assert hll.count(hll.deserialize(blob)) == hll.count(st)
+    # dense kicks in when 4*nnz >= m
+    big = hll.zero()
+    hll.update(big, [f"w{i}" for i in range(100_000)])
+    dense_blob = hll.serialize(big)
+    assert len(dense_blob) >= hll.m
+    assert np.array_equal(hll.deserialize(dense_blob), big)
+    # byte-determinism: same registers -> same bytes
+    st2 = hll.zero()
+    hll.update(st2, [f"v{i}" for i in range(150)])
+    assert hll.serialize(st2) == blob
+
+
+def test_hll_sparse_blob_rejects_corrupt_index():
+    """A sparse entry pointing past 2^p registers must raise, not write
+    out of bounds."""
+    import numpy as np
+    import pytest as _pytest
+    from gopie_spark.kernels import HLL
+    from gopie_spark.kernels import codec
+    hll = HLL(p=8)
+    bad = codec.pack(codec.KIND_HLL, [
+        (1, np.uint32(8).tobytes()),
+        (4, np.array([(300 << 6) | 5], dtype=np.uint32).tobytes()),
+        (3, hll.hash_name.encode()),
+    ])
+    with _pytest.raises(ValueError, match="out of range"):
+        hll.deserialize(bad)
