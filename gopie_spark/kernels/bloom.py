@@ -182,11 +182,23 @@ class BloomCounting:
         return int(state["n"][0])
 
     def serialize(self, state) -> bytes:
-        return codec.pack(codec.KIND_BLOOM_COUNTING, [
+        """Adaptive dense/sparse counter encoding — see CMS.serialize
+        for the rationale (partial-state shuffle bytes should track the
+        data the partial actually saw, not the configured capacity).
+        Sparse entries are (index u32, count u16); chosen per state by
+        size, deserialize reads both."""
+        counters = np.ascontiguousarray(state["counters"])
+        nz = np.flatnonzero(counters)
+        fields = [
             (1, np.array([self.m, self.k], dtype=U64).tobytes()),
             (2, state["n"].tobytes()),
-            (3, np.ascontiguousarray(state["counters"]).tobytes()),
-        ])
+        ]
+        if counters.size < (1 << 32) and 6 * len(nz) < 2 * counters.size:
+            fields.append((4, nz.astype(np.uint32).tobytes()))
+            fields.append((5, counters[nz].tobytes()))
+        else:
+            fields.append((3, counters.tobytes()))
+        return codec.pack(codec.KIND_BLOOM_COUNTING, fields)
 
     @classmethod
     def from_blob(cls, blob: bytes) -> "BloomCounting":
@@ -200,7 +212,21 @@ class BloomCounting:
         m, k = np.frombuffer(fields[1], dtype=U64)
         if (int(m), int(k)) != (self.m, self.k):
             raise ValueError("bloom params mismatch")
-        return {"counters": np.frombuffer(fields[3], dtype=U16).copy(),
+        n_counters = self.geometry[0] + 1
+        if 3 in fields:
+            counters = np.frombuffer(fields[3], dtype=U16).copy()
+        elif 4 in fields and 5 in fields:
+            idx = np.frombuffer(fields[4], dtype=np.uint32) \
+                .astype(np.int64)
+            if len(idx) and idx.max() >= n_counters:
+                raise ValueError("counting-bloom sparse index out of "
+                                 "range")
+            counters = np.zeros(n_counters, dtype=U16)
+            counters[idx] = np.frombuffer(fields[5], dtype=U16)
+        else:
+            raise ValueError("counting-bloom blob has neither dense nor "
+                             "sparse counters")
+        return {"counters": counters,
                 "n": np.frombuffer(fields[2], dtype=U64).copy()}
 
 
@@ -271,11 +297,24 @@ class BloomBit:
         return int(state["n"][0])
 
     def serialize(self, state) -> bytes:
-        return codec.pack(codec.KIND_BLOOM_BIT, [
+        """Adaptive dense/sparse bitmap encoding: sparse form stores the
+        NONZERO WORDS as (word-index u32, word u64) pairs — a partial
+        filter that saw few keys against a capacity-sized bitmap is
+        mostly zero words, and the partial shuffle then carries ~12 B
+        per set bit instead of m/8 bytes of mostly-zero bitmap.  Chosen
+        per state by size; deserialize reads both formats."""
+        words = np.ascontiguousarray(state["words"])
+        nz = np.flatnonzero(words)
+        fields = [
             (1, np.array([self.m, self.k], dtype=U64).tobytes()),
             (2, state["n"].tobytes()),
-            (3, np.ascontiguousarray(state["words"]).tobytes()),
-        ])
+        ]
+        if words.size < (1 << 32) and 12 * len(nz) < 8 * words.size:
+            fields.append((4, nz.astype(np.uint32).tobytes()))
+            fields.append((5, words[nz].tobytes()))
+        else:
+            fields.append((3, words.tobytes()))
+        return codec.pack(codec.KIND_BLOOM_BIT, fields)
 
     @classmethod
     def from_blob(cls, blob: bytes) -> "BloomBit":
@@ -289,7 +328,20 @@ class BloomBit:
         m, k = np.frombuffer(fields[1], dtype=U64)
         if (int(m), int(k)) != (self.m, self.k):
             raise ValueError("bloom params mismatch")
-        return {"words": np.frombuffer(fields[3], dtype=U64).copy(),
+        n_words = (self.geometry[0] + 1) // 64
+        if 3 in fields:
+            words = np.frombuffer(fields[3], dtype=U64).copy()
+        elif 4 in fields and 5 in fields:
+            idx = np.frombuffer(fields[4], dtype=np.uint32) \
+                .astype(np.int64)
+            if len(idx) and idx.max() >= n_words:
+                raise ValueError("bloom sparse word index out of range")
+            words = np.zeros(n_words, dtype=U64)
+            words[idx] = np.frombuffer(fields[5], dtype=U64)
+        else:
+            raise ValueError("bloom blob has neither dense nor sparse "
+                             "words")
+        return {"words": words,
                 "n": np.frombuffer(fields[2], dtype=U64).copy()}
 
 

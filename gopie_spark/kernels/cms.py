@@ -119,11 +119,27 @@ class CMS:
 
     # -- codec ---------------------------------------------------------------
     def serialize(self, state) -> bytes:
-        return codec.pack(codec.KIND_CMS, [
+        """Adaptive dense/sparse counter encoding: a PARTIAL state built
+        from a slice of one partition's rows usually touches a small
+        fraction of the d x w counters, and the partial-blob shuffle is
+        the dominant cost of grouped sketch aggregation at cluster
+        scale — emit (flat-index u32, count u64) entries when that is
+        smaller than the dense matrix.  Chosen purely from the counter
+        contents (equal states serialize byte-equal); ``deserialize``
+        reads both formats, so old dense blobs stay valid."""
+        mat = np.ascontiguousarray(state["matrix"])
+        flat = mat.ravel()
+        nz = np.flatnonzero(flat)
+        fields = [
             (1, np.array([self.depth, self.width], dtype=np.uint32).tobytes()),
             (2, state["count"].tobytes()),
-            (3, np.ascontiguousarray(state["matrix"]).tobytes()),
-        ])
+        ]
+        if flat.size < (1 << 32) and 12 * len(nz) < 8 * flat.size:
+            fields.append((4, nz.astype(np.uint32).tobytes()))
+            fields.append((5, flat[nz].tobytes()))
+        else:
+            fields.append((3, mat.tobytes()))
+        return codec.pack(codec.KIND_CMS, fields)
 
     @classmethod
     def from_blob(cls, blob: bytes) -> "CMS":
@@ -137,7 +153,21 @@ class CMS:
         d, w = np.frombuffer(fields[1], dtype=np.uint32)
         if (int(d), int(w)) != (self.depth, self.width):
             raise ValueError("CMS shape mismatch")
+        if 3 in fields:
+            mat = np.frombuffer(fields[3], dtype=U64) \
+                .reshape(self.depth, self.width).copy()
+        elif 4 in fields and 5 in fields:
+            idx = np.frombuffer(fields[4], dtype=np.uint32) \
+                .astype(np.int64)
+            if len(idx) and idx.max() >= self.depth * self.width:
+                raise ValueError("CMS sparse entry index out of range")
+            flat = np.zeros(self.depth * self.width, dtype=U64)
+            flat[idx] = np.frombuffer(fields[5], dtype=U64)
+            mat = flat.reshape(self.depth, self.width)
+        else:
+            raise ValueError("CMS blob has neither dense nor sparse "
+                             "counters")
         return {
-            "matrix": np.frombuffer(fields[3], dtype=U64).reshape(self.depth, self.width).copy(),
+            "matrix": mat,
             "count": np.frombuffer(fields[2], dtype=U64).copy(),
         }

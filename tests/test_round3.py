@@ -483,3 +483,70 @@ def test_hll_sparse_blob_rejects_corrupt_index():
     ])
     with _pytest.raises(ValueError, match="out of range"):
         hll.deserialize(bad)
+
+
+def test_latest_n_property_random_inputs(spark):
+    """latest_n == the window row_number plan on a batch of random
+    (key, order, value) tables with heavy ties and n in {1, 2, 4} —
+    the two-level cap must never drop a top-N row."""
+    import random
+    from pyspark.sql import Window
+    from gopie_spark.streaming.conflate import latest_n
+    rng = random.Random(0xF00D)
+    for trial in range(4):
+        n = rng.choice([1, 2, 4])
+        rows = [(rng.randint(0, 6), rng.randint(0, 9),
+                 rng.randint(0, 99)) for _ in range(rng.randint(1, 120))]
+        df = spark.createDataFrame(rows, "k long, t long, v long")
+        got = sorted(map(tuple, latest_n(df, ["k"], "t", n).collect()))
+        w = Window.partitionBy("k").orderBy(F.desc("t"), F.desc("v"))
+        want = sorted(map(tuple,
+                          df.withColumn("_rn", F.row_number().over(w))
+                          .filter(F.col("_rn") <= n).drop("_rn")
+                          .collect()))
+        assert got == want, f"trial {trial} n={n}"
+
+
+def test_cms_and_bloom_sparse_encoding_roundtrip():
+    """Adaptive sparse partial blobs (CMS counters, BloomBit words,
+    BloomCounting counters) round-trip to identical state, shrink
+    lightly-loaded states by orders of magnitude, fall back to dense
+    when full, and reject out-of-range sparse indexes."""
+    import numpy as np
+    from gopie_spark.kernels import CMS, BloomBit, BloomCounting, codec
+
+    cms = CMS(width=2719, depth=7)
+    st = cms.update(cms.zero(), [f"t{i}" for i in range(200)])
+    blob = cms.serialize(st)
+    assert len(blob) < 7 * 2719 * 8 / 4  # far below the 152 KB dense
+    rt = cms.deserialize(blob)
+    assert np.array_equal(rt["matrix"], st["matrix"])
+    assert cms.estimate(rt, ["t0"])[0] == cms.estimate(st, ["t0"])[0]
+    full = cms.update(cms.zero(), [f"x{i}" for i in range(60_000)])
+    assert np.array_equal(cms.deserialize(cms.serialize(full))["matrix"],
+                          full["matrix"])
+
+    bb = BloomBit.from_guess(1_000_000, 1e-6)
+    sb = bb.update(bb.zero(), [f"u{i}" for i in range(300)])
+    bblob = bb.serialize(sb)
+    assert len(bblob) < len(sb["words"]) * 8 / 4
+    rtb = bb.deserialize(bblob)
+    assert np.array_equal(rtb["words"], sb["words"])
+    assert bb.exist(rtb, ["u5", "nope"]).tolist() == [True, False]
+
+    bc = BloomCounting.from_guess(100_000, 1e-6)
+    sc = bc.update(bc.zero(), [f"v{i}" for i in range(300)])
+    cblob = bc.serialize(sc)
+    assert len(cblob) < len(sc["counters"]) * 2 / 4
+    rtc = bc.deserialize(cblob)
+    assert np.array_equal(rtc["counters"], sc["counters"])
+
+    import pytest as _pytest
+    bad = codec.pack(codec.KIND_CMS, [
+        (1, np.array([7, 2719], dtype=np.uint32).tobytes()),
+        (2, np.zeros(1, dtype=np.uint64).tobytes()),
+        (4, np.array([7 * 2719 + 5], dtype=np.uint32).tobytes()),
+        (5, np.array([1], dtype=np.uint64).tobytes()),
+    ])
+    with _pytest.raises(ValueError, match="out of range"):
+        cms.deserialize(bad)
