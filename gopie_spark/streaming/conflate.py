@@ -36,13 +36,19 @@ def latest_n(df: DataFrame, keys: Sequence[str], order_col: str,
     """Newest ``n`` rows per key by ``order_col`` (descending), original
     column order preserved.
 
-    Two-level capped aggregation: level 1 groups by (keys, salt) and
-    keeps each salt's newest ``n`` structs — a key with M rows costs at
-    most ``n`` structs in any one aggregation buffer, never M; level 2
-    merges the <= ``agg_salts * n`` survivors and re-caps.  Every
-    global-top-``n`` row survives its own salt's level-1 cap, so the
-    result is identical to the single-level window row_number plan
-    while staying partial-aggregable (map-side combine) and skew-proof.
+    Two-level capped aggregation (same shape as the dedup tier's
+    ``_bucket_pairs``): level 1 groups by (keys, salt from the order
+    value) and keeps each salt's newest ``n`` structs — a hot key's
+    rows spread across ``agg_salts`` buffers, so any one aggregation
+    buffer holds ~M/agg_salts of a key's M rows (its partition-local
+    share of one salt), never the whole key, and is sliced to ``n``
+    before the second shuffle; level 2 merges the <= ``agg_salts * n``
+    survivors per key and re-caps.  Every global-top-``n`` row survives
+    its own salt's level-1 cap, so the result is identical to the
+    single-level window row_number plan (including its null-ordering:
+    desc puts null order values last) while staying partial-aggregable
+    (map-side ``partial_collect_list``, plan-tested) and avoiding the
+    per-key full sort a window imposes.
     """
     if n < 1:
         raise ValueError("n must be positive")

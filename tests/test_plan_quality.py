@@ -155,3 +155,16 @@ def test_ann_scan_prunes_to_id_and_vector(spark):
     read_schema = [ln for ln in scan.splitlines()
                    if ln.startswith("ReadSchema")][0]
     assert "vec_id" in read_schema and "embedding" in read_schema
+
+
+def test_latest_n_plan_is_partial_aggregable_no_window_sort(spark):
+    """latest_n must compile to two salted ObjectHashAggregate levels
+    with map-side partial_collect_list — and NO window sort: at 10^12
+    rows a per-key row_number sort is the plan we specifically avoid."""
+    from gopie_spark.streaming.conflate import latest_n
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = plan_text(latest_n(ev, ["user_id"], "ts", 3), "extended")
+    assert "partial_collect_list" in plan          # map-side combine
+    assert plan.count("Exchange hashpartitioning") == 2  # two levels
+    assert "_salt" in plan                          # hot-key salting
+    assert "Window" not in plan and "row_number" not in plan
