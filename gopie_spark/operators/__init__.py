@@ -20,9 +20,12 @@ from gopie_spark.operators.similarity import (
     build_lsh_index,
     lsh_topk_indexed,
     ivf_topk_indexed,
+    ivf_probe_stats,
     cosine_dedup_pairs,
     ivf_topk,
+    lsh_probe_stats,
     lsh_topk,
+    probe_work_stats,
     train_ivf_centroids,
 )
 from gopie_spark.operators.sketch_agg import (
@@ -66,6 +69,7 @@ __all__ = [
     "brute_force_topk", "lsh_topk", "ivf_topk", "train_ivf_centroids",
     "build_ivf_index", "ivf_topk_indexed",
     "build_lsh_index", "lsh_topk_indexed",
+    "probe_work_stats", "lsh_probe_stats", "ivf_probe_stats",
     "cosine_dedup_pairs",
     "token_count", "bpe_ish_token_count", "quality_features",
     "content_fingerprint", "rolling_fingerprint", "add_lang_id",
