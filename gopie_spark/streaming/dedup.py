@@ -52,6 +52,71 @@ def streaming_exact_dedup(stream_df: DataFrame, text_col: str = "text",
     return df.dropDuplicates(["_fp"]).drop("_fp")
 
 
+def sharded_bloom_streaming_dedup(stream_df: DataFrame,
+                                  text_col: str = "text",
+                                  order_col: str = "doc_id",
+                                  n_shards: int = 64,
+                                  n0: int = 1 << 12,
+                                  p: float = 1e-6) -> DataFrame:
+    """Bounded-state streaming dedup with the Bloom filter SHARDED
+    across Spark's streaming state store — the fully executor-resident
+    sibling of :class:`BloomStreamingDedup` (which holds one global
+    filter on the driver).
+
+    Each digest routes to ``pmod(xxhash64(digest), n_shards)``; the
+    shard's scalable-Bloom blob lives as that group's state-store entry
+    (RocksDB/HDFS-backed in production), so filter memory spreads over
+    executors, per-trigger state I/O is only the touched shards, and
+    restart recovery comes from Spark's own checkpoint — no driver
+    state, no custom state_dir, no replay bookkeeping (the state store
+    commits per batch).  Dedup decisions are per digest, so sharding
+    never changes the outcome.  Size ``n_shards`` >= executor-core
+    count for parallelism; each shard grows from ``n0`` capacity.
+
+    Returns an Append-mode streaming DataFrame with the input columns:
+    the FIRST occurrence (min ``order_col`` within its arrival batch,
+    earliest batch across triggers) of each digest, later duplicates
+    dropped — with false-positive rate <= ``p`` of uniques wrongly
+    dropped, never the reverse.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    bloom = BloomScalable(n0=n0, p=p)
+    cols = stream_df.columns
+    out_schema = stream_df.schema
+    state_schema = StructType([StructField("blob", BinaryType(), True)])
+    order_first = [order_col] + [c for c in cols if c != order_col]
+
+    def update_fn(key, pdfs, state: GroupState):
+        st = bloom.deserialize(bytes(state.get[0])) if state.exists \
+            else bloom.zero()
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # in-batch exact dedup: deterministic first = min (order, rest)
+        batch = batch.sort_values(order_first, kind="mergesort") \
+            .drop_duplicates("_fp", keep="first")
+        unseen = ~bloom.exist(st, batch["_fp"].tolist())
+        survivors = batch[unseen]
+        if len(survivors):
+            bloom.update(st, survivors["_fp"].tolist())
+            state.update((bloom.serialize(st),))
+        elif not state.exists:
+            state.update((bloom.serialize(st),))
+        yield survivors[cols]
+
+    routed = (stream_df
+              .withColumn("_fp", content_digest(text_col))
+              .withColumn("_shard",
+                          F.pmod(F.xxhash64(F.col("_fp")),
+                                 F.lit(n_shards))))
+    return (routed.groupBy("_shard")
+            .applyInPandasWithState(update_fn, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.NoTimeout))
+
+
 class BloomStreamingDedup:
     """Bounded-state streaming dedup: accumulate digests in a scalable
     Bloom filter across micro-batches; first occurrence (by the min of

@@ -550,3 +550,43 @@ def test_cms_and_bloom_sparse_encoding_roundtrip():
     ])
     with _pytest.raises(ValueError, match="out of range"):
         cms.deserialize(bad)
+
+
+def test_sharded_bloom_streaming_dedup_state_store(spark, tmp_path):
+    """State-store-sharded Bloom dedup over a real stream: drained
+    output == first-seen-in-stream-order survivors, and a SECOND run
+    from the same checkpoint (driver restart) with new files drops
+    everything already seen — restart recovery comes from Spark's own
+    state-store checkpoint, no custom state files."""
+    from gopie_spark.streaming.dedup import sharded_bloom_streaming_dedup
+
+    docs = [(i, f"text {i % 11}") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    for f in range(2):
+        df.filter(F.pmod(F.col("doc_id"), F.lit(4)) == f).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{src}/p{f}")
+
+    def drain():
+        stream = spark.readStream.schema(df.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(f"{src}/p*")
+        deduped = sharded_bloom_streaming_dedup(stream, n_shards=8,
+                                                p=1e-9)
+        q = (deduped.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()  # phase 1: files p0, p1
+    for f in range(2, 4):  # new arrivals, heavy overlap with phase 1
+        df.filter(F.pmod(F.col("doc_id"), F.lit(4)) == f).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{src}/p{f}")
+    drain()  # phase 2: restart from the same checkpoint
+
+    seen, want = set(), []
+    for i, text in sorted(docs, key=lambda d: (d[0] % 4, d[0])):
+        if text not in seen:
+            seen.add(text)
+            want.append(i)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == sorted(want)
