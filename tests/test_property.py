@@ -226,3 +226,48 @@ def test_cc_matches_union_find(spark, pairs):
     got_local = {r["id"]: r["component"]
                  for r in connected_components(df).collect()}
     assert got_local == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=1, max_value=5000))
+def test_sparse_dense_boundary_roundtrip(n):
+    """Adaptive sparse/dense serialization round-trips to identical
+    state at every load level, including right at the size-choice
+    boundary, for all three sparse-capable kernels."""
+    vals = [f"k{i}" for i in range(n)]
+    hll = HLL(p=10)
+    sh = hll.update(hll.zero(), vals)
+    assert np.array_equal(hll.deserialize(hll.serialize(sh)), sh)
+    cms = CMS(width=256, depth=4)
+    sc = cms.update(cms.zero(), vals)
+    rt = cms.deserialize(cms.serialize(sc))
+    assert np.array_equal(rt["matrix"], sc["matrix"])
+    assert np.array_equal(rt["count"], sc["count"])
+    bb = BloomBit(m=1 << 14, k=5)
+    sb = bb.update(bb.zero(), vals)
+    rtb = bb.deserialize(bb.serialize(sb))
+    assert np.array_equal(rtb["words"], sb["words"])
+    assert np.array_equal(rtb["n"], sb["n"])
+
+
+def test_sparse_blob_with_missing_pair_field_raises():
+    """A sparse index field without its value field (or vice versa) is
+    a malformed blob, not a silent zero state."""
+    import pytest
+    from gopie_spark.kernels import codec
+    cms = CMS(width=64, depth=3)
+    half = codec.pack(codec.KIND_CMS, [
+        (1, np.array([3, 64], dtype=np.uint32).tobytes()),
+        (2, np.zeros(1, dtype=np.uint64).tobytes()),
+        (4, np.array([1], dtype=np.uint32).tobytes()),  # idx, no counts
+    ])
+    with pytest.raises(ValueError, match="neither dense nor sparse"):
+        cms.deserialize(half)
+    bb = BloomBit(m=1 << 10, k=3)
+    halfb = codec.pack(codec.KIND_BLOOM_BIT, [
+        (1, np.array([1 << 10, 3], dtype=np.uint64).tobytes()),
+        (2, np.zeros(1, dtype=np.uint64).tobytes()),
+        (5, np.array([7], dtype=np.uint64).tobytes()),  # words, no idx
+    ])
+    with pytest.raises(ValueError, match="neither dense nor sparse"):
+        bb.deserialize(halfb)
