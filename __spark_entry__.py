@@ -936,6 +936,49 @@ def _q_cc_components(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_hll_distinct_per_sliding_window(spark, sf_dir):
+    """Sliding-window sketch composition: 1-hour windows sliding every
+    15 min — each event explodes to its 4 member windows JVM-side
+    (operators/windows.py windowed_sketch_agg slide path), then the
+    same two-level HLL aggregation runs with window_start as a key.
+    Certificate: every window's estimate within max(3-sigma, 5)
+    of the exact distinct count, which DuckDB recomputes independently
+    via a lateral generate_series over each event's member windows."""
+    from gopie_spark.kernels import HLL
+    from gopie_spark.operators.sketch_agg import STATE_COL
+    from gopie_spark.operators.windows import windowed_sketch_agg
+    events = _events(spark, sf_dir)
+    p = 14
+    sketch = HLL(p=p)
+    bound = 3 * 1.04 / math.sqrt(2 ** p)
+    states = windowed_sketch_agg(events, "ts", "user_id", sketch,
+                                 width_s=3600, slide_s=900)
+
+    def _fin(blobs):
+        import pandas as pd
+        return pd.Series([sketch.count(sketch.deserialize(bytes(b)))
+                          for b in blobs], dtype="int64")
+
+    finalize = F.pandas_udf(_fin, "long")
+    approx = states.select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        finalize(F.col(STATE_COL)).alias("approx"))
+    epoch = F.unix_timestamp("ts")
+    starts = F.transform(
+        F.sequence(((epoch - 3600 + 900) / 900).cast("long"),
+                   (epoch / 900).cast("long")),
+        lambda i: i * 900)
+    exact = (events.withColumn("window_epoch", F.explode(starts))
+             .groupBy("window_epoch")
+             .agg(F.countDistinct("user_id").alias("n_exact")))
+    joined = exact.join(approx, "window_epoch")
+    slack = F.greatest(F.col("n_exact") * bound, F.lit(5.0))
+    ok = F.abs(F.col("approx") - F.col("n_exact")) <= slack
+    return (joined.select("window_epoch", "n_exact",
+                          ok.alias("within_bound"))
+            .orderBy("window_epoch"))
+
+
 def _q_latest_n_events(spark, sf_dir):
     """Latest-N conflation (the reference's ``latest.NewN`` newest-N
     ring, /root/reference/pkg/latest/latest.go:34-66, as a keyed top-N):
@@ -1000,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_intersect": _q_hll_intersect,
         "cc_components": _q_cc_components,
         "latest_n_events": _q_latest_n_events,
+        "hll_distinct_per_sliding_window": _q_hll_distinct_per_sliding_window,
     }
 
 
@@ -1029,6 +1073,18 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_exact,
                    TRUE AS within_bound
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "hll_distinct_per_sliding_window": """
+            SELECT idx * 900 AS window_epoch,
+                   count(DISTINCT user_id) AS n_exact,
+                   TRUE AS within_bound
+            FROM (SELECT user_id,
+                         unnest(generate_series(
+                             CAST(floor(epoch(ts) / 900) AS BIGINT) - 3,
+                             CAST(floor(epoch(ts) / 900) AS BIGINT)))
+                             AS idx
+                  FROM events)
+            GROUP BY 1 ORDER BY 1
         """,
         "cms_event_type_counts": """
             SELECT event_type, count(*) AS cnt
