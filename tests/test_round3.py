@@ -590,3 +590,56 @@ def test_sharded_bloom_streaming_dedup_state_store(spark, tmp_path):
             want.append(i)
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got == sorted(want)
+
+
+def test_stream_dedup_job_end_to_end(tmp_path):
+    """jobs/stream_dedup.py as a black box (own SparkSession in a
+    subprocess): two --drain invocations against a growing input dir
+    and one checkpoint produce exactly the distinct-digest survivors,
+    with the second run dropping documents first seen in the first."""
+    import os
+    import subprocess
+    import sys
+    import duckdb
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    con = duckdb.connect()
+    os.makedirs(src)
+    con.execute(f"""
+        COPY (SELECT doc_id, text
+              FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+              WHERE doc_id % 2 = 0)
+        TO '{src}/a.parquet' (FORMAT PARQUET)""")
+
+    def run():
+        env = dict(os.environ, SPARK_GRAFT_CPUS="8",
+                   PYTHONPATH="/root/repo")
+        r = subprocess.run(
+            [sys.executable, "jobs/stream_dedup.py",
+             "--input", src, "--output", out, "--checkpoint", ckpt,
+             "--p", "1e-9", "--n-shards", "8", "--drain"],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+            timeout=400)
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    run()
+    con.execute(f"""
+        COPY (SELECT doc_id, text
+              FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+              WHERE doc_id % 2 = 1)
+        TO '{src}/b.parquet' (FORMAT PARQUET)""")
+    run()  # restart from the same checkpoint, new file arrived
+
+    got = con.execute(
+        f"SELECT count(*), count(DISTINCT md5(lower(regexp_replace("
+        f"text,'\\s+',' ','g')))) FROM read_parquet('{out}/*.parquet')"
+    ).fetchone()
+    n_digests = con.execute(
+        "SELECT count(DISTINCT md5(lower(regexp_replace(text,'\\s+',"
+        "' ','g')))) FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    ).fetchone()[0]
+    # one survivor per distinct digest across BOTH phases
+    assert got == (n_digests, n_digests)
