@@ -4,6 +4,7 @@ from gopie_spark.operators.dedup import (
     bucket_cap_stats,
     duplicate_stats,
     exact_dedup,
+    incremental_minhash_dedup,
     minhash_lsh_candidates,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
@@ -62,7 +63,7 @@ __all__ = [
     "cms_build", "cms_tokens_build", "cms_estimate_map",
     "bloom_build", "bloom_filter", "suggest_salt",
     "exact_dedup", "duplicate_stats", "bucket_cap_stats",
-    "minhash_lsh_candidates",
+    "minhash_lsh_candidates", "incremental_minhash_dedup",
     "minhash_lsh_dedup", "simhash_candidates", "ngram_jaccard_pairs",
     "connected_components",
     "bloom_shards_build", "bloom_shards_filter",

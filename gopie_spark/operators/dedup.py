@@ -151,6 +151,22 @@ def add_minhash_signatures(df: DataFrame, text_col: str = "text",
     return _widen(df).mapInPandas(fn, schema)
 
 
+def _bucket_members(exploded: DataFrame, bucket_cols: List[str],
+                    max_bucket: int, agg_salts: int = 16) -> DataFrame:
+    """DataFrame[bucket_cols..., _ids] — per bucket, the globally
+    smallest ``max_bucket`` member ids, collected through the same
+    two-level salted capped aggregation as :func:`_bucket_pairs` (no
+    aggregation buffer ever holds a viral bucket whole)."""
+    salt = F.pmod(F.xxhash64(F.col("_id")), F.lit(agg_salts))
+    lvl1 = (exploded.withColumn("_salt", salt)
+            .groupBy(*bucket_cols, "_salt")
+            .agg(F.slice(F.array_sort(F.collect_set("_id")), 1, max_bucket)
+                 .alias("_part")))
+    ids = F.slice(F.array_sort(F.flatten(F.collect_list("_part"))),
+                  1, max_bucket)
+    return lvl1.groupBy(*bucket_cols).agg(ids.alias("_ids"))
+
+
 def _bucket_pairs(exploded: DataFrame, bucket_cols: List[str],
                   max_bucket: int, agg_salts: int = 16) -> DataFrame:
     """(id_a, id_b) candidate pairs from bucket membership.
@@ -174,15 +190,8 @@ def _bucket_pairs(exploded: DataFrame, bucket_cols: List[str],
     single-level ``slice(array_sort(collect_set))`` plan.  The extra
     shuffle only carries capped arrays (<= buckets x agg_salts rows).
     Pairs from different buckets dedupe with one final ``distinct``."""
-    salt = F.pmod(F.xxhash64(F.col("_id")), F.lit(agg_salts))
-    lvl1 = (exploded.withColumn("_salt", salt)
-            .groupBy(*bucket_cols, "_salt")
-            .agg(F.slice(F.array_sort(F.collect_set("_id")), 1, max_bucket)
-                 .alias("_part")))
-    ids = F.slice(F.array_sort(F.flatten(F.collect_list("_part"))),
-                  1, max_bucket)
-    buckets = lvl1.groupBy(*bucket_cols).agg(ids.alias("_ids")) \
-        .filter(F.size("_ids") >= 2)
+    buckets = _bucket_members(exploded, bucket_cols, max_bucket,
+                              agg_salts).filter(F.size("_ids") >= 2)
     pair_structs = F.flatten(F.transform(
         F.col("_ids"),
         lambda x, i: F.transform(
@@ -210,6 +219,22 @@ def bucket_cap_stats(exploded: DataFrame, bucket_cols: List[str],
         F.count("*").alias("n_buckets"),
         F.sum((F.col("_sz") > max_bucket).cast("long")).alias("n_capped"),
         F.max("_sz").alias("max_bucket_size"))
+
+
+def _band_explode(sigs: DataFrame, sig_col: str, k: int,
+                  bands: int) -> DataFrame:
+    """DataFrame[_id, band, bh]: one row per (doc, band) with the band's
+    slot-slice hash — the LSH blocking key (all JVM-side)."""
+    rows = k // bands
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.hash(F.slice(F.col(sig_col), b * rows + 1, rows))
+                 .alias("bh"))
+        for b in range(bands)
+    ]
+    return (sigs.select("_id", F.explode(F.array(*band_cols)).alias("bk"))
+            .select("_id", F.col("bk.band").alias("band"),
+                    F.col("bk.bh").alias("bh")))
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
@@ -245,15 +270,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     else:
         sigs.cache()
 
-    band_cols = [
-        F.struct(F.lit(b).alias("band"),
-                 F.hash(F.slice(F.col(sig_col), b * rows + 1, rows))
-                 .alias("bh"))
-        for b in range(bands)
-    ]
-    exploded = (sigs.select("_id", F.explode(F.array(*band_cols)).alias("bk"))
-                .select("_id", F.col("bk.band").alias("band"),
-                        F.col("bk.bh").alias("bh")))
+    exploded = _band_explode(sigs, sig_col, k, bands)
     pairs = _bucket_pairs(exploded, ["band", "bh"], max_bucket)
     sa = sigs.select(F.col("_id").alias("id_a"),
                      F.col(sig_col).alias("_sig_a"))
@@ -301,6 +318,131 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
     else:
         raise ValueError(f"unknown dedup strategy: {strategy!r}")
     return df.join(losers, id_col, "left_anti")
+
+
+def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              threshold: float = 0.8, k: int = 128,
+                              bands: int = 32, shingle_width: int = 3,
+                              max_bucket: int = 64,
+                              strategy: str = "cc",
+                              update_store: bool = True) -> DataFrame:
+    """Near-dup-dedup a batch of NEW documents against an existing
+    corpus represented ONLY by its MinHash signature store — the
+    daily-crawl-vs-history workflow: the historical corpus's text is
+    never re-read and its pairs are never re-expanded; only its
+    (already-computed) signatures participate, as band-bucket arrays
+    the new batch probes.
+
+    ``sig_store`` is a parquet dir of (_id, minhash) rows — the same
+    layout ``minhash_lsh_candidates(sig_path=...)`` writes, and this
+    function appends the survivors' signatures back (``update_store``)
+    so the store stays the signature set of the deduped corpus.
+    First call on a missing/empty store is a plain self-dedup.
+
+    Work shape at scale: new signatures build k-linearly over the new
+    batch only; the store side is one band-explode + the two-level
+    capped member collection (bounded buffers); candidate expansion is
+    new-in-bucket x capped members, i.e. O(|new| x bands x max_bucket)
+    worst case — NEVER store x store.
+
+    Semantics: a new doc is dropped when its estimated Jaccard >=
+    ``threshold`` against any STORED doc (history is immutable — it is
+    never dropped, even when a new doc would merge two historical
+    clusters); under ``strategy='cc'`` a new-new cluster transitively
+    containing such a doc drops entirely (its true minimum is the
+    historical doc — matches a full-batch cc rerun), and clean
+    new-only clusters keep their smallest id; ``'greedy'`` drops the
+    larger id of every clean new-new pair, with the same over-drop
+    caveat as :func:`minhash_lsh_dedup`.  With store ids smaller than
+    new ids, (history + survivors) equals the full-batch cc rerun
+    except for the documented merge-through-new-doc case.
+
+    Returns the surviving new docs (original columns).
+    """
+    if k % bands:
+        raise ValueError("bands must divide k")
+    spark = new_docs.sparkSession
+    sig_col = "minhash"
+    new_sigs = add_minhash_signatures(new_docs, text_col, k=k,
+                                      shingle_width=shingle_width,
+                                      out_col=sig_col) \
+        .select(F.col(id_col).alias("_id"), sig_col)
+    new_sigs.cache()
+    try:
+        stored = spark.read.parquet(sig_store)
+        have_store = True
+    except Exception:
+        stored = None
+        have_store = False
+
+    new_expl = _band_explode(new_sigs, sig_col, k, bands)
+    combined_expl = new_expl if stored is None else \
+        new_expl.unionByName(_band_explode(stored, sig_col, k, bands))
+    members = _bucket_members(combined_expl, ["band", "bh"], max_bucket)
+    cand = (new_expl.join(members, ["band", "bh"])
+            .select(F.col("_id").alias("id_new"),
+                    F.explode("_ids").alias("id_other"))
+            .filter(F.col("id_new") != F.col("id_other"))
+            .distinct())
+    all_sigs = new_sigs if stored is None else \
+        new_sigs.unionByName(stored)
+    sa = new_sigs.select(F.col("_id").alias("id_new"),
+                         F.col(sig_col).alias("_sig_a"))
+    sb = all_sigs.select(F.col("_id").alias("id_other"),
+                         F.col(sig_col).alias("_sig_b"))
+    est = F.aggregate(
+        F.zip_with("_sig_a", "_sig_b",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v) / F.lit(k)
+    pairs = (cand.join(sa, "id_new").join(sb, "id_other")
+             .withColumn("est_jaccard", est.cast("double"))
+             .filter(F.col("est_jaccard") >= threshold)
+             .select("id_new", "id_other"))
+    new_ids = new_sigs.select(F.col("_id").alias("id_new"))
+    # 1) new docs similar to HISTORY are dropped outright
+    vs_stored = pairs.join(new_ids.select(F.col("id_new")
+                                          .alias("id_other")),
+                           "id_other", "left_anti") \
+        .select("id_new").distinct()
+    # 2) new-new pairs: clusters keep their smallest id; under 'cc' a
+    #    cluster with ANY member similar to history drops entirely (its
+    #    true minimum is the historical doc — matches a full-batch cc
+    #    rerun), transitively through the new-new edges
+    nn = (pairs.join(new_ids.select(F.col("id_new").alias("id_other")),
+                     "id_other", "left_semi")
+          .select(F.least("id_new", "id_other").alias("id_a"),
+                  F.greatest("id_new", "id_other").alias("id_b")))
+    if strategy == "cc":
+        from gopie_spark.operators.graph import connected_components
+        comp = connected_components(nn)
+        touched = (comp.join(vs_stored.select(F.col("id_new").alias("id")),
+                             "id", "left_semi")
+                   .select("component").distinct())
+        in_touched = (comp.join(touched, "component", "left_semi")
+                      .select(F.col("id").alias("id_new")))
+        nn_losers = (comp.filter(F.col("id") != F.col("component"))
+                     .select(F.col("id").alias("id_new"))
+                     .unionByName(in_touched).distinct())
+    elif strategy == "greedy":
+        nn_losers = nn.select(F.col("id_b").alias("id_new")).distinct()
+    else:
+        raise ValueError(f"unknown dedup strategy: {strategy!r}")
+    # materialize the (new-batch-sized) loser set so the returned frame
+    # and the store write never recompute the k-linear signature stage
+    # after the cache below is released
+    losers = vs_stored.unionByName(nn_losers).distinct() \
+        .select(F.col("id_new").alias(id_col)) \
+        .localCheckpoint(eager=True)
+    survivors = new_docs.join(losers, id_col, "left_anti")
+    if update_store:
+        keep_sigs = new_sigs.join(
+            losers.select(F.col(id_col).alias("_id")), "_id", "left_anti")
+        keep_sigs.write.mode("append" if have_store else "overwrite") \
+            .parquet(sig_store)
+    new_sigs.unpersist()
+    return survivors
 
 
 # --------------------------------------------------------------------------

@@ -643,3 +643,85 @@ def test_stream_dedup_job_end_to_end(tmp_path):
     ).fetchone()[0]
     # one survivor per distinct digest across BOTH phases
     assert got == (n_digests, n_digests)
+
+
+# -- incremental dedup against a signature store ------------------------------
+
+def _near_dup_corpus(spark, ids_texts):
+    return spark.createDataFrame(ids_texts, "doc_id long, text string")
+
+
+def test_incremental_minhash_dedup_matches_full_batch(spark, tmp_path):
+    """Two-phase incremental dedup == one full-batch cc dedup when
+    phase-1 ids precede phase-2 ids: history survivors + incremental
+    survivors must be exactly the batch survivors (planted near-dup
+    cliques spanning the phase boundary, plus uniques)."""
+    from gopie_spark.operators.dedup import (incremental_minhash_dedup,
+                                             minhash_lsh_dedup)
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest tonight ") * 6
+    alt = ("completely different content about distributed sketch "
+           "aggregation over very large web corpora at scale ") * 6
+    rows1 = [(1, base), (2, base + "tail one"), (10, alt),
+             (20, "unique text number twenty " * 10)]
+    long_unique = " ".join(f"w{i}token" for i in range(80))
+    rows2 = [(101, base + "tail two"),          # joins cluster {1,2}
+             (110, alt + " tiny change"),       # joins cluster {10}
+             (120, long_unique),
+             (121, long_unique + " extra")]     # new-new near-dup pair
+    store = str(tmp_path / "sigs")
+    p1 = _near_dup_corpus(spark, rows1)
+    p2 = _near_dup_corpus(spark, rows2)
+
+    kw = dict(threshold=0.8, k=128, bands=32, strategy="cc")
+    surv1 = incremental_minhash_dedup(p1, store, **kw)  # empty store
+    ids1 = sorted(r["doc_id"] for r in surv1.collect())
+    surv2 = incremental_minhash_dedup(p2, store, **kw)
+    ids2 = sorted(r["doc_id"] for r in surv2.collect())
+
+    batch = minhash_lsh_dedup(p1.unionByName(p2), threshold=0.8,
+                              k=128, bands=32, strategy="cc")
+    want = sorted(r["doc_id"] for r in batch.collect())
+    assert sorted(ids1 + ids2) == want
+    assert 101 not in ids2 and 110 not in ids2  # dropped against history
+    assert 120 in ids2 and 121 not in ids2      # new-new keeps min
+
+
+def test_incremental_dedup_store_holds_survivor_sigs(spark, tmp_path):
+    """The signature store after both phases contains exactly one row
+    per surviving doc (reusable by the next increment)."""
+    from gopie_spark.operators.dedup import incremental_minhash_dedup
+    store = str(tmp_path / "sigs")
+    base = " ".join(f"tok{i}word" for i in range(70))
+    p1 = _near_dup_corpus(spark, [(1, base), (2, base + " z")])
+    p2 = _near_dup_corpus(spark, [(5, base + " z z"),
+                                  (6, " ".join(f"oth{i}" for i in
+                                               range(60)))])
+    s1 = incremental_minhash_dedup(p1, store, strategy="cc").collect()
+    s2 = incremental_minhash_dedup(p2, store, strategy="cc").collect()
+    surviving = sorted(r["doc_id"] for r in s1) \
+        + sorted(r["doc_id"] for r in s2)
+    stored = sorted(r["_id"] for r in spark.read.parquet(store).collect())
+    assert stored == sorted(surviving)
+    assert stored == [1, 6]  # 2, 5 are near-dups of 1
+
+
+def test_incremental_dedup_never_drops_history(spark, tmp_path):
+    """History is immutable: even when a new doc bridges two historical
+    docs, both stored docs remain in the store."""
+    from gopie_spark.operators.dedup import incremental_minhash_dedup
+    store = str(tmp_path / "sigs")
+    t = " ".join(f"base{i}word" for i in range(60))
+    t = t + " "
+    p1 = _near_dup_corpus(spark, [(1, t + "one one one one"),
+                                  (2, t + "two two two two")])
+    incremental_minhash_dedup(p1, store, threshold=0.95,
+                              strategy="cc").collect()
+    before = sorted(r["_id"] for r in spark.read.parquet(store).collect())
+    p2 = _near_dup_corpus(spark, [(9, t + "one one two two")])  # bridge
+    surv = incremental_minhash_dedup(p2, store, threshold=0.8,
+                                     strategy="cc").collect()
+    after = sorted(r["_id"] for r in spark.read.parquet(store).collect())
+    assert before == [1, 2]
+    assert [r["doc_id"] for r in surv] == []   # bridge doc dropped
+    assert after == before                      # history untouched
