@@ -6,7 +6,7 @@
         --input /path/to/pages_parquet --output /path/to/deduped \\
         [--format parquet|iceberg] [--sig-dir /path/for/signatures] \\
         [--threshold 0.8] [--strategy cc|greedy] [--k 128] [--bands 32] \\
-        [--max-bucket 64]
+        [--max-bucket 64] [--incremental]
 
 Pipeline (all stages scale-shaped — see operators/dedup.py):
 
@@ -22,6 +22,13 @@ Pipeline (all stages scale-shaped — see operators/dedup.py):
 4. Write the deduped corpus + a one-line JSON report (counts per
    stage; use operators.bucket_cap_stats separately when tuning
    ``--max-bucket``).
+
+With ``--incremental`` (requires ``--sig-dir``), the input is treated
+as a NEW batch deduped against the signature store of everything
+processed before (operators.incremental_minhash_dedup): history text is
+never re-read, history is never dropped, survivors' signatures append
+to the store, and the output holds only this batch's survivors — run it
+per crawl increment with disjoint, increasing doc ids.
 
 The doc id is synthesized as a content-independent dense id when the
 input has none (monotonically_increasing_id — stable within one run,
@@ -49,11 +56,19 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=128)
     ap.add_argument("--bands", type=int, default=32)
     ap.add_argument("--max-bucket", type=int, default=64)
+    ap.add_argument("--incremental", action="store_true",
+                    help="dedup this input as a NEW batch against the "
+                         "--sig-dir store (history immutable; "
+                         "survivor sigs appended)")
     args = ap.parse_args()
+    if args.incremental and not args.sig_dir:
+        raise SystemExit("--incremental requires --sig-dir")
 
     from pyspark.sql import functions as F
     from gopie_spark.plans import get_spark
-    from gopie_spark.operators.dedup import exact_dedup, minhash_lsh_dedup
+    from gopie_spark.operators.dedup import (exact_dedup,
+                                             incremental_minhash_dedup,
+                                             minhash_lsh_dedup)
     from gopie_spark.sources.catalog import load_table
 
     spark = get_spark("gopie-dedup-corpus")
@@ -73,10 +88,16 @@ def main() -> None:
     n_exact = survivors.count()
 
     # stage 2+3: near-dup pairs + survivor selection
-    deduped = minhash_lsh_dedup(
-        survivors, text_col=args.text_col, threshold=args.threshold,
-        strategy=args.strategy, k=args.k, bands=args.bands,
-        max_bucket=args.max_bucket, sig_path=args.sig_dir).persist()
+    if args.incremental:
+        deduped = incremental_minhash_dedup(
+            survivors, args.sig_dir, text_col=args.text_col,
+            threshold=args.threshold, strategy=args.strategy, k=args.k,
+            bands=args.bands, max_bucket=args.max_bucket).persist()
+    else:
+        deduped = minhash_lsh_dedup(
+            survivors, text_col=args.text_col, threshold=args.threshold,
+            strategy=args.strategy, k=args.k, bands=args.bands,
+            max_bucket=args.max_bucket, sig_path=args.sig_dir).persist()
     n_final = deduped.count()
 
     deduped.write.mode("overwrite").parquet(args.output)
@@ -91,6 +112,7 @@ def main() -> None:
         "threshold": args.threshold,
         "seconds": round(time.perf_counter() - t0, 3),
         "signatures": args.sig_dir,
+        "incremental": args.incremental,
     }
     print(json.dumps(report))
     spark.stop()

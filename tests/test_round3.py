@@ -725,3 +725,51 @@ def test_incremental_dedup_never_drops_history(spark, tmp_path):
     assert before == [1, 2]
     assert [r["doc_id"] for r in surv] == []   # bridge doc dropped
     assert after == before                      # history untouched
+
+
+def test_dedup_corpus_job_incremental_mode(tmp_path):
+    """jobs/dedup_corpus.py --incremental as a black box: two runs over
+    disjoint halves with one --sig-dir produce together the same
+    survivors as one full-batch run."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import duckdb
+
+    con = duckdb.connect()
+    half_dirs = []
+    for i, pred in enumerate(("doc_id < 250", "doc_id >= 250")):
+        p = str(tmp_path / f"half{i}")
+        con.execute(f"""
+            COPY (SELECT * FROM
+                  read_parquet('/root/testdata/sf0.01/documents.parquet')
+                  WHERE {pred}) TO '{p}' (FORMAT PARQUET)""")
+        half_dirs.append(p)
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8", PYTHONPATH="/root/repo")
+
+    def run(extra):
+        r = subprocess.run(
+            [sys.executable, "jobs/dedup_corpus.py"] + extra,
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+            timeout=400)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    sig = str(tmp_path / "sigs")
+    inc_ids = []
+    for i, h in enumerate(half_dirs):
+        out = str(tmp_path / f"inc{i}")
+        run(["--input", h, "--output", out, "--sig-dir", sig,
+             "--incremental"])
+        inc_ids += [r[0] for r in con.execute(
+            f"SELECT doc_id FROM read_parquet('{out}/*.parquet')"
+        ).fetchall()]
+
+    full_out = str(tmp_path / "full")
+    run(["--input", "/root/testdata/sf0.01/documents.parquet",
+         "--output", full_out])
+    full_ids = [r[0] for r in con.execute(
+        f"SELECT doc_id FROM read_parquet('{full_out}/*.parquet')"
+    ).fetchall()]
+    assert sorted(inc_ids) == sorted(full_ids)
