@@ -112,6 +112,29 @@ class HLL:
             raise ValueError("registers bucket number must match")
         return np.maximum(a, b)
 
+    def fold(self, state: np.ndarray, p_new: int) -> np.ndarray:
+        """Registers folded down to precision ``p_new`` <= p, usable by
+        ``HLL(p=p_new, hash_name=...)`` — the bridge for unioning
+        sketches built at different precisions (fold the finer one,
+        then ``merge``).
+
+        Exactness: the index is the hash's top p bits and the rank its
+        trailing-zero count + 1 (independent of p), so the fold is a
+        plain max over each group of 2^(p-p_new) registers and equals
+        building directly at ``p_new`` — except registers saturated at
+        the old cap ``(32-p)+1`` (the hash's low 32-p bits were all
+        zero, probability 2^-(32-p) per value): the true trailing-zero
+        count is unknown past the cap, so the fold keeps the cap value
+        as a LOWER bound (estimates stay conservative, never
+        inflated)."""
+        if not 4 <= p_new <= self.p:
+            raise ValueError(f"cannot fold p={self.p} registers to "
+                             f"p={p_new}")
+        if p_new == self.p:
+            return state.copy()
+        g = self.p - p_new
+        return state.reshape(1 << p_new, 1 << g).max(axis=1)
+
     # -- finalizers ---------------------------------------------------------
     def count(self, state: np.ndarray) -> int:
         m = float(self.m)

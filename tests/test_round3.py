@@ -773,3 +773,35 @@ def test_dedup_corpus_job_incremental_mode(tmp_path):
         f"SELECT doc_id FROM read_parquet('{full_out}/*.parquet')"
     ).fetchall()]
     assert sorted(inc_ids) == sorted(full_ids)
+
+
+# -- HLL precision fold -------------------------------------------------------
+
+def test_hll_fold_equals_direct_build():
+    """fold(build_at_p, p') must reproduce build_at_p' register-exactly
+    wherever the old cap didn't engage (rank < (32-p)+1), and never
+    exceed the direct build at capped registers; counts agree within
+    the p' error bound; folding enables cross-precision union."""
+    import numpy as np
+    from gopie_spark.kernels import HLL
+    vals = [f"doc{i}" for i in range(20_000)]
+    hi, lo = HLL(p=14), HLL(p=11)
+    st_hi = hi.update(hi.zero(), vals)
+    st_lo = lo.update(lo.zero(), vals)
+    folded = hi.fold(st_hi, 11)
+    cap = (32 - 14) + 1
+    uncapped = st_lo < cap
+    assert np.array_equal(folded[uncapped], st_lo[uncapped])
+    assert (folded <= st_lo).all()
+    assert abs(lo.count(folded) - lo.count(st_lo)) <= \
+        3 * lo.std_err * len(vals)
+    # cross-precision union: fold then merge with a native p=11 sketch
+    other = lo.update(lo.zero(), [f"x{i}" for i in range(5000)])
+    union = lo.merge(folded, other.copy())
+    exact = 25_000
+    assert abs(lo.count(union) - exact) <= 3 * lo.std_err * exact + 5
+    # identity fold and invalid targets
+    assert np.array_equal(hi.fold(st_hi, 14), st_hi)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cannot fold"):
+        hi.fold(st_hi, 15)
