@@ -22,6 +22,7 @@ from gopie_spark.operators.similarity import (
     lsh_topk_indexed,
     ivf_topk_indexed,
     ivf_probe_stats,
+    cosine_dedup,
     cosine_dedup_pairs,
     ivf_topk,
     lsh_probe_stats,
@@ -71,7 +72,7 @@ __all__ = [
     "build_ivf_index", "ivf_topk_indexed",
     "build_lsh_index", "lsh_topk_indexed",
     "probe_work_stats", "lsh_probe_stats", "ivf_probe_stats",
-    "cosine_dedup_pairs",
+    "cosine_dedup", "cosine_dedup_pairs",
     "token_count", "bpe_ish_token_count", "quality_features",
     "content_fingerprint", "rolling_fingerprint", "add_lang_id",
     "sliding_window_counts", "windowed_sketch_agg",

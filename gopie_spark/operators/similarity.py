@@ -506,6 +506,32 @@ def cosine_dedup_pairs(spark: SparkSession, df: DataFrame,
             .select("id_a", "id_b", "cosine").distinct())
 
 
+def cosine_dedup(spark: SparkSession, df: DataFrame,
+                 threshold: float = 0.95, n_planes: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 max_bucket: int = 512,
+                 strategy: str = "cc") -> DataFrame:
+    """Drop embedding near-duplicates: the keep/drop tier over
+    :func:`cosine_dedup_pairs`, mirroring the text side's
+    ``minhash_lsh_dedup`` — each near-dup cluster keeps its smallest
+    id (``strategy='cc'``: true transitive closure via
+    connected_components; ``'greedy'``: drop the larger id of every
+    pair, over-dropping on chains).  Returns the surviving rows of
+    ``df`` unchanged."""
+    pairs = cosine_dedup_pairs(spark, df, threshold, n_planes,
+                               id_col, vec_col, max_bucket)
+    if strategy == "cc":
+        from gopie_spark.operators.graph import connected_components
+        comp = connected_components(pairs)
+        losers = (comp.filter(F.col("id") != F.col("component"))
+                  .select(F.col("id").alias(id_col)))
+    elif strategy == "greedy":
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    else:
+        raise ValueError(f"unknown dedup strategy: {strategy!r}")
+    return df.join(losers, id_col, "left_anti")
+
+
 def probe_work_stats(corpus_bucketed: DataFrame, probes: DataFrame,
                      bucket_col: str,
                      bucket_salts: int = 8) -> DataFrame:

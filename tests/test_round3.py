@@ -805,3 +805,26 @@ def test_hll_fold_equals_direct_build():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="cannot fold"):
         hi.fold(st_hi, 15)
+
+
+def test_cosine_dedup_keeps_cluster_minimum(spark):
+    """Embedding keep/drop tier: planted near-identical vector pairs
+    collapse to the smallest id per cluster; distinct vectors survive."""
+    import numpy as np
+    from gopie_spark.operators.similarity import cosine_dedup
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal(16)
+    b = rng.standard_normal(16)
+    rows = [(1, (a + 0.001 * rng.standard_normal(16)).tolist()),
+            (2, (a + 0.001 * rng.standard_normal(16)).tolist()),
+            (3, (a + 0.001 * rng.standard_normal(16)).tolist()),
+            (10, b.tolist()),
+            (11, (-b).tolist())]  # anti-parallel: cosine -1, no dup
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(r["vec_id"] for r in
+                  cosine_dedup(spark, df, threshold=0.95).collect())
+    assert kept == [1, 10, 11]
+    kept_g = sorted(r["vec_id"] for r in
+                    cosine_dedup(spark, df, threshold=0.95,
+                                 strategy="greedy").collect())
+    assert kept_g == [1, 10, 11]
