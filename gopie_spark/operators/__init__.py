@@ -5,6 +5,7 @@ from gopie_spark.operators.dedup import (
     duplicate_stats,
     exact_dedup,
     incremental_minhash_dedup,
+    incremental_simhash_dedup,
     minhash_lsh_candidates,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
@@ -65,6 +66,7 @@ __all__ = [
     "bloom_build", "bloom_filter", "suggest_salt",
     "exact_dedup", "duplicate_stats", "bucket_cap_stats",
     "minhash_lsh_candidates", "incremental_minhash_dedup",
+    "incremental_simhash_dedup",
     "minhash_lsh_dedup", "simhash_candidates", "ngram_jaccard_pairs",
     "connected_components",
     "bloom_shards_build", "bloom_shards_filter",

@@ -474,6 +474,20 @@ def add_simhash(df: DataFrame, text_col: str = "text",
     return _widen(df).mapInPandas(fn, schema)
 
 
+def _chunk_explode(fps: DataFrame) -> DataFrame:
+    """DataFrame[_id, chunk, cv]: one row per (doc, 16-bit fingerprint
+    chunk) — the SimHash pigeonhole blocking key."""
+    chunk_cols = [
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftrightunsigned("simhash", 16 * c)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("cv"))
+        for c in range(4)
+    ]
+    return (fps.select("_id", F.explode(F.array(*chunk_cols)).alias("ck"))
+            .select("_id", F.col("ck.chunk").alias("chunk"),
+                    F.col("ck.cv").alias("cv")))
+
+
 def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", max_hamming: int = 3,
                        max_bucket: int = 256) -> DataFrame:
@@ -482,16 +496,8 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
     fps = add_simhash(df, text_col).select(
         F.col(id_col).alias("_id"), "simhash")
     fps.cache()
-    chunk_cols = [
-        F.struct(F.lit(c).alias("chunk"),
-                 F.shiftrightunsigned("simhash", 16 * c)
-                 .bitwiseAND(F.lit(0xFFFF)).alias("cv"))
-        for c in range(4)
-    ]
-    exploded = (fps.select("_id", F.explode(F.array(*chunk_cols)).alias("ck"))
-                .select("_id", F.col("ck.chunk").alias("chunk"),
-                        F.col("ck.cv").alias("cv")))
-    pairs = _bucket_pairs(exploded, ["chunk", "cv"], max_bucket)
+    pairs = _bucket_pairs(_chunk_explode(fps), ["chunk", "cv"],
+                          max_bucket)
     fa = fps.select(F.col("_id").alias("id_a"), F.col("simhash").alias("_fa"))
     fb = fps.select(F.col("_id").alias("id_b"), F.col("simhash").alias("_fb"))
     ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
@@ -499,6 +505,91 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
             .withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .drop("_fa", "_fb"))
+
+
+def incremental_simhash_dedup(new_docs: DataFrame, fp_store: str,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              max_hamming: int = 3,
+                              max_bucket: int = 256,
+                              strategy: str = "cc",
+                              update_store: bool = True) -> DataFrame:
+    """SimHash twin of :func:`incremental_minhash_dedup`: dedup a NEW
+    batch against an existing corpus represented only by its 64-bit
+    fingerprint store (parquet of (_id, simhash) — 8 bytes per
+    historical doc, even cheaper at rest than the MinHash store).
+
+    Candidates come from the 4x16-bit pigeonhole blocking (full recall
+    for Hamming <= 3) over new-chunk x capped-combined-bucket members;
+    verification is ``bit_count(xor) <= max_hamming`` in codegen.
+    History is immutable; under ``'cc'`` a new-new cluster transitively
+    touching history drops entirely, clean clusters keep their smallest
+    id — same semantics, caps, and store-update contract as the MinHash
+    variant.  Returns the surviving new docs."""
+    spark = new_docs.sparkSession
+    new_fps = add_simhash(new_docs, text_col).select(
+        F.col(id_col).alias("_id"), "simhash")
+    new_fps.cache()
+    try:
+        stored = spark.read.parquet(fp_store)
+        have_store = True
+    except Exception:
+        stored = None
+        have_store = False
+
+    new_expl = _chunk_explode(new_fps)
+    combined_expl = new_expl if stored is None else \
+        new_expl.unionByName(_chunk_explode(stored))
+    members = _bucket_members(combined_expl, ["chunk", "cv"], max_bucket)
+    cand = (new_expl.join(members, ["chunk", "cv"])
+            .select(F.col("_id").alias("id_new"),
+                    F.explode("_ids").alias("id_other"))
+            .filter(F.col("id_new") != F.col("id_other"))
+            .distinct())
+    all_fps = new_fps if stored is None else new_fps.unionByName(stored)
+    fa = new_fps.select(F.col("_id").alias("id_new"),
+                        F.col("simhash").alias("_fa"))
+    fb = all_fps.select(F.col("_id").alias("id_other"),
+                        F.col("simhash").alias("_fb"))
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    pairs = (cand.join(fa, "id_new").join(fb, "id_other")
+             .filter(ham.cast("int") <= max_hamming)
+             .select("id_new", "id_other"))
+    new_ids = new_fps.select(F.col("_id").alias("id_new"))
+    vs_stored = pairs.join(new_ids.select(F.col("id_new")
+                                          .alias("id_other")),
+                           "id_other", "left_anti") \
+        .select("id_new").distinct()
+    nn = (pairs.join(new_ids.select(F.col("id_new").alias("id_other")),
+                     "id_other", "left_semi")
+          .select(F.least("id_new", "id_other").alias("id_a"),
+                  F.greatest("id_new", "id_other").alias("id_b")))
+    if strategy == "cc":
+        from gopie_spark.operators.graph import connected_components
+        comp = connected_components(nn)
+        touched = (comp.join(vs_stored.select(F.col("id_new").alias("id")),
+                             "id", "left_semi")
+                   .select("component").distinct())
+        in_touched = (comp.join(touched, "component", "left_semi")
+                      .select(F.col("id").alias("id_new")))
+        nn_losers = (comp.filter(F.col("id") != F.col("component"))
+                     .select(F.col("id").alias("id_new"))
+                     .unionByName(in_touched).distinct())
+    elif strategy == "greedy":
+        nn_losers = nn.select(F.col("id_b").alias("id_new")).distinct()
+    else:
+        raise ValueError(f"unknown dedup strategy: {strategy!r}")
+    losers = vs_stored.unionByName(nn_losers).distinct() \
+        .select(F.col("id_new").alias(id_col)) \
+        .localCheckpoint(eager=True)
+    survivors = new_docs.join(losers, id_col, "left_anti")
+    if update_store:
+        keep = new_fps.join(losers.select(F.col(id_col).alias("_id")),
+                            "_id", "left_anti")
+        keep.write.mode("append" if have_store else "overwrite") \
+            .parquet(fp_store)
+    new_fps.unpersist()
+    return survivors
 
 
 # --------------------------------------------------------------------------

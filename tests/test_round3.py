@@ -828,3 +828,42 @@ def test_cosine_dedup_keeps_cluster_minimum(spark):
                     cosine_dedup(spark, df, threshold=0.95,
                                  strategy="greedy").collect())
     assert kept_g == [1, 10, 11]
+
+
+def test_incremental_simhash_dedup_contract_on_real_corpus(spark,
+                                                           tmp_path):
+    """Two-phase incremental SimHash dedup over the real documents
+    table honors the operator's guarantees: (a) it never drops a doc
+    the full-batch cc run keeps (conservative-keep — the documented
+    divergence is the REVERSE direction, a new doc whose only links
+    were to already-dropped, non-stored docs surviving), (b) the
+    retained corpus is pairwise near-dup-free (zero Hamming<=3 pairs
+    among survivors), and (c) the store holds exactly the survivors'
+    fingerprints."""
+    from gopie_spark.operators.dedup import (incremental_simhash_dedup,
+                                             simhash_candidates)
+    from gopie_spark.operators.graph import connected_components
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet").select("doc_id",
+                                                          "text")
+    store = str(tmp_path / "fps")
+    p1, p2 = docs.filter("doc_id < 250"), docs.filter("doc_id >= 250")
+    s1 = sorted(r["doc_id"] for r in
+                incremental_simhash_dedup(p1, store).collect())
+    s2 = sorted(r["doc_id"] for r in
+                incremental_simhash_dedup(p2, store).collect())
+    retained = set(s1 + s2)
+    pairs = simhash_candidates(docs).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    losers = {r["id"] for r in
+              comp.filter(F.col("id") != F.col("component")).collect()}
+    batch_kept = {r["doc_id"] for r in docs.collect()} - losers
+    assert batch_kept <= retained          # (a) never over-drops
+    kept_docs = docs.join(
+        docs.sparkSession.createDataFrame(
+            [(i,) for i in sorted(retained)], "doc_id long"),
+        "doc_id", "left_semi")
+    assert simhash_candidates(kept_docs).count() == 0  # (b) dup-free
+    stored = sorted(r["_id"] for r in
+                    spark.read.parquet(store).collect())
+    assert stored == sorted(retained)      # (c) store == survivors
