@@ -8,10 +8,12 @@ from gopie_spark.streaming.dedup import (BloomStreamingDedup,
 from gopie_spark.streaming.microbatch import (StreamingSketch,
                                               fanout_foreach_batch,
                                               windowed_stream_counts)
-from gopie_spark.streaming.stateful import streaming_hll_estimates
+from gopie_spark.streaming.stateful import (streaming_heavy_hitters,
+                                            streaming_hll_estimates)
 
 __all__ = ["StreamingSketch", "windowed_stream_counts",
-           "streaming_hll_estimates", "BloomStreamingDedup",
+           "streaming_hll_estimates", "streaming_heavy_hitters",
+           "BloomStreamingDedup",
            "streaming_exact_dedup", "sharded_bloom_streaming_dedup",
            "latest_n", "LatestNConflate",
            "fanout_foreach_batch"]

@@ -66,3 +66,56 @@ def streaming_hll_estimates(stream_df: DataFrame, key_col: str,
             .applyInPandasWithState(update_fn, out_schema, state_schema,
                                     output_mode,
                                     GroupStateTimeout.NoTimeout))
+
+
+def streaming_heavy_hitters(stream_df: DataFrame, key_col: str,
+                            value_col: str, k: int = 16, top_n: int = 5,
+                            output_mode: str = "update") -> DataFrame:
+    """Per-key running heavy-hitter values over a streaming DataFrame —
+    the frequency twin of :func:`streaming_hll_estimates`.
+
+    State = one serialized Misra-Gries summary (k counters — O(k)
+    regardless of stream length) per key in the state store; every
+    trigger that touches a key re-emits its current top-``top_n``
+    values with their lower-bound counts (Update mode = Latest
+    conflation of the running answer).  The MG guarantee carries over:
+    any value with true frequency > n_key/k is guaranteed present, and
+    each reported count is within ``err`` (also emitted) of the truth.
+    """
+    from gopie_spark.kernels import MisraGries
+    mg = MisraGries(k=k)
+
+    out_schema = StructType([
+        StructField(key_col, StringType(), False),
+        StructField("value", StringType(), False),
+        StructField("est_count", LongType(), False),
+        StructField("err", LongType(), False),
+        StructField("rank", LongType(), False),
+    ])
+    state_schema = StructType([StructField("blob", BinaryType(), True)])
+
+    def update_fn(key: Tuple[Any, ...],
+                  pdfs: Iterator[pd.DataFrame],
+                  state: GroupState) -> Iterator[pd.DataFrame]:
+        st = mg.deserialize(bytes(state.get[0])) if state.exists \
+            else mg.zero()
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            if len(vals):
+                st = mg.update(st, vals.astype(str).tolist())
+        state.update((mg.serialize(st),))
+        err = int(mg.error_bound(st))
+        top_keys, top_counts = mg.topk(st, top_n)
+        n_out = len(top_keys)
+        yield pd.DataFrame({
+            key_col: [key[0]] * n_out,
+            "value": [str(v) for v in top_keys],
+            "est_count": [int(c) for c in top_counts],
+            "err": [err] * n_out,
+            "rank": list(range(1, n_out + 1)),
+        })
+
+    return (stream_df.groupBy(key_col)
+            .applyInPandasWithState(update_fn, out_schema, state_schema,
+                                    output_mode,
+                                    GroupStateTimeout.NoTimeout))

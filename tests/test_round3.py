@@ -867,3 +867,39 @@ def test_incremental_simhash_dedup_contract_on_real_corpus(spark,
     stored = sorted(r["_id"] for r in
                     spark.read.parquet(store).collect())
     assert stored == sorted(retained)      # (c) store == survivors
+
+
+def test_streaming_heavy_hitters_matches_batch_mg(spark, tmp_path):
+    """Per-key streaming Misra-Gries (state-store blob per key): the
+    final emission per key equals a serial MG over that key's values
+    in stream order, and the true per-key top value is present with a
+    count within the emitted error bound of its exact frequency."""
+    from gopie_spark.kernels import MisraGries
+    from gopie_spark.streaming.stateful import streaming_heavy_hitters
+
+    rows = []
+    for i in range(600):
+        lang = ["en", "de"][i % 2]
+        tok = "hot" if i % 3 == 0 else f"t{i % 40}"
+        rows.append((i, lang, tok))
+    df = spark.createDataFrame(rows, "i long, lang string, tok string")
+    src = str(tmp_path / "src")
+    df.orderBy("i").coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src) \
+        .select("lang", "tok")
+    out = streaming_heavy_hitters(stream, "lang", "tok", k=16, top_n=3)
+    q = (out.writeStream.format("memory").queryName("mg_stream")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from mg_stream").collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["lang"], []).append(r)
+    for lang in ("en", "de"):
+        top1 = min(by_key[lang], key=lambda r: r["rank"])
+        assert top1["value"] == "hot"
+        exact = sum(1 for _, lg, t in rows if lg == lang and t == "hot")
+        assert abs(top1["est_count"] - exact) <= top1["err"]
