@@ -997,6 +997,24 @@ def _q_latest_n_events(spark, sf_dir):
             .orderBy("user_id", F.desc("ts_us"), "event_id"))
 
 
+def _q_decontaminate_docs(spark, sf_dir):
+    """Eval-set decontamination (training-pipeline op,
+    operators/decontaminate.py): docs sharing >=1 word 8-gram with the
+    eval slice (doc_id % 10 == 0), with the count of distinct shared
+    grams.  Spark side = broadcast Bloom gate over shingle hashes (one
+    scan, no shuffle) + exact verify of the candidates only; equals the
+    all-exact n-gram join, which the oracle recomputes."""
+    from gopie_spark.operators.decontaminate import decontaminate
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    tr = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    return (decontaminate(tr, ev, id_col="doc_id", text_col="text",
+                          n=8, min_hits=1)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_matched").cast("long").alias("n_matched"))
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_distinct_global": _q_hll_distinct_global,
@@ -1044,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": _q_cc_components,
         "latest_n_events": _q_latest_n_events,
         "hll_distinct_per_sliding_window": _q_hll_distinct_per_sliding_window,
+        "decontaminate_docs": _q_decontaminate_docs,
     }
 
 
@@ -1399,5 +1418,28 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus, l_quantity DESC,
                      l_orderkey, l_linenumber
             LIMIT 200
+        """,
+        "decontaminate_docs": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, array_to_string(t[u.i:u.i+7], ' ') AS g
+              FROM tok, unnest(CASE WHEN len(t) >= 8
+                                    THEN generate_series(1, len(t)-7)
+                                    ELSE [] END) AS u(i)
+            ),
+            eval_grams AS (SELECT DISTINCT g FROM grams
+                           WHERE doc_id % 10 = 0),
+            hits AS (
+              SELECT grams.doc_id, count(DISTINCT grams.g) AS n_matched
+              FROM grams JOIN eval_grams USING (g)
+              WHERE grams.doc_id % 10 <> 0
+              GROUP BY grams.doc_id
+            )
+            SELECT doc_id, n_matched FROM hits
+            WHERE n_matched >= 1 ORDER BY doc_id
         """,
     }

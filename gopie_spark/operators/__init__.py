@@ -11,6 +11,13 @@ from gopie_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_candidates,
 )
+from gopie_spark.operators.decontaminate import (
+    add_contamination_hits,
+    build_eval_gram_filter,
+    decontaminate,
+    decontaminate_keep,
+    ngram_strings,
+)
 from gopie_spark.operators.graph import connected_components
 from gopie_spark.operators.membership import (
     bloom_shards_build,
@@ -69,6 +76,8 @@ __all__ = [
     "incremental_simhash_dedup",
     "minhash_lsh_dedup", "simhash_candidates", "ngram_jaccard_pairs",
     "connected_components",
+    "decontaminate", "decontaminate_keep", "build_eval_gram_filter",
+    "add_contamination_hits", "ngram_strings",
     "bloom_shards_build", "bloom_shards_filter",
     "brute_force_topk", "lsh_topk", "ivf_topk", "train_ivf_centroids",
     "build_ivf_index", "ivf_topk_indexed",
