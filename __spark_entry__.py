@@ -1015,6 +1015,42 @@ def _q_decontaminate_docs(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_uniform_sample_docs(spark, sf_dir):
+    """Deterministic uniform k-sample (operators/sampling.py
+    ``hash_sample``): the 25 docs with the smallest md5-derived 60-bit
+    keys — reproducible on any cluster/partitioning, plans as
+    TakeOrderedAndProject, and DuckDB recomputes the identical keys."""
+    from gopie_spark.operators.sampling import hash_sample
+    docs = _docs(spark, sf_dir)
+    return (hash_sample(docs, 25, seed=7)
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+            .orderBy("doc_id"))
+
+
+def _q_stratified_sample_docs(spark, sf_dir):
+    """Per-language stratified sample (``stratified_hash_sample``):
+    5 docs per lang by smallest key, via latest_n's two-level salted
+    capped agg (no per-stratum window sort)."""
+    from gopie_spark.operators.sampling import stratified_hash_sample
+    docs = _docs(spark, sf_dir)
+    return (stratified_hash_sample(docs, ["lang"], 5, seed=7)
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+            .orderBy("lang", "doc_id"))
+
+
+def _q_priority_sample_docs(spark, sf_dir):
+    """Weighted sampling without replacement (``priority_sample``,
+    Duffield-Lund-Thorup): 15 docs with the largest priorities
+    w/u (w = n_chars, u = deterministic per-id uniform); priorities
+    reported in exact milli-units so both engines compare bit-equal."""
+    from gopie_spark.operators.sampling import priority_sample
+    docs = _docs(spark, sf_dir)
+    return (priority_sample(docs, "n_chars", 15, seed=7)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "priority_e3")
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_distinct_global": _q_hll_distinct_global,
@@ -1063,6 +1099,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_n_events": _q_latest_n_events,
         "hll_distinct_per_sliding_window": _q_hll_distinct_per_sliding_window,
         "decontaminate_docs": _q_decontaminate_docs,
+        "uniform_sample_docs": _q_uniform_sample_docs,
+        "stratified_sample_docs": _q_stratified_sample_docs,
+        "priority_sample_docs": _q_priority_sample_docs,
     }
 
 
@@ -1441,5 +1480,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_matched FROM hits
             WHERE n_matched >= 1 ORDER BY doc_id
+        """,
+        "uniform_sample_docs": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang FROM documents
+                ORDER BY ('0x' || substr(md5('7|' ||
+                              CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                         doc_id
+                LIMIT 25
+            ) ORDER BY doc_id
+        """,
+        "stratified_sample_docs": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY ('0x' || substr(md5('7|' ||
+                               CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                               doc_id DESC) AS rn
+                FROM documents
+            ) WHERE rn <= 5 ORDER BY lang, doc_id
+        """,
+        "priority_sample_docs": """
+            SELECT doc_id, CAST(floor(q * 1000 + 0.5) AS BIGINT)
+                       AS priority_e3
+            FROM (
+                SELECT doc_id,
+                       CAST(n_chars AS DOUBLE) /
+                       ((('0x' || substr(md5('7|' ||
+                             CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         ::DOUBLE + 0.5) / 4294967296.0) AS q
+                FROM documents
+                ORDER BY q DESC, doc_id LIMIT 15
+            ) ORDER BY doc_id
         """,
     }

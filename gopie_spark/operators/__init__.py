@@ -38,6 +38,13 @@ from gopie_spark.operators.similarity import (
     probe_work_stats,
     train_ivf_centroids,
 )
+from gopie_spark.operators.sampling import (
+    hash_sample,
+    hash_sample_fraction,
+    priority_sample,
+    priority_threshold,
+    stratified_hash_sample,
+)
 from gopie_spark.operators.sketch_agg import (
     build_partials,
     merge_partials,
@@ -78,6 +85,8 @@ __all__ = [
     "connected_components",
     "decontaminate", "decontaminate_keep", "build_eval_gram_filter",
     "add_contamination_hits", "ngram_strings",
+    "hash_sample", "hash_sample_fraction", "stratified_hash_sample",
+    "priority_sample", "priority_threshold",
     "bloom_shards_build", "bloom_shards_filter",
     "brute_force_topk", "lsh_topk", "ivf_topk", "train_ivf_centroids",
     "build_ivf_index", "ivf_topk_indexed",

@@ -1,0 +1,148 @@
+"""Deterministic, mergeable sampling for training-data pipelines.
+
+Every operator keys its randomness on ``md5(seed | row id)`` computed
+JVM-side (Catalyst ``md5``/``conv`` — no Python, no RNG state), which
+buys three properties a 10^12-row pipeline needs:
+
+- **reproducible**: same (seed, id) -> same decision on any cluster, any
+  partitioning, any retry — a re-run or a recovered task cannot change
+  the sample;
+- **mergeable / partial-aggregable**: top-k by a deterministic key is
+  Spark's ``TakeOrderedAndProject`` (per-partition partial top-k, merged
+  at the driver) and the stratified form reuses ``latest_n``'s two-level
+  salted capped aggregation — no global sort, no per-key window sort;
+- **oracle-checkable**: DuckDB computes the identical md5-derived keys,
+  so the exact sampled set (not just its size) is verifiable.
+
+Operators:
+
+- :func:`hash_sample` — uniform k-without-replacement (smallest-k keys);
+- :func:`hash_sample_fraction` — uniform p-fraction Bernoulli filter
+  (consistent across tables: same id always lands the same side — the
+  train/val split primitive);
+- :func:`stratified_hash_sample` — k per stratum (e.g. per language),
+  bounded buffers via ``latest_n``;
+- :func:`priority_sample` — weighted sampling without replacement by
+  priority ``w / u`` (Duffield-Lund-Thorup priority sampling; take the
+  k largest priorities; with threshold ``tau`` = (k+1)-th priority the
+  Horvitz-Thompson estimate ``max(w, tau)`` per kept row is unbiased
+  for subset sums).
+
+No reference analog (gopie has no corpus sampling); ``subset``-style
+deterministic seeding per SURVEY §2.2.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# 60-bit keys: largest hex-parseable width that cannot overflow a signed
+# 64-bit parse in either engine (16 hex chars could reach 2^64-1).
+_KEY_HEX_CHARS = 15
+_FRACTION_BITS = 32
+
+
+def sample_key(id_col, seed: int = 0,
+               hex_chars: int = _KEY_HEX_CHARS) -> Column:
+    """Deterministic uniform 60-bit key: first ``hex_chars`` hex chars of
+    ``md5(seed | '|' | id)`` parsed as an integer.  DuckDB mirror:
+    ``('0x' || substr(md5(seed || '|' || CAST(id AS VARCHAR)), 1, 15))::BIGINT``."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    digest = F.md5(F.concat_ws("|", F.lit(str(seed)), c.cast("string")))
+    return F.conv(F.substring(digest, 1, hex_chars), 16, 10).cast("long")
+
+
+def uniform01(id_col, seed: int = 0) -> Column:
+    """Uniform (0,1) double from the top 32 key bits: ``(k32 + 0.5) /
+    2^32`` — k32 < 2^53 so every step is an exact IEEE double in both
+    Spark and DuckDB."""
+    k32 = sample_key(id_col, seed, hex_chars=8)
+    return (k32.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
+
+
+def hash_sample(df: DataFrame, k: int, seed: int = 0,
+                id_col: str = "doc_id") -> DataFrame:
+    """Uniform k-without-replacement: the k rows with the smallest
+    sample keys (ties by id).  Plans as TakeOrderedAndProject — a
+    per-partition partial top-k, never a global sort."""
+    if k < 1:
+        raise ValueError("k must be positive")
+    key = sample_key(id_col, seed)
+    return (df.withColumn("_skey", key)
+            .orderBy(F.col("_skey"), F.col(id_col))
+            .limit(k)
+            .drop("_skey"))
+
+
+def hash_sample_fraction(df: DataFrame, fraction: float, seed: int = 0,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Bernoulli(p) filter on the 32-bit key: keep iff
+    ``k32 < floor(p * 2^32)``.  Pure filter — no shuffle, no state; the
+    same (seed, id) keeps/drops identically everywhere, which is what
+    makes it a consistent train/val splitter."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    threshold = int(fraction * (1 << _FRACTION_BITS))
+    k32 = sample_key(id_col, seed, hex_chars=8)
+    return df.filter(k32 < F.lit(threshold))
+
+
+def stratified_hash_sample(df: DataFrame, strata: Sequence[str], k: int,
+                           seed: int = 0,
+                           id_col: str = "doc_id") -> DataFrame:
+    """k rows per stratum (smallest keys within each stratum): reuses
+    ``latest_n``'s two-level salted capped aggregation on the negated
+    key, so a viral stratum never materializes in one buffer and there
+    is no per-stratum window sort.  Returns the original columns."""
+    from gopie_spark.streaming.conflate import latest_n
+    strata = list(strata)
+    key = sample_key(id_col, seed)
+    slim = df.select(*strata, F.col(id_col),
+                     (-key).alias("_negkey"))
+    picked = latest_n(slim, strata, "_negkey", k).select(id_col)
+    # sample-sized right side: k rows per stratum value — broadcastable
+    # for any realistic (k, #strata); AQE would pick the same plan
+    return df.join(F.broadcast(picked), id_col, "semi")
+
+
+def priority_sample(df: DataFrame, weight_col: str, k: int,
+                    seed: int = 0, id_col: str = "doc_id",
+                    out_col: str = "priority_e3") -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup, JACM 2007): priority
+    ``q_i = w_i / u_i`` with ``u_i`` the deterministic per-id uniform;
+    keep the k rows with the largest priorities.  Inclusion probability
+    is proportional-ish to weight; with ``tau`` the (k+1)-th priority,
+    ``max(w_i, tau)`` is the unbiased Horvitz-Thompson weight.
+
+    ``out_col`` carries the priority scaled to integer milli-units
+    (``floor(q * 1000 + 0.5)``) so results compare exactly across
+    engines.  Plans as TakeOrderedAndProject."""
+    if k < 1:
+        raise ValueError("k must be positive")
+    w = F.col(weight_col).cast("double")
+    q = w / uniform01(id_col, seed)
+    return (df.withColumn("_q", q)
+            .orderBy(F.desc("_q"), F.col(id_col))
+            .limit(k)
+            .withColumn(out_col,
+                        F.floor(F.col("_q") * 1000 + F.lit(0.5))
+                        .cast("long"))
+            .drop("_q"))
+
+
+def priority_threshold(df: DataFrame, weight_col: str, k: int,
+                       seed: int = 0, id_col: str = "doc_id") -> float:
+    """``tau`` = the (k+1)-th largest priority (0.0 when the input has
+    <= k rows) — the Horvitz-Thompson normalizer for
+    :func:`priority_sample` estimates."""
+    w = F.col(weight_col).cast("double")
+    q = w / uniform01(id_col, seed)
+    rows = (df.select(q.alias("_q"))
+            .orderBy(F.desc("_q"))
+            .limit(k + 1)
+            .collect())
+    if len(rows) <= k:
+        return 0.0
+    return float(rows[k]["_q"])
