@@ -1051,6 +1051,46 @@ def _q_priority_sample_docs(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_vocab_top_tokens(spark, sf_dir):
+    """Exact vocabulary build (textstats.vocab_top_tokens): top-30
+    tokens by collection frequency with document frequency — the
+    vocab/IDF primitive, all built-ins, TakeOrderedAndProject tail."""
+    from gopie_spark.operators.textstats import vocab_top_tokens
+    docs = _docs(spark, sf_dir)
+    return (vocab_top_tokens(docs, v=30)
+            .select("token", F.col("cnt").cast("long").alias("cnt"),
+                    F.col("doc_freq").cast("long").alias("doc_freq"))
+            .orderBy(F.desc("cnt"), "token"))
+
+
+def _q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF keywords (textstats.tfidf_top_terms): top-3 terms per doc
+    over the exact top-50 vocabulary, idf/doc-count from the FULL
+    corpus (broadcast), output restricted to doc_id < 200."""
+    from gopie_spark.operators.textstats import tfidf_top_terms
+    docs = _docs(spark, sf_dir)
+    return (tfidf_top_terms(docs, v=50, k=3)
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "token", F.col("tf").cast("long").alias("tf"),
+                    "score_e6")
+            .orderBy("doc_id", "token"))
+
+
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition features (textstats.repetition_stats):
+    per-row sort + run-length fold, zero shuffle; raw values for
+    doc_id < 300."""
+    from gopie_spark.operators.textstats import repetition_stats
+    docs = _docs(spark, sf_dir).filter(
+        (F.col("doc_id") < 300) & F.col("text").isNotNull())
+    return (repetition_stats(docs)
+            .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("n_distinct_tokens").cast("long")
+                    .alias("n_distinct_tokens"),
+                    "ttr_e6", "top_token_e6", "top_bigram_e6")
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_distinct_global": _q_hll_distinct_global,
@@ -1102,6 +1142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniform_sample_docs": _q_uniform_sample_docs,
         "stratified_sample_docs": _q_stratified_sample_docs,
         "priority_sample_docs": _q_priority_sample_docs,
+        "vocab_top_tokens": _q_vocab_top_tokens,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "repetition_stats": _q_repetition_stats,
     }
 
 
@@ -1513,5 +1556,89 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
                 ORDER BY q DESC, doc_id LIMIT 15
             ) ORDER BY doc_id
+        """,
+        "vocab_top_tokens": r"""
+            SELECT token, count(*) AS cnt,
+                   count(DISTINCT doc_id) AS doc_freq
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)),
+                                                 '\s+')) AS token
+                FROM documents
+            )
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY cnt DESC, token
+            LIMIT 30
+        """,
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)),
+                                                 '\s+')) AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM toks WHERE token <> '' GROUP BY doc_id, token
+            ),
+            vocab AS (
+                SELECT token, count(*) AS cnt,
+                       count(DISTINCT doc_id) AS doc_freq
+                FROM toks WHERE token <> ''
+                GROUP BY token ORDER BY cnt DESC, token LIMIT 50
+            ),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs
+                  FROM documents),
+            ranked AS (
+                SELECT tf.doc_id, tf.token, tf.tf,
+                       tf.tf * ln(n_docs / doc_freq) AS score,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * ln(n_docs / doc_freq) DESC,
+                                    tf.token) AS rn
+                FROM tf JOIN vocab USING (token) CROSS JOIN n
+            )
+            SELECT doc_id, token, tf,
+                   CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6
+            FROM ranked WHERE rn <= 3 AND doc_id < 200
+            ORDER BY doc_id, token
+        """,
+        "repetition_stats": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                                      '\s+'),
+                                   t -> t <> '') AS l
+                FROM documents
+                WHERE doc_id < 300 AND text IS NOT NULL
+            ),
+            tok AS (SELECT doc_id, unnest(l) AS token FROM base),
+            tc  AS (SELECT doc_id, token, count(*) AS c
+                    FROM tok GROUP BY doc_id, token),
+            ta  AS (SELECT doc_id, max(c) AS max_tok, sum(c) AS n_tok,
+                           count(*) AS n_dis
+                    FROM tc GROUP BY doc_id),
+            big AS (SELECT doc_id,
+                           unnest(list_transform(range(1, len(l)),
+                                  i -> l[i] || ' ' || l[i+1])) AS bg
+                    FROM base),
+            bc  AS (SELECT doc_id, bg, count(*) AS c
+                    FROM big GROUP BY doc_id, bg),
+            ba  AS (SELECT doc_id, max(c) AS max_bg FROM bc GROUP BY doc_id)
+            SELECT b.doc_id,
+                   coalesce(n_tok, 0) AS n_tokens,
+                   coalesce(n_dis, 0) AS n_distinct_tokens,
+                   CASE WHEN n_tok > 0 THEN CAST(floor(
+                       n_dis * 1000000.0 / n_tok + 0.5) AS BIGINT)
+                   END AS ttr_e6,
+                   CASE WHEN n_tok > 0 THEN CAST(floor(
+                       max_tok * 1000000.0 / n_tok + 0.5) AS BIGINT)
+                   END AS top_token_e6,
+                   CASE WHEN n_tok > 1 THEN CAST(floor(
+                       max_bg * 1000000.0 / (n_tok - 1) + 0.5) AS BIGINT)
+                   END AS top_bigram_e6
+            FROM base b LEFT JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)
+            ORDER BY doc_id
         """,
     }

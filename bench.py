@@ -51,8 +51,9 @@ def main() -> None:
         "bloom_scalable_membership", "tdigest_grouped_median",
         # round 2: sketch algebra, distributed remove, transitive closure
         "hll_intersect", "bloom_counting_remove_dist", "cc_components",
-        # round 3: latest-N conflation, sliding-window sketches
+        # round 3: latest-N conflation, sliding-window sketches, vocab
         "latest_n_events", "hll_distinct_per_sliding_window",
+        "vocab_top_tokens", "tfidf_top_terms", "repetition_stats",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",

@@ -133,6 +133,130 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text",
     return df.mapInPandas(fn, schema)
 
 
+# -- vocabulary building -------------------------------------------------------
+
+def vocab_top_tokens(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", v: int = 30000) -> DataFrame:
+    """Exact top-``v`` vocabulary: ``DataFrame[token, cnt, doc_freq]``
+    ordered by collection frequency (ties by token) — the vocab/IDF
+    build of a tokenizer-training pipeline.
+
+    Pure built-ins end to end: explode(split) -> two-level aggregate.
+    ``cnt`` partials combine map-side; ``doc_freq`` (documents
+    containing the token) is exact via count(DISTINCT id) — Spark
+    plans it as the standard two-phase distinct expansion, still fully
+    distributed.  The final order-by-limit is TakeOrderedAndProject,
+    so no global sort even at 10^8 distinct tokens."""
+    c = F.col(text_col)
+    tok = F.explode(F.split(F.lower(F.trim(c)), _WS)).alias("token")
+    pairs = df.select(F.col(id_col), tok).filter(F.col("token") != "")
+    return (pairs.groupBy("token")
+            .agg(F.count("*").alias("cnt"),
+                 F.countDistinct(id_col).alias("doc_freq"))
+            .orderBy(F.desc("cnt"), "token")
+            .limit(v))
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", v: int = 30000, k: int = 5,
+                    vocab: DataFrame | None = None) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document over the exact top-``v``
+    vocabulary: ``DataFrame[id_col, token, tf, score_e6]`` — the
+    relevance/keyword-extraction primitive of a text pipeline.
+
+    ``score = tf * ln(n_docs / doc_freq)``, reported as
+    ``floor(score*1e6 + 0.5)`` so the certificate compares integers,
+    not engine-specific float formatting.
+
+    Scale shape: term frequencies are one partial-aggregable
+    explode->groupBy (map-side combine); the vocabulary (<= ``v`` rows,
+    ~1 MB at v=30k) joins via an explicit ``broadcast`` so the big side
+    never shuffles for the join; ``n_docs`` rides the same broadcast
+    (cross-joined 1-row aggregate — no driver collect); the final
+    per-document top-k is a window over the (id, token) aggregate,
+    bounded at ``min(v, doc_len)`` rows per document."""
+    from pyspark.sql import Window
+
+    if vocab is None:
+        vocab = vocab_top_tokens(df, text_col, id_col, v)
+    n_docs = df.select(F.count("*").cast("double").alias("n_docs"))
+
+    c = F.col(text_col)
+    tok = F.explode(F.split(F.lower(F.trim(c)), _WS)).alias("token")
+    tf = (df.select(F.col(id_col), tok)
+          .filter(F.col("token") != "")
+          .groupBy(id_col, "token")
+          .agg(F.count("*").alias("tf")))
+    scored = (tf.join(F.broadcast(vocab.select("token", "doc_freq")), "token")
+              .join(F.broadcast(n_docs))
+              .withColumn("score",
+                          F.col("tf") * F.log(F.col("n_docs") /
+                                              F.col("doc_freq"))))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), "token")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(id_col, "token", "tf",
+                    F.floor(F.col("score") * 1e6 + F.lit(0.5))
+                    .cast("long").alias("score_e6")))
+
+
+# -- repetition / fluff detection ---------------------------------------------
+
+def _run_length_max(arr: Column) -> Column:
+    """Longest run in a *sorted* array == count of its most frequent
+    element — a per-row JVM fold (``aggregate``), no explode, no
+    shuffle."""
+    start = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                     F.lit(0).alias("best"))
+
+    def step(acc, x):
+        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc.best, run).alias("best"))
+
+    return F.aggregate(arr, start, step, lambda acc: acc.best)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition features, entirely per-row (zero
+    shuffle — the plan is a single codegen'd projection, which is the
+    shape you want for a 10^12-row quality-filter pass):
+
+    - ``n_tokens``, ``n_distinct_tokens``
+    - ``ttr_e6``: type-token ratio * 1e6 (low => repetitive)
+    - ``top_token_e6``: most-frequent-token share * 1e6
+    - ``top_bigram_e6``: most-frequent-bigram share * 1e6
+
+    Mode counts come from sort + longest-run fold per row
+    (O(L log L) in the JVM) instead of explode + groupBy (a full
+    (doc,token) shuffle) — repetition is a per-document property, so
+    it should never cost a shuffle.  Ratios are null for docs with no
+    tokens (no bigram => null ``top_bigram_e6``)."""
+    c = F.col(text_col)
+    split = F.filter(F.split(F.lower(F.trim(c)), _WS), lambda t: t != "")
+    toks = F.col("_toks")
+    n = F.size(toks)
+    pref = F.slice(toks, 1, F.greatest(n - 1, F.lit(0)))
+    suff = F.slice(toks, 2, F.greatest(n - 1, F.lit(0)))
+    bigrams = F.zip_with(pref, suff,
+                         lambda a, b: F.concat_ws(" ", a, b))
+
+    def e6(num, den):
+        return F.when(den > 0, F.floor(num * F.lit(1e6) / den + F.lit(0.5))
+                      .cast("long"))
+
+    n_distinct = F.size(F.array_distinct(toks))
+    return (df.withColumn("_toks", split)
+            .withColumn("n_tokens", n)
+            .withColumn("n_distinct_tokens", n_distinct)
+            .withColumn("ttr_e6", e6(n_distinct, n))
+            .withColumn("top_token_e6",
+                        e6(_run_length_max(F.array_sort(toks)), n))
+            .withColumn("top_bigram_e6",
+                        e6(_run_length_max(F.array_sort(bigrams)), n - 1))
+            .drop("_toks"))
+
+
 # -- language identification ---------------------------------------------------
 
 # tiny per-language character-trigram profiles (top distinctive trigrams,

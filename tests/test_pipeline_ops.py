@@ -16,7 +16,8 @@ from gopie_spark.operators.similarity import (add_hyperplane_bucket,
 from gopie_spark.operators.textstats import (add_lang_id, bpe_ish_token_count,
                                              content_fingerprint,
                                              quality_features,
-                                             rolling_fingerprint, token_count)
+                                             rolling_fingerprint, token_count,
+                                             vocab_top_tokens)
 
 
 @pytest.fixture(scope="module")
@@ -250,6 +251,55 @@ def test_quality_features(spark):
     assert out[2]["punct_ratio"] > 0.5
     assert out[1]["stopword_ratio"] > 0.2
     assert out[1]["n_tokens"] == 12
+
+
+def test_vocab_top_tokens_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "The  cat ran"), (3, "a cat The THE"),
+         (4, ""), (5, None)],
+        "doc_id long, text string")
+    rows = vocab_top_tokens(df, v=2).collect()
+    # 'the' cf=4 over docs {1,2,3}; 'cat' cf=3 over docs {1,2,3}
+    assert [(r["token"], r["cnt"], r["doc_freq"]) for r in rows] == [
+        ("the", 4, 3), ("cat", 3, 3)]
+
+
+def test_vocab_top_tokens_tie_break_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "bb aa"), (2, "aa bb cc")], "doc_id long, text string")
+    rows = vocab_top_tokens(df, v=2).collect()
+    # all cf=2 except cc; ties break token-ascending
+    assert [r["token"] for r in rows] == ["aa", "bb"]
+
+
+def test_repetition_stats_hand_computed(spark):
+    from gopie_spark.operators.textstats import repetition_stats
+    df = spark.createDataFrame(
+        [(1, "a a a a b"),      # top tok 4/5, bigrams aa aa aa ab -> 3/4
+         (2, "p q r s t"),      # all distinct
+         (3, ""), (4, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert (out[1]["top_token_e6"], out[1]["top_bigram_e6"],
+            out[1]["ttr_e6"]) == (800000, 750000, 400000)
+    assert (out[2]["ttr_e6"], out[2]["top_token_e6"]) == (1000000, 200000)
+    assert out[3]["n_tokens"] == 0 and out[3]["ttr_e6"] is None
+    assert out[4]["n_tokens"] is None
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+    from gopie_spark.operators.textstats import tfidf_top_terms
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "c c d"), (4, "d e")],
+        "doc_id long, text string")
+    rows = tfidf_top_terms(df, v=10, k=2).collect()
+    got = {(r["doc_id"], r["token"]): (r["tf"], r["score_e6"]) for r in rows}
+    # doc 1: a tf=2 df=2 -> 2*ln(2); b tf=1 df=1 -> ln(4)
+    assert got[(1, "a")] == (2, math.floor(2 * math.log(2) * 1e6 + 0.5))
+    assert got[(1, "b")] == (1, math.floor(math.log(4) * 1e6 + 0.5))
+    # k=2 respected: doc 1 has exactly 2 tokens anyway; doc 3 has c,d
+    assert {(d, t) for (d, t) in got if d == 3} == {(3, "c"), (3, "d")}
 
 
 def test_content_fingerprint_normalization(spark):

@@ -168,3 +168,28 @@ def test_latest_n_plan_is_partial_aggregable_no_window_sort(spark):
     assert plan.count("Exchange hashpartitioning") == 2  # two levels
     assert "_salt" in plan                          # hot-key salting
     assert "Window" not in plan and "row_number" not in plan
+
+
+def test_repetition_stats_has_zero_shuffle(spark):
+    """repetition_stats is a per-document property — its plan must be a
+    pure projection over the scan: NO Exchange, NO aggregate, NO
+    explode.  At 10^12 rows this is the difference between a
+    scan-speed quality-filter pass and a (doc,token) shuffle."""
+    from gopie_spark.operators.textstats import repetition_stats
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_text(repetition_stats(docs))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan          # no explode
+    assert "Aggregate" not in plan.replace("aggregate(", "")  # row fold ok
+
+
+def test_tfidf_vocab_join_is_broadcast(spark):
+    """tfidf_top_terms joins the big (doc,token) side against the <=v-row
+    vocabulary — that join must be broadcast (no SortMergeJoin / no
+    shuffle of the big side for the join), and the doc-count must ride
+    a broadcast nested loop, not a driver collect."""
+    from gopie_spark.operators.textstats import tfidf_top_terms
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_text(tfidf_top_terms(docs, v=50, k=3))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
