@@ -1091,6 +1091,128 @@ def _q_repetition_stats(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _pii_oracle_sql() -> str:
+    """pii_redaction oracle, generated from redact.PII_PATTERNS so the
+    two engines cannot drift (same planted text, same pattern order)."""
+    from gopie_spark.operators.redact import (oracle_count_sql,
+                                              oracle_redact_sql)
+    base = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+            "'@mail.example.com or +1 555 01' || "
+            "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || "
+            "' ip 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.7'")
+    return f"""
+        WITH b AS (SELECT doc_id, {base} AS t FROM documents)
+        SELECT doc_id,
+               md5({oracle_redact_sql('t')}) AS digest,
+               {oracle_count_sql('t', 'email')} AS n_email,
+               {oracle_count_sql('t', 'ipv4')} AS n_ipv4,
+               {oracle_count_sql('t', 'phone')} AS n_phone
+        FROM b ORDER BY doc_id
+    """
+
+
+def _docs_with_pii(docs):
+    """Deterministically plant one email / phone / IPv4 per doc (derived
+    from doc_id so both engines synthesize identical bytes — the corpus
+    itself is PII-free word soup)."""
+    return docs.withColumn("text", F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1 555 01"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(100)).cast("string"), 2, "0"),
+        F.lit(" ip 10.2."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"), F.lit(".7")))
+
+
+def _q_pii_redaction(spark, sf_dir):
+    """PII scrub (operators/redact.py): per-doc match counts on the
+    planted corpus + md5 of the redacted text — the per-row invariant is
+    exact string equality with the oracle's chained regexp_replace, so
+    the digest pins every replaced byte.  Plan: zero-shuffle
+    scan+project, all regexp built-ins (codegen)."""
+    from gopie_spark.operators.redact import pii_stats, redact_pii
+    d = _docs_with_pii(_docs(spark, sf_dir))
+    return (pii_stats(d)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.md5(redact_pii("text")).alias("digest"),
+                    F.col("n_email").cast("long").alias("n_email"),
+                    F.col("n_ipv4").cast("long").alias("n_ipv4"),
+                    F.col("n_phone").cast("long").alias("n_phone"))
+            .orderBy("doc_id"))
+
+
+def _docs_with_url(docs):
+    """Deterministic URL per doc: 60 synthetic hosts (source x doc_id%3)
+    under example.com."""
+    return docs.withColumn("url", F.concat(
+        F.lit("https://"), F.col("source"), F.lit("-"),
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+        F.lit(".example.com/page/"), F.col("doc_id").cast("string")))
+
+
+_BLOCKED_HOSTS = ["src0-1.example.com", "src1-2.example.com",
+                  "src7-0.example.com"]
+
+
+def _q_host_blocklist_stats(spark, sf_dir):
+    """Host analytics (operators/hoststats.py): broadcast-anti-join
+    blocklist filter, then per-host doc count + char totals — the
+    blocklist join never shuffles the corpus (broadcast LEFT ANTI), and
+    the host aggregation is one partial-aggregable groupBy keyed on a
+    codegen regexp extraction."""
+    from gopie_spark.operators.hoststats import filter_blocklist, host_stats
+    d = _docs_with_url(_docs(spark, sf_dir))
+    kept = filter_blocklist(d, _BLOCKED_HOSTS)
+    return (host_stats(kept, size_col="n_chars")
+            .select("host", F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("total_n_chars").cast("long")
+                    .alias("total_n_chars"),
+                    "avg_n_chars_e2")
+            .orderBy("host"))
+
+
+def _q_host_budget_docs(spark, sf_dir):
+    """Per-host document budget (hoststats.host_budget_sample): cap 3
+    docs/host by smallest deterministic hash key — the crawl-budget
+    primitive, via the two-level salted capped aggregation (no per-host
+    window sort over the corpus)."""
+    from gopie_spark.operators.hoststats import (extract_host,
+                                                 host_budget_sample)
+    d = _docs_with_url(_docs(spark, sf_dir))
+    return (host_budget_sample(d, 3, seed=7)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    extract_host("url").alias("host"))
+            .orderBy("doc_id"))
+
+
+def _q_dup_ngram_stats(spark, sf_dir):
+    """Corpus-level duplicated-4-gram fraction per doc
+    (textstats.dup_ngram_stats, Lee-et-al-style duplication signal):
+    strict JVM n-gram strings, one Generate + two partial-aggregable
+    aggregations; the hash_grams=True tier (8-byte shuffle rows) is
+    pytest-pinned equal."""
+    from gopie_spark.operators.textstats import dup_ngram_stats
+    docs = _docs(spark, sf_dir)
+    return (dup_ngram_stats(docs, n=4)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_grams").cast("long").alias("n_grams"),
+                    "dup_frac_e6")
+            .orderBy("doc_id"))
+
+
+def _q_quality_filter_flags(spark, sf_dir):
+    """Composed C4/Gopher quality filter (textstats.quality_filter):
+    per-doc drop-reason bitmask + keep verdict for doc_id < 300 — the
+    full rule stack in one zero-shuffle scan."""
+    from gopie_spark.operators.textstats import quality_filter
+    docs = _docs(spark, sf_dir).filter(
+        (F.col("doc_id") < 300) & F.col("text").isNotNull())
+    return (quality_filter(docs)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "drop_reasons", "keep")
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_distinct_global": _q_hll_distinct_global,
@@ -1145,6 +1267,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_tokens": _q_vocab_top_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "repetition_stats": _q_repetition_stats,
+        "pii_redaction": _q_pii_redaction,
+        "host_blocklist_stats": _q_host_blocklist_stats,
+        "host_budget_docs": _q_host_budget_docs,
+        "dup_ngram_stats": _q_dup_ngram_stats,
+        "quality_filter_flags": _q_quality_filter_flags,
     }
 
 
@@ -1640,5 +1767,132 @@ def oracle_sql() -> dict[str, str]:
                    END AS top_bigram_e6
             FROM base b LEFT JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)
             ORDER BY doc_id
+        """,
+        "pii_redaction": _pii_oracle_sql(),
+        "host_blocklist_stats": f"""
+            WITH u AS (
+                SELECT doc_id, n_chars,
+                       lower(regexp_extract(
+                           'https://' || source || '-' ||
+                           CAST(doc_id % 3 AS VARCHAR) ||
+                           '.example.com/page/' || CAST(doc_id AS VARCHAR),
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                           AS host
+                FROM documents
+            )
+            SELECT host, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_n_chars,
+                   CAST(floor(avg(n_chars) * 100 + 0.5) AS BIGINT)
+                       AS avg_n_chars_e2
+            FROM u
+            WHERE host NOT IN ({", ".join(f"'{h}'" for h in _BLOCKED_HOSTS)})
+            GROUP BY host ORDER BY host
+        """,
+        "host_budget_docs": """
+            WITH u AS (
+                SELECT doc_id,
+                       lower(regexp_extract(
+                           'https://' || source || '-' ||
+                           CAST(doc_id % 3 AS VARCHAR) ||
+                           '.example.com/page/' || CAST(doc_id AS VARCHAR),
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                           AS host
+                FROM documents
+            )
+            SELECT doc_id, host FROM (
+                SELECT doc_id, host,
+                       row_number() OVER (
+                           PARTITION BY host
+                           ORDER BY ('0x' || substr(md5('7|' ||
+                               CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                               doc_id DESC) AS rn
+                FROM u
+            ) WHERE rn <= 3 ORDER BY doc_id
+        """,
+        "dup_ngram_stats": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                                      '\s+'),
+                                   t -> t <> '') AS l
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, array_to_string(l[i:i+3], ' ') AS g
+                FROM base, unnest(generate_series(1, len(l) - 3)) AS u(i)
+                WHERE len(l) >= 4
+            ),
+            tot AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+            per AS (
+                SELECT doc_id, count(*) AS n_grams,
+                       sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS nd
+                FROM grams JOIN tot USING (g) GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+                   CASE WHEN n_grams > 0 THEN CAST(floor(
+                       nd * 1000000.0 / n_grams + 0.5) AS BIGINT)
+                   END AS dup_frac_e6
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "quality_filter_flags": r"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                                      '\s+'),
+                                   t -> t <> '') AS l,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                       END AS qf_n_tokens,
+                       len(text) AS n_chars
+                FROM documents
+                WHERE doc_id < 300 AND text IS NOT NULL
+            ),
+            tok AS (SELECT doc_id, unnest(l) AS token FROM base),
+            tc  AS (SELECT doc_id, token, count(*) AS c
+                    FROM tok GROUP BY doc_id, token),
+            ta  AS (SELECT doc_id, max(c) AS max_tok, sum(c) AS n_tok,
+                           count(*) AS n_dis
+                    FROM tc GROUP BY doc_id),
+            f AS (
+                SELECT b.doc_id,
+                       coalesce(n_tok, 0) AS rs_n_tokens,
+                       CASE WHEN n_tok > 0 THEN CAST(floor(
+                           n_dis * 1000000.0 / n_tok + 0.5) AS BIGINT)
+                       END AS ttr_e6,
+                       CASE WHEN n_tok > 0 THEN CAST(floor(
+                           max_tok * 1000000.0 / n_tok + 0.5) AS BIGINT)
+                       END AS top_token_e6,
+                       n_chars * 1.0 / greatest(qf_n_tokens, 1)
+                           AS mean_token_len,
+                       len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           * 1.0 / greatest(n_chars, 1) AS alpha_ratio,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(list_filter(
+                                string_split_regex(lower(trim(text)),
+                                                   '\s+'),
+                                t -> list_contains(['the','of','and','to','in','a','is','that','for','it','was','on','are','as','with','at','be','by','this'], t)))
+                       END * 1.0 / greatest(qf_n_tokens, 1)
+                           AS stopword_ratio
+                FROM base b LEFT JOIN ta USING (doc_id)
+            ),
+            m AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN rs_n_tokens < 20 THEN 1 ELSE 0 END
+                          + CASE WHEN rs_n_tokens > 100000 THEN 2 ELSE 0 END
+                          + CASE WHEN mean_token_len < 2.0
+                                   OR mean_token_len > 12.0 THEN 4 ELSE 0 END
+                          + CASE WHEN alpha_ratio < 0.5 THEN 8 ELSE 0 END
+                          + CASE WHEN stopword_ratio < 0.01
+                                 THEN 16 ELSE 0 END
+                          + CASE WHEN coalesce(ttr_e6, 0) < 100000
+                                 THEN 32 ELSE 0 END
+                          + CASE WHEN coalesce(top_token_e6, 0) > 200000
+                                 THEN 64 ELSE 0 END AS BIGINT)
+                           AS drop_reasons
+                FROM f
+            )
+            SELECT doc_id, drop_reasons, drop_reasons = 0 AS keep
+            FROM m ORDER BY doc_id
         """,
     }

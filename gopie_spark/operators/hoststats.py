@@ -1,0 +1,106 @@
+"""URL / host-level analytics for web-crawl corpora.
+
+A Common-Crawl-style pipeline reasons about hosts constantly: per-host
+document budgets, blocklist filtering, host-level quality priors.  The
+north-rule pages table carries ``url``; these operators keep everything
+in Spark built-ins (codegen regexp + hash aggregation) and treat the
+blocklist as the broadcast side it always is in practice (a blocklist
+is thousands-to-millions of rows; the corpus is 10^12 — the join must
+never shuffle the corpus).
+
+RE2-compatible patterns so the oracle can run the identical extraction
+in DuckDB.  (No reference analog — training-data tier addition.)
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# scheme://host[:port]/...  -> capture group 1 = host (lowercased by
+# caller).  RE2-safe: no lookarounds.
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+# registrable-ish domain: last two dot-labels of the host.  A real
+# pipeline plugs in the public-suffix list; two labels is the
+# deterministic, oracle-checkable stand-in.
+_DOMAIN_RE = r"([^.]+\.[^.]+)$"
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def extract_host(col) -> Column:
+    """Host part of a URL, lowercased (codegen regexp_extract)."""
+    return F.lower(F.regexp_extract(_c(col), _HOST_RE, 1))
+
+
+def extract_domain(col) -> Column:
+    """Registrable-ish domain = last two host labels."""
+    return F.regexp_extract(extract_host(col), _DOMAIN_RE, 1)
+
+
+def host_stats(df: DataFrame, url_col: str = "url",
+               size_col: str | None = None) -> DataFrame:
+    """Per-host document count (+ total/avg of ``size_col`` if given).
+
+    One partial-aggregable hash aggregation keyed on the extracted
+    host — map-side combine collapses each partition to its distinct
+    hosts (bounded by hosts-per-partition, not rows), so the shuffle
+    carries host cardinality, not corpus cardinality.
+    """
+    keyed = df.select(extract_host(url_col).alias("host"),
+                      *( [F.col(size_col)] if size_col else [] ))
+    aggs = [F.count("*").alias("n_docs")]
+    if size_col:
+        aggs += [F.sum(size_col).alias(f"total_{size_col}"),
+                 F.floor(F.avg(size_col) * 100 + F.lit(0.5)).cast("long")
+                 .alias(f"avg_{size_col}_e2")]
+    return keyed.groupBy("host").agg(*aggs)
+
+
+def filter_blocklist(df: DataFrame, blocked_hosts: Iterable[str] | DataFrame,
+                     url_col: str = "url",
+                     match_domain: bool = False) -> DataFrame:
+    """Drop rows whose URL host (or registrable domain) is blocked.
+
+    The blocklist is broadcast — a ``LEFT ANTI`` hash join with the
+    corpus streaming through unshuffled.  ``match_domain=True`` blocks
+    whole domains (host ``a.b.example.com`` blocked by ``example.com``).
+
+    For blocklists too large to broadcast comfortably (>~100 MB), gate
+    with a Bloom filter first (``operators/membership.py``) and anti-join
+    only the Bloom-positive slice; FPs are resolved by the join, so the
+    result is still exact.
+    """
+    spark = df.sparkSession
+    if isinstance(blocked_hosts, DataFrame):
+        bl = blocked_hosts.select(F.lower(F.col(blocked_hosts.columns[0]))
+                                  .alias("_blocked"))
+    else:
+        bl = spark.createDataFrame([(h.lower(),) for h in blocked_hosts],
+                                   "_blocked string")
+    key = extract_domain(url_col) if match_domain else extract_host(url_col)
+    return (df.withColumn("_hkey", key)
+            .join(F.broadcast(bl), F.col("_hkey") == F.col("_blocked"),
+                  "left_anti")
+            .drop("_hkey"))
+
+
+def host_budget_sample(df: DataFrame, per_host: int,
+                       url_col: str = "url", id_col: str = "doc_id",
+                       seed: int = 0) -> DataFrame:
+    """Cap documents per host to ``per_host``, deterministically.
+
+    The per-host survivor set is the ``per_host`` docs with the
+    smallest seeded hash keys — reproducible across runs and
+    partitionings, and computed with the two-level salted capped
+    aggregation from ``operators/sampling.py`` (no per-host window
+    sort over the full corpus).
+    """
+    from gopie_spark.operators.sampling import stratified_hash_sample
+    return (stratified_hash_sample(
+                df.withColumn("_host", extract_host(url_col)),
+                ["_host"], per_host, seed=seed, id_col=id_col)
+            .drop("_host"))

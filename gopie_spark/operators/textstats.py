@@ -316,3 +316,105 @@ def add_lang_id(df: DataFrame, text_col: str = "text",
         return pd.Series(out)
 
     return df.withColumn(out_col, lang_id(F.col(text_col)))
+
+
+# -- corpus-level duplicated-n-gram fraction ----------------------------------
+
+def dup_ngram_stats(df: DataFrame, n: int = 10, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    hash_grams: bool = False) -> DataFrame:
+    """Per-document fraction of word n-gram instances that occur more
+    than once in the whole corpus (the train-set-level duplication
+    signal of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — used to decide boilerplate-heavy docs).
+
+    Built-ins only: tokens -> strict n-gram strings via
+    ``transform(sequence)/slice/array_join`` (JVM, no Python), one
+    Generate (explode), then two partial-aggregable hash aggregations
+    (gram totals; per-doc dup counts).  Docs with fewer than ``n``
+    tokens get ``n_grams = 0`` and a null fraction.
+
+    This is the exact tier; the (doc, gram) explode shuffles
+    O(tokens) rows.  ``hash_grams=True`` is the 100-TB variant: grams
+    are xxhash64'ed before the shuffle, so the shuffle rows carry 8
+    bytes instead of ~n words each (collisions at 2^-64 — at 10^13
+    grams, ~0.003 expected collisions; results pytest-pinned equal to
+    the string tier).  For even larger corpora gate with a CMS pass
+    (``operators/sketch_agg``) and only exact-count the heavy grams.
+
+    Output: ``df`` + ``n_grams`` (long), ``dup_frac_e6`` (long, null
+    when no grams).
+    """
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), _WS),
+                    lambda t: t != "")
+    n_sh = F.greatest(F.size(F.col("_toks")) - F.lit(n - 1), F.lit(0))
+    grams = F.when(
+        n_sh >= 1,
+        F.transform(F.sequence(F.lit(1), n_sh),
+                    lambda i: F.array_join(
+                        F.slice(F.col("_toks"), i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    gram_col = F.col("gram")
+    if hash_grams:
+        gram_col = F.xxhash64(F.col("gram"))
+    exploded = (df.select(id_col, toks.alias("_toks"))
+                .select(id_col, F.explode(grams).alias("gram"))
+                .select(id_col, gram_col.alias("g")))
+    totals = exploded.groupBy("g").agg(F.count("*").alias("_tot"))
+    per_doc = (exploded.join(totals, "g")
+               .groupBy(id_col)
+               .agg(F.count("*").alias("n_grams"),
+                    F.sum(F.when(F.col("_tot") >= 2, 1).otherwise(0))
+                    .alias("_n_dup")))
+    return (df.join(per_doc, id_col, "left")
+            .withColumn("n_grams", F.coalesce("n_grams", F.lit(0)))
+            .withColumn("dup_frac_e6",
+                        F.when(F.col("n_grams") > 0,
+                               F.floor(F.col("_n_dup") * F.lit(1e6)
+                                       / F.col("n_grams") + F.lit(0.5))
+                               .cast("long")))
+            .drop("_n_dup"))
+
+
+# -- composed C4/Gopher-style quality filter ----------------------------------
+
+QUALITY_FILTER_FLAGS = ["short", "long", "mean_tok", "alpha",
+                        "stopword", "ttr", "top_token"]
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   min_tokens: int = 20, max_tokens: int = 100000,
+                   min_mean_tok: float = 2.0, max_mean_tok: float = 12.0,
+                   min_alpha_ratio: float = 0.5,
+                   min_stopword_ratio: float = 0.01,
+                   min_ttr_e6: int = 100000,
+                   max_top_token_e6: int = 200000) -> DataFrame:
+    """Composed document-quality filter (C4 + Gopher rule families):
+    every rule is a boolean flag, ``drop_reasons`` is the bitmask in
+    QUALITY_FILTER_FLAGS order, ``keep`` = no flag set.
+
+    Entirely per-row built-ins layered on :func:`quality_features` and
+    :func:`repetition_stats` — the combined plan is still a zero-shuffle
+    scan+project, so filtering 10^12 rows costs one pass.  Flags rather
+    than a bare boolean because at corpus scale you audit *why* docs
+    drop (per-reason counts are one partial-aggregable groupBy away).
+    """
+    feats = repetition_stats(quality_features(df, text_col), text_col)
+    flags = {
+        "short": F.col("n_tokens") < min_tokens,
+        "long": F.col("n_tokens") > max_tokens,
+        "mean_tok": (F.col("mean_token_len") < min_mean_tok)
+        | (F.col("mean_token_len") > max_mean_tok),
+        "alpha": F.col("alpha_ratio") < min_alpha_ratio,
+        "stopword": F.col("stopword_ratio") < min_stopword_ratio,
+        "ttr": F.coalesce(F.col("ttr_e6"), F.lit(0)) < min_ttr_e6,
+        "top_token": F.coalesce(F.col("top_token_e6"), F.lit(0))
+        > max_top_token_e6,
+    }
+    out = feats
+    mask = F.lit(0)
+    for i, name in enumerate(QUALITY_FILTER_FLAGS):
+        out = out.withColumn(f"flag_{name}", flags[name])
+        mask = mask + F.when(flags[name], F.lit(1 << i)).otherwise(0)
+    return (out.withColumn("drop_reasons", mask.cast("long"))
+            .withColumn("keep", F.col("drop_reasons") == 0))

@@ -1,0 +1,166 @@
+"""Round-3 late additions: PII redaction, host analytics, duplicated
+n-gram fraction, and the composed quality filter."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gopie_spark.operators.hoststats import (extract_domain, extract_host,
+                                             filter_blocklist,
+                                             host_budget_sample, host_stats)
+from gopie_spark.operators.redact import (pii_counts, pii_stats, redact_pii,
+                                          scrub)
+from gopie_spark.operators.textstats import (QUALITY_FILTER_FLAGS,
+                                             dup_ngram_stats, quality_filter)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# -- redact -------------------------------------------------------------------
+
+def test_redact_known_strings(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@foo.example.org now"),
+         (2, "call +44 123 4567 890 or +1-555-0100"),
+         (3, "server at 192.168.0.1 and 10.0.0.255."),
+         (4, "version 1.2 costs 3.4.5 dollars"),  # not an IP (needs 4 octets)
+         (5, "no pii here")],
+        "id long, text string")
+    out = {r["id"]: r for r in
+           pii_stats(df).withColumn("red", redact_pii("text")).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["red"] == "mail <EMAIL> now"
+    assert out[2]["n_phone"] == 2 and "<PHONE>" in out[2]["red"]
+    assert out[3]["n_ipv4"] == 2
+    assert out[3]["red"] == "server at <IP> and <IP>."
+    assert out[4]["n_pii"] == 0 and out[4]["red"] == out[4]["text"]
+    assert out[5]["n_pii"] == 0
+
+
+def test_redact_idempotent(spark, docs):
+    planted = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" x@y.zz 1.2.3.4 +1 222 3333")))
+    once = scrub(planted).select("doc_id", F.col("text").alias("t1"))
+    twice = scrub(scrub(planted)).select("doc_id", F.col("text").alias("t2"))
+    joined = once.join(twice, "doc_id")
+    assert joined.filter(F.col("t1") != F.col("t2")).count() == 0
+
+
+def test_redact_plan_no_shuffle(spark, docs):
+    plan = scrub(pii_stats(docs))._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -- hoststats ----------------------------------------------------------------
+
+def _urls(docs):
+    return docs.withColumn("url", F.concat(
+        F.lit("https://"), F.col("source"), F.lit("-"),
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+        F.lit(".Example.COM/page/"), F.col("doc_id").cast("string")))
+
+
+def test_extract_host_and_domain(spark):
+    df = spark.createDataFrame(
+        [("https://A.b.Example.com:8080/x?q=1",),
+         ("http://example.org/",),
+         ("ftp://files.example.net",),
+         ("not a url",)], "url string")
+    rows = df.select(extract_host("url").alias("h"),
+                     extract_domain("url").alias("d")).collect()
+    assert [(r["h"], r["d"]) for r in rows] == [
+        ("a.b.example.com", "example.com"),
+        ("example.org", "example.org"),
+        ("files.example.net", "example.net"),
+        ("", "")]
+
+
+def test_blocklist_host_and_domain(spark, docs):
+    d = _urls(docs)
+    n = d.count()
+    kept = filter_blocklist(d, ["src0-1.example.com"])
+    blocked_n = d.filter(
+        extract_host("url") == "src0-1.example.com").count()
+    assert kept.count() == n - blocked_n and blocked_n > 0
+    # domain match blocks every synthetic host
+    assert filter_blocklist(d, ["example.com"], match_domain=True) \
+        .count() == 0
+    # blocklist join is broadcast — corpus side never exchanges
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_host_budget_cap_and_determinism(spark, docs):
+    d = _urls(docs)
+    out = host_budget_sample(d, 2, seed=3)
+    per_host = (out.withColumn("h", extract_host("url"))
+                .groupBy("h").count().collect())
+    assert per_host and all(r["count"] <= 2 for r in per_host)
+    again = host_budget_sample(d.repartition(7), 2, seed=3)
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+
+def test_host_stats_counts(spark, docs):
+    d = _urls(docs)
+    total = sum(r["n_docs"] for r in host_stats(d).collect())
+    assert total == d.count()
+
+
+# -- dup-ngram fraction -------------------------------------------------------
+
+def test_dup_ngram_planted(spark):
+    # doc 1 and 2 share their full 5 tokens -> every 4-gram duplicated;
+    # doc 3 disjoint -> 0; doc 4 too short -> no grams, null frac.
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "p q r s t u"),
+         (4, "x y z")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in dup_ngram_stats(df, n=4).collect()}
+    assert rows[1]["n_grams"] == 2 and rows[1]["dup_frac_e6"] == 1000000
+    assert rows[2]["dup_frac_e6"] == 1000000
+    assert rows[3]["n_grams"] == 3 and rows[3]["dup_frac_e6"] == 0
+    assert rows[4]["n_grams"] == 0 and rows[4]["dup_frac_e6"] is None
+
+
+def test_dup_ngram_hash_tier_equal(spark, docs):
+    a = dup_ngram_stats(docs, n=4).select(
+        "doc_id", "n_grams", "dup_frac_e6")
+    b = dup_ngram_stats(docs, n=4, hash_grams=True).select(
+        "doc_id", "n_grams", "dup_frac_e6")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# -- composed quality filter --------------------------------------------------
+
+def test_quality_filter_planted(spark):
+    long_good = ("the quick brown fox jumps over a lazy dog and then "
+                 "runs far away to find some more interesting things "
+                 "that it can chase in the big wide world every day")
+    df = spark.createDataFrame(
+        [(1, long_good),
+         (2, "tiny doc"),                      # short
+         (3, ("spam " * 40).strip()),          # repetitive: ttr + top_token
+         (4, "1 2 3 4 5 6 7 8 9 0 " * 3)],     # no alpha, no stopwords
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in quality_filter(df).collect()}
+    assert rows[1]["keep"] and rows[1]["drop_reasons"] == 0
+    assert not rows[2]["keep"] and rows[2]["flag_short"]
+    assert not rows[3]["keep"]
+    assert rows[3]["flag_ttr"] and rows[3]["flag_top_token"]
+    assert not rows[4]["keep"] and rows[4]["flag_alpha"]
+    # bitmask agrees with the flags
+    for r in rows.values():
+        mask = sum(1 << i for i, nm in enumerate(QUALITY_FILTER_FLAGS)
+                   if r[f"flag_{nm}"])
+        assert r["drop_reasons"] == mask
+
+
+def test_quality_filter_plan_zero_shuffle(spark, docs):
+    plan = quality_filter(docs)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan and "Generate" not in plan
