@@ -519,6 +519,22 @@ def _q_ann_ivf(spark, sf_dir):
                             min_query_recall=0.2, min_global_recall=0.75)
 
 
+def _q_ann_pq(spark, sf_dir):
+    """Product-quantization ADC ANN recall certificate vs the exact path
+    (operators/similarity.py pq_topk: m=8 subspaces x 16 codes = 8-byte
+    codes, 32x vector compression; batch-local LUT scoring + exact
+    refinement of the global ADC top refine*k).  Deterministic: fixed
+    codebook seed + hash-sample training."""
+    from gopie_spark.operators.similarity import pq_topk
+
+    def fn(emb, queries):
+        return pq_topk(spark, emb, queries, k=5, m=8, n_codes=16,
+                       refine=10)
+
+    return _ann_recall_cert(spark, sf_dir, fn,
+                            min_query_recall=0.4, min_global_recall=0.75)
+
+
 def _q_token_stats(spark, sf_dir):
     """Whitespace token counting per lang — built-ins only."""
     from gopie_spark.operators.textstats import token_count
@@ -1238,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": _q_ann_brute_force,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "ann_pq": _q_ann_pq,
         "token_stats": _q_token_stats,
         "bpe_token_stats": _q_bpe_token_stats,
         "quality_scores": _q_quality_scores,
@@ -1453,6 +1470,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "ann_lsh": """
+            SELECT vec_id AS query_id, TRUE AS within_bound
+            FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+        """,
+        "ann_pq": """
             SELECT vec_id AS query_id, TRUE AS within_bound
             FROM embeddings WHERE vec_id < 10 ORDER BY query_id
         """,

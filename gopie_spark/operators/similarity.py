@@ -30,8 +30,8 @@ from typing import Iterator, Optional
 import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
-from pyspark.sql.types import (DoubleType, LongType, StructField,
-                               StructType)
+from pyspark.sql.types import (BinaryType, DoubleType, LongType,
+                               StructField, StructType)
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -224,6 +224,26 @@ def lsh_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
     return _rescore_topk(joined, k)
 
 
+def _hash_sample_matrix(corpus: DataFrame, sample_rows: int,
+                        vec_col: str, id_col: str) -> np.ndarray:
+    """Value-deterministic pseudo-random vector sample as a float64
+    matrix: rows where ``xxhash64(id) % ceil(n/sample_rows) == 0``,
+    tie-ordered by the hash — unbiased and byte-stable across runs and
+    repartitionings (unlike ``limit()``); the sizing ``count()`` on a
+    parquet source reads footer metadata only."""
+    n = corpus.count()
+    modulus = max(1, int(math.ceil(n / max(sample_rows, 1))))
+    hashed = corpus.select(F.col(id_col).alias("_id"),
+                           F.col(vec_col).alias("_v"),
+                           F.xxhash64(F.col(id_col)).alias("_h"))
+    if modulus > 1:
+        hashed = hashed.filter(F.pmod(F.col("_h"), F.lit(modulus)) == 0)
+    return np.array(
+        [r["_v"] for r in
+         hashed.orderBy("_h", "_id").limit(sample_rows).collect()],
+        dtype=np.float64)
+
+
 def train_ivf_centroids(corpus: DataFrame, n_centroids: int = 64,
                         sample_rows: int = 100_000, iters: int = 10,
                         vec_col: str = "embedding",
@@ -247,18 +267,8 @@ def train_ivf_centroids(corpus: DataFrame, n_centroids: int = 64,
     answered from footer metadata, not a data scan.  Fixed seed + fixed
     iteration count => byte-stable cells across runs (same property as
     the fixed LSH planes)."""
-    n = corpus.count()
-    modulus = max(1, int(math.ceil(n / max(sample_rows, 1))))
-    hashed = corpus.select(F.col(id_col).alias("_id"),
-                           F.col(vec_col).alias("_v"),
-                           F.xxhash64(F.col(id_col)).alias("_h"))
-    if modulus > 1:
-        hashed = hashed.filter(F.pmod(F.col("_h"), F.lit(modulus)) == 0)
-    sample = np.array(
-        [r["_v"] for r in
-         hashed.orderBy("_h", "_id").limit(sample_rows).collect()],
-        dtype=np.float64)
-    sample = _normalize(sample)
+    sample = _normalize(_hash_sample_matrix(corpus, sample_rows,
+                                            vec_col, id_col))
     rng = np.random.default_rng(seed)
     n_centroids = min(n_centroids, len(sample))
     # k-means++ seeding (cosine distance), vectorized: spreads the
@@ -596,3 +606,182 @@ def ivf_probe_stats(corpus: DataFrame, queries: DataFrame,
     cells = add_ivf_cell(corpus, centroids, vec_col)
     q_cells = add_ivf_cell(queries, centroids, vec_col, nprobe=nprobe)
     return probe_work_stats(cells, q_cells, "ivf_cell", bucket_salts)
+
+
+# -- product quantization (IVF-PQ-style compressed scan) ----------------------
+
+def train_pq_codebooks(corpus: DataFrame, m: int = 8, n_codes: int = 16,
+                       sample_rows: int = 100_000, iters: int = 12,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       seed: int = 0x5051) -> np.ndarray:
+    """Deterministic product-quantization codebooks (Jegou et al. 2011):
+    the (L2-normalized) vector is split into ``m`` contiguous subspaces;
+    each subspace gets its own ``n_codes``-center k-means codebook
+    trained driver-side on the deterministic hash-sample (same sampling
+    contract as :func:`train_ivf_centroids` — the 10^12-row corpus only
+    streams through *encoding*, never training).
+
+    Returns ``(m, n_codes, dim//m)`` float64.  Fixed rng + fixed
+    iterations => byte-stable codes across runs.
+    """
+    sample = _normalize(_hash_sample_matrix(corpus, sample_rows,
+                                            vec_col, id_col))
+    dim = sample.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    n_codes = min(n_codes, len(sample))
+    books = np.empty((m, n_codes, sub))
+    for j in range(m):
+        x = sample[:, j * sub:(j + 1) * sub]
+        # k-means++ seeding in the subspace (L2)
+        cents = np.empty((n_codes, sub))
+        cents[0] = x[int(rng.integers(len(x)))]
+        d2 = ((x - cents[0]) ** 2).sum(axis=1)
+        for c in range(1, n_codes):
+            tot = d2.sum()
+            if tot <= 0:
+                cents[c:] = x[rng.integers(0, len(x), n_codes - c)]
+                break
+            nxt = int(np.searchsorted(np.cumsum(d2), rng.random() * tot))
+            cents[c] = x[min(nxt, len(x) - 1)]
+            np.minimum(d2, ((x - cents[c]) ** 2).sum(axis=1), out=d2)
+        for _ in range(iters):
+            # one (n, n_codes) distance matrix per subspace — small
+            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(n_codes):
+                members = x[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: np.ndarray,
+              vec_col: str = "embedding",
+              out_col: str = "pq_code") -> DataFrame:
+    """Encode each (normalized) vector to its ``m``-byte PQ code
+    (nearest subspace center per block) — one broadcast codebook, one
+    vectorized distance computation per Arrow batch.  ``m`` bytes
+    replace ``4*dim`` — a 32x compression at dim=64/m=8, which is what
+    lets a 10^12-row index stay memory-resident for the ADC scan."""
+    import pyarrow as pa
+
+    bc = df.sparkSession.sparkContext.broadcast(codebooks)
+    schema = StructType(df.schema.fields +
+                        [StructField(out_col, BinaryType(), False)])
+    vec_idx = df.columns.index(vec_col)
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        books = bc.value
+        m, _, sub = books.shape
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            mat = _normalize(_batch_matrix(rb, vec_idx))
+            codes = np.empty((rb.num_rows, m), dtype=np.uint8)
+            for j in range(m):
+                x = mat[:, j * sub:(j + 1) * sub]
+                # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+                # drops the ||x||^2 term
+                d = (books[j] ** 2).sum(axis=1)[None, :] - 2.0 * (x @ books[j].T)
+                codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+            # vectorized variable-binary column: one values buffer
+            # (codes.tobytes()) + an arithmetic offsets buffer
+            offs = np.arange(0, (rb.num_rows + 1) * m, m, dtype=np.int32)
+            code_arr = pa.BinaryArray.from_buffers(
+                pa.binary(), rb.num_rows,
+                [None, pa.py_buffer(offs.tobytes()),
+                 pa.py_buffer(codes.tobytes())])
+            yield pa.RecordBatch.from_arrays(
+                list(rb.columns) + [code_arr],
+                names=list(rb.schema.names) + [out_col])
+
+    return df.mapInArrow(fn, schema)
+
+
+def pq_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+            k: int = 10, m: int = 8, n_codes: int = 16, refine: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            codebooks: Optional[np.ndarray] = None) -> DataFrame:
+    """PQ asymmetric-distance (ADC) approximate cosine top-k with exact
+    refinement — the compressed-scan tier next to lsh/ivf:
+
+    1. encode the corpus to ``m``-byte codes (scan-shaped, 32x smaller
+       than the vectors);
+    2. per Arrow batch, score ALL queries against the codes via each
+       query's ``(m, n_codes)`` inner-product lookup table — a gather +
+       sum per subspace, no per-row Python — and keep the batch-local
+       top ``refine*k`` per query.  Shuffle volume is
+       O(q x refine*k x partitions) candidate ids, never the corpus;
+    3. exact-rescore only the surviving candidates (broadcast candidate
+       ids joined back to the corpus vectors) and keep the true top-k.
+
+    At cluster scale step 2 reads the m-byte code column only (column
+    pruning keeps the vectors unscanned), step 3 re-reads O(q x
+    refine*k) vector rows.  Compose with IVF cells for very large q.
+    """
+    if codebooks is None:
+        codebooks = train_pq_codebooks(corpus, m=m, n_codes=n_codes,
+                                       vec_col=vec_col, id_col=id_col)
+    import pyarrow as pa
+
+    q_ids, q_mat = _collect_queries(queries, id_col, vec_col)
+    encoded = pq_encode(corpus, codebooks, vec_col) \
+        .select(F.col(id_col).alias("match_id"), "pq_code")
+    bc = spark.sparkContext.broadcast((codebooks, q_ids, q_mat))
+    n_cand = max(refine * k, k)
+    out_schema = StructType([StructField("query_id", LongType(), False),
+                             StructField("match_id", LongType(), False),
+                             StructField("adc", DoubleType(), False)])
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        books, ids, qm = bc.value
+        mm, n_c, sub = books.shape
+        # per-query LUT of subspace inner products: (q, m, n_codes)
+        lut = np.einsum('qmd,mcd->qmc', qm.reshape(len(qm), mm, sub),
+                        books)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            code_col = rb.column(rb.schema.get_field_index("pq_code"))
+            # vectorized decode from the Arrow binary buffers (every
+            # value is exactly mm bytes)
+            bufs = code_col.buffers()
+            offs = np.frombuffer(bufs[1], dtype=np.int32)[
+                code_col.offset:code_col.offset + rb.num_rows + 1]
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            codes = data[offs[0]:offs[-1]].reshape(rb.num_rows, mm)
+            mid = rb.column(rb.schema.get_field_index("match_id")) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            # ADC scores: sum_j lut[q, j, codes[:, j]] -> (q, rows)
+            scores = np.zeros((len(ids), rb.num_rows))
+            for j in range(mm):
+                scores += lut[:, j, codes[:, j]]
+            take = min(n_cand, rb.num_rows)
+            top = np.argpartition(-scores, take - 1, axis=1)[:, :take]
+            q_rep = np.repeat(ids, take)
+            m_out = mid[top.ravel()]
+            s_out = np.take_along_axis(scores, top, axis=1).ravel()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(q_rep, type=pa.int64()),
+                 pa.array(m_out, type=pa.int64()),
+                 pa.array(s_out, type=pa.float64())],
+                names=["query_id", "match_id", "adc"])
+
+    cands = encoded.mapInArrow(fn, out_schema)
+    # global ADC top refine*k per query, then exact rescore of just those
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"),
+                                               F.asc("match_id"))
+    survivors = (cands.withColumn("_r", F.row_number().over(w))
+                 .filter(F.col("_r") <= n_cand)
+                 .select("query_id", "match_id"))
+    corpus_vecs = corpus.select(F.col(id_col).alias("match_id"),
+                                F.col(vec_col).alias("_cvec"))
+    joined = (corpus_vecs.join(F.broadcast(survivors), "match_id")
+              .join(F.broadcast(queries.select(
+                  F.col(id_col).alias("query_id"),
+                  F.col(vec_col).alias("_qvec"))), "query_id"))
+    return _rescore_topk(joined, k)

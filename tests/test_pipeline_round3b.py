@@ -164,3 +164,51 @@ def test_quality_filter_plan_zero_shuffle(spark, docs):
     plan = quality_filter(docs)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "Exchange" not in plan and "Generate" not in plan
+
+
+# -- product quantization -----------------------------------------------------
+
+def test_pq_codebooks_deterministic(spark, sf_dir):
+    from gopie_spark.operators.similarity import train_pq_codebooks
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b1 = train_pq_codebooks(emb, m=8, n_codes=16)
+    b2 = train_pq_codebooks(emb, m=8, n_codes=16)
+    assert b1.shape == (8, 16, 8)
+    assert (b1 == b2).all()
+    with pytest.raises(ValueError):
+        train_pq_codebooks(emb, m=7)
+
+
+def test_pq_encode_shape_and_range(spark, sf_dir):
+    from gopie_spark.operators.similarity import (pq_encode,
+                                                  train_pq_codebooks)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=8, n_codes=16)
+    rows = pq_encode(emb, books).select("vec_id", "pq_code").collect()
+    assert len(rows) == emb.count()
+    assert all(len(r["pq_code"]) == 8 for r in rows)
+    assert all(max(r["pq_code"]) < 16 for r in rows)
+    # byte-stable across partitionings
+    again = {r["vec_id"]: bytes(r["pq_code"]) for r in
+             pq_encode(emb.repartition(5), books)
+             .select("vec_id", "pq_code").collect()}
+    assert all(again[r["vec_id"]] == bytes(r["pq_code"]) for r in rows)
+
+
+def test_pq_topk_recall_vs_exact(spark, sf_dir):
+    from pyspark.sql import functions as SF
+    from gopie_spark.operators.similarity import (brute_force_topk,
+                                                  pq_topk)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(SF.col("vec_id") < 10)
+    exact = {(r["query_id"], r["match_id"])
+             for r in brute_force_topk(spark, emb, q, k=5).collect()}
+    approx = pq_topk(spark, emb, q, k=5, m=8, n_codes=16, refine=10)
+    got = {(r["query_id"], r["match_id"]) for r in approx.collect()}
+    assert len(exact & got) / len(exact) >= 0.75
+    # exact refinement: every returned cosine is the true cosine and
+    # per-query result count is k
+    per_q = {}
+    for qid, _ in got:
+        per_q[qid] = per_q.get(qid, 0) + 1
+    assert all(v == 5 for v in per_q.values()) and len(per_q) == 10
