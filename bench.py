@@ -54,6 +54,10 @@ def main() -> None:
         # round 3: latest-N conflation, sliding-window sketches, vocab
         "latest_n_events", "hll_distinct_per_sliding_window",
         "vocab_top_tokens", "tfidf_top_terms", "repetition_stats",
+        # round 3 late: PII scrub, host analytics, dup-ngram fraction,
+        # composed quality filter, PQ compressed-scan ANN
+        "pii_redaction", "host_blocklist_stats", "dup_ngram_stats",
+        "quality_filter_flags", "ann_pq",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",

@@ -726,11 +726,22 @@ def pq_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
     if codebooks is None:
         codebooks = train_pq_codebooks(corpus, m=m, n_codes=n_codes,
                                        vec_col=vec_col, id_col=id_col)
+    encoded = pq_encode(corpus, codebooks, vec_col) \
+        .select(F.col(id_col).alias("match_id"), "pq_code")
+    return _pq_adc_topk(spark, encoded, corpus, queries, codebooks, k,
+                        refine, id_col, vec_col)
+
+
+def _pq_adc_topk(spark: SparkSession, encoded: DataFrame,
+                 corpus: DataFrame, queries: DataFrame,
+                 codebooks: np.ndarray, k: int, refine: int,
+                 id_col: str, vec_col: str) -> DataFrame:
+    """Shared ADC scan + exact-refine core for :func:`pq_topk` (inline
+    encode) and :func:`pq_topk_indexed` (persisted codes).  ``encoded``
+    must have columns (match_id, pq_code)."""
     import pyarrow as pa
 
     q_ids, q_mat = _collect_queries(queries, id_col, vec_col)
-    encoded = pq_encode(corpus, codebooks, vec_col) \
-        .select(F.col(id_col).alias("match_id"), "pq_code")
     bc = spark.sparkContext.broadcast((codebooks, q_ids, q_mat))
     n_cand = max(refine * k, k)
     out_schema = StructType([StructField("query_id", LongType(), False),
@@ -785,3 +796,56 @@ def pq_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
                   F.col(id_col).alias("query_id"),
                   F.col(vec_col).alias("_qvec"))), "query_id"))
     return _rescore_topk(joined, k)
+
+
+def build_pq_index(corpus: DataFrame, out_dir: str, m: int = 8,
+                   n_codes: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding", **train_kw) -> np.ndarray:
+    """Persist a PQ index: ``<out_dir>/codebooks`` (one row per
+    (subspace, code) center) and ``<out_dir>/codes`` — (id, m-byte
+    code) only, WITHOUT the vectors.
+
+    The codes table is ~m bytes/row — at 10^12 rows x m=8 that is
+    ~8 TB vs ~256 TB of float32 vectors, which is what lets the whole
+    ADC scan stay on fast storage (or in memory) while the vector
+    table is read only for the refine step's candidate ids.  Returns
+    the trained codebooks."""
+    spark = corpus.sparkSession
+    books = train_pq_codebooks(corpus, m=m, n_codes=n_codes,
+                               vec_col=vec_col, id_col=id_col, **train_kw)
+    rows = [(j, c, [float(x) for x in books[j, c]])
+            for j in range(books.shape[0]) for c in range(books.shape[1])]
+    spark.createDataFrame(
+        rows, "subspace long, code long, center array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/codebooks")
+    pq_encode(corpus, books, vec_col) \
+        .select(F.col(id_col).alias("match_id"), "pq_code") \
+        .write.mode("overwrite").parquet(f"{out_dir}/codes")
+    return books
+
+
+def load_pq_codebooks(spark: SparkSession, index_dir: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{index_dir}/codebooks") \
+        .orderBy("subspace", "code").collect()
+    m = max(r["subspace"] for r in rows) + 1
+    n_codes = max(r["code"] for r in rows) + 1
+    sub = len(rows[0]["center"])
+    books = np.empty((m, n_codes, sub))
+    for r in rows:
+        books[r["subspace"], r["code"]] = r["center"]
+    return books
+
+
+def pq_topk_indexed(spark: SparkSession, index_dir: str,
+                    corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    refine: int = 4, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """ADC top-k against a persisted :func:`build_pq_index`: the scan
+    reads the m-byte codes table only; ``corpus`` supplies vectors just
+    for the refine step (broadcast candidate-id join — O(q x refine*k)
+    vector rows).  Same result contract as :func:`pq_topk` with the
+    same codebooks."""
+    books = load_pq_codebooks(spark, index_dir)
+    encoded = spark.read.parquet(f"{index_dir}/codes")
+    return _pq_adc_topk(spark, encoded, corpus, queries, books, k,
+                        refine, id_col, vec_col)

@@ -212,3 +212,23 @@ def test_pq_topk_recall_vs_exact(spark, sf_dir):
     for qid, _ in got:
         per_q[qid] = per_q.get(qid, 0) + 1
     assert all(v == 5 for v in per_q.values()) and len(per_q) == 10
+
+
+def test_pq_index_roundtrip(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as SF
+    from gopie_spark.operators.similarity import (build_pq_index,
+                                                  load_pq_codebooks,
+                                                  pq_topk, pq_topk_indexed)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(SF.col("vec_id") < 5)
+    idx = str(tmp_path / "pqidx")
+    books = build_pq_index(emb, idx, m=8, n_codes=16)
+    assert (load_pq_codebooks(spark, idx) == books).all()
+    inline = sorted(map(tuple,
+                        pq_topk(spark, emb, q, k=5, refine=10,
+                                codebooks=books)
+                        .select("query_id", "match_id", "rank").collect()))
+    stored = sorted(map(tuple,
+                        pq_topk_indexed(spark, idx, emb, q, k=5, refine=10)
+                        .select("query_id", "match_id", "rank").collect()))
+    assert inline == stored and len(inline) == 25
