@@ -19,6 +19,13 @@ from gopie_spark.operators.decontaminate import (
     ngram_strings,
 )
 from gopie_spark.operators.graph import connected_components
+from gopie_spark.operators.hoststats import (
+    extract_domain,
+    extract_host,
+    filter_blocklist,
+    host_budget_sample,
+    host_stats,
+)
 from gopie_spark.operators.membership import (
     bloom_shards_build,
     bloom_shards_filter,
@@ -37,6 +44,18 @@ from gopie_spark.operators.similarity import (
     lsh_topk,
     probe_work_stats,
     train_ivf_centroids,
+    train_pq_codebooks,
+    pq_encode,
+    pq_topk,
+    build_pq_index,
+    pq_topk_indexed,
+    load_pq_codebooks,
+)
+from gopie_spark.operators.redact import (
+    pii_counts,
+    pii_stats,
+    redact_pii,
+    scrub,
 )
 from gopie_spark.operators.sampling import (
     hash_sample,
@@ -62,6 +81,11 @@ from gopie_spark.operators.sketch_agg import (
 )
 from gopie_spark.operators.textstats import (
     add_lang_id,
+    dup_ngram_stats,
+    quality_filter,
+    repetition_stats,
+    tfidf_top_terms,
+    vocab_top_tokens,
     bpe_ish_token_count,
     content_fingerprint,
     quality_features,
@@ -95,5 +119,12 @@ __all__ = [
     "cosine_dedup", "cosine_dedup_pairs",
     "token_count", "bpe_ish_token_count", "quality_features",
     "content_fingerprint", "rolling_fingerprint", "add_lang_id",
+    "dup_ngram_stats", "quality_filter", "repetition_stats",
+    "tfidf_top_terms", "vocab_top_tokens",
+    "pii_counts", "pii_stats", "redact_pii", "scrub",
+    "extract_host", "extract_domain", "host_stats",
+    "filter_blocklist", "host_budget_sample",
+    "train_pq_codebooks", "pq_encode", "pq_topk",
+    "build_pq_index", "pq_topk_indexed", "load_pq_codebooks",
     "sliding_window_counts", "windowed_sketch_agg",
 ]
