@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Production entrypoint: full training-data curation pass over a pages
+corpus — the pipeline a 100-TB pretraining-data build runs, composed
+from the library's scale-shaped operators:
+
+    cd /root/repo && zip -qr /tmp/gopie_spark.zip gopie_spark
+    spark-submit --py-files /tmp/gopie_spark.zip jobs/filter_corpus.py \\
+        --input /path/to/pages_parquet --output /path/to/curated \\
+        [--format parquet|iceberg] [--eval /path/to/eval_parquet] \\
+        [--blocklist host1,host2,...] [--per-host-cap N] \\
+        [--min-tokens 20] [--no-dedup] [--report /path/report.json]
+
+Stage order is chosen so the cheapest filters run first and every
+expensive stage sees the smallest surviving corpus:
+
+1. **Quality filter** (zero-shuffle scan): C4/Gopher rule stack
+   (textstats.quality_filter) — drops are counted per reason.
+2. **PII scrub** (zero-shuffle scan): redact emails/IPs/phones in
+   place (operators/redact.py) BEFORE any digest is computed, so
+   dedup keys are over the redacted text.
+3. **Host blocklist + per-host budget** (when a ``url`` column
+   exists): broadcast anti-join + salted capped per-host sampling
+   (operators/hoststats.py).
+4. **Exact + MinHash-LSH near-dup dedup** (operators/dedup.py,
+   cc survivor selection) unless ``--no-dedup``.
+5. **Eval-set decontamination** (when ``--eval`` given): Bloom-gated
+   13-gram contamination check (operators/decontaminate.py), dropping
+   contaminated docs.
+6. Write survivors + a one-line JSON report with per-stage counts
+   (the observability a multi-day corpus build needs to audit where
+   documents went).
+
+Every stage is restartable from its parquet output; for very large
+corpora run stages as separate jobs sharing this module's helpers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def curate(spark, pages, *, min_tokens=20, blocklist=None,
+           per_host_cap=None, dedup=True, eval_df=None,
+           id_col="doc_id", text_col="text", url_col="url"):
+    """Run the curation pipeline; returns (survivors_df, report_dict).
+
+    ``pages`` must carry ``id_col`` + ``text_col``; host stages apply
+    only when ``url_col`` exists.  Pure function of its inputs —
+    jobs and tests share it.
+    """
+    from pyspark.sql import functions as F
+    from gopie_spark.operators.decontaminate import decontaminate_keep
+    from gopie_spark.operators.dedup import exact_dedup, minhash_lsh_dedup
+    from gopie_spark.operators.hoststats import (filter_blocklist,
+                                                 host_budget_sample)
+    from gopie_spark.operators.redact import scrub
+    from gopie_spark.operators.textstats import (QUALITY_FILTER_FLAGS,
+                                                 quality_filter)
+
+    report = {"input_rows": pages.count()}
+
+    # 1. quality filter (+ per-reason drop counts in one extra agg)
+    flagged = quality_filter(pages, text_col, min_tokens=min_tokens)
+    reason_row = flagged.agg(
+        *[F.sum(F.when(F.col(f"flag_{nm}"), 1).otherwise(0))
+          .alias(nm) for nm in QUALITY_FILTER_FLAGS]).collect()[0]
+    report["quality_drop_reasons"] = {nm: int(reason_row[nm] or 0)
+                                      for nm in QUALITY_FILTER_FLAGS}
+    kept = flagged.filter(F.col("keep")).select(pages.columns)
+    report["after_quality"] = kept.count()
+
+    # 2. PII scrub (before digests, so dedup keys see redacted text)
+    kept = scrub(kept, text_col)
+
+    # 3. host blocklist + budget
+    if url_col in kept.columns:
+        if blocklist:
+            kept = filter_blocklist(kept, blocklist, url_col)
+            report["after_blocklist"] = kept.count()
+        if per_host_cap:
+            kept = host_budget_sample(kept, per_host_cap,
+                                      url_col=url_col, id_col=id_col)
+            report["after_host_budget"] = kept.count()
+
+    # 4. dedup: exact digest, then MinHash-LSH near-dup (cc survivors)
+    if dedup:
+        kept = exact_dedup(kept, text_col=text_col, id_col=id_col)
+        report["after_exact_dedup"] = kept.count()
+        kept = minhash_lsh_dedup(kept, id_col=id_col, text_col=text_col,
+                                 strategy="cc")
+        report["after_near_dedup"] = kept.count()
+
+    # 5. decontamination against the eval set
+    if eval_df is not None:
+        kept = decontaminate_keep(kept, eval_df, id_col=id_col,
+                                  text_col=text_col)
+        report["after_decontaminate"] = kept.count()
+
+    report["output_rows"] = report[
+        [k for k in ("after_decontaminate", "after_near_dedup",
+                     "after_host_budget", "after_blocklist",
+                     "after_quality") if k in report][0]]
+    return kept, report
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--format", default="parquet")
+    ap.add_argument("--eval", default=None,
+                    help="eval/benchmark parquet to decontaminate against")
+    ap.add_argument("--blocklist", default=None,
+                    help="comma-separated blocked hosts")
+    ap.add_argument("--per-host-cap", type=int, default=None)
+    ap.add_argument("--min-tokens", type=int, default=20)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--url-col", default="url")
+    ap.add_argument("--no-dedup", action="store_true")
+    ap.add_argument("--report", default=None)
+    args = ap.parse_args()
+
+    from gopie_spark.plans import get_spark
+    from gopie_spark.sources.catalog import load_table
+
+    spark = get_spark("gopie-filter-corpus")
+    t0 = time.perf_counter()
+    pages = load_table(spark, args.input, args.format)
+    eval_df = load_table(spark, args.eval, args.format) if args.eval \
+        else None
+    survivors, report = curate(
+        spark, pages, min_tokens=args.min_tokens,
+        blocklist=args.blocklist.split(",") if args.blocklist else None,
+        per_host_cap=args.per_host_cap, dedup=not args.no_dedup,
+        eval_df=eval_df, id_col=args.id_col, text_col=args.text_col,
+        url_col=args.url_col)
+    survivors.write.mode("overwrite").parquet(args.output)
+    report["wall_sec"] = round(time.perf_counter() - t0, 2)
+    line = json.dumps(report)
+    print(line)
+    if args.report:
+        with open(args.report, "w") as fh:
+            fh.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -232,3 +232,31 @@ def test_pq_index_roundtrip(spark, sf_dir, tmp_path):
                         pq_topk_indexed(spark, idx, emb, q, k=5, refine=10)
                         .select("query_id", "match_id", "rank").collect()))
     assert inline == stored and len(inline) == 25
+
+
+# -- end-to-end curation job --------------------------------------------------
+
+def test_filter_corpus_curate(spark, docs):
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    from filter_corpus import curate
+    d = _urls(docs)
+    ev = docs.filter(F.pmod("doc_id", F.lit(50)) == 0) \
+        .select("doc_id", "text")
+    out, rep = curate(spark, d, blocklist=["src0-1.example.com"],
+                      per_host_cap=20, eval_df=ev)
+    # monotone per-stage accounting down to the output
+    stages = ["input_rows", "after_quality", "after_blocklist",
+              "after_host_budget", "after_exact_dedup",
+              "after_near_dedup", "after_decontaminate"]
+    vals = [rep[s] for s in stages]
+    assert vals == sorted(vals, reverse=True)
+    assert rep["output_rows"] == vals[-1] == out.count()
+    assert sum(rep["quality_drop_reasons"].values()) >= \
+        rep["input_rows"] - rep["after_quality"]
+    # survivors: no blocked host, budget respected, text scrubbed
+    assert out.filter(
+        extract_host("url") == "src0-1.example.com").count() == 0
+    per_host = out.groupBy(extract_host("url").alias("h")).count()
+    assert all(r["count"] <= 20 for r in per_host.collect())
+    assert set(d.columns) <= set(out.columns)
