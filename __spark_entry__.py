@@ -1229,6 +1229,21 @@ def _q_quality_filter_flags(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_lm_doc_scores(spark, sf_dir):
+    """KenLM-lite corpus-fit score (textstats.add_lm_score): top-50
+    vocab, add-one-smoothed bigram LM trained on the corpus itself,
+    per-doc mean log-prob in integer micro-units (floored per bigram
+    BEFORE summing, so the aggregate is an associative integer sum —
+    bit-identical across partitionings and engines)."""
+    from gopie_spark.operators.textstats import add_lm_score
+    docs = _docs(spark, sf_dir)
+    return (add_lm_score(docs, v=50)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_bigrams").cast("long").alias("n_bigrams"),
+                    "sum_logp_e6", "avg_logp_e6")
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_distinct_global": _q_hll_distinct_global,
@@ -1289,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_budget_docs": _q_host_budget_docs,
         "dup_ngram_stats": _q_dup_ngram_stats,
         "quality_filter_flags": _q_quality_filter_flags,
+        "lm_doc_scores": _q_lm_doc_scores,
     }
 
 
@@ -1915,5 +1931,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, drop_reasons, drop_reasons = 0 AS keep
             FROM m ORDER BY doc_id
+        """,
+        "lm_doc_scores": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                                      '\s+'),
+                                   t -> t <> '') AS l
+                FROM documents
+            ),
+            vocab AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS cnt
+                    FROM (SELECT unnest(l) AS token FROM base)
+                    GROUP BY token
+                ) ORDER BY cnt DESC, token LIMIT 50
+            ),
+            tok AS (
+                SELECT doc_id, i, l[i] AS t
+                FROM base, unnest(generate_series(1, len(l))) AS u(i)
+            ),
+            mt AS (
+                SELECT doc_id, i,
+                       CASE WHEN v.token IS NULL THEN '<unk>' ELSE t END AS w
+                FROM tok LEFT JOIN vocab v ON v.token = t
+            ),
+            bi_doc AS (
+                SELECT a.doc_id, a.w AS w1, b.w AS w2
+                FROM mt a JOIN mt b
+                  ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            ),
+            uni AS (SELECT w AS w1, count(*) AS cu FROM mt GROUP BY w),
+            bi  AS (SELECT w1, w2, count(*) AS cb
+                    FROM bi_doc GROUP BY w1, w2),
+            lp AS (
+                SELECT doc_id,
+                       CAST(floor(ln((cb + 1.0) / (cu + 51.0)) * 1000000)
+                            AS BIGINT) AS lpe
+                FROM bi_doc JOIN bi USING (w1, w2) JOIN uni USING (w1)
+            ),
+            per AS (SELECT doc_id, count(*) AS n_bigrams,
+                           CAST(sum(lpe) AS BIGINT) AS s
+                    FROM lp GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+                   s AS sum_logp_e6,
+                   CASE WHEN n_bigrams > 0 THEN
+                       CAST(floor(s * 1.0 / n_bigrams) AS BIGINT)
+                   END AS avg_logp_e6
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY d.doc_id
         """,
     }

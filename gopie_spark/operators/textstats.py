@@ -418,3 +418,72 @@ def quality_filter(df: DataFrame, text_col: str = "text",
         mask = mask + F.when(flags[name], F.lit(1 << i)).otherwise(0)
     return (out.withColumn("drop_reasons", mask.cast("long"))
             .withColumn("keep", F.col("drop_reasons") == 0))
+
+
+# -- bigram language-model corpus-fit score -----------------------------------
+
+UNK = "<unk>"
+
+
+def add_lm_score(df: DataFrame, v: int = 10000, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """KenLM-lite corpus-fit score (the CCNet-style quality signal —
+    CCNet ranks Common-Crawl docs by LM perplexity; here the LM is a
+    word-bigram model with add-one smoothing trained on the corpus
+    itself, so a low score marks docs atypical of the collection):
+
+    - vocabulary = exact top-``v`` tokens (:func:`vocab_top_tokens`);
+      everything else maps to ``<unk>``;
+    - model: ``P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + v + 1)``;
+    - per-doc output: ``n_bigrams`` (long), ``sum_logp_e6`` (long),
+      ``avg_logp_e6`` (long, null when no bigrams).
+
+    Every per-bigram log-probability is floored to integer micro-units
+    BEFORE the per-doc sum, so the aggregate is an integer sum —
+    associative and therefore bit-identical regardless of partitioning
+    or aggregation order (a raw double sum would not be), which is what
+    lets a DuckDB oracle reproduce it exactly.
+
+    Scale shape: the unigram/bigram count tables are vocabulary-bounded
+    (<= v+1 and <= (v+1)^2 rows — broadcastable for any practical v), so
+    the corpus streams once through the bigram explode and two broadcast
+    joins; the only corpus-sized shuffles are the two count aggregations,
+    both partial-aggregable.  (No reference analog — training-data tier.)
+    """
+    vocab = [r["token"] for r in
+             vocab_top_tokens(df, text_col, id_col, v).collect()]
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), _WS),
+                    lambda t: t != "")
+    mapped = F.transform(toks, lambda t: F.when(
+        t.isin(vocab) if vocab else F.lit(False), t).otherwise(UNK))
+    base = df.select(F.col(id_col), mapped.alias("_mt"))
+    n = F.size(F.col("_mt"))
+    pref = F.slice(F.col("_mt"), 1, F.greatest(n - 1, F.lit(0)))
+    suff = F.slice(F.col("_mt"), 2, F.greatest(n - 1, F.lit(0)))
+    doc_bi = (base
+              .select(id_col, F.posexplode(
+                  F.zip_with(pref, suff, lambda a, b:
+                             F.struct(a.alias("w1"), b.alias("w2"))))
+                  .alias("_i", "_bg"))
+              .select(id_col, F.col("_bg.w1").alias("w1"),
+                      F.col("_bg.w2").alias("w2")))
+    uni = (base.select(F.explode("_mt").alias("w1"))
+           .groupBy("w1").agg(F.count("*").alias("_cu")))
+    bi = (doc_bi.groupBy("w1", "w2").agg(F.count("*").alias("_cb")))
+    logp_e6 = F.floor(
+        F.log((F.col("_cb") + F.lit(1.0)) /
+              (F.col("_cu") + F.lit(float(v + 1)))) * F.lit(1e6)
+    ).cast("long")
+    per_doc = (doc_bi
+               .join(F.broadcast(bi), ["w1", "w2"])
+               .join(F.broadcast(uni), "w1")
+               .withColumn("_lp", logp_e6)
+               .groupBy(id_col)
+               .agg(F.count("*").alias("n_bigrams"),
+                    F.sum("_lp").alias("sum_logp_e6")))
+    return (df.join(per_doc, id_col, "left")
+            .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)))
+            .withColumn("avg_logp_e6",
+                        F.when(F.col("n_bigrams") > 0,
+                               F.floor(F.col("sum_logp_e6") /
+                                       F.col("n_bigrams")).cast("long"))))

@@ -260,3 +260,32 @@ def test_filter_corpus_curate(spark, docs):
     per_host = out.groupBy(extract_host("url").alias("h")).count()
     assert all(r["count"] <= 20 for r in per_host.collect())
     assert set(d.columns) <= set(out.columns)
+
+
+# -- bigram LM corpus-fit score -----------------------------------------------
+
+def test_lm_score_planted(spark):
+    from gopie_spark.operators.textstats import add_lm_score
+    common = "the cat sat on the mat"
+    df = spark.createDataFrame(
+        [(i, common) for i in range(1, 9)] +
+        [(9, "zq xv qj kw pz vb"), (10, "one"), (11, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in add_lm_score(df, v=20).collect()}
+    # the repeated doc's bigrams are corpus-frequent -> higher mean
+    # log-prob than the one-off gibberish doc
+    assert rows[1]["avg_logp_e6"] > rows[9]["avg_logp_e6"]
+    assert rows[1]["avg_logp_e6"] == rows[8]["avg_logp_e6"]
+    # <2 tokens -> no bigrams -> null score
+    assert rows[10]["n_bigrams"] == 0 and rows[10]["avg_logp_e6"] is None
+    assert rows[11]["n_bigrams"] == 0
+
+
+def test_lm_score_partitioning_invariant(spark, docs):
+    from gopie_spark.operators.textstats import add_lm_score
+    cols = ("doc_id", "n_bigrams", "sum_logp_e6", "avg_logp_e6")
+    a = sorted(map(tuple, add_lm_score(docs, v=30)
+                   .select(*cols).collect()))
+    b = sorted(map(tuple, add_lm_score(docs.repartition(13), v=30)
+                   .select(*cols).collect()))
+    assert a == b
