@@ -1244,6 +1244,19 @@ def _q_lm_doc_scores(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_mixture_sample_docs(spark, sf_dir):
+    """Data-mixing quota sample (sampling.mixture_sample): exactly
+    {en: 12, de: 5, fr: 3} docs by smallest seeded-hash key per lang —
+    the pretraining-mixture construction step; capped-agg pool + exact
+    re-rank over the survivor set only."""
+    from gopie_spark.operators.sampling import mixture_sample
+    docs = _docs(spark, sf_dir)
+    return (mixture_sample(docs, {"en": 12, "de": 5, "fr": 3}, "lang",
+                           seed=7)
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+            .orderBy("lang", "doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_distinct_global": _q_hll_distinct_global,
@@ -1305,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_stats": _q_dup_ngram_stats,
         "quality_filter_flags": _q_quality_filter_flags,
         "lm_doc_scores": _q_lm_doc_scores,
+        "mixture_sample_docs": _q_mixture_sample_docs,
     }
 
 
@@ -1980,5 +1994,19 @@ def oracle_sql() -> dict[str, str]:
                    END AS avg_logp_e6
             FROM documents d LEFT JOIN per USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "mixture_sample_docs": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY ('0x' || substr(md5('7|' ||
+                               CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                               doc_id DESC) AS rn
+                FROM documents WHERE lang IN ('en', 'de', 'fr')
+            ) WHERE (lang = 'en' AND rn <= 12)
+                 OR (lang = 'de' AND rn <= 5)
+                 OR (lang = 'fr' AND rn <= 3)
+            ORDER BY lang, doc_id
         """,
     }

@@ -57,7 +57,8 @@ def main() -> None:
         # round 3 late: PII scrub, host analytics, dup-ngram fraction,
         # composed quality filter, PQ compressed-scan ANN
         "pii_redaction", "host_blocklist_stats", "dup_ngram_stats",
-        "quality_filter_flags", "ann_pq",
+        "quality_filter_flags", "ann_pq", "lm_doc_scores",
+        "mixture_sample_docs",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",

@@ -60,6 +60,7 @@ from gopie_spark.operators.redact import (
 from gopie_spark.operators.sampling import (
     hash_sample,
     hash_sample_fraction,
+    mixture_sample,
     priority_sample,
     priority_threshold,
     stratified_hash_sample,
@@ -81,6 +82,7 @@ from gopie_spark.operators.sketch_agg import (
 )
 from gopie_spark.operators.textstats import (
     add_lang_id,
+    add_lm_score,
     dup_ngram_stats,
     quality_filter,
     repetition_stats,
@@ -120,6 +122,7 @@ __all__ = [
     "token_count", "bpe_ish_token_count", "quality_features",
     "content_fingerprint", "rolling_fingerprint", "add_lang_id",
     "dup_ngram_stats", "quality_filter", "repetition_stats",
+    "add_lm_score", "mixture_sample",
     "tfidf_top_terms", "vocab_top_tokens",
     "pii_counts", "pii_stats", "redact_pii", "scrub",
     "extract_host", "extract_domain", "host_stats",

@@ -146,3 +146,47 @@ def priority_threshold(df: DataFrame, weight_col: str, k: int,
     if len(rows) <= k:
         return 0.0
     return float(rows[k]["_q"])
+
+
+def mixture_sample(df: DataFrame, targets: dict, stratum_col: str,
+                   seed: int = 0, id_col: str = "doc_id") -> DataFrame:
+    """Data-mixing quota sample: take exactly ``targets[s]`` rows from
+    each stratum ``s`` (e.g. ``{"en": 3000, "de": 500}`` documents per
+    language), deterministically — the mixture-construction step of a
+    pretraining-data build.  Strata absent from ``targets`` contribute
+    nothing; a stratum smaller than its quota is taken whole.
+
+    Selection is "smallest ``k_s`` hash keys per stratum", computed
+    scale-safely in two stages: one pass of ``latest_n``'s two-level
+    salted capped aggregation with the LARGEST quota (bounded buffers,
+    no per-stratum window sort over the corpus), then an exact
+    row_number re-rank over the survivors only — at most
+    ``|strata| * max(k_s)`` rows, driver-small — to apply each
+    stratum's own quota.  Reproducible across runs, partitionings and
+    retries (seeded-hash keys), and oracle-checkable: DuckDB recomputes
+    the same keys and ranks.
+    """
+    from pyspark.sql import Window
+    from gopie_spark.streaming.conflate import latest_n
+    if not targets:
+        raise ValueError("targets must not be empty")
+    if any(k < 0 for k in targets.values()):
+        raise ValueError("quotas must be >= 0")
+    kmax = max(targets.values())
+    if kmax == 0:
+        return df.filter(F.lit(False))
+    spark = df.sparkSession
+    key = sample_key(id_col, seed)
+    slim = (df.filter(F.col(stratum_col).isin(list(targets)))
+            .select(stratum_col, F.col(id_col), (-key).alias("_negkey")))
+    pool = latest_n(slim, [stratum_col], "_negkey", kmax)
+    quota = spark.createDataFrame(
+        [(s, int(k)) for s, k in targets.items()],
+        f"{stratum_col} string, _quota int")
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.desc("_negkey"), F.desc(id_col))
+    picked = (pool.withColumn("_rn", F.row_number().over(w))
+              .join(F.broadcast(quota), stratum_col)
+              .filter(F.col("_rn") <= F.col("_quota"))
+              .select(id_col))
+    return df.join(F.broadcast(picked), id_col, "semi")

@@ -289,3 +289,26 @@ def test_lm_score_partitioning_invariant(spark, docs):
     b = sorted(map(tuple, add_lm_score(docs.repartition(13), v=30)
                    .select(*cols).collect()))
     assert a == b
+
+
+# -- mixture sampling ---------------------------------------------------------
+
+def test_mixture_sample_quotas(spark, docs):
+    from gopie_spark.operators.sampling import mixture_sample
+    targets = {"en": 10, "de": 4, "zh": 2}
+    out = mixture_sample(docs, targets, "lang", seed=5)
+    got = {r["lang"]: r["count"]
+           for r in out.groupBy("lang").count().collect()}
+    assert got == targets
+    # deterministic across partitionings
+    again = mixture_sample(docs.repartition(9), targets, "lang", seed=5)
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in again.select("doc_id").collect())
+    # quota larger than the stratum takes it whole; absent strata empty
+    big = mixture_sample(docs, {"de": 10**6, "xx": 3}, "lang")
+    n_de = docs.filter(F.col("lang") == "de").count()
+    assert big.count() == n_de
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {}, "lang")
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {"en": -1}, "lang")
