@@ -312,3 +312,13 @@ def test_mixture_sample_quotas(spark, docs):
         mixture_sample(docs, {}, "lang")
     with pytest.raises(ValueError):
         mixture_sample(docs, {"en": -1}, "lang")
+
+
+def test_lm_plan_broadcast_counts_no_python(spark, docs):
+    from gopie_spark.operators.textstats import add_lm_score
+    plan = add_lm_score(docs, v=20)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # vocab-bounded count tables join via explicit broadcast; the whole
+    # pipeline stays JVM-side
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
