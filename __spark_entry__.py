@@ -1107,6 +1107,23 @@ def _q_repetition_stats(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _canonical_urls_oracle_sql() -> str:
+    """canonical_urls oracle, generated from the operator module's own
+    DuckDB mirror so the two engines share one pattern source."""
+    from gopie_spark.operators.hoststats import oracle_canonical_url_sql
+    messy = ("'HTTPS://' || upper(source) || '.Example.COM:443/Page/' || "
+             "CAST(doc_id % 50 AS VARCHAR) || "
+             "'/?utm_source=feed&ref=home&q=' || "
+             "CAST(doc_id % 3 AS VARCHAR) || '&utm_medium=x#sec' || "
+             "CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH b AS (SELECT doc_id, {messy} AS u FROM documents
+                   WHERE doc_id < 150)
+        SELECT doc_id, {oracle_canonical_url_sql('u')} AS canon_url
+        FROM b ORDER BY doc_id
+    """
+
+
 def _pii_oracle_sql() -> str:
     """pii_redaction oracle, generated from redact.PII_PATTERNS so the
     two engines cannot drift (same planted text, same pattern order)."""
@@ -1229,6 +1246,26 @@ def _q_quality_filter_flags(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_canonical_urls(spark, sf_dir):
+    """URL canonicalization (hoststats.canonical_url): scheme/host
+    lowercasing, fragment + tracking-param + default-port + trailing
+    slash stripping as chained codegen regexps — per-doc canonical
+    string compared byte-exact against the DuckDB mirror built from
+    the same pattern text."""
+    from gopie_spark.operators.hoststats import canonical_url
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    messy = F.concat(
+        F.lit("HTTPS://"), F.upper(F.col("source")),
+        F.lit(".Example.COM:443/Page/"),
+        F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
+        F.lit("/?utm_source=feed&ref=home&q="),
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+        F.lit("&utm_medium=x#sec"), F.col("doc_id").cast("string"))
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        canonical_url(messy).alias("canon_url"))
+            .orderBy("doc_id"))
+
+
 def _q_lm_doc_scores(spark, sf_dir):
     """KenLM-lite corpus-fit score (textstats.add_lm_score): top-50
     vocab, add-one-smoothed bigram LM trained on the corpus itself,
@@ -1319,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_flags": _q_quality_filter_flags,
         "lm_doc_scores": _q_lm_doc_scores,
         "mixture_sample_docs": _q_mixture_sample_docs,
+        "canonical_urls": _q_canonical_urls,
     }
 
 
@@ -1946,6 +1984,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, drop_reasons, drop_reasons = 0 AS keep
             FROM m ORDER BY doc_id
         """,
+        "canonical_urls": _canonical_urls_oracle_sql(),
         "lm_doc_scores": r"""
             WITH base AS (
                 SELECT doc_id,

@@ -20,6 +20,7 @@ from gopie_spark.operators.decontaminate import (
 )
 from gopie_spark.operators.graph import connected_components
 from gopie_spark.operators.hoststats import (
+    canonical_url,
     extract_domain,
     extract_host,
     filter_blocklist,
@@ -125,7 +126,7 @@ __all__ = [
     "add_lm_score", "mixture_sample",
     "tfidf_top_terms", "vocab_top_tokens",
     "pii_counts", "pii_stats", "redact_pii", "scrub",
-    "extract_host", "extract_domain", "host_stats",
+    "canonical_url", "extract_host", "extract_domain", "host_stats",
     "filter_blocklist", "host_budget_sample",
     "train_pq_codebooks", "pq_encode", "pq_topk",
     "build_pq_index", "pq_topk_indexed", "load_pq_codebooks",

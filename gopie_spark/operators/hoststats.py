@@ -104,3 +104,66 @@ def host_budget_sample(df: DataFrame, per_host: int,
                 df.withColumn("_host", extract_host(url_col)),
                 ["_host"], per_host, seed=seed, id_col=id_col)
             .drop("_host"))
+
+
+def canonical_url(col) -> Column:
+    """Canonicalize a URL for crawl-level dedup — the normalization pass
+    that runs before URL-keyed dedup/budgeting so trivially-different
+    fetches of the same resource collapse:
+
+    - lowercase scheme+host (path case preserved),
+    - strip the fragment (``#...``),
+    - strip tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+      ``ref``), dropping ``?`` when nothing survives,
+    - strip default ports (``:80`` for http, ``:443`` for https),
+    - strip the trailing slash (including the bare root slash — the
+      host-only form is the canonical one, matching the port rule).
+
+    Chained codegen regexps (RE2-safe), zero-shuffle; byte-identical
+    to the DuckDB mirror so URL digests agree across engines.
+    """
+    c = _c(col)
+    # lowercase scheme://host[:port] prefix only
+    prefix = F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.substring(c, F.length(prefix) + 1, F.length(c))
+    u = F.concat(F.lower(prefix), rest)
+    u = F.regexp_replace(u, r"#.*$", "")                      # fragment
+    # tracking params: in the middle (keep one separator) or at the end
+    for _ in range(4):  # fixed point for adjacent tracked params
+        u = F.regexp_replace(
+            u, r"([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*&", "$1")
+    u = F.regexp_replace(
+        u, r"[?&](utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*$", "")
+    u = F.regexp_replace(u, r"\?$", "")
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80(/|$|\?)", "$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443(/|$|\?)", "$1$2")
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^?#]*[^/?#])/(\?|$)",
+                         "$1$2")
+    return u
+
+
+def oracle_canonical_url_sql(col_sql: str) -> str:
+    """DuckDB expression mirroring :func:`canonical_url` step for step
+    (same pattern text; DuckDB needs the explicit 'g' flag where Spark
+    replaces globally and backslash-free replacements)."""
+    prefix = (f"regexp_extract({col_sql}, "
+              "'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)")
+    u = (f"lower({prefix}) || substr({col_sql}, len({prefix}) + 1)")
+    u = f"regexp_replace({u}, '#.*$', '')"
+    for _ in range(4):
+        # 'g' flag: Spark's regexp_replace is global per call (Java
+        # replaceAll semantics — scan resumes after each replacement);
+        # DuckDB needs the flag to match that behavior
+        u = (f"regexp_replace({u}, "
+             "'([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*&', "
+             "'\\1', 'g')")
+    u = (f"regexp_replace({u}, "
+         "'[?&](utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*$', '')")
+    u = f"regexp_replace({u}, '\\?$', '')"
+    u = (f"regexp_replace({u}, '^(http://[^/:?#]+):80(/|$|\\?)', "
+         "'\\1\\2')")
+    u = (f"regexp_replace({u}, '^(https://[^/:?#]+):443(/|$|\\?)', "
+         "'\\1\\2')")
+    u = (f"regexp_replace({u}, "
+         "'^([a-z][a-z0-9+.-]*://[^?#]*[^/?#])/(\\?|$)', '\\1\\2')")
+    return u

@@ -322,3 +322,26 @@ def test_lm_plan_broadcast_counts_no_python(spark, docs):
     # pipeline stays JVM-side
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_canonical_url_cases(spark):
+    from gopie_spark.operators.hoststats import canonical_url
+    cases = {
+        "HTTPS://Ex.COM:443/A/B/?utm_source=x&q=1#f": "https://ex.com/A/B?q=1",
+        "http://ex.com:80/": "http://ex.com",
+        "https://ex.com/p?utm_a=1&utm_b=2&c=3": "https://ex.com/p?c=3",
+        "https://ex.com/p?c=3&utm_a=1": "https://ex.com/p?c=3",
+        "https://ex.com/p?fbclid=z": "https://ex.com/p",
+        "https://ex.com/p/": "https://ex.com/p",
+        "http://ex.com:8080/x": "http://ex.com:8080/x",
+        "not a url": "not a url",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["c"] for r in
+           df.select("url", canonical_url("url").alias("c")).collect()}
+    assert got == cases
+    # idempotent
+    df2 = df.select(canonical_url("url").alias("url"))
+    twice = {r["url"]: r["c"] for r in
+             df2.select("url", canonical_url("url").alias("c")).collect()}
+    assert all(k == v for k, v in twice.items())
