@@ -345,3 +345,38 @@ def test_canonical_url_cases(spark):
     twice = {r["url"]: r["c"] for r in
              df2.select("url", canonical_url("url").alias("c")).collect()}
     assert all(k == v for k, v in twice.items())
+
+
+# -- bucketed co-location -----------------------------------------------------
+
+def test_bucketed_join_no_shuffle(spark, docs, tmp_path):
+    from gopie_spark.sources.bucketed import (co_located_join,
+                                              write_bucketed)
+    sigs = docs.select("doc_id", F.md5("text").alias("digest"))
+    write_bucketed(docs, "t_docs_b", ["doc_id"], 8,
+                   path=str(tmp_path / "docs_b"))
+    write_bucketed(sigs, "t_sigs_b", ["doc_id"], 8,
+                   path=str(tmp_path / "sigs_b"))
+    try:
+        # groupBy on the bucket column: no shuffle at all
+        agg_plan = (spark.table("t_docs_b").groupBy("doc_id").count()
+                    ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in agg_plan
+        # join of two same-bucketed tables: SortMergeJoin with zero
+        # shuffle (disable broadcast so toy-scale AQE can't hide the
+        # property being pinned)
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = co_located_join(spark, "t_docs_b", "t_sigs_b",
+                                ["doc_id"])
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            assert j.count() == docs.count()
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_sigs_b")
