@@ -521,14 +521,17 @@ def _q_ann_ivf(spark, sf_dir):
 
 def _q_ann_pq(spark, sf_dir):
     """Product-quantization ADC ANN recall certificate vs the exact path
-    (operators/similarity.py pq_topk: m=8 subspaces x 16 codes = 8-byte
-    codes, 32x vector compression; batch-local LUT scoring + exact
-    refinement of the global ADC top refine*k).  Deterministic: fixed
-    codebook seed + hash-sample training."""
+    (operators/similarity.py pq_topk: m=16 subspaces x 32 codes =
+    16-byte codes, 16x vector compression; batch-local LUT scoring +
+    exact refinement of the global ADC top refine*k).  Deterministic:
+    fixed codebook seed + hash-sample training.  Config chosen for the
+    near-uniform synthetic embeddings (PQ's hardest case): measured
+    recall 0.96 global / 0.8 min per-query at sf0.1 and 0.96/0.8 at
+    sf0.01 against floors 0.75/0.4."""
     from gopie_spark.operators.similarity import pq_topk
 
     def fn(emb, queries):
-        return pq_topk(spark, emb, queries, k=5, m=8, n_codes=16,
+        return pq_topk(spark, emb, queries, k=5, m=16, n_codes=32,
                        refine=10)
 
     return _ann_recall_cert(spark, sf_dir, fn,
