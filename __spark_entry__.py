@@ -1269,6 +1269,19 @@ def _q_canonical_urls(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_dedup_spans(spark, sf_dir):
+    """Substring-level dedup transform (textstats.remove_duplicate_spans,
+    Lee-et-al-style span removal): every corpus-duplicated 4-gram span
+    is cut out of its documents; the certificate compares the rebuilt
+    text byte-exact per doc."""
+    from gopie_spark.operators.textstats import remove_duplicate_spans
+    docs = _docs(spark, sf_dir)
+    return (remove_duplicate_spans(docs, n=4, min_count=2)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "clean_text")
+            .orderBy("doc_id"))
+
+
 def _q_lm_doc_scores(spark, sf_dir):
     """KenLM-lite corpus-fit score (textstats.add_lm_score): top-50
     vocab, add-one-smoothed bigram LM trained on the corpus itself,
@@ -1360,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_doc_scores": _q_lm_doc_scores,
         "mixture_sample_docs": _q_mixture_sample_docs,
         "canonical_urls": _q_canonical_urls,
+        "dedup_spans": _q_dedup_spans,
     }
 
 
@@ -2035,6 +2049,49 @@ def oracle_sql() -> dict[str, str]:
                        CAST(floor(s * 1.0 / n_bigrams) AS BIGINT)
                    END AS avg_logp_e6
             FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "dedup_spans": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   t -> t <> '') AS rt
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, i, rt[i] AS t
+                FROM base, unnest(generate_series(1, len(rt))) AS u(i)
+            ),
+            grams AS (
+                SELECT doc_id, i,
+                       array_to_string(list_transform(rt[i:i+3],
+                                                      x -> lower(x)),
+                                       ' ') AS g
+                FROM base, unnest(generate_series(1, len(rt) - 3)) AS u(i)
+                WHERE len(rt) >= 4
+            ),
+            heavy AS (SELECT g FROM grams GROUP BY g
+                      HAVING count(*) >= 2),
+            starts AS (SELECT doc_id, i FROM grams JOIN heavy USING (g)),
+            covered AS (
+                SELECT DISTINCT t.doc_id, t.i
+                FROM toks t JOIN starts s
+                  ON t.doc_id = s.doc_id
+                 AND t.i >= s.i AND t.i < s.i + 4
+            ),
+            clean AS (
+                SELECT t.doc_id,
+                       coalesce(string_agg(t.t, ' ' ORDER BY t.i)
+                                FILTER (WHERE c.i IS NULL), '')
+                           AS clean_text
+                FROM toks t LEFT JOIN covered c
+                  ON t.doc_id = c.doc_id AND t.i = c.i
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(clean_text, '') END AS clean_text
+            FROM documents d LEFT JOIN clean USING (doc_id)
             ORDER BY d.doc_id
         """,
         "mixture_sample_docs": """

@@ -487,3 +487,67 @@ def add_lm_score(df: DataFrame, v: int = 10000, id_col: str = "doc_id",
                         F.when(F.col("n_bigrams") > 0,
                                F.floor(F.col("sum_logp_e6") /
                                        F.col("n_bigrams")).cast("long"))))
+
+
+# -- duplicated-span removal --------------------------------------------------
+
+def remove_duplicate_spans(df: DataFrame, n: int = 20, min_count: int = 2,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           out_col: str = "clean_text") -> DataFrame:
+    """Cut corpus-duplicated token spans OUT of each document — the
+    substring-level dedup transform (Lee et al. 2022 remove duplicated
+    substrings outright rather than dropping whole docs; this is the
+    token-n-gram-span form of that):
+
+    1. every token ``n``-gram occurring >= ``min_count`` times in the
+       corpus (case-folded key) is a *duplicated span start*;
+    2. a token is removed when any duplicated span covers its position;
+    3. ``out_col`` = the surviving tokens joined by single spaces (a
+       doc that is entirely duplicated text becomes the empty string).
+
+    Plan shape: one Generate (posexplode of gram keys), one
+    partial-aggregable gram-count aggregation, one join of the per-doc
+    gram stream against the heavy-gram set, one per-doc
+    ``collect_list`` of span starts (bounded by tokens-per-doc), then a
+    per-row JVM fold (``transform``/``exists``/``array_join`` — no
+    Python) that rebuilds the text.  The (doc, gram) stream shuffles
+    O(tokens) rows — same exact-tier cost contract as
+    :func:`dup_ngram_stats`; at 10^12 rows run the heavy-gram count
+    once and reuse it (it is the same aggregation).
+    """
+    raw_toks = F.filter(F.split(F.trim(F.col(text_col)), _WS),
+                        lambda t: t != "")
+    base = df.select(F.col(id_col), raw_toks.alias("_rt"))
+    low = F.transform(F.col("_rt"), F.lower)
+    n_sh = F.greatest(F.size(F.col("_rt")) - F.lit(n - 1), F.lit(0))
+    # gram key per start position (0-based): lowercased n tokens
+    grams = F.when(
+        n_sh >= 1,
+        F.transform(F.sequence(F.lit(1), n_sh),
+                    lambda i: F.array_join(F.slice(low, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    doc_grams = (base.select(id_col,
+                             F.posexplode(grams).alias("_pos", "_g")))
+    heavy = (doc_grams.groupBy("_g")
+             .agg(F.count("*").alias("_c"))
+             .filter(F.col("_c") >= min_count)
+             .select("_g"))
+    starts = (doc_grams.join(heavy, "_g")
+              .groupBy(id_col)
+              .agg(F.collect_list("_pos").alias("_starts")))
+    joined = base.join(starts, id_col, "left") \
+        .withColumn("_starts", F.coalesce(
+            "_starts", F.array().cast("array<int>")))
+    keep_tok = F.filter(
+        F.zip_with(F.col("_rt"),
+                   F.sequence(F.lit(0),
+                              F.greatest(F.size(F.col("_rt")) - 1,
+                                         F.lit(0))),
+                   lambda t, p: F.struct(t.alias("t"), p.alias("p"))),
+        lambda s: ~F.exists(
+            F.col("_starts"),
+            lambda st: (s["p"] >= st) & (s["p"] < st + F.lit(n))))
+    cleaned = joined.withColumn(
+        out_col, F.array_join(F.transform(keep_tok, lambda s: s["t"]),
+                              " ")).select(id_col, out_col)
+    return df.join(cleaned, id_col, "left")

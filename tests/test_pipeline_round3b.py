@@ -380,3 +380,43 @@ def test_bucketed_join_no_shuffle(spark, docs, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_docs_b")
         spark.sql("DROP TABLE IF EXISTS t_sigs_b")
+
+
+# -- duplicated-span removal --------------------------------------------------
+
+def test_remove_duplicate_spans_planted(spark):
+    from gopie_spark.operators.textstats import remove_duplicate_spans
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd unique1 tail1"),
+         (2, "aa bb cc dd unique2 tail2"),
+         (3, "solo words only here"),
+         (4, "x y"),                       # shorter than n: untouched
+         (5, ""),
+         (6, None),
+         (7, "AA BB CC DD case folded key")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"] for r in
+           remove_duplicate_spans(df, n=4, min_count=2).collect()}
+    assert out[1] == "unique1 tail1" and out[2] == "unique2 tail2"
+    assert out[3] == "solo words only here"
+    assert out[4] == "x y" and out[5] == "" and out[6] is None
+    # case-folded span key, original-case survivors
+    assert out[7] == "case folded key"
+
+
+def test_remove_duplicate_spans_overlap_and_idempotence(spark):
+    from gopie_spark.operators.textstats import remove_duplicate_spans
+    # overlapping duplicated spans merge: "a b c d e" appears twice
+    # with one-token offsets -> whole overlap region removed
+    df = spark.createDataFrame(
+        [(1, "p a b c d e q"), (2, "r a b c d e s")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"] for r in
+           remove_duplicate_spans(df, n=4, min_count=2).collect()}
+    assert out[1] == "p q" and out[2] == "r s"
+    # second pass removes nothing further (the dup spans are gone)
+    again = remove_duplicate_spans(
+        df.sparkSession.createDataFrame(
+            [(k, v) for k, v in out.items()], "doc_id long, text string"),
+        n=4, min_count=2)
+    assert {r["doc_id"]: r["clean_text"] for r in again.collect()} == out
