@@ -1269,6 +1269,35 @@ def _q_canonical_urls(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_host_dup_factor(spark, sf_dir):
+    """Sketch x pipeline composition: per-host near-duplicate factor —
+    docs per host vs HLL-approximate distinct content fingerprints per
+    host (the host-level boilerplate metric a crawl-budget policy keys
+    on).  One grouped sketch aggregation over the synthetic-url corpus
+    keyed on the codegen host extraction; certificate = per-host 3-sigma
+    HLL bound against the exact distinct count."""
+    import math as _math
+    from gopie_spark.operators import hll_count_distinct
+    from gopie_spark.operators.hoststats import extract_host
+    from gopie_spark.operators.textstats import content_fingerprint
+    p = 14
+    bound = 3 * 1.04 / _math.sqrt(2 ** p)
+    d = (_docs_with_url(_docs(spark, sf_dir))
+         .select(extract_host("url").alias("host"),
+                 content_fingerprint("text").alias("fp")))
+    approx = hll_count_distinct(d, "fp", keys=["host"], p=p)
+    exact = d.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_exact"))
+    ok = (F.col("approx_distinct") <= F.col("n_exact") * (1 + bound)) & \
+         (F.col("approx_distinct") >= F.col("n_exact") * (1 - bound))
+    return (exact.join(approx, "host")
+            .select("host", F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("n_exact").cast("long").alias("n_exact"),
+                    ok.alias("within_bound"))
+            .orderBy("host"))
+
+
 def _q_dedup_spans(spark, sf_dir):
     """Substring-level dedup transform (textstats.remove_duplicate_spans,
     Lee-et-al-style span removal): every corpus-duplicated 4-gram span
@@ -1374,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_docs": _q_mixture_sample_docs,
         "canonical_urls": _q_canonical_urls,
         "dedup_spans": _q_dedup_spans,
+        "host_dup_factor": _q_host_dup_factor,
     }
 
 
@@ -2050,6 +2080,20 @@ def oracle_sql() -> dict[str, str]:
                    END AS avg_logp_e6
             FROM documents d LEFT JOIN per USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "host_dup_factor": """
+            SELECT lower(regexp_extract(
+                       'https://' || source || '-' ||
+                       CAST(doc_id % 3 AS VARCHAR) ||
+                       '.example.com/page/' || CAST(doc_id AS VARCHAR),
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                       AS host,
+                   count(*) AS n_docs,
+                   count(DISTINCT md5(lower(regexp_replace(
+                       text, '\\s+', ' ', 'g')))) AS n_exact,
+                   TRUE AS within_bound
+            FROM documents
+            GROUP BY host ORDER BY host
         """,
         "dedup_spans": r"""
             WITH base AS (

@@ -58,7 +58,7 @@ def main() -> None:
         # composed quality filter, PQ compressed-scan ANN
         "pii_redaction", "host_blocklist_stats", "dup_ngram_stats",
         "quality_filter_flags", "ann_pq", "lm_doc_scores",
-        "canonical_urls", "dedup_spans",
+        "canonical_urls", "dedup_spans", "host_dup_factor",
         "mixture_sample_docs",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
