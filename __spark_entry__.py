@@ -1269,6 +1269,19 @@ def _q_canonical_urls(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_token_budget_sample(spark, sf_dir):
+    """Budget-targeted sampling (sampling.token_budget_sample): keep
+    each doc w.p. min(1, 40000/total_chars(lang)) on the deterministic
+    per-id key — the "sample ~N tokens per language" primitive; one
+    tiny per-stratum total broadcast + a pure scan-side filter, exact
+    kept set oracle-checked."""
+    from gopie_spark.operators.sampling import token_budget_sample
+    docs = _docs(spark, sf_dir)
+    return (token_budget_sample(docs, 40000, "n_chars", ["lang"], seed=7)
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+            .orderBy("doc_id"))
+
+
 def _q_host_dup_factor(spark, sf_dir):
     """Sketch x pipeline composition: per-host near-duplicate factor —
     docs per host vs HLL-approximate distinct content fingerprints per
@@ -1404,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": _q_canonical_urls,
         "dedup_spans": _q_dedup_spans,
         "host_dup_factor": _q_host_dup_factor,
+        "token_budget_sample": _q_token_budget_sample,
     }
 
 
@@ -2080,6 +2094,18 @@ def oracle_sql() -> dict[str, str]:
                    END AS avg_logp_e6
             FROM documents d LEFT JOIN per USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "token_budget_sample": """
+            WITH tot AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS t
+                         FROM documents GROUP BY lang),
+            thr AS (SELECT lang,
+                           CAST(floor(least(1.0, 40000.0 / t)
+                                      * 4294967296.0) AS BIGINT) AS thr
+                    FROM tot)
+            SELECT doc_id, d.lang FROM documents d JOIN thr USING (lang)
+            WHERE ('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT < thr
+            ORDER BY doc_id
         """,
         "host_dup_factor": """
             SELECT lower(regexp_extract(

@@ -59,6 +59,7 @@ def main() -> None:
         "pii_redaction", "host_blocklist_stats", "dup_ngram_stats",
         "quality_filter_flags", "ann_pq", "lm_doc_scores",
         "canonical_urls", "dedup_spans", "host_dup_factor",
+        "token_budget_sample",
         "mixture_sample_docs",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)

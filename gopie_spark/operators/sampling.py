@@ -190,3 +190,39 @@ def mixture_sample(df: DataFrame, targets: dict, stratum_col: str,
               .filter(F.col("_rn") <= F.col("_quota"))
               .select(id_col))
     return df.join(F.broadcast(picked), id_col, "semi")
+
+
+def token_budget_sample(df: DataFrame, budget: float, weight_col: str,
+                        strata: Sequence[str] = (), seed: int = 0,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Budget-targeted Bernoulli sample: keep each row with probability
+    ``min(1, budget / total_weight)`` (per stratum when ``strata`` is
+    given) — the "sample ~N tokens [per language]" primitive of a
+    pretraining-data build.  The sampled weight concentrates at
+    ``budget`` with relative sd ~ ``1/sqrt(rows kept)``.
+
+    Scale shape: one partial-aggregable total per stratum (a tiny
+    broadcast), then a pure scan-side filter on the deterministic
+    per-id key — no shuffle of the corpus, reproducible across runs /
+    partitionings / retries, and consistent: raising the budget only
+    ADDS documents (the kept set is a superset, because the keep rule
+    is ``key < threshold(budget)``), which lets checkpointed corpus
+    cuts nest.  The exact kept set is oracle-checkable (the threshold
+    arithmetic is integer-exact in both engines).
+    """
+    strata = list(strata)
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if strata:
+        totals = df.groupBy(*strata).agg(F.sum(weight_col).alias("_tot"))
+    else:
+        totals = df.agg(F.sum(weight_col).alias("_tot"))
+    frac = F.least(F.lit(1.0), F.lit(float(budget)) / F.col("_tot"))
+    totals = totals.withColumn(
+        "_thr",
+        F.floor(frac * F.lit(float(1 << _FRACTION_BITS))).cast("long")) \
+        .drop("_tot")
+    k32 = sample_key(id_col, seed, hex_chars=8)
+    joined = df.join(F.broadcast(totals), strata) if strata \
+        else df.crossJoin(F.broadcast(totals))
+    return joined.filter(k32 < F.col("_thr")).drop("_thr")

@@ -420,3 +420,30 @@ def test_remove_duplicate_spans_overlap_and_idempotence(spark):
             [(k, v) for k, v in out.items()], "doc_id long, text string"),
         n=4, min_count=2)
     assert {r["doc_id"]: r["clean_text"] for r in again.collect()} == out
+
+
+# -- token-budget sampling ----------------------------------------------------
+
+def test_token_budget_sample(spark, docs):
+    from gopie_spark.operators.sampling import token_budget_sample
+    out = token_budget_sample(docs, 20000, "n_chars", ["lang"], seed=3)
+    # nesting: a larger budget keeps a superset (checkpointed cuts nest)
+    bigger = token_budget_sample(docs, 40000, "n_chars", ["lang"], seed=3)
+    small_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    big_ids = {r["doc_id"] for r in bigger.select("doc_id").collect()}
+    assert small_ids <= big_ids
+    # a stratum below budget is kept whole
+    totals = {r["lang"]: r["t"] for r in
+              docs.groupBy("lang").agg(F.sum("n_chars").alias("t"))
+              .collect()}
+    huge = token_budget_sample(docs, 10**9, "n_chars", ["lang"])
+    assert huge.count() == docs.count()
+    # sampled weight lands near budget for strata above it
+    got = {r["lang"]: r["w"] for r in
+           bigger.groupBy("lang").agg(F.sum("n_chars").alias("w"))
+           .collect()}
+    for lang, t in totals.items():
+        if t > 80000:  # well above budget -> concentration check
+            assert abs(got[lang] - 40000) < 0.35 * 40000
+    with pytest.raises(ValueError):
+        token_budget_sample(docs, 0, "n_chars")
