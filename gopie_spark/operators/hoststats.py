@@ -128,12 +128,14 @@ def canonical_url(col) -> Column:
     rest = F.substring(c, F.length(prefix) + 1, F.length(c))
     u = F.concat(F.lower(prefix), rest)
     u = F.regexp_replace(u, r"#.*$", "")                      # fragment
-    # tracking params: in the middle (keep one separator) or at the end
-    for _ in range(4):  # fixed point for adjacent tracked params
-        u = F.regexp_replace(
-            u, r"([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*&", "$1")
+    # tracking params: one pass removes each RUN of adjacent tracked
+    # params in the middle (the + over the whole param group — a
+    # per-param pattern would skip alternate params because replaceAll
+    # resumes after each match), one pass handles the tail
     u = F.regexp_replace(
-        u, r"[?&](utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*$", "")
+        u, r"([?&])((utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*&)+", "$1")
+    u = F.regexp_replace(
+        u, r"[?&]((utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*&?)+$", "")
     u = F.regexp_replace(u, r"\?$", "")
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80(/|$|\?)", "$1$2")
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):443(/|$|\?)", "$1$2")
@@ -150,15 +152,15 @@ def oracle_canonical_url_sql(col_sql: str) -> str:
               "'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)")
     u = (f"lower({prefix}) || substr({col_sql}, len({prefix}) + 1)")
     u = f"regexp_replace({u}, '#.*$', '')"
-    for _ in range(4):
-        # 'g' flag: Spark's regexp_replace is global per call (Java
-        # replaceAll semantics — scan resumes after each replacement);
-        # DuckDB needs the flag to match that behavior
-        u = (f"regexp_replace({u}, "
-             "'([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*&', "
-             "'\\1', 'g')")
+    # 'g' flag: Spark's regexp_replace is global per call (Java
+    # replaceAll semantics); DuckDB needs the flag to match. The +
+    # over the whole param group removes an arbitrarily long RUN of
+    # adjacent tracked params in one match, so one pass suffices.
     u = (f"regexp_replace({u}, "
-         "'[?&](utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*$', '')")
+         "'([?&])((utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*&)+', "
+         "'\\1', 'g')")
+    u = (f"regexp_replace({u}, "
+         "'[?&]((utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*&?)+$', '')")
     u = f"regexp_replace({u}, '\\?$', '')"
     u = (f"regexp_replace({u}, '^(http://[^/:?#]+):80(/|$|\\?)', "
          "'\\1\\2')")

@@ -223,6 +223,22 @@ def token_budget_sample(df: DataFrame, budget: float, weight_col: str,
         F.floor(frac * F.lit(float(1 << _FRACTION_BITS))).cast("long")) \
         .drop("_tot")
     k32 = sample_key(id_col, seed, hex_chars=8)
-    joined = df.join(F.broadcast(totals), strata) if strata \
-        else df.crossJoin(F.broadcast(totals))
+    if strata:
+        # null-safe equi-join: a NULL stratum value is a real group (it
+        # got a totals row from groupBy) and must keep its sampling
+        # decision — a plain equi-join would silently drop every
+        # NULL-stratum row regardless of the keep probability.  The
+        # totals side is renamed so the predicate is unambiguous
+        # (totals derives from df, and same-name attributes across a
+        # self-derived join trip Spark's ambiguity resolution).
+        totals = totals.select(
+            *[F.col(s).alias(f"_ts_{s}") for s in strata], "_thr")
+        cond = None
+        for s in strata:
+            c = F.col(s).eqNullSafe(F.col(f"_ts_{s}"))
+            cond = c if cond is None else cond & c
+        joined = df.join(F.broadcast(totals), cond) \
+            .drop(*[f"_ts_{s}" for s in strata])
+    else:
+        joined = df.crossJoin(F.broadcast(totals))
     return joined.filter(k32 < F.col("_thr")).drop("_thr")

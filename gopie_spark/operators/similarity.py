@@ -630,6 +630,12 @@ def train_pq_codebooks(corpus: DataFrame, m: int = 8, n_codes: int = 16,
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
+    if n_codes > 256:
+        # codes are stored uint8 (the whole point of PQ's 1-byte-per-
+        # subspace footprint); a larger codebook would silently wrap
+        # in pq_encode's argmin cast and corrupt every ADC score
+        raise ValueError(f"n_codes={n_codes} > 256 does not fit uint8 "
+                         "codes; use more subspaces (m) instead")
     rng = np.random.default_rng(seed)
     n_codes = min(n_codes, len(sample))
     books = np.empty((m, n_codes, sub))
@@ -669,6 +675,12 @@ def pq_encode(df: DataFrame, codebooks: np.ndarray,
     lets a 10^12-row index stay memory-resident for the ADC scan."""
     import pyarrow as pa
 
+    if codebooks.shape[1] > 256:
+        # argmin indices are cast to uint8 below; >256 centers would
+        # wrap silently and every wrapped code would point at the
+        # wrong centroid (train_pq_codebooks enforces the same cap)
+        raise ValueError(f"codebook has {codebooks.shape[1]} centers; "
+                         "uint8 PQ codes support at most 256")
     bc = df.sparkSession.sparkContext.broadcast(codebooks)
     schema = StructType(df.schema.fields +
                         [StructField(out_col, BinaryType(), False)])

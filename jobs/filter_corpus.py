@@ -43,13 +43,20 @@ import time
 
 
 def curate(spark, pages, *, min_tokens=20, blocklist=None,
-           per_host_cap=None, dedup=True, eval_df=None,
+           per_host_cap=None, dedup=True, eval_df=None, decontam_n=13,
            id_col="doc_id", text_col="text", url_col="url"):
     """Run the curation pipeline; returns (survivors_df, report_dict).
 
     ``pages`` must carry ``id_col`` + ``text_col``; host stages apply
     only when ``url_col`` exists.  Pure function of its inputs —
     jobs and tests share it.
+
+    Each counted stage is persisted before its ``count()`` and the
+    previous stage's cache released, so the per-stage report costs one
+    pipeline execution total instead of re-running every upstream
+    filter/dedup per count (at corpus scale the MinHash-LSH shuffle
+    alone makes recomputation a multi-hour tax).  The final survivors
+    frame is left persisted for the caller's write.
     """
     from pyspark.sql import functions as F
     from gopie_spark.operators.decontaminate import decontaminate_keep
@@ -59,6 +66,19 @@ def curate(spark, pages, *, min_tokens=20, blocklist=None,
     from gopie_spark.operators.redact import scrub
     from gopie_spark.operators.textstats import (QUALITY_FILTER_FLAGS,
                                                  quality_filter)
+
+    prev_cached = None
+
+    def _stage(df, key):
+        # persist → count → drop the previous stage's cache; returns
+        # the persisted frame so downstream stages read cached blocks
+        nonlocal prev_cached
+        df = df.persist()
+        report[key] = df.count()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = df
+        return df
 
     report = {"input_rows": pages.count()}
 
@@ -70,34 +90,38 @@ def curate(spark, pages, *, min_tokens=20, blocklist=None,
     report["quality_drop_reasons"] = {nm: int(reason_row[nm] or 0)
                                       for nm in QUALITY_FILTER_FLAGS}
     kept = flagged.filter(F.col("keep")).select(pages.columns)
-    report["after_quality"] = kept.count()
 
-    # 2. PII scrub (before digests, so dedup keys see redacted text)
-    kept = scrub(kept, text_col)
+    # 2. PII scrub (before digests, so dedup keys see redacted text);
+    # counted together with stage 1 — both are zero-shuffle scans
+    kept = _stage(scrub(kept, text_col), "after_quality")
 
     # 3. host blocklist + budget
     if url_col in kept.columns:
         if blocklist:
-            kept = filter_blocklist(kept, blocklist, url_col)
-            report["after_blocklist"] = kept.count()
+            kept = _stage(filter_blocklist(kept, blocklist, url_col),
+                          "after_blocklist")
         if per_host_cap:
-            kept = host_budget_sample(kept, per_host_cap,
-                                      url_col=url_col, id_col=id_col)
-            report["after_host_budget"] = kept.count()
+            kept = _stage(host_budget_sample(kept, per_host_cap,
+                                             url_col=url_col,
+                                             id_col=id_col),
+                          "after_host_budget")
 
     # 4. dedup: exact digest, then MinHash-LSH near-dup (cc survivors)
     if dedup:
-        kept = exact_dedup(kept, text_col=text_col, id_col=id_col)
-        report["after_exact_dedup"] = kept.count()
-        kept = minhash_lsh_dedup(kept, id_col=id_col, text_col=text_col,
-                                 strategy="cc")
-        report["after_near_dedup"] = kept.count()
+        kept = _stage(exact_dedup(kept, text_col=text_col,
+                                  id_col=id_col), "after_exact_dedup")
+        kept = _stage(minhash_lsh_dedup(kept, id_col=id_col,
+                                        text_col=text_col,
+                                        strategy="cc"),
+                      "after_near_dedup")
 
-    # 5. decontamination against the eval set
+    # 5. decontamination against the eval set (13-gram GPT-3-style
+    # overlap by default, tunable via decontam_n)
     if eval_df is not None:
-        kept = decontaminate_keep(kept, eval_df, id_col=id_col,
-                                  text_col=text_col)
-        report["after_decontaminate"] = kept.count()
+        kept = _stage(decontaminate_keep(kept, eval_df, id_col=id_col,
+                                         text_col=text_col,
+                                         n=decontam_n),
+                      "after_decontaminate")
 
     report["output_rows"] = report[
         [k for k in ("after_decontaminate", "after_near_dedup",

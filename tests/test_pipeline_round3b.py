@@ -177,6 +177,12 @@ def test_pq_codebooks_deterministic(spark, sf_dir):
     assert (b1 == b2).all()
     with pytest.raises(ValueError):
         train_pq_codebooks(emb, m=7)
+    with pytest.raises(ValueError):  # uint8 code cap, fail fast
+        train_pq_codebooks(emb, m=8, n_codes=300)
+    with pytest.raises(ValueError):
+        from gopie_spark.operators.similarity import pq_encode
+        import numpy as np
+        pq_encode(emb, np.zeros((8, 300, 8)))
 
 
 def test_pq_encode_shape_and_range(spark, sf_dir):
@@ -331,6 +337,15 @@ def test_canonical_url_cases(spark):
         "http://ex.com:80/": "http://ex.com",
         "https://ex.com/p?utm_a=1&utm_b=2&c=3": "https://ex.com/p?c=3",
         "https://ex.com/p?c=3&utm_a=1": "https://ex.com/p?c=3",
+        # a long RUN of adjacent tracked params must vanish in ONE
+        # global pass (a per-param pattern only removes alternating
+        # params per pass — regression for the fixed-4-iteration bug)
+        "https://ex.com/p?" + "&".join(
+            f"utm_{chr(97 + i)}=x" for i in range(20)) + "&q=1":
+            "https://ex.com/p?q=1",
+        "https://ex.com/p?q=1&" + "&".join(
+            f"utm_{chr(97 + i)}=x" for i in range(20)):
+            "https://ex.com/p?q=1",
         "https://ex.com/p?fbclid=z": "https://ex.com/p",
         "https://ex.com/p/": "https://ex.com/p",
         "http://ex.com:8080/x": "http://ex.com:8080/x",
@@ -447,3 +462,15 @@ def test_token_budget_sample(spark, docs):
             assert abs(got[lang] - 40000) < 0.35 * 40000
     with pytest.raises(ValueError):
         token_budget_sample(docs, 0, "n_chars")
+
+
+def test_token_budget_sample_null_stratum(spark):
+    # a NULL stratum value is a real group: the totals join must be
+    # null-safe or the row silently vanishes even at keep-prob 1
+    from gopie_spark.operators.sampling import token_budget_sample
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", 10), (3, None, 10)],
+        "doc_id int, lang string, n_chars int")
+    out = token_budget_sample(df, 10**6, "n_chars", ["lang"], seed=1)
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 3}
+    assert set(out.columns) == {"doc_id", "lang", "n_chars"}
