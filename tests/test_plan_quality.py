@@ -193,3 +193,62 @@ def test_tfidf_vocab_join_is_broadcast(spark):
     plan = plan_text(tfidf_top_terms(docs, v=50, k=3))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_token_budget_sample_corpus_side_never_shuffles(spark):
+    """token_budget_sample's corpus side must stay shuffle-free: the
+    only Exchange in the plan belongs to the tiny per-stratum totals
+    aggregation (partial-aggregable), which then broadcasts back onto
+    the scan.  A SortMergeJoin here would shuffle the whole 100-TB
+    corpus to apply what is logically a scan-side filter."""
+    from gopie_spark.operators.sampling import token_budget_sample
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_text(token_budget_sample(docs, 40000, "n_chars",
+                                         ["lang"], seed=7), "extended")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan          # null-safe equi-join keys
+    # exactly the totals agg's partial+final pair — nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+
+
+def test_canonical_url_is_pure_codegen_scan(spark):
+    """canonical_url is chained regexp_replace over the url column —
+    zero shuffle, zero Python, one projection over the scan."""
+    from gopie_spark.operators.hoststats import canonical_url
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = docs.select(canonical_url(F.concat(
+        F.lit("https://h.example.com/p?utm_a=1&q="),
+        F.col("doc_id").cast("string"))).alias("u"))
+    plan = plan_text(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "codegen id" in plan            # whole-stage codegen active
+
+
+def test_remove_duplicate_spans_no_window_no_cartesian(spark):
+    """Substring-level dedup must keep the exact-tier cost contract:
+    the heavy-gram join is an equi-join (never cartesian), per-doc span
+    starts come from partial-aggregable collect_list (no window sort
+    over the corpus), and text rebuild stays JVM-side."""
+    from gopie_spark.operators.textstats import remove_duplicate_spans
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_text(remove_duplicate_spans(docs, n=10), "extended")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "partial_collect_list" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_filter_is_zero_shuffle_scan(spark):
+    """The C4/Gopher rule stack is a per-document predicate — its plan
+    must be a pure projection+filter over the scan with no Exchange,
+    no Generate, and no Python: at 100 TB this stage runs at scan
+    speed or it dominates the whole curation job."""
+    from gopie_spark.operators.textstats import quality_filter
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_text(quality_filter(docs))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
