@@ -266,6 +266,11 @@ def test_filter_corpus_curate(spark, docs):
     per_host = out.groupBy(extract_host("url").alias("h")).count()
     assert all(r["count"] <= 20 for r in per_host.collect())
     assert set(d.columns) <= set(out.columns)
+    # the per-stage report must not recompute the pipeline per count:
+    # the survivors frame comes back persisted (each counted stage
+    # caches itself and releases its predecessor)
+    assert out.storageLevel.useMemory or out.storageLevel.useDisk
+    out.unpersist()
 
 
 # -- bigram LM corpus-fit score -----------------------------------------------
