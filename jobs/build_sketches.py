@@ -31,6 +31,11 @@ import json
 import sys
 import time
 
+import os
+# bare local runs (`python jobs/<job>.py`) find the package next to
+# jobs/; spark-submit deployments supply it via --py-files instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()

@@ -41,6 +41,12 @@ import argparse
 import json
 import time
 
+import os
+import sys
+# bare local runs (`python jobs/<job>.py`) find the package next to
+# jobs/; spark-submit deployments supply it via --py-files instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()

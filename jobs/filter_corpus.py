@@ -41,6 +41,11 @@ import json
 import sys
 import time
 
+import os
+# bare local runs (`python jobs/<job>.py`) find the package next to
+# jobs/; spark-submit deployments supply it via --py-files instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def curate(spark, pages, *, min_tokens=20, blocklist=None,
            per_host_cap=None, dedup=True, eval_df=None, decontam_n=13,

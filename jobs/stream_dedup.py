@@ -34,6 +34,12 @@ from __future__ import annotations
 
 import argparse
 
+import os
+import sys
+# bare local runs (`python jobs/<job>.py`) find the package next to
+# jobs/; spark-submit deployments supply it via --py-files instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
