@@ -30,11 +30,16 @@ PII_PATTERNS: List[Tuple[str, str, str]] = [
     ("ipv4",
      r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
      "<IP>"),
-    # International-ish phone: optional +CC, then 7..15 digits with
-    # optional single separators.  Kept conservative (requires a +, a
-    # paren, or a dash/space-grouped run) to avoid eating bare numbers.
+    # Phone numbers, three RE2-safe shapes (alternation order = match
+    # preference, identical leftmost-first semantics in Java regex and
+    # RE2/DuckDB): +CC-prefixed international runs, (NPA)-grouped North
+    # American numbers, and fully dash-grouped NNN-NNN-NNNN runs.  Kept
+    # conservative — a +, a paren group, or dashes throughout — so bare
+    # digit runs (ids, years, quantities) are never eaten.
     ("phone",
-     r"\+[0-9]{1,3}[ -]?[0-9]{3}[ -]?[0-9]{3,4}([ -]?[0-9]{3,4})?",
+     r"\+[0-9]{1,3}[ -]?[0-9]{3}[ -]?[0-9]{3,4}([ -]?[0-9]{3,4})?"
+     r"|\([0-9]{3}\)[ -]?[0-9]{3}[ -]?[0-9]{4}"
+     r"|\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
      "<PHONE>"),
 ]
 

@@ -180,9 +180,14 @@ def mixture_sample(df: DataFrame, targets: dict, stratum_col: str,
     slim = (df.filter(F.col(stratum_col).isin(list(targets)))
             .select(stratum_col, F.col(id_col), (-key).alias("_negkey")))
     pool = latest_n(slim, [stratum_col], "_negkey", kmax)
-    quota = spark.createDataFrame(
-        [(s, int(k)) for s, k in targets.items()],
+    # quota frame in the stratum column's NATIVE type (an int bucket id
+    # or date stratum must not fail creation or join through implicit
+    # casts): build as strings, then cast to the pool's own type
+    stratum_type = df.schema[stratum_col].dataType
+    quota = (spark.createDataFrame(
+        [(str(s), int(k)) for s, k in targets.items()],
         f"{stratum_col} string, _quota int")
+        .withColumn(stratum_col, F.col(stratum_col).cast(stratum_type)))
     w = Window.partitionBy(stratum_col).orderBy(
         F.desc("_negkey"), F.desc(id_col))
     picked = (pool.withColumn("_rn", F.row_number().over(w))

@@ -444,30 +444,49 @@ def add_lm_score(df: DataFrame, v: int = 10000, id_col: str = "doc_id",
     or aggregation order (a raw double sum would not be), which is what
     lets a DuckDB oracle reproduce it exactly.
 
-    Scale shape: the unigram/bigram count tables are vocabulary-bounded
-    (<= v+1 and <= (v+1)^2 rows — broadcastable for any practical v), so
-    the corpus streams once through the bigram explode and two broadcast
-    joins; the only corpus-sized shuffles are the two count aggregations,
-    both partial-aggregable.  (No reference analog — training-data tier.)
+    Scale shape: vocab membership and the unigram/bigram count tables
+    are all vocabulary-bounded (<= v rows, <= v+1 and <= (v+1)^2 rows —
+    broadcastable for any practical v), so the corpus streams once
+    through the bigram explode and only broadcast joins (vocab mapping
+    included — never a v-literal isin expression, which would bloat
+    every serialized task plan at v=30k); the only corpus-sized
+    shuffles are the two count aggregations, both partial-aggregable.
+    (No reference analog — training-data tier.)
     """
-    vocab = [r["token"] for r in
-             vocab_top_tokens(df, text_col, id_col, v).collect()]
+    # vocab membership via a broadcast LEFT join of the exploded tokens
+    # against the vocab table ('<unk>' as the fallback) — NOT a
+    # v-literal isin expression: at v=30k the In/InSet literal list
+    # bloats every serialized plan/task, while the broadcast table costs
+    # one small exchange and keeps the token stream unshuffled
+    vocab_df = vocab_top_tokens(df, text_col, id_col, v).select("token")
+    v1 = vocab_df.select(F.col("token").alias("_w1r"),
+                         F.lit(True).alias("_in1"))
+    v2 = vocab_df.select(F.col("token").alias("_w2r"),
+                         F.lit(True).alias("_in2"))
     toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), _WS),
                     lambda t: t != "")
-    mapped = F.transform(toks, lambda t: F.when(
-        t.isin(vocab) if vocab else F.lit(False), t).otherwise(UNK))
-    base = df.select(F.col(id_col), mapped.alias("_mt"))
-    n = F.size(F.col("_mt"))
-    pref = F.slice(F.col("_mt"), 1, F.greatest(n - 1, F.lit(0)))
-    suff = F.slice(F.col("_mt"), 2, F.greatest(n - 1, F.lit(0)))
+    base = df.select(F.col(id_col), toks.alias("_t"))
+    n = F.size(F.col("_t"))
+    pref = F.slice(F.col("_t"), 1, F.greatest(n - 1, F.lit(0)))
+    suff = F.slice(F.col("_t"), 2, F.greatest(n - 1, F.lit(0)))
     doc_bi = (base
-              .select(id_col, F.posexplode(
+              .select(id_col, F.explode(
                   F.zip_with(pref, suff, lambda a, b:
                              F.struct(a.alias("w1"), b.alias("w2"))))
-                  .alias("_i", "_bg"))
-              .select(id_col, F.col("_bg.w1").alias("w1"),
-                      F.col("_bg.w2").alias("w2")))
-    uni = (base.select(F.explode("_mt").alias("w1"))
+                  .alias("_bg"))
+              .select(id_col, F.col("_bg.w1").alias("_w1r"),
+                      F.col("_bg.w2").alias("_w2r"))
+              .join(F.broadcast(v1), "_w1r", "left")
+              .join(F.broadcast(v2), "_w2r", "left")
+              .select(id_col,
+                      F.when(F.col("_in1"), F.col("_w1r"))
+                      .otherwise(F.lit(UNK)).alias("w1"),
+                      F.when(F.col("_in2"), F.col("_w2r"))
+                      .otherwise(F.lit(UNK)).alias("w2")))
+    uni = (base.select(F.explode("_t").alias("_w1r"))
+           .join(F.broadcast(v1), "_w1r", "left")
+           .select(F.when(F.col("_in1"), F.col("_w1r"))
+                   .otherwise(F.lit(UNK)).alias("w1"))
            .groupBy("w1").agg(F.count("*").alias("_cu")))
     bi = (doc_bi.groupBy("w1", "w2").agg(F.count("*").alias("_cb")))
     logp_e6 = F.floor(
@@ -493,7 +512,8 @@ def add_lm_score(df: DataFrame, v: int = 10000, id_col: str = "doc_id",
 
 def remove_duplicate_spans(df: DataFrame, n: int = 20, min_count: int = 2,
                            id_col: str = "doc_id", text_col: str = "text",
-                           out_col: str = "clean_text") -> DataFrame:
+                           out_col: str = "clean_text",
+                           hash_grams: bool = True) -> DataFrame:
     """Cut corpus-duplicated token spans OUT of each document — the
     substring-level dedup transform (Lee et al. 2022 remove duplicated
     substrings outright rather than dropping whole docs; this is the
@@ -511,9 +531,19 @@ def remove_duplicate_spans(df: DataFrame, n: int = 20, min_count: int = 2,
     ``collect_list`` of span starts (bounded by tokens-per-doc), then a
     per-row JVM fold (``transform``/``exists``/``array_join`` — no
     Python) that rebuilds the text.  The (doc, gram) stream shuffles
-    O(tokens) rows — same exact-tier cost contract as
-    :func:`dup_ngram_stats`; at 10^12 rows run the heavy-gram count
-    once and reuse it (it is the same aggregation).
+    O(tokens) rows; at 10^12 rows run the heavy-gram count once and
+    reuse it (it is the same aggregation as :func:`dup_ngram_stats`).
+
+    ``hash_grams=True`` (the default — this is the 100-TB shape) keys
+    the count aggregation AND the heavy-gram join on ``xxhash64`` of
+    the gram string, so every shuffled row carries 8 bytes instead of
+    ~``n`` words (~120+ bytes at n=20): >10x less shuffle volume for
+    the same answer.  The caveat is the standard 64-bit-collision one —
+    two distinct grams hashing equal would merge their counts and could
+    over-remove a span; at 10^13 corpus grams the expected number of
+    colliding pairs is ~0.003 (birthday bound), negligible against the
+    fuzziness of the span heuristic itself.  ``hash_grams=False`` keeps
+    the raw-string keys (byte-identical output, pytest-pinned equal).
     """
     raw_toks = F.filter(F.split(F.trim(F.col(text_col)), _WS),
                         lambda t: t != "")
@@ -528,6 +558,11 @@ def remove_duplicate_spans(df: DataFrame, n: int = 20, min_count: int = 2,
     ).otherwise(F.array().cast("array<string>"))
     doc_grams = (base.select(id_col,
                              F.posexplode(grams).alias("_pos", "_g")))
+    if hash_grams:
+        # 8-byte shuffle keys: hash BEFORE the aggregation and the join
+        # so neither ever moves a raw n-token string
+        doc_grams = doc_grams.select(id_col, "_pos",
+                                     F.xxhash64("_g").alias("_g"))
     heavy = (doc_grams.groupBy("_g")
              .agg(F.count("*").alias("_c"))
              .filter(F.col("_c") >= min_count)

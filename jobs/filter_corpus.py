@@ -48,13 +48,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def curate(spark, pages, *, min_tokens=20, blocklist=None,
-           per_host_cap=None, dedup=True, eval_df=None, decontam_n=13,
-           id_col="doc_id", text_col="text", url_col="url"):
+           per_host_cap=None, dedup=True, near_dedup=True, eval_df=None,
+           decontam_n=13, id_col="doc_id", text_col="text",
+           url_col="url"):
     """Run the curation pipeline; returns (survivors_df, report_dict).
 
     ``pages`` must carry ``id_col`` + ``text_col``; host stages apply
     only when ``url_col`` exists.  Pure function of its inputs —
-    jobs and tests share it.
+    jobs and tests share it.  ``near_dedup=False`` keeps the exact
+    digest dedup but skips the MinHash-LSH pass (the one stage a SQL
+    oracle cannot express — the driver's ``filter_corpus_stages``
+    certificate runs this configuration; the full pipeline including
+    MinHash is gated by pytest).
 
     Each counted stage is persisted before its ``count()`` and the
     previous stage's cache released, so the per-stage report costs one
@@ -115,10 +120,11 @@ def curate(spark, pages, *, min_tokens=20, blocklist=None,
     if dedup:
         kept = _stage(exact_dedup(kept, text_col=text_col,
                                   id_col=id_col), "after_exact_dedup")
-        kept = _stage(minhash_lsh_dedup(kept, id_col=id_col,
-                                        text_col=text_col,
-                                        strategy="cc"),
-                      "after_near_dedup")
+        if near_dedup:
+            kept = _stage(minhash_lsh_dedup(kept, id_col=id_col,
+                                            text_col=text_col,
+                                            strategy="cc"),
+                          "after_near_dedup")
 
     # 5. decontamination against the eval set (13-gram GPT-3-style
     # overlap by default, tunable via decontam_n)
@@ -130,8 +136,9 @@ def curate(spark, pages, *, min_tokens=20, blocklist=None,
 
     report["output_rows"] = report[
         [k for k in ("after_decontaminate", "after_near_dedup",
-                     "after_host_budget", "after_blocklist",
-                     "after_quality") if k in report][0]]
+                     "after_exact_dedup", "after_host_budget",
+                     "after_blocklist", "after_quality")
+         if k in report][0]]
     return kept, report
 
 
