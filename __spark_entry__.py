@@ -391,10 +391,15 @@ def _q_minhash_lsh_dedup(spark, sf_dir):
     from gopie_spark.operators.dedup import (minhash_lsh_candidates,
                                              ngram_jaccard_pairs)
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    # both the exact-pair set and the LSH candidate set are consumed
+    # TWICE (precision anti-join + the found join); eager localCheckpoint
+    # materializes each once — one signature build, one exact-Jaccard
+    # self-join per run — without registering anything in the session
+    # cache (the pair sets are bounded by the 500-doc block)
     exact = ngram_jaccard_pairs(docs, width=3, threshold=0.75) \
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard").localCheckpoint()
     lsh = minhash_lsh_candidates(docs, k=128, bands=32) \
-        .select("id_a", "id_b", "est_jaccard")
+        .select("id_a", "id_b", "est_jaccard").localCheckpoint()
     hi = lsh.filter(F.col("est_jaccard") >= 0.9)
     n_bad = (hi.join(exact, ["id_a", "id_b"], "left_anti").count())
     precision_ok = F.lit(n_bad == 0)

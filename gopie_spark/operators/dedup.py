@@ -237,12 +237,69 @@ def _band_explode(sigs: DataFrame, sig_col: str, k: int,
                     F.col("bk.bh").alias("bh")))
 
 
+def minhash_signature_table(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 128,
+                            shingle_width: int = 3,
+                            sig_col: str = "minhash",
+                            sig_path: Optional[str] = None) -> DataFrame:
+    """The materialized ``(_id, sig)`` signature table — the k-linear
+    stage, built ONCE and shared by :func:`lsh_preflight_report` and
+    :func:`minhash_lsh_candidates` (pass it as ``sigs=``): parquet at
+    ``sig_path`` when given (survives executor loss, reusable across
+    runs), Spark cache otherwise."""
+    sigs = add_minhash_signatures(df, text_col, k=k,
+                                  shingle_width=shingle_width,
+                                  out_col=sig_col) \
+        .select(F.col(id_col).alias("_id"), sig_col)
+    if sig_path is not None:
+        sigs.write.mode("overwrite").parquet(sig_path)
+        return df.sparkSession.read.parquet(sig_path)
+    return sigs.cache()
+
+
+def lsh_preflight_report(sigs: DataFrame, k: int = 128, bands: int = 32,
+                         max_bucket: int = 64,
+                         sig_col: str = "minhash") -> dict:
+    """Pre-flight skew report for the LSH pair expansion — run on the
+    materialized signature table BEFORE the quadratic stage so
+    ``max_bucket`` is chosen from evidence, not blind:
+
+    - ``n_buckets`` / ``max_bucket_size``: band-bucket histogram — a
+      viral boilerplate bucket shows up as max >> total/n;
+    - ``n_capped``: buckets above ``max_bucket`` (each loses candidate
+      pairs to the cap — rising n_capped means boilerplate is eating
+      recall);
+    - ``est_candidate_pairs``: pairs the capped expansion WILL emit
+      (sum of C(min(sz, max_bucket), 2));
+    - ``uncapped_pair_work``: what an uncapped expansion would cost
+      (sum of C(sz, 2)) — the ratio is what the cap saves.
+
+    Cost: one partial-aggregable groupBy over the (id, band, bh) keys —
+    no pairs materialize.  The jobs embed this dict in their JSON
+    accounting."""
+    exploded = _band_explode(sigs, sig_col, k, bands)
+    sizes = exploded.groupBy("band", "bh").agg(F.count("*").alias("_sz"))
+    capped = F.least(F.col("_sz"), F.lit(max_bucket))
+    r = sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("_sz").alias("max_bucket_size"),
+        F.sum((F.col("_sz") > max_bucket).cast("long")).alias("n_capped"),
+        F.sum(capped * (capped - 1) / 2).cast("long")
+        .alias("est_candidate_pairs"),
+        F.sum(F.col("_sz") * (F.col("_sz") - 1) / 2).cast("long")
+        .alias("uncapped_pair_work")).collect()[0]
+    out = {kk: int(r[kk] or 0) for kk in r.asDict()}
+    out["max_bucket"] = max_bucket
+    return out
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 128,
                            bands: int = 32, shingle_width: int = 3,
                            max_bucket: int = 64,
                            sig_col: str = "minhash",
-                           sig_path: Optional[str] = None) -> DataFrame:
+                           sig_path: Optional[str] = None,
+                           sigs: Optional[DataFrame] = None) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     Returns DataFrame[id_a, id_b, est_jaccard] with id_a < id_b.
@@ -256,19 +313,16 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     k x 8 B of signatures) an explicit parquet materialization is
     preferable: it survives executor loss without recomputing the
     (k-linear, most expensive) signature stage, and later runs /
-    incremental dedup can reuse it."""
+    incremental dedup can reuse it.  Pass a pre-built table via
+    ``sigs`` (:func:`minhash_signature_table` — e.g. after a
+    :func:`lsh_preflight_report` pass) to skip the build entirely."""
     if k % bands:
         raise ValueError("bands must divide k")
     rows = k // bands
-    sigs = add_minhash_signatures(df, text_col, k=k,
-                                  shingle_width=shingle_width,
-                                  out_col=sig_col) \
-        .select(F.col(id_col).alias("_id"), sig_col)
-    if sig_path is not None:
-        sigs.write.mode("overwrite").parquet(sig_path)
-        sigs = df.sparkSession.read.parquet(sig_path)
-    else:
-        sigs.cache()
+    if sigs is None:
+        sigs = minhash_signature_table(df, id_col, text_col, k=k,
+                                       shingle_width=shingle_width,
+                                       sig_col=sig_col, sig_path=sig_path)
 
     exploded = _band_explode(sigs, sig_col, k, bands)
     pairs = _bucket_pairs(exploded, ["band", "bh"], max_bucket)

@@ -508,12 +508,67 @@ def add_lm_score(df: DataFrame, v: int = 10000, id_col: str = "doc_id",
                                        F.col("n_bigrams")).cast("long"))))
 
 
+# -- CMS-gated heavy-gram counting ---------------------------------------------
+
+def cms_gram_gate(exploded: DataFrame, gram_col: str = "_g",
+                  min_count: int = 2, epsilon: float = 1e-5,
+                  delta: float = 1e-3) -> DataFrame:
+    """Count-Min pre-filter for a gram stream: keep only rows whose gram's
+    CMS estimate reaches ``min_count`` — the sketch-core x pipeline-tier
+    composition that makes heavy-gram counting affordable past the
+    exact tier's reach.
+
+    Two passes over the stream, NO full shuffle in either: pass 1 builds
+    one global CMS via the standard two-level partial-state aggregation
+    (`operators/sketch_agg.global_sketch` — per-partition update, tiny
+    state merge); pass 2 probes every row against the broadcast state
+    (vectorized `CMS.estimate` per Arrow batch) and drops sub-threshold
+    grams BEFORE they reach any aggregation or join.  CMS never
+    undercounts, so every truly-heavy gram survives — downstream
+    exact-counting of the survivors removes the overcount false
+    positives, making gated results EXACTLY equal to ungated ones at
+    any parameters.
+
+    When the gate *saves* anything is a sizing question: overcounts are
+    bounded by ``epsilon * N`` (N = total gram instances), so the gate
+    only prunes meaningfully when ``min_count >> epsilon * N`` — the
+    boilerplate-span regime (e.g. min_count=100 at N=10^9 with
+    epsilon=1e-8, a ~1.4 GB state), NOT the count>=2 dedup regime,
+    where distinguishing 1 from 2 inherently needs the exact
+    aggregation.  State size is ``depth x width x 8 B`` with
+    ``width = ceil(e/epsilon)``, ``depth = ceil(ln(1/delta))`` — it is
+    broadcast, so budget executor memory accordingly."""
+    from gopie_spark.kernels.cms import CMS
+    from gopie_spark.operators.sketch_agg import global_sketch
+
+    cms = CMS.from_guess(epsilon, delta)
+    state = global_sketch(
+        exploded.select(F.col(gram_col).cast("string").alias("v")), "v",
+        cms)
+    bc = exploded.sparkSession.sparkContext.broadcast(cms.serialize(state))
+    schema = exploded.schema
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        st = cms.deserialize(bc.value)
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf
+                continue
+            est = cms.estimate(st, pdf[gram_col].astype(str))
+            yield pdf[est >= min_count]
+
+    return exploded.mapInPandas(fn, schema)
+
+
 # -- duplicated-span removal --------------------------------------------------
 
 def remove_duplicate_spans(df: DataFrame, n: int = 20, min_count: int = 2,
                            id_col: str = "doc_id", text_col: str = "text",
                            out_col: str = "clean_text",
-                           hash_grams: bool = True) -> DataFrame:
+                           hash_grams: bool = True,
+                           cms_gate: bool = False,
+                           gate_epsilon: float = 1e-5,
+                           gate_delta: float = 1e-3) -> DataFrame:
     """Cut corpus-duplicated token spans OUT of each document — the
     substring-level dedup transform (Lee et al. 2022 remove duplicated
     substrings outright rather than dropping whole docs; this is the
@@ -544,6 +599,15 @@ def remove_duplicate_spans(df: DataFrame, n: int = 20, min_count: int = 2,
     colliding pairs is ~0.003 (birthday bound), negligible against the
     fuzziness of the span heuristic itself.  ``hash_grams=False`` keeps
     the raw-string keys (byte-identical output, pytest-pinned equal).
+
+    ``cms_gate=True`` additionally pre-filters the gram stream through
+    :func:`cms_gram_gate` before the count aggregation AND the heavy
+    join — exact at any parameters (the gate never drops a truly-heavy
+    gram; the exact count removes its false positives), and it pays
+    when ``min_count >> gate_epsilon * total_grams``: the
+    boilerplate-removal regime (min_count in the hundreds), where
+    sub-threshold grams — the overwhelming majority — never enter a
+    shuffle at all.
     """
     raw_toks = F.filter(F.split(F.trim(F.col(text_col)), _WS),
                         lambda t: t != "")
@@ -563,6 +627,11 @@ def remove_duplicate_spans(df: DataFrame, n: int = 20, min_count: int = 2,
         # so neither ever moves a raw n-token string
         doc_grams = doc_grams.select(id_col, "_pos",
                                      F.xxhash64("_g").alias("_g"))
+    if cms_gate:
+        # both the count and the join consume only the gated stream —
+        # heavy-gram instances all survive the gate, so this is exact
+        doc_grams = cms_gram_gate(doc_grams, "_g", min_count,
+                                  gate_epsilon, gate_delta)
     heavy = (doc_grams.groupBy("_g")
              .agg(F.count("*").alias("_c"))
              .filter(F.col("_c") >= min_count)

@@ -74,7 +74,9 @@ def main() -> None:
     from gopie_spark.plans import get_spark
     from gopie_spark.operators.dedup import (exact_dedup,
                                              incremental_minhash_dedup,
-                                             minhash_lsh_dedup)
+                                             lsh_preflight_report,
+                                             minhash_lsh_dedup,
+                                             minhash_signature_table)
     from gopie_spark.sources.catalog import load_table
 
     spark = get_spark("gopie-dedup-corpus")
@@ -94,17 +96,30 @@ def main() -> None:
     n_exact = survivors.count()
 
     # stage 2+3: near-dup pairs + survivor selection
+    preflight = None
     if args.incremental:
         deduped = incremental_minhash_dedup(
             survivors, args.sig_dir, text_col=args.text_col,
             threshold=args.threshold, strategy=args.strategy, k=args.k,
             bands=args.bands, max_bucket=args.max_bucket).persist()
     else:
+        # build the (k-linear) signature table ONCE, run the pre-flight
+        # skew report on it (one cheap groupBy — tells you whether
+        # --max-bucket is capping recall BEFORE the quadratic pair
+        # expansion runs), then feed the same table to the expansion
+        sigs = minhash_signature_table(
+            survivors, text_col=args.text_col, k=args.k,
+            sig_path=args.sig_dir)
+        preflight = lsh_preflight_report(sigs, k=args.k,
+                                         bands=args.bands,
+                                         max_bucket=args.max_bucket)
         deduped = minhash_lsh_dedup(
             survivors, text_col=args.text_col, threshold=args.threshold,
             strategy=args.strategy, k=args.k, bands=args.bands,
-            max_bucket=args.max_bucket, sig_path=args.sig_dir).persist()
+            max_bucket=args.max_bucket, sigs=sigs).persist()
     n_final = deduped.count()
+    if not args.incremental:
+        sigs.unpersist()  # no-op when parquet-backed via --sig-dir
 
     deduped.write.mode("overwrite").parquet(args.output)
 
@@ -119,6 +134,7 @@ def main() -> None:
         "seconds": round(time.perf_counter() - t0, 3),
         "signatures": args.sig_dir,
         "incremental": args.incremental,
+        "lsh_preflight": preflight,
     }
     print(json.dumps(report))
     spark.stop()

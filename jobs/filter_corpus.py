@@ -70,7 +70,10 @@ def curate(spark, pages, *, min_tokens=20, blocklist=None,
     """
     from pyspark.sql import functions as F
     from gopie_spark.operators.decontaminate import decontaminate_keep
-    from gopie_spark.operators.dedup import exact_dedup, minhash_lsh_dedup
+    from gopie_spark.operators.dedup import (exact_dedup,
+                                             lsh_preflight_report,
+                                             minhash_lsh_dedup,
+                                             minhash_signature_table)
     from gopie_spark.operators.hoststats import (filter_blocklist,
                                                  host_budget_sample)
     from gopie_spark.operators.redact import scrub
@@ -121,10 +124,18 @@ def curate(spark, pages, *, min_tokens=20, blocklist=None,
         kept = _stage(exact_dedup(kept, text_col=text_col,
                                   id_col=id_col), "after_exact_dedup")
         if near_dedup:
+            # signature table built once: the pre-flight skew report
+            # (embedded in the job's accounting — shows whether the
+            # default bucket cap is costing recall BEFORE the pair
+            # expansion runs) and the expansion share it
+            sigs = minhash_signature_table(kept, id_col=id_col,
+                                           text_col=text_col)
+            report["lsh_preflight"] = lsh_preflight_report(sigs)
             kept = _stage(minhash_lsh_dedup(kept, id_col=id_col,
                                             text_col=text_col,
-                                            strategy="cc"),
+                                            strategy="cc", sigs=sigs),
                           "after_near_dedup")
+            sigs.unpersist()  # stage count materialized the pairs
 
     # 5. decontamination against the eval set (13-gram GPT-3-style
     # overlap by default, tunable via decontam_n)
