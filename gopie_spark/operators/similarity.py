@@ -626,6 +626,15 @@ def train_pq_codebooks(corpus: DataFrame, m: int = 8, n_codes: int = 16,
     """
     sample = _normalize(_hash_sample_matrix(corpus, sample_rows,
                                             vec_col, id_col))
+    return _train_pq_on_matrix(sample, m, n_codes, iters, seed)
+
+
+def _train_pq_on_matrix(sample: np.ndarray, m: int, n_codes: int,
+                        iters: int, seed: int) -> np.ndarray:
+    """Subspace k-means over an in-memory (n, dim) training matrix —
+    shared by :func:`train_pq_codebooks` (raw normalized vectors) and
+    the residual-encoding IVF-PQ trainer (vector minus its cell
+    centroid)."""
     dim = sample.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -883,33 +892,113 @@ def _assign_query_cells(q_mat: np.ndarray, centroids: np.ndarray,
     return np.argsort(-sims, axis=1)[:, :p]
 
 
+def train_ivfpq_residual_codebooks(corpus: DataFrame,
+                                   centroids: np.ndarray, m: int = 8,
+                                   n_codes: int = 16,
+                                   sample_rows: int = 100_000,
+                                   iters: int = 12,
+                                   vec_col: str = "embedding",
+                                   id_col: str = "vec_id",
+                                   seed: int = 0x5051) -> np.ndarray:
+    """PQ codebooks trained on RESIDUALS (normalized vector minus its
+    nearest IVF centroid) — the canonical IVFADC recipe (Jegou et al.
+    2011): residuals have far less variance than raw vectors once the
+    coarse quantizer has absorbed the cell structure, so the same
+    m-byte budget quantizes them more finely.  Same deterministic
+    hash-sample / fixed-seed contract as :func:`train_pq_codebooks`."""
+    sample = _normalize(_hash_sample_matrix(corpus, sample_rows,
+                                            vec_col, id_col))
+    assign = np.argmax(sample @ centroids.T, axis=1)
+    return _train_pq_on_matrix(sample - centroids[assign], m, n_codes,
+                               iters, seed)
+
+
+def ivfpq_encode(df: DataFrame, centroids: np.ndarray,
+                 codebooks: np.ndarray, vec_col: str = "embedding",
+                 id_col: str = "vec_id",
+                 residual: bool = True) -> DataFrame:
+    """Fused IVF-assign + PQ-encode scan: one mapInArrow pass emitting
+    ``(match_id, pq_code, ivf_cell)``.  With ``residual=True`` the code
+    quantizes ``normalize(x) - centroid[cell]`` (IVFADC); with
+    ``False`` it quantizes the normalized vector itself (then the
+    output equals ``add_ivf_cell(pq_encode(df))`` in one pass)."""
+    import pyarrow as pa
+
+    if codebooks.shape[1] > 256:
+        raise ValueError(f"codebook has {codebooks.shape[1]} centers; "
+                         "uint8 PQ codes support at most 256")
+    bc = df.sparkSession.sparkContext.broadcast((centroids, codebooks))
+    schema = StructType([StructField("match_id", LongType(), False),
+                         StructField("pq_code", BinaryType(), False),
+                         StructField("ivf_cell", LongType(), False)])
+    vec_idx = df.columns.index(vec_col)
+    id_idx = df.columns.index(id_col)
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        cents, books = bc.value
+        m, _, sub = books.shape
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = np.asarray(rb.column(id_idx), dtype=np.int64)
+            mat = _normalize(_batch_matrix(rb, vec_idx))
+            cells = np.argmax(mat @ cents.T, axis=1)
+            target = mat - cents[cells] if residual else mat
+            codes = np.empty((rb.num_rows, m), dtype=np.uint8)
+            for j in range(m):
+                x = target[:, j * sub:(j + 1) * sub]
+                d = (books[j] ** 2).sum(axis=1)[None, :] \
+                    - 2.0 * (x @ books[j].T)
+                codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+            offs = np.arange(0, (rb.num_rows + 1) * m, m, dtype=np.int32)
+            code_arr = pa.BinaryArray.from_buffers(
+                pa.binary(), rb.num_rows,
+                [None, pa.py_buffer(offs.tobytes()),
+                 pa.py_buffer(codes.tobytes())])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), code_arr,
+                 pa.array(cells.astype(np.int64), type=pa.int64())],
+                names=["match_id", "pq_code", "ivf_cell"])
+
+    return df.select(*df.columns).mapInArrow(fn, schema)
+
+
 def _pq_adc_topk_cells(spark: SparkSession, encoded: DataFrame,
                        corpus: DataFrame, queries: DataFrame,
                        codebooks: np.ndarray, q_cells: np.ndarray,
                        k: int, refine: int, id_col: str,
-                       vec_col: str) -> DataFrame:
+                       vec_col: str, centroids: Optional[np.ndarray] = None,
+                       residual: bool = False) -> DataFrame:
     """Cell-aware ADC scan for the IVF x PQ composition: ``encoded``
     carries (match_id, pq_code, ivf_cell) rows of the PROBED cells only
     (the caller prunes), and within each Arrow batch every code row is
     scored ONLY against the queries probing its cell — so total ADC
     work is sum over probed cells of |cell| x queries-probing-it, the
-    IVF work model, instead of |scan| x |queries|."""
+    IVF work model, instead of |scan| x |queries|.
+
+    With ``residual=True`` the codes quantize cell residuals (IVFADC):
+    the ADC estimate becomes ``q . centroid[cell] + q . residual_hat``
+    — the same per-query LUT over the residual codebooks plus one
+    per-(query, cell) constant (``centroids`` required)."""
     import pyarrow as pa
 
+    if residual and centroids is None:
+        raise ValueError("residual ADC needs the IVF centroids")
     q_ids, q_mat = _collect_queries(queries, id_col, vec_col)
     cell2q: dict = {}
     for qi, cells in enumerate(q_cells):
         for c in cells:
             cell2q.setdefault(int(c), []).append(qi)
     cell2q = {c: np.array(v, dtype=np.int64) for c, v in cell2q.items()}
-    bc = spark.sparkContext.broadcast((codebooks, q_ids, q_mat, cell2q))
+    bc = spark.sparkContext.broadcast(
+        (codebooks, q_ids, q_mat, cell2q, centroids if residual else None))
     n_cand = max(refine * k, k)
     out_schema = StructType([StructField("query_id", LongType(), False),
                              StructField("match_id", LongType(), False),
                              StructField("adc", DoubleType(), False)])
 
     def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
-        books, ids, qm, c2q = bc.value
+        books, ids, qm, c2q, cents = bc.value
         mm, n_c, sub = books.shape
         lut = np.einsum('qmd,mcd->qmc', qm.reshape(len(qm), mm, sub),
                         books)
@@ -938,6 +1027,10 @@ def _pq_adc_topk_cells(spark: SparkSession, encoded: DataFrame,
                 sub_lut = lut[qidx]
                 for j in range(mm):
                     scores += sub_lut[:, j, sub_codes[:, j]]
+                if cents is not None:
+                    # residual ADC: q . centroid[cell] completes
+                    # q . (centroid + residual_hat)
+                    scores += (qm[qidx] @ cents[c])[:, None]
                 take = min(n_cand, len(rmask))
                 top = np.argpartition(-scores, take - 1, axis=1)[:, :take]
                 q_rep = np.repeat(ids[qidx], take)
@@ -959,7 +1052,8 @@ def ivfpq_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
                m: int = 8, n_codes: int = 16, refine: int = 4,
                id_col: str = "vec_id", vec_col: str = "embedding",
                centroids: Optional[np.ndarray] = None,
-               codebooks: Optional[np.ndarray] = None) -> DataFrame:
+               codebooks: Optional[np.ndarray] = None,
+               residual: bool = False) -> DataFrame:
     """IVF x PQ approximate cosine top-k — the composed tier the two
     building blocks exist for (Jegou et al. 2011 IVFADC): the corpus is
     bucketed into IVF cells AND compressed to m-byte PQ codes; a query
@@ -978,24 +1072,29 @@ def ivfpq_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
         centroids = train_ivf_centroids(corpus, n_centroids,
                                         vec_col=vec_col, id_col=id_col)
     if codebooks is None:
-        codebooks = train_pq_codebooks(corpus, m=m, n_codes=n_codes,
-                                       vec_col=vec_col, id_col=id_col)
+        if residual:
+            codebooks = train_ivfpq_residual_codebooks(
+                corpus, centroids, m=m, n_codes=n_codes,
+                vec_col=vec_col, id_col=id_col)
+        else:
+            codebooks = train_pq_codebooks(corpus, m=m, n_codes=n_codes,
+                                           vec_col=vec_col, id_col=id_col)
     _, q_mat = _collect_queries(queries, id_col, vec_col)
     q_cells = _assign_query_cells(q_mat, centroids, nprobe)
     probed = sorted({int(c) for c in q_cells.ravel()})
-    encoded = (add_ivf_cell(pq_encode(corpus, codebooks, vec_col),
-                            centroids, vec_col)
-               .filter(F.col("ivf_cell").isin(probed))
-               .select(F.col(id_col).alias("match_id"), "pq_code",
-                       "ivf_cell"))
+    encoded = (ivfpq_encode(corpus, centroids, codebooks, vec_col,
+                            id_col, residual=residual)
+               .filter(F.col("ivf_cell").isin(probed)))
     return _pq_adc_topk_cells(spark, encoded, corpus, queries, codebooks,
-                              q_cells, k, refine, id_col, vec_col)
+                              q_cells, k, refine, id_col, vec_col,
+                              centroids=centroids, residual=residual)
 
 
 def build_ivfpq_index(corpus: DataFrame, out_dir: str,
                       n_centroids: int = 64, m: int = 8,
                       n_codes: int = 16, id_col: str = "vec_id",
-                      vec_col: str = "embedding", **train_kw):
+                      vec_col: str = "embedding",
+                      residual: bool = False, **train_kw):
     """Persist an IVF x PQ index: ``<out_dir>/codebook`` (IVF centroids,
     same layout as :func:`build_ivf_index`), ``<out_dir>/codebooks``
     (PQ subspace centers, same layout as :func:`build_pq_index`) and
@@ -1006,12 +1105,20 @@ def build_ivfpq_index(corpus: DataFrame, out_dir: str,
     weakness: the codes table is ~m bytes/row AND a probe reads only
     its ``nprobe`` cell directories (static partition pruning), so a
     query wave touches ~(nprobe/n_centroids) x m/(4*dim) of the vector
-    bytes.  Returns ``(centroids, codebooks)``."""
+    bytes.  ``residual=True`` stores IVFADC residual codes (finer
+    quantization per byte; recorded in ``<out_dir>/meta`` so the probe
+    side scores them correctly).  Returns ``(centroids, codebooks)``."""
     spark = corpus.sparkSession
     cents = train_ivf_centroids(corpus, n_centroids, vec_col=vec_col,
                                 id_col=id_col, **train_kw)
-    books = train_pq_codebooks(corpus, m=m, n_codes=n_codes,
-                               vec_col=vec_col, id_col=id_col, **train_kw)
+    if residual:
+        books = train_ivfpq_residual_codebooks(
+            corpus, cents, m=m, n_codes=n_codes, vec_col=vec_col,
+            id_col=id_col, **train_kw)
+    else:
+        books = train_pq_codebooks(corpus, m=m, n_codes=n_codes,
+                                   vec_col=vec_col, id_col=id_col,
+                                   **train_kw)
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "ivf_cell long, centroid array<double>") \
@@ -1021,8 +1128,10 @@ def build_ivfpq_index(corpus: DataFrame, out_dir: str,
     spark.createDataFrame(
         rows, "subspace long, code long, center array<double>") \
         .coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/codebooks")
-    add_ivf_cell(pq_encode(corpus, books, vec_col), cents, vec_col) \
-        .select(F.col(id_col).alias("match_id"), "pq_code", "ivf_cell") \
+    spark.createDataFrame([(bool(residual),)], "residual boolean") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/meta")
+    ivfpq_encode(corpus, cents, books, vec_col, id_col,
+                 residual=residual) \
         .write.mode("overwrite").partitionBy("ivf_cell") \
         .parquet(f"{out_dir}/codes")
     return cents, books
@@ -1039,11 +1148,15 @@ def ivfpq_topk_indexed(spark: SparkSession, index_dir: str,
     codes scan (only those directories are read — plan-tested), the
     cell-aware ADC scores each code row only against the queries
     probing its cell, and ``corpus`` supplies vectors for the exact
-    refine of O(q x refine*k) candidate ids."""
+    refine of O(q x refine*k) candidate ids.  Residual indexes (see
+    :func:`build_ivfpq_index`) are detected from ``<index_dir>/meta``
+    and scored with the per-(query, cell) centroid term."""
     cb = spark.read.parquet(f"{index_dir}/codebook") \
         .orderBy("ivf_cell").collect()
     cents = np.array([r["centroid"] for r in cb], dtype=np.float64)
     books = load_pq_codebooks(spark, index_dir)
+    residual = bool(spark.read.parquet(f"{index_dir}/meta")
+                    .collect()[0]["residual"])
     _, q_mat = _collect_queries(queries, id_col, vec_col)
     q_cells = _assign_query_cells(q_mat, cents, nprobe)
     probed = sorted({int(c) for c in q_cells.ravel()})
@@ -1052,4 +1165,5 @@ def ivfpq_topk_indexed(spark: SparkSession, index_dir: str,
                .select("match_id", "pq_code",
                        F.col("ivf_cell").cast("long").alias("ivf_cell")))
     return _pq_adc_topk_cells(spark, encoded, corpus, queries, books,
-                              q_cells, k, refine, id_col, vec_col)
+                              q_cells, k, refine, id_col, vec_col,
+                              centroids=cents, residual=residual)

@@ -146,6 +146,71 @@ def test_remove_duplicate_spans_hash_tier_byte_equal(spark):
     assert "xxhash64" not in plan_text(strings, "extended")
 
 
+def test_ivfpq_residual_reconstructs_finer_on_clustered_data(spark):
+    """IVFADC residual codes must quantize finer than raw-vector codes
+    once the coarse quantizer absorbs cluster structure — measured as
+    reconstruction error of x_hat = centroid + decode(code) vs
+    decode(code) alone, on a deterministically clustered corpus."""
+    import numpy as np
+    from gopie_spark.operators.similarity import (_normalize, ivfpq_encode,
+                                                  train_ivf_centroids,
+                                                  train_ivfpq_residual_codebooks,
+                                                  train_pq_codebooks)
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 64)) * 3.0
+    pts = np.concatenate(
+        [c + rng.standard_normal((250, 64)) * 0.4 for c in centers])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(pts)],
+        "vec_id long, embedding array<double>").repartition(4)
+    cents = train_ivf_centroids(emb, 8)
+    X = _normalize(pts)
+
+    def mean_err(residual):
+        books = (train_ivfpq_residual_codebooks(emb, cents, m=8,
+                                                n_codes=16)
+                 if residual else train_pq_codebooks(emb, m=8, n_codes=16))
+        enc = {r["match_id"]: (bytes(r["pq_code"]), r["ivf_cell"])
+               for r in ivfpq_encode(emb, cents, books,
+                                     residual=residual).collect()}
+        errs = []
+        for i in range(0, 2000, 17):
+            code, cell = enc[i]
+            rec = np.concatenate([books[j, code[j]] for j in range(8)])
+            if residual:
+                rec = rec + cents[cell]
+            errs.append(np.linalg.norm(X[i] - rec))
+        return float(np.mean(errs))
+
+    assert mean_err(True) < mean_err(False)
+
+
+def test_ivfpq_residual_indexed_matches_inline(spark, emb):
+    """A residual index records its flag in meta; the indexed probe must
+    reproduce the inline residual path exactly (constant-term ADC and
+    all)."""
+    from gopie_spark.operators.similarity import (build_ivfpq_index,
+                                                  ivfpq_topk,
+                                                  ivfpq_topk_indexed)
+    q = emb.filter(F.col("vec_id") < 8)
+    idx = tempfile.mkdtemp(prefix="ivfpq_res_idx_")
+    try:
+        cents, books = build_ivfpq_index(emb, idx, n_centroids=8, m=16,
+                                         n_codes=16, residual=True)
+        inline = ivfpq_topk(spark, emb, q, k=5, nprobe=3, refine=6,
+                            centroids=cents, codebooks=books,
+                            residual=True)
+        indexed = ivfpq_topk_indexed(spark, idx, emb, q, k=5, nprobe=3,
+                                     refine=6)
+        a = {(r["query_id"], r["match_id"], r["rank"])
+             for r in inline.collect()}
+        b = {(r["query_id"], r["match_id"], r["rank"])
+             for r in indexed.collect()}
+        assert a == b and len(a) == 8 * 5
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 # -- CMS-gated heavy-gram counting ----------------------------------------------
 
 def test_cms_gate_keeps_all_heavy_prunes_subthreshold(spark):
