@@ -608,6 +608,22 @@ def ivf_probe_stats(corpus: DataFrame, queries: DataFrame,
     return probe_work_stats(cells, q_cells, "ivf_cell", bucket_salts)
 
 
+def ivfpq_probe_stats(corpus: DataFrame, queries: DataFrame,
+                      centroids: np.ndarray, nprobe: int = 4,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """:func:`probe_work_stats` for the IVF x PQ tier: the corpus cell
+    histogram against the exploded query probe set :func:`ivfpq_topk`
+    would consume with this codebook.  ``rescore_rows`` here counts ADC
+    scoring work (code rows x probing queries); the composed tier has
+    no probe join to salt, so ``bucket_salts`` is reported at 1 and
+    ``max_task_rescore_rows`` is the per-cell bound (one cell directory
+    = one scan split at rest)."""
+    cells = add_ivf_cell(corpus, centroids, vec_col)
+    q_cells = add_ivf_cell(queries, centroids, vec_col, nprobe=nprobe)
+    return probe_work_stats(cells, q_cells, "ivf_cell", bucket_salts=1)
+
+
 # -- product quantization (IVF-PQ-style compressed scan) ----------------------
 
 def train_pq_codebooks(corpus: DataFrame, m: int = 8, n_codes: int = 16,

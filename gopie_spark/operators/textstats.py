@@ -322,7 +322,10 @@ def add_lang_id(df: DataFrame, text_col: str = "text",
 
 def dup_ngram_stats(df: DataFrame, n: int = 10, id_col: str = "doc_id",
                     text_col: str = "text",
-                    hash_grams: bool = False) -> DataFrame:
+                    hash_grams: bool = False, min_count: int = 2,
+                    cms_gate: bool = False,
+                    gate_epsilon: float = 1e-5,
+                    gate_delta: float = 1e-3) -> DataFrame:
     """Per-document fraction of word n-gram instances that occur more
     than once in the whole corpus (the train-set-level duplication
     signal of Lee et al. 2022, "Deduplicating Training Data Makes
@@ -339,8 +342,11 @@ def dup_ngram_stats(df: DataFrame, n: int = 10, id_col: str = "doc_id",
     are xxhash64'ed before the shuffle, so the shuffle rows carry 8
     bytes instead of ~n words each (collisions at 2^-64 — at 10^13
     grams, ~0.003 expected collisions; results pytest-pinned equal to
-    the string tier).  For even larger corpora gate with a CMS pass
-    (``operators/sketch_agg``) and only exact-count the heavy grams.
+    the string tier).  ``min_count`` raises the duplication threshold
+    (count >= min_count), and ``cms_gate=True`` pre-filters the gram
+    stream through :func:`cms_gram_gate` so sub-threshold grams never
+    shuffle — exact at any sketch size, worthwhile in the
+    boilerplate-threshold regime ``min_count >> gate_epsilon * N``.
 
     Output: ``df`` + ``n_grams`` (long), ``dup_frac_e6`` (long, null
     when no grams).
@@ -360,12 +366,29 @@ def dup_ngram_stats(df: DataFrame, n: int = 10, id_col: str = "doc_id",
     exploded = (df.select(id_col, toks.alias("_toks"))
                 .select(id_col, F.explode(grams).alias("gram"))
                 .select(id_col, gram_col.alias("g")))
-    totals = exploded.groupBy("g").agg(F.count("*").alias("_tot"))
-    per_doc = (exploded.join(totals, "g")
-               .groupBy(id_col)
-               .agg(F.count("*").alias("n_grams"),
-                    F.sum(F.when(F.col("_tot") >= 2, 1).otherwise(0))
-                    .alias("_n_dup")))
+    if cms_gate:
+        # heavy-hitter regime (min_count >> gate_epsilon * N): the CMS
+        # gate keeps sub-threshold grams out of the count shuffle and
+        # the join entirely; per-doc n_grams still counts every
+        # instance (one partial-aggregable groupBy, no join).  Exact
+        # for any sketch size — see cms_gram_gate.
+        gated = cms_gram_gate(exploded, "g", min_count,
+                              gate_epsilon, gate_delta)
+        heavy = (gated.groupBy("g").agg(F.count("*").alias("_tot"))
+                 .filter(F.col("_tot") >= min_count).select("g"))
+        counts = exploded.groupBy(id_col) \
+            .agg(F.count("*").alias("n_grams"))
+        dups = (gated.join(heavy, "g").groupBy(id_col)
+                .agg(F.count("*").alias("_n_dup")))
+        per_doc = counts.join(dups, id_col, "left") \
+            .withColumn("_n_dup", F.coalesce("_n_dup", F.lit(0)))
+    else:
+        totals = exploded.groupBy("g").agg(F.count("*").alias("_tot"))
+        per_doc = (exploded.join(totals, "g")
+                   .groupBy(id_col)
+                   .agg(F.count("*").alias("n_grams"),
+                        F.sum(F.when(F.col("_tot") >= min_count, 1)
+                              .otherwise(0)).alias("_n_dup")))
     return (df.join(per_doc, id_col, "left")
             .withColumn("n_grams", F.coalesce("n_grams", F.lit(0)))
             .withColumn("dup_frac_e6",

@@ -244,6 +244,33 @@ def test_cms_gated_spans_equal_ungated(spark, eps):
     assert plain.exceptAll(gated).count() == 0
 
 
+@pytest.mark.parametrize("mc", [2, 3])
+def test_dup_ngram_cms_gate_equals_exact(spark, mc):
+    """Gated dup-ngram fractions equal the exact tier at any threshold
+    (and min_count is now a real knob, not a hardcoded 2)."""
+    from gopie_spark.operators.textstats import dup_ngram_stats
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .filter(F.col("doc_id") < 300)
+    cols = ["doc_id", "n_grams", "dup_frac_e6"]
+    exact = dup_ngram_stats(docs, n=4, min_count=mc).select(cols)
+    gated = dup_ngram_stats(docs, n=4, min_count=mc, cms_gate=True,
+                            gate_epsilon=1e-4).select(cols)
+    assert exact.exceptAll(gated).count() == 0
+    assert gated.exceptAll(exact).count() == 0
+
+
+def test_ivfpq_probe_stats_shape(spark, emb):
+    from gopie_spark.operators.similarity import (ivfpq_probe_stats,
+                                                  train_ivf_centroids)
+    cents = train_ivf_centroids(emb, 8)
+    r = ivfpq_probe_stats(emb, emb.filter(F.col("vec_id") < 5), cents,
+                          nprobe=2).collect()[0]
+    assert 0 < r["n_probed_cells"] <= 8
+    assert r["total_rows"] == emb.count()
+    assert r["rescore_rows"] > 0
+    assert r["max_task_rescore_rows"] <= r["rescore_rows"]
+
+
 # -- LSH pre-flight skew report -------------------------------------------------
 
 def test_lsh_preflight_flags_planted_viral_bucket(spark):
