@@ -211,6 +211,40 @@ def test_ivfpq_residual_indexed_matches_inline(spark, emb):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def test_ann_index_job_end_to_end(tmp_path):
+    """jobs/ann_index.py as a black box: build an ivfpq index, query it,
+    one JSON report line per run with the probe pre-flight embedded."""
+    import json
+    import os
+    import subprocess
+    import sys
+    emb = f"{SF}/embeddings.parquet"
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8", PYTHONPATH="/root/repo")
+
+    r = subprocess.run(
+        [sys.executable, "jobs/ann_index.py", "build", "--input", emb,
+         "--index", idx, "--kind", "ivfpq", "--n-centroids", "8",
+         "--m", "16", "--n-codes", "16"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=400)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["rows_indexed"] == 500 and rep["kind"] == "ivfpq"
+
+    r = subprocess.run(
+        [sys.executable, "jobs/ann_index.py", "query", "--index", idx,
+         "--kind", "ivfpq", "--queries", emb, "--input", emb,
+         "--output", out, "--k", "3", "--nprobe", "3"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=400)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["result_rows"] == 500 * 3
+    pf = rep["probe_preflight"]
+    assert pf["total_rows"] == 500 and pf["n_probed_cells"] > 0
+
+
 # -- CMS-gated heavy-gram counting ----------------------------------------------
 
 def test_cms_gate_keeps_all_heavy_prunes_subthreshold(spark):
