@@ -1565,6 +1565,22 @@ def _q_filter_corpus_stages(spark, sf_dir):
         [row], ", ".join(f"{k} long" for k in _CURATE_STAGE_KEYS))
 
 
+def _q_doc_chunks(spark, sf_dir):
+    """Context-window chunking (textstats.chunk_documents): every doc
+    split into consecutive 32-token chunks (remainder kept) — the
+    training-sequence construction step.  Per-row Catalyst only (zero
+    shuffle); digests pin the exact chunk bytes against the DuckDB
+    list-slicing oracle."""
+    from gopie_spark.operators.textstats import chunk_documents
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return (chunk_documents(docs, max_tokens=32)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "chunk_idx",
+                    F.md5("chunk_text").alias("chunk_digest"),
+                    "n_chunk_tokens")
+            .orderBy("doc_id", "chunk_idx"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness window has historically
     # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
@@ -1591,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_blocklist_stats": _q_host_blocklist_stats,
         "filter_corpus_stages": _q_filter_corpus_stages,
         "ann_ivfpq": _q_ann_ivfpq,
+        "doc_chunks": _q_doc_chunks,
         # --- driver-green in r01-r03 windows ---
         "hll_distinct_global": _q_hll_distinct_global,
         "hll_distinct_per_lang": _q_hll_distinct_per_lang,
@@ -2263,6 +2280,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "canonical_urls": _canonical_urls_oracle_sql(),
         "filter_corpus_stages": _filter_corpus_oracle_sql(),
+        "doc_chunks": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   t -> t <> '') AS l
+                FROM documents WHERE doc_id < 100
+            ),
+            ch AS (
+                SELECT doc_id, u.i AS chunk_idx,
+                       l[u.i * 32 + 1 : u.i * 32 + 32] AS cl
+                FROM base,
+                     unnest(CASE WHEN len(l) >= 1
+                                 THEN generate_series(0,
+                                     CAST(ceil(len(l) / 32.0) AS INT) - 1)
+                                 ELSE [] END) AS u(i)
+            )
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   md5(array_to_string(cl, ' ')) AS chunk_digest,
+                   CAST(len(cl) AS BIGINT) AS n_chunk_tokens
+            FROM ch ORDER BY doc_id, chunk_idx
+        """,
         "lm_doc_scores": r"""
             WITH base AS (
                 SELECT doc_id,

@@ -61,9 +61,9 @@ def main() -> None:
         "canonical_urls", "dedup_spans", "host_dup_factor",
         "token_budget_sample",
         "mixture_sample_docs",
-        # round 4: IVF x PQ composed ANN (pruned compressed scan) and the
-        # end-to-end curation pipeline certificate
-        "ann_ivfpq", "filter_corpus_stages",
+        # round 4: IVF x PQ composed ANN (pruned compressed scan), the
+        # end-to-end curation pipeline certificate, context-window chunking
+        "ann_ivfpq", "filter_corpus_stages", "doc_chunks",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",

@@ -531,6 +531,48 @@ def add_lm_score(df: DataFrame, v: int = 10000, id_col: str = "doc_id",
                                        F.col("n_bigrams")).cast("long"))))
 
 
+# -- context-window chunking -----------------------------------------------------
+
+def chunk_documents(df: DataFrame, max_tokens: int = 512,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    out_col: str = "chunk_text") -> DataFrame:
+    """Split every document into consecutive ``max_tokens``-token chunks
+    — the context-window chunking step that turns a curated corpus into
+    training-sequence-sized pieces (the last chunk keeps the remainder;
+    empty/null docs produce no chunks).
+
+    Output: ``DataFrame[id_col, chunk_idx (long, 0-based), chunk_text,
+    n_chunk_tokens (long)]``.
+
+    Entirely per-row Catalyst (split/filter -> transform(sequence) ->
+    slice/array_join -> one posexplode): zero shuffle, so chunking
+    10^12 documents costs one scan — the Generate multiplies rows, not
+    bytes (each input byte lands in exactly one chunk).  Deterministic
+    and SQL-expressible, so the exact chunk set is oracle-checkable.
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be positive")
+    toks = F.filter(F.split(F.trim(F.col(text_col)), _WS),
+                    lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("_ct"))
+    n = F.size(F.col("_ct"))
+    n_chunks = F.ceil(n / F.lit(max_tokens)).cast("int")
+    chunks = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(F.col("_ct"), i * max_tokens + 1,
+                              max_tokens))
+    ).otherwise(F.array().cast("array<array<string>>"))
+    return (base.select(id_col, F.posexplode(chunks)
+                        .alias("chunk_idx", "_chunk"))
+            .select(F.col(id_col),
+                    F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                    F.array_join(F.col("_chunk"), " ").alias(out_col),
+                    F.size(F.col("_chunk")).cast("long")
+                    .alias("n_chunk_tokens")))
+
+
 # -- CMS-gated heavy-gram counting ---------------------------------------------
 
 def cms_gram_gate(exploded: DataFrame, gram_col: str = "_g",

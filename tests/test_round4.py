@@ -245,6 +245,31 @@ def test_ann_index_job_end_to_end(tmp_path):
     assert pf["total_rows"] == 500 and pf["n_probed_cells"] > 0
 
 
+def test_chunk_documents_zero_shuffle_and_conserves_tokens(spark):
+    """Context-window chunking must plan as a pure per-row Generate (no
+    Exchange) and conserve tokens: every input token lands in exactly
+    one chunk."""
+    from gopie_spark.operators.textstats import chunk_documents, token_count
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    chunks = chunk_documents(docs, max_tokens=32)
+    assert "Exchange" not in plan_text(chunks)
+    total_chunk_toks = chunks.agg(
+        F.sum("n_chunk_tokens").alias("s")).collect()[0]["s"]
+    total_doc_toks = docs.agg(
+        F.sum(token_count("text")).alias("s")).collect()[0]["s"]
+    assert total_chunk_toks == total_doc_toks
+    # every non-final chunk is exactly max_tokens
+    short = chunks.filter(F.col("n_chunk_tokens") < 32)
+    from pyspark.sql import Window
+    last = chunks.withColumn(
+        "_max", F.max("chunk_idx").over(
+            Window.partitionBy("doc_id")))
+    assert short.join(
+        last.filter(F.col("chunk_idx") != F.col("_max"))
+        .select("doc_id", "chunk_idx"),
+        ["doc_id", "chunk_idx"]).count() == 0
+
+
 # -- CMS-gated heavy-gram counting ----------------------------------------------
 
 def test_cms_gate_keeps_all_heavy_prunes_subthreshold(spark):
