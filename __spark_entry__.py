@@ -1581,6 +1581,24 @@ def _q_doc_chunks(spark, sf_dir):
             .orderBy("doc_id", "chunk_idx"))
 
 
+def _q_packed_sequences(spark, sf_dir):
+    """Sequence packing (textstats.assign_packed_bins): chunks assigned
+    to fixed-256-token training-sequence bins by GLOBAL token prefix sum
+    in (doc_id, chunk_idx) order — computed with the two-phase
+    distributed prefix sum (range partition -> parallel per-partition
+    window + tiny offset broadcast), never a single-partition window;
+    the result is a pure function of the total order, which the DuckDB
+    window oracle recomputes."""
+    from gopie_spark.operators.textstats import (assign_packed_bins,
+                                                 chunk_documents)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    chunks = chunk_documents(docs, max_tokens=32)
+    return (assign_packed_bins(chunks, seq_len=256)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "chunk_idx", "bin_id")
+            .orderBy("doc_id", "chunk_idx"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness window has historically
     # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
@@ -1608,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_corpus_stages": _q_filter_corpus_stages,
         "ann_ivfpq": _q_ann_ivfpq,
         "doc_chunks": _q_doc_chunks,
+        "packed_sequences": _q_packed_sequences,
         # --- driver-green in r01-r03 windows ---
         "hll_distinct_global": _q_hll_distinct_global,
         "hll_distinct_per_lang": _q_hll_distinct_per_lang,
@@ -2299,6 +2318,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
                    md5(array_to_string(cl, ' ')) AS chunk_digest,
                    CAST(len(cl) AS BIGINT) AS n_chunk_tokens
+            FROM ch ORDER BY doc_id, chunk_idx
+        """,
+        "packed_sequences": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   t -> t <> '') AS l
+                FROM documents WHERE doc_id < 100
+            ),
+            ch AS (
+                SELECT doc_id, u.i AS chunk_idx,
+                       len(l[u.i * 32 + 1 : u.i * 32 + 32]) AS nt
+                FROM base,
+                     unnest(CASE WHEN len(l) >= 1
+                                 THEN generate_series(0,
+                                     CAST(ceil(len(l) / 32.0) AS INT) - 1)
+                                 ELSE [] END) AS u(i)
+            )
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(floor((SUM(nt) OVER (
+                           ORDER BY doc_id, chunk_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - nt) / 256.0) AS BIGINT)
+                       AS bin_id
             FROM ch ORDER BY doc_id, chunk_idx
         """,
         "lm_doc_scores": r"""

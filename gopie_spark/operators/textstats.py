@@ -573,6 +573,65 @@ def chunk_documents(df: DataFrame, max_tokens: int = 512,
                     .alias("n_chunk_tokens")))
 
 
+def assign_packed_bins(df: DataFrame, seq_len: int,
+                       order_cols=("doc_id", "chunk_idx"),
+                       tok_col: str = "n_chunk_tokens",
+                       out_col: str = "bin_id") -> DataFrame:
+    """Assign each chunk to its training-sequence bin by GLOBAL token
+    prefix sum: in the deterministic ``order_cols`` order, chunk c with
+    ``P(c)`` tokens before it lands in ``bin_id = floor(P(c) /
+    seq_len)`` — the packing step that turns curated chunks into
+    fixed-token training sequences (bins straddle document boundaries,
+    exactly like concat-and-chop pretraining pipelines).
+
+    Scale shape — the classic two-phase distributed prefix sum, NOT a
+    single-partition window: range-repartition on the order key, a
+    per-partition window cumsum (parallel — each task sorts only its
+    range), a tiny per-partition-totals aggregate collected to the
+    driver (numPartitions rows), and a broadcast offset join.  The
+    result is a pure function of the total order, so it is identical
+    for ANY partitioning/boundary sampling — byte-stable across runs
+    and cluster sizes, and a DuckDB window oracle can recompute it.
+    """
+    from pyspark.sql import Window
+    if seq_len < 1:
+        raise ValueError("seq_len must be positive")
+    order_cols = list(order_cols)
+    # localCheckpoint pins the range boundaries: the frame is consumed
+    # by TWO actions (totals collect + the result), and a recomputed
+    # repartitionByRange may resample different boundaries — the output
+    # would still be correct only if both executions agreed on _pid,
+    # so materialize once instead of hoping
+    ranged = df.repartitionByRange(*order_cols) \
+        .withColumn("_pid", F.spark_partition_id()) \
+        .localCheckpoint()
+    w = Window.partitionBy("_pid").orderBy(*order_cols) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = ranged.withColumn(
+        "_local_after", F.sum(F.col(tok_col).cast("long")).over(w))
+    # per-partition totals: numPartitions rows — driver-tiny at any
+    # corpus size (one row per task, not per chunk)
+    totals = {r["_pid"]: r["_t"] for r in
+              ranged.groupBy("_pid")
+              .agg(F.sum(F.col(tok_col).cast("long")).alias("_t"))
+              .collect()}
+    offset = {}
+    acc = 0
+    for pid in sorted(totals):
+        offset[pid] = acc
+        acc += totals[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offset.items()],
+        "_pid int, _off long")
+    before = (F.col("_off") + F.col("_local_after")
+              - F.col(tok_col).cast("long"))
+    return (local.join(F.broadcast(off_df), "_pid")
+            .withColumn(out_col,
+                        F.floor(before / F.lit(seq_len)).cast("long"))
+            .drop("_pid", "_local_after", "_off"))
+
+
 # -- CMS-gated heavy-gram counting ---------------------------------------------
 
 def cms_gram_gate(exploded: DataFrame, gram_col: str = "_g",

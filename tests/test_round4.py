@@ -270,6 +270,31 @@ def test_chunk_documents_zero_shuffle_and_conserves_tokens(spark):
         ["doc_id", "chunk_idx"]).count() == 0
 
 
+def test_assign_packed_bins_matches_global_window_and_is_partition_invariant(spark):
+    """The two-phase distributed prefix sum must equal the
+    single-partition global window reference, and be invariant to the
+    input's partitioning (pure function of the total order)."""
+    from pyspark.sql import Window
+    from gopie_spark.operators.textstats import (assign_packed_bins,
+                                                 chunk_documents)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    chunks = chunk_documents(docs, max_tokens=32)
+    w = Window.orderBy("doc_id", "chunk_idx") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = {(r["doc_id"], r["chunk_idx"]): r["bin_id"] for r in
+           chunks.withColumn(
+               "bin_id",
+               F.floor((F.sum("n_chunk_tokens").over(w)
+                        - F.col("n_chunk_tokens")) / 256).cast("long"))
+           .collect()}
+    for parts in (3, 17):
+        got = {(r["doc_id"], r["chunk_idx"]): r["bin_id"] for r in
+               assign_packed_bins(chunks.repartition(parts),
+                                  256).collect()}
+        assert got == ref
+    assert min(ref.values()) == 0 and max(ref.values()) > 0
+
+
 # -- CMS-gated heavy-gram counting ----------------------------------------------
 
 def test_cms_gate_keeps_all_heavy_prunes_subthreshold(spark):
