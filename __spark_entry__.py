@@ -1581,6 +1581,23 @@ def _q_doc_chunks(spark, sf_dir):
             .orderBy("doc_id", "chunk_idx"))
 
 
+def _q_boilerplate_spans(spark, sf_dir):
+    """CMS-gated span removal (textstats.remove_duplicate_spans with
+    cms_gate=True): spans repeated >= 3 times are cut, with the gram
+    stream pre-filtered through the broadcast Count-Min gate BEFORE any
+    shuffle (the boilerplate-threshold scale path).  The gate is exact
+    at any sketch size — CMS never undercounts, the exact count removes
+    its false positives — so the DuckDB oracle recomputes the plain
+    exact answer and a hash match certifies the gated plan."""
+    from gopie_spark.operators.textstats import remove_duplicate_spans
+    docs = _docs(spark, sf_dir)
+    return (remove_duplicate_spans(docs, n=4, min_count=3,
+                                   cms_gate=True, gate_epsilon=1e-4)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.md5("clean_text").alias("clean_digest"))
+            .orderBy("doc_id"))
+
+
 def _q_packed_sequences(spark, sf_dir):
     """Sequence packing (textstats.assign_packed_bins): chunks assigned
     to fixed-256-token training-sequence bins by GLOBAL token prefix sum
@@ -1627,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": _q_ann_ivfpq,
         "doc_chunks": _q_doc_chunks,
         "packed_sequences": _q_packed_sequences,
+        "boilerplate_spans": _q_boilerplate_spans,
         # --- driver-green in r01-r03 windows ---
         "hll_distinct_global": _q_hll_distinct_global,
         "hll_distinct_per_lang": _q_hll_distinct_per_lang,
@@ -2454,6 +2472,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CASE WHEN d.text IS NULL THEN NULL
                         ELSE coalesce(clean_text, '') END AS clean_text
+            FROM documents d LEFT JOIN clean USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "boilerplate_spans": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   t -> t <> '') AS rt
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, i, rt[i] AS t
+                FROM base, unnest(generate_series(1, len(rt))) AS u(i)
+            ),
+            grams AS (
+                SELECT doc_id, i,
+                       array_to_string(list_transform(rt[i:i+3],
+                                                      x -> lower(x)),
+                                       ' ') AS g
+                FROM base, unnest(generate_series(1, len(rt) - 3)) AS u(i)
+                WHERE len(rt) >= 4
+            ),
+            heavy AS (SELECT g FROM grams GROUP BY g
+                      HAVING count(*) >= 3),
+            starts AS (SELECT doc_id, i FROM grams JOIN heavy USING (g)),
+            covered AS (
+                SELECT DISTINCT t.doc_id, t.i
+                FROM toks t JOIN starts s
+                  ON t.doc_id = s.doc_id
+                 AND t.i >= s.i AND t.i < s.i + 4
+            ),
+            clean AS (
+                SELECT t.doc_id,
+                       coalesce(string_agg(t.t, ' ' ORDER BY t.i)
+                                FILTER (WHERE c.i IS NULL), '')
+                           AS clean_text
+                FROM toks t LEFT JOIN covered c
+                  ON t.doc_id = c.doc_id AND t.i = c.i
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   md5(CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(clean_text, '') END)
+                       AS clean_digest
             FROM documents d LEFT JOIN clean USING (doc_id)
             ORDER BY d.doc_id
         """,

@@ -64,7 +64,7 @@ def main() -> None:
         # round 4: IVF x PQ composed ANN (pruned compressed scan), the
         # end-to-end curation pipeline certificate, context-window chunking
         "ann_ivfpq", "filter_corpus_stages", "doc_chunks",
-        "packed_sequences",
+        "packed_sequences", "boilerplate_spans",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",
