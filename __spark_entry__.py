@@ -1616,6 +1616,39 @@ def _q_packed_sequences(spark, sf_dir):
             .orderBy("doc_id", "chunk_idx"))
 
 
+def _q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style keep-FIRST-occurrence paragraph dedup
+    (dedup.dedup_paragraphs_exploded): the synthetic corpus has no
+    newlines, so the paragraph layer is the already-certified 12-token
+    chunking (textstats.chunk_documents); each chunk keeps exactly its
+    earliest (doc_id, chunk_idx) occurrence corpus-wide — the default
+    hash tier shuffles 8-byte xxhash64 keys, and the md5-pinned rebuilt
+    text certifies it against the DuckDB oracle that recomputes the
+    whole chain on raw strings (so a hash collision would surface as a
+    hash mismatch here)."""
+    from gopie_spark.operators.dedup import dedup_paragraphs_exploded
+    from gopie_spark.operators.textstats import chunk_documents
+    docs = _docs(spark, sf_dir)
+    paras = chunk_documents(docs, max_tokens=12, out_col="para")
+    kept = dedup_paragraphs_exploded(paras, idx_col="chunk_idx",
+                                     text_col="para")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.md5(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("chunk_idx", "para"))),
+                            lambda s: s["para"]),
+                        "\n")).alias("kept_md5"),
+                    F.count("*").alias("n_kept")))
+    return (docs.select("doc_id").join(rebuilt, "doc_id", "left")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.coalesce("kept_md5", F.md5(F.lit("")))
+                    .alias("kept_md5"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"))
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness window has historically
     # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
@@ -1626,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tests/test_driver_contract.py) regardless of window position.
     return {
         # --- no driver-green row yet (r4 priority block) ---
+        "paragraph_dedup": _q_paragraph_dedup,
         "vocab_top_tokens": _q_vocab_top_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "repetition_stats": _q_repetition_stats,
@@ -2317,6 +2351,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "canonical_urls": _canonical_urls_oracle_sql(),
         "filter_corpus_stages": _filter_corpus_oracle_sql(),
+        "paragraph_dedup": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   t -> t <> '') AS l
+                FROM documents
+            ),
+            paras AS (
+                SELECT doc_id, u.i AS chunk_idx,
+                       array_to_string(
+                           l[u.i * 12 + 1 : u.i * 12 + 12], ' ') AS para
+                FROM base,
+                     unnest(CASE WHEN len(l) >= 1
+                                 THEN generate_series(0,
+                                     CAST(ceil(len(l) / 12.0) AS INT) - 1)
+                                 ELSE [] END) AS u(i)
+            ),
+            firsts AS (
+                SELECT para,
+                       min(doc_id * 1000000000 + chunk_idx) AS first_key
+                FROM paras GROUP BY para
+            ),
+            kept AS (
+                SELECT p.doc_id, p.chunk_idx, p.para
+                FROM paras p JOIN firsts f
+                  ON p.para = f.para
+                 AND p.doc_id * 1000000000 + p.chunk_idx = f.first_key
+            ),
+            agg AS (
+                SELECT doc_id,
+                       md5(string_agg(para, chr(10)
+                                      ORDER BY chunk_idx)) AS kept_md5,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.kept_md5, md5('')) AS kept_md5,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY doc_id
+        """,
         "doc_chunks": r"""
             WITH base AS (
                 SELECT doc_id,

@@ -687,3 +687,102 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .withColumn("jaccard", jac.cast("double"))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+# --------------------------------------------------------------------------
+# paragraph-level dedup (keep first occurrence corpus-wide)
+# --------------------------------------------------------------------------
+
+def dedup_paragraphs_exploded(paras: DataFrame, id_col: str = "doc_id",
+                              idx_col: str = "para_idx",
+                              text_col: str = "para",
+                              hash_keys: bool = True) -> DataFrame:
+    """Corpus-wide keep-FIRST-occurrence paragraph dedup over an already-
+    exploded paragraph table (CCNet-style: the unit of dedup is the
+    paragraph, not the document — boilerplate paragraphs repeated across
+    pages keep exactly one copy, at their earliest ``(id, idx)``).
+
+    Input: ``DataFrame[id_col, idx_col, text_col, ...]`` — one row per
+    paragraph occurrence.  Output: the input rows filtered to first
+    occurrences (all columns preserved).  "First" = the lexicographic
+    minimum of ``(id_col, idx_col)`` over the paragraph's occurrences,
+    so the result is a pure function of the table (partitioning- and
+    run-independent).
+
+    Plan shape (the 10^12-paragraph design): one partial-aggregable
+    ``groupBy(key).agg(min(struct(id, idx)))`` — map-side combine
+    collapses each partition's repeats before the shuffle — then one
+    sort-merge join of the occurrence stream back against the winner
+    set on the same key.  No window (a ``row_number`` over paragraph
+    groups would shuffle every occurrence *and* sort each group), no
+    driver-side state.
+
+    ``hash_keys=True`` (default, the 100-TB shape) keys both the
+    aggregation and the join on ``xxhash64(text)`` — 8-byte shuffle
+    rows instead of whole paragraphs, the same tier
+    ``remove_duplicate_spans(hash_grams=True)`` uses, with the same
+    2^-64-collision caveat (two distinct paragraphs colliding would
+    drop the later one as if it were a repeat; at 10^12 paragraphs the
+    expected number of colliding pairs is ~0.03).  ``hash_keys=False``
+    shuffles the raw paragraph strings (byte-identical result,
+    pytest-pinned equal).
+    """
+    key = (F.xxhash64(F.col(text_col)) if hash_keys
+           else F.col(text_col)).alias("_pk")
+    occ = paras.select(key, F.col(id_col).alias("_pid"),
+                       F.col(idx_col).alias("_pidx"))
+    winners = (occ.groupBy("_pk")
+               .agg(F.min(F.struct(F.col("_pid"), F.col("_pidx")))
+                    .alias("_w"))
+               .select("_pk", F.col("_w._pid").alias("_pid"),
+                       F.col("_w._pidx").alias("_pidx")))
+    return (paras.join(winners,
+                       (key == winners["_pk"])
+                       & (paras[id_col] == winners["_pid"])
+                       & (paras[idx_col] == winners["_pidx"]))
+            .select(*[paras[c] for c in paras.columns]))
+
+
+def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", delim: str = r"\n+",
+                     joiner: str = "\n", out_col: str = "clean_text",
+                     hash_keys: bool = True) -> DataFrame:
+    """Document-level wrapper over :func:`dedup_paragraphs_exploded`:
+    split each document on ``delim``, keep only the corpus-wide first
+    occurrence of every paragraph, and rebuild ``out_col`` by joining
+    the surviving paragraphs (original order) with ``joiner``.  Adds
+    ``n_paras`` / ``n_paras_kept`` accounting columns; a document whose
+    every paragraph appeared earlier elsewhere rebuilds to the empty
+    string (the CCNet convention — drop or keep such docs downstream).
+
+    The split/explode is per-row Catalyst (zero shuffle); the only
+    shuffles are the two 8-byte-keyed ones inside the exploded dedup
+    plus the final per-doc rebuild aggregation."""
+    # NB: the callback must be a 1-arg lambda — a bare ``F.trim`` accepts
+    # an optional second parameter, so ``transform`` would feed it the
+    # element INDEX as the trim character set
+    paras_arr = F.filter(
+        F.transform(F.split(F.col(text_col), delim),
+                    lambda p: F.trim(p)),
+        lambda p: p != "")
+    exploded = (df.select(F.col(id_col),
+                          F.posexplode(paras_arr).alias("_idx", "_para")))
+    kept = dedup_paragraphs_exploded(exploded, id_col, "_idx", "_para",
+                                     hash_keys=hash_keys)
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct(F.col("_idx"), F.col("_para")))),
+                            lambda s: s["_para"]),
+                        joiner).alias(out_col),
+                    F.count("*").alias("n_paras_kept")))
+    # size(NULL) is NULL post-legacy — a null-text doc has zero paragraphs
+    counts = (df.select(F.col(id_col),
+                        F.coalesce(F.size(paras_arr).cast("long"),
+                                   F.lit(0)).alias("n_paras")))
+    return (df.join(counts, id_col)
+            .join(rebuilt, id_col, "left")
+            .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+            .withColumn("n_paras_kept",
+                        F.coalesce("n_paras_kept", F.lit(0))
+                        .cast("long")))

@@ -1,0 +1,104 @@
+"""Round-4b additions: paragraph-level keep-first dedup, semantic
+(k-means-cell) embedding dedup, overlap-fraction decontamination, and
+the t-digest quantile gate."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_text(df, mode="formatted"):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode)
+
+
+# -- paragraph dedup ----------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def para_docs(spark):
+    """The corpus re-lined: every 12 tokens become one newline-separated
+    paragraph, so paragraph-level ops have real cross-doc duplicates to
+    chew on (the synthetic text itself has no newlines)."""
+    from gopie_spark.operators.textstats import chunk_documents
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    chunks = chunk_documents(docs, max_tokens=12, out_col="para")
+    return (chunks.groupBy("doc_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("chunk_idx", "para"))),
+                    lambda s: s["para"]),
+                "\n").alias("text"))
+            .localCheckpoint())
+
+
+def test_dedup_paragraphs_keep_first_semantics(spark):
+    """Corpus-wide first occurrence wins — across docs, within a doc,
+    and for the doc whose every paragraph appeared earlier (rebuilds to
+    the empty string, CCNet convention)."""
+    from gopie_spark.operators.dedup import dedup_paragraphs
+    rows = [
+        (1, "alpha beta\ncommon para\nunique one"),
+        (2, "common para\ngamma delta"),
+        (3, "common para"),
+        (4, ""),
+        (5, "alpha beta\nalpha beta"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_paras_kept"])
+           for r in dedup_paragraphs(df).collect()}
+    assert got[1] == ("alpha beta\ncommon para\nunique one", 3, 3)
+    assert got[2] == ("gamma delta", 2, 1)
+    assert got[3] == ("", 1, 0)
+    assert got[4] == ("", 0, 0)
+    assert got[5] == ("", 2, 0)
+    assert got[6] == ("", 0, 0)
+
+
+def test_dedup_paragraphs_trim_keeps_digits(spark):
+    """Regression: the split callback must be a 1-arg lambda — a bare
+    F.trim in transform() would receive the element INDEX as a trim
+    character set and silently strip digits from paragraph edges."""
+    from gopie_spark.operators.dedup import dedup_paragraphs
+    df = spark.createDataFrame([(1, "0 leading digit\n1 also digits 1")],
+                               "doc_id long, text string")
+    out = dedup_paragraphs(df).collect()[0]
+    assert out["clean_text"] == "0 leading digit\n1 also digits 1"
+
+
+def test_dedup_paragraphs_hash_tier_byte_equal(spark, para_docs):
+    """hash_keys=True (8-byte xxhash64 shuffle keys) must be
+    byte-identical to the raw-string tier on real data, and only the
+    hash tier's plan may contain xxhash64."""
+    from gopie_spark.operators.dedup import dedup_paragraphs
+    cols = ["doc_id", "clean_text", "n_paras", "n_paras_kept"]
+    hashed = dedup_paragraphs(para_docs, hash_keys=True).select(cols)
+    strings = dedup_paragraphs(para_docs, hash_keys=False).select(cols)
+    assert hashed.exceptAll(strings).count() == 0
+    assert strings.exceptAll(hashed).count() == 0
+    assert "xxhash64" in plan_text(hashed, "extended")
+    assert "xxhash64" not in plan_text(strings, "extended")
+
+
+def test_dedup_paragraphs_exploded_plan_no_window(spark, para_docs):
+    """The keep-first winner selection must be the partial-aggregable
+    min(struct) groupBy + join-back — never a row_number window (which
+    would shuffle every occurrence AND sort every group)."""
+    from gopie_spark.operators.dedup import dedup_paragraphs_exploded
+    exploded = para_docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n"))
+        .alias("para_idx", "para"))
+    kept = dedup_paragraphs_exploded(exploded)
+    plan = plan_text(kept, "simple")
+    assert "Window" not in plan
+    # min(struct) lowers to SortAggregate, but the property that matters
+    # at 10^12 paragraphs is the map-side combine: a partial_min must
+    # run BEFORE the exchange so the shuffle carries ~one row per
+    # distinct paragraph per partition
+    pre_exchange = plan.split("Exchange hashpartitioning(_pk")[1]
+    assert "partial_min" in pre_exchange
+    # dedup must actually drop the later copies on this corpus
+    assert kept.count() < exploded.count()
