@@ -1649,6 +1649,31 @@ def _q_paragraph_dedup(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_contamination_overlap(spark, sf_dir):
+    """Fuzzy decontamination report (decontaminate.contamination_overlap):
+    per training doc (doc_id % 10 != 0), its DISTINCT word-8-gram count
+    (per-row Catalyst, zero shuffle), how many of those grams the eval
+    slice (doc_id % 10 == 0) contains (broadcast Bloom gate + exact
+    verify of candidates only — equals the all-exact join at any Bloom
+    size), and the overlap fraction in e4 fixed point — the threshold
+    knob real pipelines tune.  The DuckDB oracle recomputes everything
+    exactly."""
+    from gopie_spark.operators.decontaminate import contamination_overlap
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    tr = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    ov = contamination_overlap(tr, ev, id_col="doc_id", text_col="text",
+                               n=8)
+    frac_e4 = F.when(
+        F.col("n_grams") > 0,
+        F.floor(F.col("n_matched") * 10000.0 / F.col("n_grams")
+                + F.lit(0.5))).otherwise(F.lit(0))
+    return (ov.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "n_grams", "n_matched",
+                      frac_e4.cast("long").alias("frac_e4"))
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness window has historically
     # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
@@ -1660,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- no driver-green row yet (r4 priority block) ---
         "paragraph_dedup": _q_paragraph_dedup,
+        "contamination_overlap": _q_contamination_overlap,
         "vocab_top_tokens": _q_vocab_top_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "repetition_stats": _q_repetition_stats,
@@ -2093,6 +2119,40 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus, l_quantity DESC,
                      l_orderkey, l_linenumber
             LIMIT 200
+        """,
+        "contamination_overlap": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[u.i:u.i+7], ' ') AS g
+              FROM tok, unnest(CASE WHEN len(t) >= 8
+                                    THEN generate_series(1, len(t)-7)
+                                    ELSE [] END) AS u(i)
+            ),
+            eval_grams AS (SELECT DISTINCT g FROM grams
+                           WHERE doc_id % 10 = 0),
+            per_doc AS (
+              SELECT g.doc_id,
+                     count(*) AS n_grams,
+                     count(e.g) AS n_matched
+              FROM grams g LEFT JOIN eval_grams e USING (g)
+              WHERE g.doc_id % 10 <> 0
+              GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(p.n_matched, 0) AS BIGINT) AS n_matched,
+                   CAST(CASE WHEN coalesce(p.n_grams, 0) > 0
+                             THEN floor(p.n_matched * 10000.0
+                                        / p.n_grams + 0.5)
+                             ELSE 0 END AS BIGINT) AS frac_e4
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            WHERE d.doc_id % 10 <> 0
+            ORDER BY d.doc_id
         """,
         "decontaminate_docs": r"""
             WITH tok AS (

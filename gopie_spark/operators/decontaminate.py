@@ -206,3 +206,65 @@ def decontaminate_keep(train_df: DataFrame, eval_df: DataFrame,
                             n=n, min_hits=min_hits, p=p) \
         .select(id_col)
     return train_df.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def contamination_overlap(train_df: DataFrame, eval_df: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          n: int = 8, p: float = 1e-6) -> DataFrame:
+    """Per-document n-gram overlap REPORT vs the eval set — the
+    fuzzy-decontamination measure (GPT-3 appendix C / Dolma style): for
+    every training doc,
+
+    - ``n_grams``  = COUNT(DISTINCT word n-grams of the doc), and
+    - ``n_matched`` = how many of those appear in the eval set,
+
+    so ``n_matched / n_grams`` is the contaminated fraction a threshold
+    policy filters on (:func:`decontaminate_overlap_keep`).  Exactly
+    equal to the all-exact computation at any Bloom size.
+
+    Scale shape: ``n_grams`` is per-row Catalyst
+    (``array_size(array_distinct(...))`` — zero shuffle for 10^12
+    docs); ``n_matched`` reuses the broadcast-Bloom gate + exact-verify
+    pipeline of :func:`decontaminate`, so the distinct-count
+    aggregation runs only over the (normally vanishing) candidate set;
+    the final report is a broadcast left join of the candidate counts
+    back onto the train table.
+    """
+    sketch, blob = build_eval_gram_filter(eval_df, text_col, n=n, p=p)
+    cand = add_contamination_hits(train_df, sketch, blob, text_col,
+                                  n=n).filter(F.col("bloom_gram_hits") >= 1)
+    eval_grams = eval_df.select(
+        F.explode(ngram_strings(text_col, n)).alias("g")).distinct()
+    matched = (cand.select(F.col(id_col),
+                           F.explode(ngram_strings(text_col, n))
+                           .alias("g"))
+               .join(F.broadcast(eval_grams), "g")
+               .groupBy(id_col)
+               .agg(F.countDistinct("g").alias("n_matched")))
+    base = train_df.select(
+        F.col(id_col),
+        F.coalesce(F.array_size(F.array_distinct(
+            ngram_strings(text_col, n))), F.lit(0)).cast("long")
+        .alias("n_grams"))
+    return (base.join(F.broadcast(matched), id_col, "left")
+            .withColumn("n_matched",
+                        F.coalesce("n_matched", F.lit(0)).cast("long")))
+
+
+def decontaminate_overlap_keep(train_df: DataFrame, eval_df: DataFrame,
+                               max_frac: float = 0.1,
+                               id_col: str = "doc_id",
+                               text_col: str = "text", n: int = 8,
+                               p: float = 1e-6) -> DataFrame:
+    """Training docs surviving the overlap-fraction policy: drop a doc
+    when ``n_matched / n_grams >= max_frac`` (docs with no n-grams have
+    nothing to match and always survive).  The complement of the exact
+    threshold rule — a strictly weaker cut than :func:`decontaminate_keep`
+    with ``min_hits=1`` and the knob real pipelines tune."""
+    ov = contamination_overlap(train_df, eval_df, id_col, text_col,
+                               n=n, p=p)
+    flagged = (ov.filter((F.col("n_grams") > 0)
+                         & (F.col("n_matched")
+                            >= F.lit(max_frac) * F.col("n_grams")))
+               .select(id_col))
+    return train_df.join(F.broadcast(flagged), id_col, "left_anti")

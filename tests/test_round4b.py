@@ -102,3 +102,60 @@ def test_dedup_paragraphs_exploded_plan_no_window(spark, para_docs):
     assert "partial_min" in pre_exchange
     # dedup must actually drop the later copies on this corpus
     assert kept.count() < exploded.count()
+
+
+# -- overlap-fraction decontamination -----------------------------------------
+
+def test_contamination_overlap_fractions(spark):
+    """Planted overlap: doc 1 shares half its 2-grams with eval, doc 2
+    none, doc 3 all; the report must be exact and the threshold policy
+    must cut exactly the docs at/above max_frac."""
+    from gopie_spark.operators.decontaminate import (
+        contamination_overlap, decontaminate_overlap_keep)
+    ev = spark.createDataFrame([(100, "a b c")],
+                               "doc_id long, text string")
+    tr = spark.createDataFrame(
+        [(1, "a b x y"),        # grams {a b, b x, x y}; matched {a b}
+         (2, "p q r s"),        # no overlap
+         (3, "a b c"),          # grams {a b, b c} both in eval
+         (4, "tiny")],          # fewer than n tokens -> 0 grams
+        "doc_id long, text string")
+    ov = {r["doc_id"]: (r["n_grams"], r["n_matched"])
+          for r in contamination_overlap(tr, ev, n=2).collect()}
+    assert ov == {1: (3, 1), 2: (3, 0), 3: (2, 2), 4: (0, 0)}
+    kept = {r["doc_id"] for r in
+            decontaminate_overlap_keep(tr, ev, max_frac=0.5, n=2)
+            .collect()}
+    assert kept == {1, 2, 4}  # doc 3 (frac 1.0) cut; doc 1 (1/3) kept
+    kept_strict = {r["doc_id"] for r in
+                   decontaminate_overlap_keep(tr, ev, max_frac=0.3, n=2)
+                   .collect()}
+    assert kept_strict == {2, 4}
+
+
+def test_contamination_overlap_equals_allexact(spark):
+    """On the real corpus the Bloom-gated report must equal the exact
+    n-gram join recomputed via the ngram_strings surface (gate is a
+    superset + exact verify: equality is the designed invariant)."""
+    from gopie_spark.operators.decontaminate import (contamination_overlap,
+                                                     ngram_strings)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    got = contamination_overlap(tr, ev, n=6).select(
+        "doc_id", "n_grams", "n_matched")
+    eg = ev.select(F.explode(ngram_strings("text", 6)).alias("g")).distinct()
+    tg = tr.select("doc_id",
+                   F.explode(ngram_strings("text", 6)).alias("g")).distinct()
+    exact = (tr.select("doc_id")
+             .join(tg.groupBy("doc_id").agg(F.count("*").alias("n_grams")),
+                   "doc_id", "left")
+             .join(tg.join(eg, "g").groupBy("doc_id")
+                   .agg(F.count("*").alias("n_matched")), "doc_id", "left")
+             .select("doc_id",
+                     F.coalesce("n_grams", F.lit(0)).cast("long")
+                     .alias("n_grams"),
+                     F.coalesce("n_matched", F.lit(0)).cast("long")
+                     .alias("n_matched")))
+    assert got.exceptAll(exact).count() == 0
+    assert exact.exceptAll(got).count() == 0
