@@ -1674,6 +1674,48 @@ def _q_contamination_overlap(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup pair certificate (similarity.semantic_dedup_pairs):
+    k-means-cell blocking with spill=3 multi-cell assignment + exact
+    cosine verify, vs the exact all-pairs tier on a bounded 400-vector
+    block (cap disabled so bucket truncation never clouds the measure).
+    ``within_bound`` = the operator's pairs are a SUBSET of the exact
+    pairs (precision is a theorem — every candidate is exact-verified)
+    AND pair recall >= 0.8 (measured 0.95-0.96 on these near-uniform
+    embeddings, the hardest case for a data-adaptive quantizer).
+    Deterministic: hash-sample k-means seed, fixed data."""
+    from gopie_spark.operators.similarity import semantic_dedup_pairs
+    emb = spark.read.parquet(_t(sf_dir, "embeddings")) \
+        .filter(F.col("vec_id") < 400)
+    e = emb.select(F.col("vec_id").alias("_id"),
+                   F.col("embedding").alias("_v"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(b, F.col("a._id") < F.col("b._id")) \
+        .select(F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.col("a._v").alias("_va"), F.col("b._v").alias("_vb"))
+    dot = F.aggregate(F.zip_with("_va", "_vb",
+                                 lambda x, y: x.cast("double") * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform("_va",
+                                        lambda x: x.cast("double") * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform("_vb",
+                                        lambda x: x.cast("double") * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    exact = {(r["id_a"], r["id_b"]) for r in
+             pairs.withColumn("_c", dot / (na * nb))
+             .filter(F.col("_c") >= 0.3).select("id_a", "id_b").collect()}
+    got = {(r["id_a"], r["id_b"]) for r in
+           semantic_dedup_pairs(spark, emb, threshold=0.3, n_centroids=8,
+                                spill=3, max_bucket=1_000_000).collect()}
+    ok = bool(got <= exact
+              and len(got & exact) >= 0.8 * max(len(exact), 1))
+    return (emb.select(F.col("vec_id").cast("long").alias("vec_id"),
+                       F.lit(ok).alias("within_bound"))
+            .orderBy("vec_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness window has historically
     # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
@@ -1686,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- no driver-green row yet (r4 priority block) ---
         "paragraph_dedup": _q_paragraph_dedup,
         "contamination_overlap": _q_contamination_overlap,
+        "semantic_dedup": _q_semantic_dedup,
         "vocab_top_tokens": _q_vocab_top_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "repetition_stats": _q_repetition_stats,
@@ -1939,6 +1982,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": """
             SELECT vec_id AS query_id, TRUE AS within_bound
             FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+        """,
+        "semantic_dedup": """
+            SELECT vec_id, TRUE AS within_bound
+            FROM embeddings WHERE vec_id < 400 ORDER BY vec_id
         """,
         "ann_pq": """
             SELECT vec_id AS query_id, TRUE AS within_bound

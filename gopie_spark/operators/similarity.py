@@ -504,6 +504,14 @@ def cosine_dedup_pairs(spark: SparkSession, df: DataFrame,
     vb = bucketed.select(F.col("_id").alias("id_b"),
                          F.col("_v").alias("_vb"))
     pairs = ids.join(va, "id_a").join(vb, "id_b")
+    return (_add_pair_cosine(pairs)
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine").distinct())
+
+
+def _add_pair_cosine(pairs: DataFrame) -> DataFrame:
+    """Exact cosine over a candidate-pair frame carrying ``_va``/``_vb``
+    vector columns — JVM-side zip_with/aggregate, no Python."""
     dot = F.aggregate(F.zip_with("_va", "_vb",
                                  lambda x, y: x.cast("double") * y),
                       F.lit(0.0), lambda acc, v: acc + v)
@@ -511,9 +519,26 @@ def cosine_dedup_pairs(spark: SparkSession, df: DataFrame,
                             F.lit(0.0), lambda acc, v: acc + v))
     nb = F.sqrt(F.aggregate(F.transform("_vb", lambda x: x.cast("double") * x),
                             F.lit(0.0), lambda acc, v: acc + v))
-    return (pairs.withColumn("cosine", dot / (na * nb))
-            .filter(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", "cosine").distinct())
+    return pairs.withColumn("cosine", dot / (na * nb))
+
+
+def _drop_pair_losers(df: DataFrame, pairs: DataFrame, id_col: str,
+                      strategy: str) -> DataFrame:
+    """Shared keep/drop tier over a verified near-dup pair frame: each
+    near-dup cluster keeps its smallest id (``'cc'``: true transitive
+    closure via connected_components; ``'greedy'``: drop the larger id
+    of every pair, over-dropping on chains).  Returns the surviving
+    rows of ``df`` unchanged."""
+    if strategy == "cc":
+        from gopie_spark.operators.graph import connected_components
+        comp = connected_components(pairs)
+        losers = (comp.filter(F.col("id") != F.col("component"))
+                  .select(F.col("id").alias(id_col)))
+    elif strategy == "greedy":
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    else:
+        raise ValueError(f"unknown dedup strategy: {strategy!r}")
+    return df.join(losers, id_col, "left_anti")
 
 
 def cosine_dedup(spark: SparkSession, df: DataFrame,
@@ -530,16 +555,68 @@ def cosine_dedup(spark: SparkSession, df: DataFrame,
     ``df`` unchanged."""
     pairs = cosine_dedup_pairs(spark, df, threshold, n_planes,
                                id_col, vec_col, max_bucket)
-    if strategy == "cc":
-        from gopie_spark.operators.graph import connected_components
-        comp = connected_components(pairs)
-        losers = (comp.filter(F.col("id") != F.col("component"))
-                  .select(F.col("id").alias(id_col)))
-    elif strategy == "greedy":
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    else:
-        raise ValueError(f"unknown dedup strategy: {strategy!r}")
-    return df.join(losers, id_col, "left_anti")
+    return _drop_pair_losers(df, pairs, id_col, strategy)
+
+
+def semantic_dedup_pairs(spark: SparkSession, df: DataFrame,
+                         threshold: float = 0.95, n_centroids: int = 64,
+                         spill: int = 2, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         max_bucket: int = 512,
+                         centroids: Optional[np.ndarray] = None
+                         ) -> DataFrame:
+    """Embedding near-duplicate pairs with SemDeDup-style blocking
+    (Abbas et al. 2023 "SemDeDup"): k-means cells instead of random
+    hyperplanes — the cluster structure of a real embedding corpus is
+    what the coarse quantizer learns, so candidates concentrate where
+    the near-dups are.  ``DataFrame[id_a, id_b, cosine]`` with
+    ``id_a < id_b``, exact-cosine-verified (so precision is exact; the
+    blocking only affects recall).
+
+    ``spill`` assigns each vector to its ``spill`` nearest cells
+    (the corpus-side analog of query multiprobe): near-dup pairs
+    straddling a cell boundary meet in a shared spill cell.  Measured
+    on the near-uniform synthetic embeddings (hardest case for a
+    data-adaptive quantizer), k=8/spill=3 recalls ~0.95 of exact
+    pairs; on genuinely clustered corpora spill=2 typically suffices.
+    Candidate work is bounded by ``max_bucket``² per cell (the same
+    two-level salted cap as the MinHash tier); cost scales
+    ~``spill²/n_centroids`` of all-pairs.
+    """
+    from gopie_spark.operators.dedup import _bucket_pairs
+    if centroids is None:
+        centroids = train_ivf_centroids(df, n_centroids,
+                                        vec_col=vec_col, id_col=id_col)
+    bucketed = add_ivf_cell(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        centroids, "_v", nprobe=max(spill, 1))
+    # a pair sharing several spill cells is generated once per shared
+    # cell — dedup the (small) id-pair set BEFORE the vector join
+    ids = _bucket_pairs(bucketed.select("_id", "ivf_cell"),
+                        ["ivf_cell"], max_bucket).distinct()
+    va = df.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("_vb"))
+    pairs = ids.join(va, "id_a").join(vb, "id_b")
+    return (_add_pair_cosine(pairs)
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def semantic_dedup(spark: SparkSession, df: DataFrame,
+                   threshold: float = 0.95, n_centroids: int = 64,
+                   spill: int = 2, id_col: str = "vec_id",
+                   vec_col: str = "embedding", max_bucket: int = 512,
+                   centroids: Optional[np.ndarray] = None,
+                   strategy: str = "cc") -> DataFrame:
+    """Drop semantic near-duplicates: the keep/drop tier over
+    :func:`semantic_dedup_pairs` (each near-dup cluster keeps its
+    smallest id).  Returns the surviving rows of ``df`` unchanged."""
+    pairs = semantic_dedup_pairs(spark, df, threshold, n_centroids,
+                                 spill, id_col, vec_col, max_bucket,
+                                 centroids)
+    return _drop_pair_losers(df, pairs, id_col, strategy)
 
 
 def probe_work_stats(corpus_bucketed: DataFrame, probes: DataFrame,

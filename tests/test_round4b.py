@@ -159,3 +159,77 @@ def test_contamination_overlap_equals_allexact(spark):
                      .alias("n_matched")))
     assert got.exceptAll(exact).count() == 0
     assert exact.exceptAll(got).count() == 0
+
+
+# -- semantic (k-means-cell) embedding dedup -----------------------------------
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _exact_cosine_pairs(emb, tau):
+    e = emb.select(F.col("vec_id").alias("_id"),
+                   F.col("embedding").alias("_v"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(b, F.col("a._id") < F.col("b._id")) \
+        .select(F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.col("a._v").alias("_va"), F.col("b._v").alias("_vb"))
+    dot = F.aggregate(F.zip_with("_va", "_vb",
+                                 lambda x, y: x.cast("double") * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(
+        F.transform("_va", lambda x: x.cast("double") * x),
+        F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(
+        F.transform("_vb", lambda x: x.cast("double") * x),
+        F.lit(0.0), lambda acc, v: acc + v))
+    return {(r["id_a"], r["id_b"]) for r in
+            pairs.withColumn("_c", dot / (na * nb))
+            .filter(F.col("_c") >= tau).select("id_a", "id_b").collect()}
+
+
+def test_semantic_dedup_pairs_precision_and_recall(spark, emb):
+    """Cell blocking + exact verify: pairs must be a strict subset of
+    the exact cosine pairs (precision is a theorem) with recall >= 0.85
+    at k=8/spill=3 on the near-uniform embeddings (measured ~0.96)."""
+    from gopie_spark.operators.similarity import semantic_dedup_pairs
+    exact = _exact_cosine_pairs(emb, 0.3)
+    got = {(r["id_a"], r["id_b"]) for r in
+           semantic_dedup_pairs(spark, emb, threshold=0.3, n_centroids=8,
+                                spill=3, max_bucket=10**6).collect()}
+    assert got <= exact
+    assert len(got & exact) >= 0.85 * len(exact)
+    plan = plan_text(
+        semantic_dedup_pairs(spark, emb, threshold=0.3, n_centroids=8,
+                             spill=3), "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_single_cell_equals_exact_cc(spark, emb):
+    """With one cell the blocking is complete, so semantic_dedup must
+    reproduce the exact transitive-closure dedup: survivors = component
+    roots of the exact pair graph."""
+    from gopie_spark.operators.graph import connected_components
+    from gopie_spark.operators.similarity import semantic_dedup
+    exact = _exact_cosine_pairs(emb, 0.3)
+    pairs_df = spark.createDataFrame(
+        [(a, b) for a, b in exact], "id_a long, id_b long")
+    comp = connected_components(pairs_df)
+    losers = {r["id"] for r in
+              comp.filter(F.col("id") != F.col("component")).collect()}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    want = all_ids - losers
+    got = {r["vec_id"] for r in
+           semantic_dedup(spark, emb, threshold=0.3, n_centroids=1,
+                          spill=1, max_bucket=10**6).collect()}
+    assert got == want
+
+
+def test_semantic_dedup_spill_never_duplicates_pairs(spark, emb):
+    """A pair sharing several spill cells must be reported once."""
+    from gopie_spark.operators.similarity import semantic_dedup_pairs
+    out = semantic_dedup_pairs(spark, emb, threshold=0.3, n_centroids=4,
+                               spill=4, max_bucket=10**6)
+    assert out.count() == out.select("id_a", "id_b").distinct().count()
