@@ -1716,6 +1716,49 @@ def _q_semantic_dedup(spark, sf_dir):
             .orderBy("vec_id"))
 
 
+def _q_quantile_gate_docs(spark, sf_dir):
+    """Sketch-gated outlier trim (sketch_agg.quantile_gate): keep docs
+    inside the per-lang [0.1, 0.9] t-digest quantile band of n_chars —
+    the Gopher length filter done as ONE mergeable-sketch pass + a
+    broadcast threshold join, never a per-group sort.  Certificate =
+    the thresholds the gate ACTUALLY applied (they ride along as
+    columns) each sit within rank error eps=0.02 of their target
+    quantile per lang (the kept set is then definitionally
+    value-between-thresholds, so pinning the thresholds pins the
+    gate).  Anchors: per-lang doc counts (DuckDB-verified)."""
+    from gopie_spark.operators import quantile_gate
+    docs = _docs(spark, sf_dir)
+    kept = quantile_gate(docs, "n_chars", keys=["lang"],
+                         q_lo=0.1, q_hi=0.9)
+    thr = {r["lang"]: (float(r["q_lo_val"]), float(r["q_hi_val"]))
+           for r in kept.select("lang", "q_lo_val", "q_hi_val")
+           .distinct().collect()}
+    eps = 0.02
+    lo_col = F.create_map(*[x for kv in thr.items()
+                            for x in (F.lit(kv[0]), F.lit(kv[1][0]))])
+    hi_col = F.create_map(*[x for kv in thr.items()
+                            for x in (F.lit(kv[0]), F.lit(kv[1][1]))])
+    ranks = (docs
+             .withColumn("_lo", lo_col[F.col("lang")])
+             .withColumn("_hi", hi_col[F.col("lang")])
+             .groupBy("lang")
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum(F.when(F.col("n_chars") < F.col("_lo"), 1)
+                        .otherwise(0)).alias("lt_lo"),
+                  F.sum(F.when(F.col("n_chars") <= F.col("_lo"), 1)
+                        .otherwise(0)).alias("le_lo"),
+                  F.sum(F.when(F.col("n_chars") < F.col("_hi"), 1)
+                        .otherwise(0)).alias("lt_hi"),
+                  F.sum(F.when(F.col("n_chars") <= F.col("_hi"), 1)
+                        .otherwise(0)).alias("le_hi")))
+    ok = (((F.col("lt_lo") / F.col("n_docs") - eps) <= 0.1)
+          & (0.1 <= (F.col("le_lo") / F.col("n_docs") + eps))
+          & ((F.col("lt_hi") / F.col("n_docs") - eps) <= 0.9)
+          & (0.9 <= (F.col("le_hi") / F.col("n_docs") + eps)))
+    return (ranks.select("lang", "n_docs", ok.alias("within_bound"))
+            .orderBy("lang"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness window has historically
     # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
@@ -1729,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "contamination_overlap": _q_contamination_overlap,
         "semantic_dedup": _q_semantic_dedup,
+        "quantile_gate_docs": _q_quantile_gate_docs,
         "vocab_top_tokens": _q_vocab_top_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "repetition_stats": _q_repetition_stats,
@@ -1986,6 +2030,10 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": """
             SELECT vec_id, TRUE AS within_bound
             FROM embeddings WHERE vec_id < 400 ORDER BY vec_id
+        """,
+        "quantile_gate_docs": """
+            SELECT lang, count(*) AS n_docs, TRUE AS within_bound
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "ann_pq": """
             SELECT vec_id AS query_id, TRUE AS within_bound

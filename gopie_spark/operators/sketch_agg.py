@@ -357,6 +357,51 @@ def kll_quantiles(df: DataFrame, value_col: str, qs: Iterable[float],
                             out_prefix, salt)
 
 
+def quantile_gate(df: DataFrame, value_col: str,
+                  keys: Sequence[str] = (), q_lo: float = 0.05,
+                  q_hi: float = 0.95, method: str = "tdigest",
+                  delta: float = 100.0, k: int = 200, salt: int = 0,
+                  lo_col: str = "q_lo_val",
+                  hi_col: str = "q_hi_val") -> DataFrame:
+    """Keep rows inside the per-group ``[q_lo, q_hi]`` quantile band of
+    ``value_col`` — the Gopher-style outlier trim (drop the shortest /
+    longest documents per language) done sketch-wise: thresholds come
+    from ONE mergeable t-digest/KLL pass (partial per-partition build,
+    tiny-state merge), never a per-group sort.
+
+    This is the sketch-core x pipeline-tier composition the quantile
+    kernels exist for: exact per-group quantiles at 10^12 rows mean a
+    full shuffle-sort of the corpus per group, while the sketch pass
+    shuffles only per-partition digest blobs and the threshold table is
+    group-count-sized — broadcast back onto the corpus scan, so the
+    gate itself is a zero-shuffle filter.
+
+    Approximation contract: a sketch threshold sits within the
+    kernel's published rank error of the true quantile (t-digest ~1%
+    at the tails by construction, KLL eps(k)), so the gate's cut
+    differs from the exact-quantile cut only for rows within that rank
+    band of the edges — the standard, documented trade.  Rows are kept
+    when ``lo <= value <= hi``; the thresholds ride along as
+    ``lo_col`` / ``hi_col`` for observability.  Null values never
+    pass the gate."""
+    qs = [float(q_lo), float(q_hi)]
+    if method == "tdigest":
+        est = tdigest_quantiles(df, value_col, qs, keys=keys,
+                                delta=delta, salt=salt)
+    elif method == "kll":
+        est = kll_quantiles(df, value_col, qs, keys=keys, k=k, salt=salt)
+    else:
+        raise ValueError(f"unknown quantile method: {method!r}")
+    names = [f"q{str(q).replace('.', '_')}" for q in qs]
+    thresholds = est.select(
+        *keys, F.col(names[0]).alias(lo_col), F.col(names[1]).alias(hi_col))
+    keys = list(keys)
+    joined = (df.join(F.broadcast(thresholds), keys) if keys
+              else df.crossJoin(F.broadcast(thresholds)))
+    return joined.filter((F.col(value_col) >= F.col(lo_col))
+                         & (F.col(value_col) <= F.col(hi_col)))
+
+
 def cms_tokens_build(df: DataFrame, text_col: str = "text",
                      epsilon: float = 0.001, delta: float = 0.99):
     """Token-frequency CMS with JVM exact pre-aggregation.

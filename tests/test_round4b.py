@@ -233,3 +233,59 @@ def test_semantic_dedup_spill_never_duplicates_pairs(spark, emb):
     out = semantic_dedup_pairs(spark, emb, threshold=0.3, n_centroids=4,
                                spill=4, max_bucket=10**6)
     assert out.count() == out.select("id_a", "id_b").distinct().count()
+
+
+# -- sketch-gated quantile band filter ----------------------------------------
+
+def test_quantile_gate_keeps_band(spark):
+    """Per-group thresholds must sit within rank error of the target
+    quantiles and the kept set must be exactly value-between-thresholds
+    (the gate's defining property)."""
+    from gopie_spark.operators import quantile_gate
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kept = quantile_gate(docs, "n_chars", keys=["lang"],
+                         q_lo=0.1, q_hi=0.9)
+    thr = {r["lang"]: (r["q_lo_val"], r["q_hi_val"])
+           for r in kept.select("lang", "q_lo_val", "q_hi_val")
+           .distinct().collect()}
+    rows = docs.select("lang", "n_chars").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+    eps = 0.02
+    kept_ids = {(r["lang"], r["doc_id"]) for r in kept.collect()}
+    for lang, vals in by_lang.items():
+        lo, hi = thr[lang]
+        n = len(vals)
+        for target, t in ((0.1, lo), (0.9, hi)):
+            lt = sum(v < t for v in vals) / n
+            le = sum(v <= t for v in vals) / n
+            assert lt - eps <= target <= le + eps, (lang, target, lt, le)
+    want = {(r["lang"], r["doc_id"]) for r in docs.collect()
+            if thr[r["lang"]][0] <= r["n_chars"] <= thr[r["lang"]][1]}
+    assert kept_ids == want
+
+
+def test_quantile_gate_kll_and_global(spark):
+    """KLL method + the global (no keys) path both gate sanely: kept
+    fraction ~ (q_hi - q_lo) within rank + tie slack."""
+    from gopie_spark.operators import quantile_gate
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.count()
+    kept = quantile_gate(docs, "n_chars", q_lo=0.25, q_hi=0.75,
+                         method="kll").count()
+    assert 0.3 * n <= kept <= 0.7 * n
+    with pytest.raises(ValueError):
+        quantile_gate(docs, "n_chars", method="nope")
+
+
+def test_quantile_gate_plan_broadcasts_thresholds(spark):
+    """The gate must broadcast the tiny threshold table onto the corpus
+    scan — never shuffle or sort the corpus itself."""
+    from gopie_spark.operators import quantile_gate
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kept = quantile_gate(docs, "n_chars", keys=["lang"])
+    plan = plan_text(kept, "simple")
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "Sort" not in corpus_side
