@@ -8,7 +8,9 @@ from the library's scale-shaped operators:
         --input /path/to/pages_parquet --output /path/to/curated \\
         [--format parquet|iceberg] [--eval /path/to/eval_parquet] \\
         [--blocklist host1,host2,...] [--per-host-cap N] \\
-        [--min-tokens 20] [--no-dedup] [--report /path/report.json]
+        [--min-tokens 20] [--no-dedup] [--paragraph-dedup] \\
+        [--length-band 0.02,0.98] [--decontam-max-frac 0.1] \\
+        [--report /path/report.json]
 
 Stage order is chosen so the cheapest filters run first and every
 expensive stage sees the smallest surviving corpus:
@@ -49,7 +51,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def curate(spark, pages, *, min_tokens=20, blocklist=None,
            per_host_cap=None, dedup=True, near_dedup=True, eval_df=None,
-           decontam_n=13, id_col="doc_id", text_col="text",
+           decontam_n=13, decontam_max_frac=None, paragraph_dedup=False,
+           length_band=None, id_col="doc_id", text_col="text",
            url_col="url"):
     """Run the curation pipeline; returns (survivors_df, report_dict).
 
@@ -60,6 +63,23 @@ def curate(spark, pages, *, min_tokens=20, blocklist=None,
     oracle cannot express — the driver's ``filter_corpus_stages``
     certificate runs this configuration; the full pipeline including
     MinHash is gated by pytest).
+
+    Optional stages (default off, keeping the certified baseline
+    configuration byte-stable):
+
+    - ``length_band=(q_lo, q_hi)``: sketch-gated token-count trim
+      (``quantile_gate`` on the whitespace token count, per ``lang``
+      when the column exists) right after the rule-based quality
+      filter — the Gopher length cut without a per-group sort.
+    - ``paragraph_dedup=True``: CCNet keep-first paragraph dedup
+      (``dedup_paragraphs``) before the document-level dedups; the
+      doc's text is REPLACED by its surviving paragraphs (so digests
+      and MinHash run over boilerplate-free text) and docs left empty
+      are dropped.
+    - ``decontam_max_frac=f``: use the overlap-fraction policy
+      (``decontaminate_overlap_keep``) instead of the exact
+      ``min_hits=1`` rule — drop only docs whose contaminated-gram
+      fraction reaches ``f``.
 
     Each counted stage is persisted before its ``count()`` and the
     previous stage's cache released, so the per-stage report costs one
@@ -108,6 +128,18 @@ def curate(spark, pages, *, min_tokens=20, blocklist=None,
     # counted together with stage 1 — both are zero-shuffle scans
     kept = _stage(scrub(kept, text_col), "after_quality")
 
+    # 2b. sketch-gated token-count band (one mergeable t-digest pass +
+    # a broadcast threshold join — never a per-group sort)
+    if length_band is not None:
+        from gopie_spark.operators.sketch_agg import quantile_gate
+        from gopie_spark.operators.textstats import token_count
+        q_lo, q_hi = length_band
+        gate_keys = ["lang"] if "lang" in kept.columns else []
+        banded = quantile_gate(
+            kept.withColumn("_n_tok", token_count(text_col)),
+            "_n_tok", keys=gate_keys, q_lo=q_lo, q_hi=q_hi)
+        kept = _stage(banded.select(kept.columns), "after_length_band")
+
     # 3. host blocklist + budget
     if url_col in kept.columns:
         if blocklist:
@@ -118,6 +150,19 @@ def curate(spark, pages, *, min_tokens=20, blocklist=None,
                                              url_col=url_col,
                                              id_col=id_col),
                           "after_host_budget")
+
+    # 3b. CCNet paragraph dedup: replace each doc's text with its
+    # corpus-wide-first paragraphs so the document-level dedups (and
+    # their digests) see boilerplate-free text; emptied docs drop
+    if paragraph_dedup:
+        from gopie_spark.operators.dedup import dedup_paragraphs
+        pd_out = dedup_paragraphs(kept, id_col=id_col, text_col=text_col,
+                                  out_col="_para_clean")
+        kept = _stage(
+            pd_out.filter(F.col("n_paras_kept") > 0)
+            .withColumn(text_col, F.col("_para_clean"))
+            .select(kept.columns),
+            "after_paragraph_dedup")
 
     # 4. dedup: exact digest, then MinHash-LSH near-dup (cc survivors)
     if dedup:
@@ -140,15 +185,23 @@ def curate(spark, pages, *, min_tokens=20, blocklist=None,
     # 5. decontamination against the eval set (13-gram GPT-3-style
     # overlap by default, tunable via decontam_n)
     if eval_df is not None:
-        kept = _stage(decontaminate_keep(kept, eval_df, id_col=id_col,
-                                         text_col=text_col,
-                                         n=decontam_n),
-                      "after_decontaminate")
+        if decontam_max_frac is not None:
+            from gopie_spark.operators.decontaminate import \
+                decontaminate_overlap_keep
+            survivors = decontaminate_overlap_keep(
+                kept, eval_df, max_frac=decontam_max_frac,
+                id_col=id_col, text_col=text_col, n=decontam_n)
+        else:
+            survivors = decontaminate_keep(kept, eval_df, id_col=id_col,
+                                           text_col=text_col,
+                                           n=decontam_n)
+        kept = _stage(survivors, "after_decontaminate")
 
     report["output_rows"] = report[
         [k for k in ("after_decontaminate", "after_near_dedup",
-                     "after_exact_dedup", "after_host_budget",
-                     "after_blocklist", "after_quality")
+                     "after_exact_dedup", "after_paragraph_dedup",
+                     "after_host_budget", "after_blocklist",
+                     "after_length_band", "after_quality")
          if k in report][0]]
     return kept, report
 
@@ -168,6 +221,15 @@ def main() -> None:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--url-col", default="url")
     ap.add_argument("--no-dedup", action="store_true")
+    ap.add_argument("--paragraph-dedup", action="store_true",
+                    help="CCNet keep-first paragraph dedup before the "
+                         "document-level dedups")
+    ap.add_argument("--length-band", default=None,
+                    help="q_lo,q_hi token-count quantile band, e.g. "
+                         "0.02,0.98 (sketch-gated per-lang trim)")
+    ap.add_argument("--decontam-max-frac", type=float, default=None,
+                    help="overlap-fraction decontamination threshold "
+                         "(default: exact min-hits=1 policy)")
     ap.add_argument("--report", default=None)
     args = ap.parse_args()
 
@@ -179,11 +241,17 @@ def main() -> None:
     pages = load_table(spark, args.input, args.format)
     eval_df = load_table(spark, args.eval, args.format) if args.eval \
         else None
+    band = None
+    if args.length_band:
+        lo, hi = args.length_band.split(",")
+        band = (float(lo), float(hi))
     survivors, report = curate(
         spark, pages, min_tokens=args.min_tokens,
         blocklist=args.blocklist.split(",") if args.blocklist else None,
         per_host_cap=args.per_host_cap, dedup=not args.no_dedup,
-        eval_df=eval_df, id_col=args.id_col, text_col=args.text_col,
+        eval_df=eval_df, decontam_max_frac=args.decontam_max_frac,
+        paragraph_dedup=args.paragraph_dedup, length_band=band,
+        id_col=args.id_col, text_col=args.text_col,
         url_col=args.url_col)
     survivors.write.mode("overwrite").parquet(args.output)
     report["wall_sec"] = round(time.perf_counter() - t0, 2)

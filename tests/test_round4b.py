@@ -289,3 +289,37 @@ def test_quantile_gate_plan_broadcasts_thresholds(spark):
     corpus_side = plan.split("BroadcastExchange")[0]
     assert "BroadcastHashJoin" in plan
     assert "Sort" not in corpus_side
+
+
+# -- curate(): new optional stages --------------------------------------------
+
+def test_curate_new_stages(spark):
+    """length_band + paragraph_dedup + overlap-fraction decontamination
+    compose into the pipeline with monotone per-stage accounting, and
+    paragraph dedup replaces text with the surviving paragraphs."""
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    from filter_corpus import curate
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = docs.filter(F.pmod("doc_id", F.lit(50)) == 0) \
+        .select("doc_id", "text")
+    out, rep = curate(spark, docs.select("doc_id", "text", "lang"),
+                      min_tokens=5, near_dedup=False, eval_df=ev,
+                      decontam_max_frac=0.2, paragraph_dedup=True,
+                      length_band=(0.05, 0.95))
+    stages = ["input_rows", "after_quality", "after_length_band",
+              "after_paragraph_dedup", "after_exact_dedup",
+              "after_decontaminate"]
+    vals = [rep[s] for s in stages]
+    assert vals == sorted(vals, reverse=True)
+    assert rep["output_rows"] == vals[-1] == out.count()
+    # the fraction policy is weaker than exact min_hits=1: strictly
+    # more docs survive than under the default policy
+    out2, rep2 = curate(spark, docs.select("doc_id", "text", "lang"),
+                        min_tokens=5, near_dedup=False, eval_df=ev,
+                        paragraph_dedup=True, length_band=(0.05, 0.95))
+    assert rep["after_decontaminate"] >= rep2["after_decontaminate"]
+    # schema stable; no helper columns leak
+    assert out.columns == ["doc_id", "text", "lang"]
+    out.unpersist()
+    out2.unpersist()
