@@ -65,6 +65,10 @@ def main() -> None:
         # end-to-end curation pipeline certificate, context-window chunking
         "ann_ivfpq", "filter_corpus_stages", "doc_chunks",
         "packed_sequences", "boilerplate_spans",
+        # round 4b: paragraph keep-first dedup, overlap decontamination,
+        # SemDeDup pair cert, sketch-gated quantile band
+        "paragraph_dedup", "contamination_overlap", "semantic_dedup",
+        "quantile_gate_docs",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",
