@@ -1759,6 +1759,24 @@ def _q_quantile_gate_docs(spark, sf_dir):
             .orderBy("lang"))
 
 
+def _q_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled mixture sample (sampling.
+    temperature_mixture_sample, the T5/mT5 alpha-sampling rule at
+    T=2): per-lang quotas ~ total * sqrt(n_lang) / sum(sqrt(n)),
+    computed in exact integer arithmetic from floor(sqrt(n)*1000)
+    weights with largest-remainder rounding, selected by the
+    smallest-md5-key rule.  Fully deterministic and recomputed
+    EXACTLY by the DuckDB oracle (sqrt is IEEE correctly rounded in
+    both engines; everything after it is int64)."""
+    from gopie_spark.operators.sampling import temperature_mixture_sample
+    docs = _docs(spark, sf_dir)
+    out = temperature_mixture_sample(docs, "lang", total=60,
+                                     temperature=2.0, seed=7)
+    return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       "lang")
+            .orderBy("lang", "doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness window has historically
     # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
@@ -1773,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_overlap": _q_contamination_overlap,
         "semantic_dedup": _q_semantic_dedup,
         "quantile_gate_docs": _q_quantile_gate_docs,
+        "temperature_mixture": _q_temperature_mixture,
         "vocab_top_tokens": _q_vocab_top_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "repetition_stats": _q_repetition_stats,
@@ -2748,6 +2767,47 @@ def oracle_sql() -> dict[str, str]:
                        AS clean_digest
             FROM documents d LEFT JOIN clean USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "temperature_mixture": """
+            WITH counts AS (
+                SELECT lang, count(*) AS n FROM documents GROUP BY lang
+            ),
+            w AS (
+                SELECT lang, n,
+                       CAST(floor(sqrt(n) * 1000) AS BIGINT) AS w
+                FROM counts
+            ),
+            tot AS (SELECT sum(w) AS wsum FROM w),
+            q0 AS (
+                SELECT lang, w, (60 * w) // wsum AS base,
+                       (60 * w) % wsum AS rem
+                FROM w, tot
+            ),
+            lef AS (SELECT 60 - sum(base) AS l FROM q0),
+            rk AS (
+                SELECT lang, base,
+                       row_number() OVER (ORDER BY rem DESC, lang) AS rr
+                FROM q0
+            ),
+            quota AS (
+                SELECT lang,
+                       base + (CASE WHEN rr <= (SELECT l FROM lef)
+                                    THEN 1 ELSE 0 END) AS q
+                FROM rk
+            ),
+            ranked AS (
+                SELECT d.doc_id, d.lang,
+                       row_number() OVER (
+                           PARTITION BY d.lang
+                           ORDER BY ('0x' || substr(md5('7|' ||
+                               CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                               d.doc_id DESC) AS rn
+                FROM documents d
+            )
+            SELECT r.doc_id, r.lang
+            FROM ranked r JOIN quota USING (lang)
+            WHERE rn <= q
+            ORDER BY lang, doc_id
         """,
         "mixture_sample_docs": """
             SELECT doc_id, lang FROM (

@@ -247,3 +247,69 @@ def token_budget_sample(df: DataFrame, budget: float, weight_col: str,
     else:
         joined = df.crossJoin(F.broadcast(totals))
     return joined.filter(k32 < F.col("_thr")).drop("_thr")
+
+
+def temperature_quotas(counts: dict, total: int,
+                       temperature: float = 2.0) -> dict:
+    """Integer-exact temperature-scaled quotas (the T5/mT5
+    alpha-sampling rule, alpha = 1/T): stratum ``s`` with ``n_s`` rows
+    gets ``~ total * n_s^(1/T) / sum_t n_t^(1/T)`` — T=1 preserves the
+    natural mixture, T→inf approaches uniform.
+
+    Every step after the single float ``n ** (1/T)`` is 64-bit integer
+    arithmetic: weights quantize to ``floor(n^(1/T) * 1000)``, base
+    quotas are ``(total * w_s) // W``, and the remaining
+    ``total - sum(base)`` seats go to the largest integer remainders
+    (ties broken by stratum value) — so for T=2 (an IEEE
+    correctly-rounded sqrt) a SQL engine recomputes the IDENTICAL
+    quotas, making the whole sample oracle-checkable.  Quotas are NOT
+    capped at n_s here; the selection stage takes an exhausted stratum
+    whole (mixture semantics), so the realized total can fall short
+    when a stratum runs dry — the standard behavior.
+    """
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    if not counts:
+        raise ValueError("counts must not be empty")
+    import math
+    # T=2 goes through math.sqrt — IEEE-754 *correctly rounded* in
+    # every engine, unlike libm pow(x, 0.5) which is only guaranteed
+    # faithful on some platforms — so the SQL oracle's floor(sqrt(n))
+    # matches bit-for-bit; int() truncates == floor for non-negatives
+    if temperature == 2.0:
+        w = {s: int(math.sqrt(n) * 1000) for s, n in counts.items()}
+    else:
+        w = {s: int((n ** (1.0 / temperature)) * 1000)
+             for s, n in counts.items()}
+    W = sum(w.values())
+    if W == 0:
+        return {s: 0 for s in counts}
+    base = {s: (total * w[s]) // W for s in w}
+    leftover = total - sum(base.values())
+    order = sorted(w, key=lambda s: (-((total * w[s]) % W), str(s)))
+    for s in order[:leftover]:
+        base[s] += 1
+    return base
+
+
+def temperature_mixture_sample(df: DataFrame, stratum_col: str,
+                               total: int, temperature: float = 2.0,
+                               seed: int = 0,
+                               id_col: str = "doc_id") -> DataFrame:
+    """Temperature-scaled mixture sample: quotas from
+    :func:`temperature_quotas` over the observed stratum counts (one
+    partial-aggregable groupBy — the count table is strata-sized,
+    driver-tiny), selection via :func:`mixture_sample`'s salted-capped
+    smallest-key rule (no per-stratum window sort over the corpus).
+    Deterministic and, at T=2, exactly recomputable by a SQL oracle."""
+    counts = {r[0]: r[1] for r in
+              df.groupBy(stratum_col).agg(F.count("*").alias("n"))
+              .collect()}
+    quotas = temperature_quotas(counts, total, temperature)
+    quotas = {s: q for s, q in quotas.items() if q > 0}
+    if not quotas:
+        return df.filter(F.lit(False))
+    return mixture_sample(df, quotas, stratum_col, seed=seed,
+                          id_col=id_col)

@@ -323,3 +323,51 @@ def test_curate_new_stages(spark):
     assert out.columns == ["doc_id", "text", "lang"]
     out.unpersist()
     out2.unpersist()
+
+
+# -- temperature-scaled mixture sampling ---------------------------------------
+
+def test_temperature_quotas_math():
+    """Integer-exact quota rule: totals always hit exactly (largest
+    remainder), T=1 ~ proportional, large T ~ uniform, errors raise."""
+    from gopie_spark.operators.sampling import temperature_quotas
+    counts = {"en": 8100, "de": 900, "fr": 100}
+    q1 = temperature_quotas(counts, 91, temperature=1.0)
+    assert sum(q1.values()) == 91
+    assert q1["en"] == 81 and q1["de"] == 9 and q1["fr"] == 1
+    q2 = temperature_quotas(counts, 130, temperature=2.0)
+    assert sum(q2.values()) == 130
+    assert q2 == {"en": 90, "de": 30, "fr": 10}  # sqrt ratio 9:3:1
+    qinf = temperature_quotas(counts, 30, temperature=1e9)
+    assert sum(qinf.values()) == 30
+    assert max(qinf.values()) - min(qinf.values()) <= 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        temperature_quotas(counts, -1)
+    with _pt.raises(ValueError):
+        temperature_quotas(counts, 10, temperature=0)
+    with _pt.raises(ValueError):
+        temperature_quotas({}, 10)
+
+
+def test_temperature_mixture_sample_determinism_and_exhaustion(spark):
+    """Sample is byte-deterministic across calls; a stratum smaller
+    than its quota is taken whole (realized total falls short)."""
+    from gopie_spark.operators.sampling import (temperature_mixture_sample,
+                                                temperature_quotas)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(r["doc_id"] for r in
+               temperature_mixture_sample(docs, "lang", 50, 2.0,
+                                          seed=3).collect())
+    b = sorted(r["doc_id"] for r in
+               temperature_mixture_sample(docs, "lang", 50, 2.0,
+                                          seed=3).collect())
+    assert a == b and len(a) == 50
+    counts = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    big_total = sum(counts.values()) * 2
+    got = temperature_mixture_sample(docs, "lang", big_total, 2.0)
+    # every stratum exhausts: the whole corpus comes back, no more
+    assert got.count() == sum(counts.values())
+    q = temperature_quotas(counts, big_total, 2.0)
+    assert sum(q.values()) == big_total  # quotas uncapped by design
