@@ -604,6 +604,49 @@ def semantic_dedup_pairs(spark: SparkSession, df: DataFrame,
             .select("id_a", "id_b", "cosine"))
 
 
+def semantic_preflight_report(df: DataFrame, n_centroids: int = 64,
+                              spill: int = 2, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              max_bucket: int = 512,
+                              centroids: Optional[np.ndarray] = None
+                              ) -> dict:
+    """Pre-flight skew report for :func:`semantic_dedup_pairs` — the
+    embedding-tier twin of ``dedup.lsh_preflight_report``: run it on
+    the (cheap) cell assignment BEFORE the quadratic pair expansion so
+    ``max_bucket`` / ``n_centroids`` / ``spill`` are chosen from
+    evidence:
+
+    - ``n_cells`` / ``max_cell_size``: spilled cell histogram (a
+      megacluster shows up as max >> rows*spill/n_cells);
+    - ``n_capped``: cells above ``max_bucket`` (each trades candidate
+      recall for skew safety);
+    - ``est_candidate_pairs`` vs ``uncapped_pair_work``: what the
+      capped expansion WILL emit vs what uncapped would cost.
+
+    Cost: one assignment scan + one partial-aggregable groupBy — no
+    pairs materialize."""
+    if centroids is None:
+        centroids = train_ivf_centroids(df, n_centroids,
+                                        vec_col=vec_col, id_col=id_col)
+    cells = add_ivf_cell(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        centroids, "_v", nprobe=max(spill, 1))
+    sizes = cells.groupBy("ivf_cell").agg(F.count("*").alias("_sz"))
+    capped = F.least(F.col("_sz"), F.lit(max_bucket))
+    r = sizes.agg(
+        F.count("*").alias("n_cells"),
+        F.max("_sz").alias("max_cell_size"),
+        F.sum((F.col("_sz") > max_bucket).cast("long")).alias("n_capped"),
+        F.sum(capped * (capped - 1) / 2).cast("long")
+        .alias("est_candidate_pairs"),
+        F.sum(F.col("_sz") * (F.col("_sz") - 1) / 2).cast("long")
+        .alias("uncapped_pair_work")).collect()[0]
+    out = {kk: int(r[kk] or 0) for kk in r.asDict()}
+    out["max_bucket"] = max_bucket
+    out["spill"] = spill
+    return out
+
+
 def semantic_dedup(spark: SparkSession, df: DataFrame,
                    threshold: float = 0.95, n_centroids: int = 64,
                    spill: int = 2, id_col: str = "vec_id",

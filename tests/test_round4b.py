@@ -371,3 +371,23 @@ def test_temperature_mixture_sample_determinism_and_exhaustion(spark):
     assert got.count() == sum(counts.values())
     q = temperature_quotas(counts, big_total, 2.0)
     assert sum(q.values()) == big_total  # quotas uncapped by design
+
+
+def test_semantic_preflight_report(spark, emb):
+    """Pre-flight numbers must be internally consistent and flag a
+    planted megacluster (all vectors in one cell at n_centroids=1)."""
+    from gopie_spark.operators.similarity import semantic_preflight_report
+    rep = semantic_preflight_report(emb, n_centroids=8, spill=2,
+                                    max_bucket=64)
+    n = emb.count()
+    assert rep["n_cells"] <= 8
+    # spilled assignment: every vector appears in exactly `spill` cells
+    total = rep["uncapped_pair_work"]
+    assert rep["est_candidate_pairs"] <= total
+    assert rep["max_cell_size"] <= n
+    assert rep["n_capped"] >= 1  # 500 vecs x2 over 8 cells must cap at 64
+    viral = semantic_preflight_report(emb, n_centroids=1, spill=1,
+                                      max_bucket=64)
+    assert viral["n_cells"] == 1 and viral["max_cell_size"] == n
+    assert viral["uncapped_pair_work"] == n * (n - 1) // 2
+    assert viral["est_candidate_pairs"] == 64 * 63 // 2
