@@ -757,17 +757,29 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
     The split/explode is per-row Catalyst (zero shuffle); the only
     shuffles are the two 8-byte-keyed ones inside the exploded dedup
     plus the final per-doc rebuild aggregation."""
-    # NB: the callback must be a 1-arg lambda — a bare ``F.trim`` accepts
-    # an optional second parameter, so ``transform`` would feed it the
-    # element INDEX as the trim character set
-    paras_arr = F.filter(
-        F.transform(F.split(F.col(text_col), delim),
-                    lambda p: F.trim(p)),
-        lambda p: p != "")
+    paras_arr = _paras_arr_expr(text_col, delim)
     exploded = (df.select(F.col(id_col),
                           F.posexplode(paras_arr).alias("_idx", "_para")))
     kept = dedup_paragraphs_exploded(exploded, id_col, "_idx", "_para",
                                      hash_keys=hash_keys)
+    return _rebuild_docs(df, kept, id_col, paras_arr, joiner, out_col)
+
+
+def _paras_arr_expr(text_col: str, delim: str):
+    """``array<string>`` of trimmed non-empty paragraphs.  NB: the trim
+    callback must be a 1-arg lambda — a bare ``F.trim`` accepts an
+    optional second parameter, so ``transform`` would feed it the
+    element INDEX as the trim character set."""
+    return F.filter(
+        F.transform(F.split(F.col(text_col), delim),
+                    lambda p: F.trim(p)),
+        lambda p: p != "")
+
+
+def _rebuild_docs(df: DataFrame, kept: DataFrame, id_col: str,
+                  paras_arr, joiner: str, out_col: str) -> DataFrame:
+    """Rejoin surviving ``(id, _idx, _para)`` rows into per-doc text in
+    original order, with ``n_paras`` / ``n_paras_kept`` accounting."""
     rebuilt = (kept.groupBy(id_col)
                .agg(F.array_join(
                         F.transform(
@@ -786,3 +798,69 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
             .withColumn("n_paras_kept",
                         F.coalesce("n_paras_kept", F.lit(0))
                         .cast("long")))
+
+
+def incremental_paragraph_dedup(new_docs: DataFrame, para_store: str,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                delim: str = r"\n+", joiner: str = "\n",
+                                out_col: str = "clean_text",
+                                hash_keys: bool = True,
+                                update_store: bool = True) -> DataFrame:
+    """Paragraph-dedup a batch of NEW documents against a corpus
+    represented ONLY by its paragraph-key store — the daily-crawl
+    workflow for :func:`dedup_paragraphs`: history's text is never
+    re-read; a new paragraph drops when its key is in the store OR an
+    earlier ``(id, idx)`` occurrence exists within the batch, and the
+    surviving keys are appended back so the store stays the set of
+    every paragraph ever kept (each distinct paragraph appears exactly
+    once, at its first-ever occurrence).
+
+    ``para_store`` is a parquet dir of ``_pk`` rows (``xxhash64`` longs
+    under ``hash_keys``, raw paragraph strings otherwise — the two
+    tiers must not be mixed in one store).  First call on a
+    missing/empty store is a plain batch self-dedup.
+
+    Work shape at scale: within-batch dedup is the usual two
+    8-byte-keyed shuffles over the BATCH only; the store participates
+    in exactly one anti-join keyed on ``_pk`` — never store x store,
+    and never the store's text.
+
+    Equivalence (pytest-pinned): when every stored doc id precedes
+    every new id (the crawl ordering), (history survivors + this
+    output) == :func:`dedup_paragraphs` over the full concatenated
+    corpus — paragraph keep-first has no cross-batch merge subtleties,
+    so the incremental result is EXACTLY the full-batch one restricted
+    to the new docs.
+
+    Returns the new docs with ``out_col`` / ``n_paras`` /
+    ``n_paras_kept`` — the same shape as :func:`dedup_paragraphs`.
+    """
+    spark = new_docs.sparkSession
+    paras_arr = _paras_arr_expr(text_col, delim)
+    exploded = (new_docs.select(F.col(id_col),
+                                F.posexplode(paras_arr)
+                                .alias("_idx", "_para")))
+    kept_batch = dedup_paragraphs_exploded(exploded, id_col, "_idx",
+                                           "_para", hash_keys=hash_keys)
+    try:
+        stored = spark.read.parquet(para_store).select("_pk")
+        have_store = True
+    except Exception:
+        stored = None
+        have_store = False
+    key = (F.xxhash64(F.col("_para")) if hash_keys
+           else F.col("_para")).alias("_pk")
+    keyed = kept_batch.select(F.col(id_col), "_idx", "_para", key)
+    if stored is not None:
+        keyed = keyed.join(stored, "_pk", "left_anti")
+    # one materialization feeds BOTH the store append and the returned
+    # frame (the rebuild would otherwise recompute the batch dedup
+    # after the write); batch-survivor-sized
+    keyed = keyed.localCheckpoint(eager=True)
+    if update_store:
+        keyed.select("_pk").write \
+            .mode("append" if have_store else "overwrite") \
+            .parquet(para_store)
+    return _rebuild_docs(new_docs, keyed.drop("_pk"), id_col, paras_arr,
+                         joiner, out_col)

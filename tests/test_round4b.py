@@ -391,3 +391,36 @@ def test_semantic_preflight_report(spark, emb):
     assert viral["n_cells"] == 1 and viral["max_cell_size"] == n
     assert viral["uncapped_pair_work"] == n * (n - 1) // 2
     assert viral["est_candidate_pairs"] == 64 * 63 // 2
+
+
+def test_incremental_paragraph_dedup_equals_full_batch(spark, para_docs):
+    """Two-phase (history -> store -> new batch) must EXACTLY equal the
+    full-batch dedup restricted to the new docs when store ids precede
+    new ids, and the store must accumulate each paragraph once."""
+    import shutil
+    import tempfile
+    from gopie_spark.operators.dedup import (dedup_paragraphs,
+                                             incremental_paragraph_dedup)
+    cols = ["doc_id", "clean_text", "n_paras", "n_paras_kept"]
+    old = para_docs.filter(F.col("doc_id") < 250)
+    new = para_docs.filter(F.col("doc_id") >= 250)
+    store = tempfile.mkdtemp(prefix="para_store_") + "/store"
+    try:
+        phase1 = incremental_paragraph_dedup(old, store)
+        got = incremental_paragraph_dedup(new, store).select(cols)
+        full = dedup_paragraphs(para_docs) \
+            .filter(F.col("doc_id") >= 250).select(cols)
+        assert got.exceptAll(full).count() == 0
+        assert full.exceptAll(got).count() == 0
+        # phase 1 == plain self-dedup of the history slice
+        p1 = phase1.select(cols)
+        h = dedup_paragraphs(old).select(cols)
+        assert p1.exceptAll(h).count() == 0 and h.exceptAll(p1).count() == 0
+        # store: one row per distinct paragraph ever kept, no dups
+        st = spark.read.parquet(store)
+        assert st.count() == st.distinct().count()
+        total_kept = (phase1.agg(F.sum("n_paras_kept")).collect()[0][0]
+                      + got.agg(F.sum("n_paras_kept")).collect()[0][0])
+        assert st.count() == total_kept
+    finally:
+        shutil.rmtree(store.rsplit("/", 1)[0], ignore_errors=True)
