@@ -6,7 +6,7 @@
         --input /path/to/pages_parquet --output /path/to/deduped \\
         [--format parquet|iceberg] [--sig-dir /path/for/signatures] \\
         [--threshold 0.8] [--strategy cc|greedy] [--k 128] [--bands 32] \\
-        [--max-bucket 64] [--incremental]
+        [--max-bucket 64] [--incremental] [--paragraph-store /path/pstore]
 
 Pipeline (all stages scale-shaped — see operators/dedup.py):
 
@@ -66,6 +66,11 @@ def main() -> None:
                     help="dedup this input as a NEW batch against the "
                          "--sig-dir store (history immutable; "
                          "survivor sigs appended)")
+    ap.add_argument("--paragraph-store", default=None,
+                    help="run CCNet keep-first paragraph dedup against "
+                         "this paragraph-key parquet store FIRST (text "
+                         "replaced by surviving paragraphs, emptied "
+                         "docs dropped, new keys appended)")
     args = ap.parse_args()
     if args.incremental and not args.sig_dir:
         raise SystemExit("--incremental requires --sig-dir")
@@ -89,6 +94,20 @@ def main() -> None:
     if "doc_id" not in pages.columns:
         pages = pages.withColumn("doc_id", F.monotonically_increasing_id())
     n_input = pages.count()
+
+    # stage 0 (optional): paragraph-level keep-first dedup vs the
+    # paragraph-key store — boilerplate paragraphs vanish BEFORE any
+    # doc-level digest/signature sees them
+    n_para = None
+    if args.paragraph_store:
+        from gopie_spark.operators.dedup import incremental_paragraph_dedup
+        pd_out = incremental_paragraph_dedup(
+            pages, args.paragraph_store, text_col=args.text_col)
+        pages = (pd_out.filter(F.col("n_paras_kept") > 0)
+                 .withColumn(args.text_col, F.col("clean_text"))
+                 .drop("clean_text", "n_paras", "n_paras_kept")
+                 .persist())
+        n_para = pages.count()
 
     # stage 1: exact dedup (cheap, removes byte-identical boilerplate
     # before the k-linear signature stage sees it)
@@ -125,6 +144,7 @@ def main() -> None:
 
     report = {
         "rows_in": n_input,
+        "after_paragraph_dedup": n_para,
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_final,
         "exact_dups_removed": n_input - n_exact,
@@ -133,6 +153,7 @@ def main() -> None:
         "threshold": args.threshold,
         "seconds": round(time.perf_counter() - t0, 3),
         "signatures": args.sig_dir,
+        "paragraph_store": args.paragraph_store,
         "incremental": args.incremental,
         "lsh_preflight": preflight,
     }

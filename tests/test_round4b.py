@@ -424,3 +424,30 @@ def test_incremental_paragraph_dedup_equals_full_batch(spark, para_docs):
         assert st.count() == total_kept
     finally:
         shutil.rmtree(store.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_dedup_corpus_job_paragraph_store_mode(tmp_path):
+    """jobs/dedup_corpus.py --paragraph-store as a black box: the
+    paragraph stage runs first, its count lands in the report, and the
+    store materializes."""
+    import glob
+    import json
+    import os
+    import subprocess
+    import sys
+    out = str(tmp_path / "out")
+    pstore = str(tmp_path / "pstore")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "jobs/dedup_corpus.py",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", out, "--paragraph-store", pstore],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=400)
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    assert report["rows_in"] == 500
+    assert report["paragraph_store"] == pstore
+    assert 0 < report["after_paragraph_dedup"] <= 500
+    assert report["after_exact_dedup"] <= report["after_paragraph_dedup"]
+    assert glob.glob(f"{out}/*.parquet") and glob.glob(f"{pstore}/*.parquet")
