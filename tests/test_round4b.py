@@ -161,6 +161,21 @@ def test_contamination_overlap_equals_allexact(spark):
     assert exact.exceptAll(got).count() == 0
 
 
+def test_contamination_overlap_plan_shape(spark):
+    """The train-sized report side must be a pure scan (per-row n_grams
+    expression, no Exchange); matched counts arrive via broadcast —
+    the corpus itself never shuffles for the report."""
+    from gopie_spark.operators.decontaminate import contamination_overlap
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    plan = plan_text(contamination_overlap(tr, ev, n=8), "simple")
+    assert "SortMergeJoin" not in plan
+    train_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange" not in train_side
+    assert "array_distinct" in train_side  # n_grams computed per-row
+
+
 # -- semantic (k-means-cell) embedding dedup -----------------------------------
 
 @pytest.fixture(scope="module")
