@@ -393,11 +393,25 @@ def quantile_gate(df: DataFrame, value_col: str,
     else:
         raise ValueError(f"unknown quantile method: {method!r}")
     names = [f"q{str(q).replace('.', '_')}" for q in qs]
-    thresholds = est.select(
-        *keys, F.col(names[0]).alias(lo_col), F.col(names[1]).alias(hi_col))
     keys = list(keys)
-    joined = (df.join(F.broadcast(thresholds), keys) if keys
-              else df.crossJoin(F.broadcast(thresholds)))
+    if keys:
+        # null-safe equi-join: a NULL group value is a real group (it
+        # got a threshold row from the sketch pass) and must keep its
+        # gating decision — a plain equi-join would silently drop every
+        # NULL-group row.  Same fix as token_budget_sample's strata join.
+        thresholds = est.select(
+            *[F.col(s).alias(f"_qg_{s}") for s in keys],
+            F.col(names[0]).alias(lo_col), F.col(names[1]).alias(hi_col))
+        cond = None
+        for s in keys:
+            c = F.col(s).eqNullSafe(F.col(f"_qg_{s}"))
+            cond = c if cond is None else cond & c
+        joined = df.join(F.broadcast(thresholds), cond) \
+            .drop(*[f"_qg_{s}" for s in keys])
+    else:
+        thresholds = est.select(F.col(names[0]).alias(lo_col),
+                                F.col(names[1]).alias(hi_col))
+        joined = df.crossJoin(F.broadcast(thresholds))
     return joined.filter((F.col(value_col) >= F.col(lo_col))
                          & (F.col(value_col) <= F.col(hi_col)))
 

@@ -466,3 +466,18 @@ def test_dedup_corpus_job_paragraph_store_mode(tmp_path):
     assert 0 < report["after_paragraph_dedup"] <= 500
     assert report["after_exact_dedup"] <= report["after_paragraph_dedup"]
     assert glob.glob(f"{out}/*.parquet") and glob.glob(f"{pstore}/*.parquet")
+
+
+def test_quantile_gate_null_group_kept(spark):
+    """A NULL group value is a real group: its rows must gate against
+    their own thresholds, not silently vanish in the join."""
+    from gopie_spark.operators import quantile_gate
+    rows = ([(i, "en", i) for i in range(100)]
+            + [(1000 + i, None, i) for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, v long")
+    kept = quantile_gate(df, "v", keys=["lang"], q_lo=0.1, q_hi=0.9)
+    by = {r["lang"]: 0 for r in kept.collect()}
+    for r in kept.collect():
+        by[r["lang"]] = by.get(r["lang"], 0) + 1
+    assert by.get(None, 0) > 0, "NULL-group rows were dropped"
+    assert 60 <= by[None] <= 100 and 60 <= by["en"] <= 100
