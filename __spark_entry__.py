@@ -1777,6 +1777,23 @@ def _q_temperature_mixture(spark, sf_dir):
             .orderBy("lang", "doc_id"))
 
 
+def _q_ngram_containment(spark, sf_dir):
+    """Exact shingle-containment pairs (dedup.ngram_containment_pairs):
+    |A∩B| / min(|A|,|B|) >= 0.75 over word-3-gram sets on the
+    doc_id < 500 block — the asymmetric subsumption measure (a doc
+    quoted whole inside another scores ~1.0 where Jaccard dilutes).
+    Containment quantized to e4 fixed point; DuckDB recomputes the
+    identical join."""
+    from gopie_spark.operators.dedup import ngram_containment_pairs
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    out = ngram_containment_pairs(docs, width=3, threshold=0.75,
+                                  max_shingle_freq=1000)
+    return (out.select("id_a", "id_b",
+                       F.floor(F.col("containment") * 10000 + F.lit(0.5))
+                       .cast("long").alias("containment_e4"))
+            .orderBy("id_a", "id_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness window has historically
     # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
@@ -1792,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "quantile_gate_docs": _q_quantile_gate_docs,
         "temperature_mixture": _q_temperature_mixture,
+        "ngram_containment": _q_ngram_containment,
         "vocab_top_tokens": _q_vocab_top_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "repetition_stats": _q_repetition_stats,
@@ -2036,6 +2054,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        "ngram_containment": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(text), '\\s+') AS t
+                FROM documents WHERE doc_id < 500
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(t) >= 3
+                            THEN array_to_string(t[i:i+2], ' ')
+                            ELSE array_to_string(t, ' ') END AS shingle
+                FROM toks,
+                     LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2)))
+                              AS i) g
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(floor((shared * 1.0 / least(sa.n, sb.n)) * 10000
+                              + 0.5) AS BIGINT) AS containment_e4
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE shared * 1.0 / least(sa.n, sb.n) >= 0.75
             ORDER BY id_a, id_b
         """,
         "simhash_dedup": """

@@ -68,7 +68,7 @@ def main() -> None:
         # round 4b: paragraph keep-first dedup, overlap decontamination,
         # SemDeDup pair cert, sketch-gated quantile band
         "paragraph_dedup", "contamination_overlap", "semantic_dedup",
-        "quantile_gate_docs", "temperature_mixture",
+        "quantile_gate_docs", "temperature_mixture", "ngram_containment",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",

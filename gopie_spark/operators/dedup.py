@@ -662,6 +662,23 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     a dropped shingle can only lower recall for pairs already sharing
     rarer shingles.  SQL-expressible; serves as the LSH oracle.
     """
+    shared, sizes = _shingle_shared_counts(df, id_col, text_col, width,
+                                           max_shingle_freq)
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (shared.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard", jac.cast("double"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def _shingle_shared_counts(df: DataFrame, id_col: str, text_col: str,
+                           width: int, max_shingle_freq: int):
+    """Shared skeleton of the exact set-similarity tiers: distinct
+    word-``width``-gram shingles per doc, per-doc set sizes, and the
+    freq-capped shingle self-join's shared counts (pairs with id_a <
+    id_b).  Returns ``(shared, sizes)``."""
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     shingles = F.when(
         F.size("_t") >= width,
@@ -680,13 +697,39 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
               .groupBy(F.col("a._id").alias("id_a"),
                        F.col("b._id").alias("id_b"))
               .agg(F.count("*").alias("shared")))
+    return shared, sizes
+
+
+def ngram_containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", width: int = 3,
+                            threshold: float = 0.8,
+                            max_shingle_freq: int = 1000) -> DataFrame:
+    """Exact shingle-set CONTAINMENT pairs: ``containment =
+    |A ∩ B| / min(|A|, |B|)`` — the asymmetric near-subsumption
+    measure (a short doc quoted whole inside a long one scores ~1.0
+    here while symmetric Jaccard dilutes toward |A|/|B|), i.e. the
+    Broder containment coefficient taken in whichever direction is
+    stronger.
+
+    DataFrame[id_a, id_b, containment] with ``id_a < id_b`` and
+    ``containment >= threshold``.  Same freq-capped shingle self-join
+    skeleton (and the same capped-blocking caveat) as
+    :func:`ngram_jaccard_pairs`; SQL-expressible, so the exact pair
+    set is oracle-checkable.  Scale note: like the Jaccard tier this
+    is the *oracle/small-block* form — at corpus scale block first
+    (MinHash-LSH buckets catch high-containment pairs of comparable
+    size; containment of a SMALL doc in a large one needs the
+    freq-capped shingle join itself, which is why this tier keys work
+    to shingle frequency, not doc pairs)."""
+    shared, sizes = _shingle_shared_counts(df, id_col, text_col, width,
+                                           max_shingle_freq)
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("nb"))
-    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    cont = F.col("shared") / F.least(F.col("na"), F.col("nb"))
     return (shared.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("jaccard", jac.cast("double"))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+            .withColumn("containment", cont.cast("double"))
+            .filter(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "containment"))
 
 # --------------------------------------------------------------------------
 # paragraph-level dedup (keep first occurrence corpus-wide)

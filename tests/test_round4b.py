@@ -481,3 +481,27 @@ def test_quantile_gate_null_group_kept(spark):
         by[r["lang"]] = by.get(r["lang"], 0) + 1
     assert by.get(None, 0) > 0, "NULL-group rows were dropped"
     assert 60 <= by[None] <= 100 and 60 <= by["en"] <= 100
+
+
+# -- exact containment pairs ---------------------------------------------------
+
+def test_ngram_containment_catches_subsumption(spark):
+    """A short doc quoted whole inside a long one: containment 1.0,
+    Jaccard well under a dedup threshold — the pair the symmetric
+    measure misses."""
+    from gopie_spark.operators.dedup import (ngram_containment_pairs,
+                                             ngram_jaccard_pairs)
+    short = "the quick brown fox jumps over the lazy dog"
+    long = ("completely unrelated opening words here and then " + short
+            + " followed by much more unrelated trailing content after")
+    df = spark.createDataFrame(
+        [(1, long), (2, short), (3, "nothing in common at all here")],
+        "doc_id long, text string")
+    cont = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in ngram_containment_pairs(df, width=3,
+                                             threshold=0.9).collect()}
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.99
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(df, width=3,
+                                        threshold=0.0).collect()}
+    assert jac[(1, 2)] < 0.5  # Jaccard dilutes what containment catches
