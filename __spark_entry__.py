@@ -1797,11 +1797,12 @@ def _q_ngram_containment(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness window has historically
     # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
-    # without a driver-green row yet (the round-3 wave-2 tier + anything new
-    # this round) are listed first so the hard signal covers them; the
-    # remaining entries were all rows+schema+hash green in r01-r03 windows
-    # and stay gated by the local DuckDB replica
-    # (tests/test_driver_contract.py) regardless of window position.
+    # without a driver-green row yet (the round-3 wave-2 tier + everything
+    # added in round 4: 19 + the 6 round-4b entries = 25) are listed first
+    # so the hard signal covers them; the remaining entries were all
+    # rows+schema+hash green in r01-r03 windows and stay gated by the local
+    # DuckDB replica (tests/test_driver_contract.py) regardless of window
+    # position.
     return {
         # --- no driver-green row yet (r4 priority block) ---
         "paragraph_dedup": _q_paragraph_dedup,
