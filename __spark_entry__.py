@@ -1598,6 +1598,140 @@ def _q_boilerplate_spans(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _host_split_oracle_sql() -> str:
+    """host_split_assign oracle: the CASE expression is GENERATED from
+    the operator module's own split_bounds (oracle_assign_split_sql),
+    so Spark and DuckDB share one bounds source and cannot drift."""
+    from gopie_spark.operators.split import oracle_assign_split_sql
+    case = oracle_assign_split_sql(
+        "concat('h', CAST(doc_id % 97 AS VARCHAR))",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+    return f"""
+        SELECT doc_id,
+               concat('h', CAST(doc_id % 97 AS VARCHAR)) AS host,
+               {case} AS split
+        FROM documents ORDER BY doc_id
+    """
+
+
+def _training_order_oracle_sql() -> str:
+    """training_order_docs oracle: shard + ROW_NUMBER window mirrored
+    from the operator module's oracle_training_order_sql (same md5 key
+    expression both engines)."""
+    from gopie_spark.operators.split import oracle_training_order_sql
+    _key, shard, win = oracle_training_order_sql("doc_id", 8, seed=42)
+    return f"""
+        SELECT doc_id, {shard} AS shard,
+               ROW_NUMBER() OVER ({win}) - 1 AS pos
+        FROM documents ORDER BY shard, pos
+    """
+
+
+def _q_url_filter_docs(spark, sf_dir):
+    """URL hygiene filter (hoststats.url_filter_flags, RefinedWeb-style
+    pre-crawl rules): per-rule boolean flags + keep over synthesized
+    URLs that exercise every rule (binary extension, spam token,
+    IP-literal host, bottomless query, crawler-trap depth).  Pure
+    zero-shuffle codegen regexps; the DuckDB oracle evaluates the SAME
+    rule pattern text via oracle_url_flag_sql."""
+    from gopie_spark.operators.hoststats import (URL_FILTER_RULES,
+                                                 url_filter_flags)
+    d = F.col("doc_id")
+    did = d.cast("string")
+    url = (F.when(d % 6 == 0,
+                  F.concat(F.lit("https://ok"), (d % 97).cast("string"),
+                           F.lit(".example.com/article/"), did))
+           .when(d % 6 == 1,
+                 F.concat(F.lit("https://cdn.example.com/img/"), did,
+                          F.lit(".jpg")))
+           .when(d % 6 == 2,
+                 F.concat(F.lit("https://best-casino.example.com/play/"),
+                          did))
+           .when(d % 6 == 3,
+                 F.concat(F.lit("http://203.0.113."),
+                          (d % 250).cast("string"),
+                          F.lit("/index.html")))
+           .when(d % 6 == 4,
+                 F.concat(F.lit("https://shop.example.com/p?"),
+                          F.repeat(F.lit("a=1&"), 40), F.lit("i="), did))
+           .otherwise(
+               F.concat(F.lit("https://trap.example.com"),
+                        F.repeat(F.lit("/x"), 12), F.lit("/"), did)))
+    docs = _docs(spark, sf_dir).select(d.cast("long").alias("doc_id"),
+                                       url.alias("url"))
+    return (url_filter_flags(docs)
+            .select("doc_id",
+                    *[f"flag_{n}" for n, _ in URL_FILTER_RULES],
+                    "url_keep")
+            .orderBy("doc_id"))
+
+
+def _url_filter_oracle_sql() -> str:
+    """url_filter_docs oracle: URL synthesis mirrored as a CASE, rule
+    flags generated from the operator module's own pattern list."""
+    from gopie_spark.operators.hoststats import (URL_FILTER_RULES,
+                                                 oracle_url_flag_sql)
+    url = """CASE
+        WHEN doc_id % 6 = 0 THEN 'https://ok' ||
+             CAST(doc_id % 97 AS VARCHAR) || '.example.com/article/' ||
+             CAST(doc_id AS VARCHAR)
+        WHEN doc_id % 6 = 1 THEN 'https://cdn.example.com/img/' ||
+             CAST(doc_id AS VARCHAR) || '.jpg'
+        WHEN doc_id % 6 = 2 THEN
+             'https://best-casino.example.com/play/' ||
+             CAST(doc_id AS VARCHAR)
+        WHEN doc_id % 6 = 3 THEN 'http://203.0.113.' ||
+             CAST(doc_id % 250 AS VARCHAR) || '/index.html'
+        WHEN doc_id % 6 = 4 THEN 'https://shop.example.com/p?' ||
+             repeat('a=1&', 40) || 'i=' || CAST(doc_id AS VARCHAR)
+        ELSE 'https://trap.example.com' || repeat('/x', 12) || '/' ||
+             CAST(doc_id AS VARCHAR)
+        END"""
+    flags = ", ".join(
+        f"{oracle_url_flag_sql('url', p)} AS flag_{n}"
+        for n, p in URL_FILTER_RULES)
+    keep = "NOT (" + " OR ".join(
+        oracle_url_flag_sql("url", p) for _, p in URL_FILTER_RULES) + ")"
+    return f"""
+        WITH b AS (SELECT doc_id, {url} AS url FROM documents)
+        SELECT doc_id, {flags}, {keep} AS url_keep
+        FROM b ORDER BY doc_id
+    """
+
+
+def _q_host_split_assign(spark, sf_dir):
+    """Leakage-safe train/val/test split (split.host_split): the split
+    label is a pure per-row function of the synthesized host (md5-keyed
+    uniform vs cumulative fraction bounds), so every page of a host
+    lands in one split — zero shuffle at any corpus size (plan-pinned).
+    The DuckDB oracle evaluates the SAME generated CASE expression
+    (oracle_assign_split_sql shares split_bounds with the operator)."""
+    from gopie_spark.operators.split import host_split
+    d = (_docs(spark, sf_dir)
+         .withColumn("host", F.concat(F.lit("h"),
+                                      (F.col("doc_id") % 97)
+                                      .cast("string"))))
+    return (host_split(d, {"train": 0.8, "val": 0.1, "test": 0.1},
+                       seed=7)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "host", "split")
+            .orderBy("doc_id"))
+
+
+def _q_training_order_docs(spark, sf_dir):
+    """Deterministic epoch shuffle (split.training_order): every doc
+    gets a shard in [0,8) and a 0-based position within its shard by
+    the seeded md5 key — one hash-partition Exchange + per-shard local
+    sorts, never a global orderBy (plan-pinned).  DuckDB recomputes the
+    same shard and ROW_NUMBER window from the mirrored key."""
+    from gopie_spark.operators.split import training_order
+    return (training_order(_docs(spark, sf_dir), n_shards=8, seed=42)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("shard").cast("int").alias("shard"),
+                    F.col("pos").cast("long").alias("pos"))
+            .orderBy("shard", "pos"))
+
+
 def _q_packed_sequences(spark, sf_dir):
     """Sequence packing (textstats.assign_packed_bins): chunks assigned
     to fixed-256-token training-sequence bins by GLOBAL token prefix sum
@@ -1798,7 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness window has historically
     # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
     # without a driver-green row yet (the round-3 wave-2 tier + everything
-    # added in round 4: 19 + the 6 round-4b entries = 25) are listed first
+    # added in round 4: 19 + the 8 round-4b/4c entries = 27) are listed first
     # so the hard signal covers them; the remaining entries were all
     # rows+schema+hash green in r01-r03 windows and stay gated by the local
     # DuckDB replica (tests/test_driver_contract.py) regardless of window
@@ -1830,6 +1964,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "packed_sequences": _q_packed_sequences,
         "boilerplate_spans": _q_boilerplate_spans,
+        "host_split_assign": _q_host_split_assign,
+        "training_order_docs": _q_training_order_docs,
+        "url_filter_docs": _q_url_filter_docs,
         # --- driver-green in r01-r03 windows ---
         "hll_distinct_global": _q_hll_distinct_global,
         "hll_distinct_per_lang": _q_hll_distinct_per_lang,
@@ -2817,6 +2954,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN clean USING (doc_id)
             ORDER BY d.doc_id
         """,
+        "host_split_assign": _host_split_oracle_sql(),
+        "training_order_docs": _training_order_oracle_sql(),
+        "url_filter_docs": _url_filter_oracle_sql(),
         "temperature_mixture": """
             WITH counts AS (
                 SELECT lang, count(*) AS n FROM documents GROUP BY lang

@@ -69,6 +69,9 @@ def main() -> None:
         # SemDeDup pair cert, sketch-gated quantile band
         "paragraph_dedup", "contamination_overlap", "semantic_dedup",
         "quantile_gate_docs", "temperature_mixture", "ngram_containment",
+        # round 4c: leakage-safe host split, deterministic epoch order,
+        # URL hygiene filter
+        "host_split_assign", "training_order_docs", "url_filter_docs",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",

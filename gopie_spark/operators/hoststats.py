@@ -180,3 +180,59 @@ def oracle_canonical_url_sql(col_sql: str) -> str:
     u = (f"regexp_replace({u}, "
          "'^([a-z][a-z0-9+.-]*://[^?#]*[^/?#])/(\\?|$)', '\\1\\2')")
     return u
+
+
+# --- URL hygiene filter (RefinedWeb/CCNet-style pre-crawl rules) ------------
+#
+# Each rule is (name, RE2-safe pattern) evaluated against the LOWERCASED
+# full URL; a document is dropped when any rule fires.  Patterns stay in
+# the RE2 ∩ Java-regex subset (no lookarounds, no backrefs) so the
+# DuckDB oracle can run the byte-identical pattern text.  The defaults
+# are the standard curation cuts: non-text media/archive extensions,
+# obvious adult/spam tokens, IP-literal hosts, bottomless query strings,
+# and crawler-trap path depth.
+URL_FILTER_RULES: list[tuple[str, str]] = [
+    ("binary_ext",
+     r"\.(jpe?g|png|gif|webp|bmp|ico|svg|mp3|wav|ogg|mp4|avi|mkv|webm|"
+     r"zip|gz|tgz|tar|rar|7z|exe|dmg|iso|apk|bin|css|js|woff2?)([?#]|$)"),
+    ("spam_word", r"(porn|xxx|casino|viagra|escort|lottery)"),
+    ("ip_host", r"^[a-z][a-z0-9+.-]*://(\d{1,3}\.){3}\d{1,3}([:/?#]|$)"),
+    ("long_query", r"\?[^#]{128,}"),
+    ("deep_path", r"(/[^/?#]+){9,}"),
+]
+
+
+def url_filter_flags(df: DataFrame, url_col: str = "url",
+                     rules: list[tuple[str, str]] | None = None,
+                     keep_col: str = "url_keep") -> DataFrame:
+    """Add one boolean column per hygiene rule (``flag_<name>``) plus
+    ``keep_col`` = no rule fired.  Pure per-row codegen regexps over
+    the lowercased URL — zero shuffle at any corpus size; NULL URLs
+    flag nothing and keep=true (filter them upstream if unwanted)."""
+    rules = URL_FILTER_RULES if rules is None else rules
+    low = F.lower(_c(url_col))
+    out = df
+    flags = []
+    for name, pat in rules:
+        c = F.coalesce(low.rlike(pat), F.lit(False))
+        out = out.withColumn(f"flag_{name}", c)
+        flags.append(F.col(f"flag_{name}"))
+    keep = flags[0] if flags else F.lit(False)
+    for f_ in flags[1:]:
+        keep = keep | f_
+    return out.withColumn(keep_col, ~keep)
+
+
+def filter_urls(df: DataFrame, url_col: str = "url",
+                rules: list[tuple[str, str]] | None = None) -> DataFrame:
+    """Rows surviving :func:`url_filter_flags` (original columns)."""
+    flagged = url_filter_flags(df, url_col, rules)
+    return flagged.filter(F.col("url_keep")).select(*df.columns)
+
+
+def oracle_url_flag_sql(col_sql: str, pattern: str) -> str:
+    """DuckDB mirror of one rule: ``regexp_matches`` over the lowered
+    URL with the SAME pattern text (single-quote-escaped)."""
+    pat = pattern.replace("'", "''")
+    return (f"coalesce(regexp_matches(lower({col_sql}), '{pat}'), "
+            "FALSE)")

@@ -1,0 +1,153 @@
+"""Dataset assembly: leakage-safe splits and deterministic training
+order for Common-Crawl-style corpora.
+
+The reference (andy2046/gopie) has no dataset-split tier — its closest
+machinery is consistent placement (pkg/jumphash/jumphash.go:25-45,
+which we already expose as ``functions.jumphash``).  These operators
+are the training-pipeline additions the build brief asks for, with one
+extra requirement jump-hash cannot meet: ENGINE-PORTABLE determinism.
+The DuckDB oracle must reproduce byte-identical assignments, so every
+pseudorandom here derives from ``sampling.sample_key`` (md5 — identical
+in Spark, DuckDB, and any warehouse), never ``xxhash64``/``rand()``.
+
+Scale shape
+-----------
+- :func:`assign_split` is a pure per-row projection (zero shuffle at
+  any corpus size); grouping by a unit column (host) is what makes the
+  split LEAKAGE-SAFE — near-duplicate pages live on the same host far
+  more often than across hosts, so splitting by page would leak
+  train→eval while splitting by host keeps whole sites together.
+- :func:`training_order` does ONE hash-partition shuffle on the shard
+  id followed by per-shard local sorts — never a global ``orderBy``.
+  Shards are the data-loader's unit of parallelism: a 1000-file
+  training run reads shard files independently; position within a
+  shard is a within-partition ``row_number`` (each shard sorts its own
+  ~N/n_shards rows).  Changing ``seed`` reshuffles every epoch with no
+  state carried between epochs.
+"""
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F, Window
+
+from .sampling import sample_key, uniform01
+
+__all__ = [
+    "split_bounds",
+    "assign_split",
+    "host_split",
+    "oracle_assign_split_sql",
+    "training_order",
+    "oracle_training_order_sql",
+]
+
+
+def split_bounds(fractions: Mapping[str, float]) -> list[tuple[str, float]]:
+    """Cumulative upper bounds per split label, in the mapping's own
+    order (insertion order is the contract — the last label absorbs
+    all remaining mass so the bounds always cover [0, 1))."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    vals = list(fractions.values())
+    if any(v < 0 for v in vals):
+        raise ValueError("fractions must be >= 0")
+    tot = float(sum(vals))
+    if tot <= 0:
+        raise ValueError("fractions must sum > 0")
+    out, cum = [], 0.0
+    for label, v in fractions.items():
+        cum += v / tot
+        out.append((str(label), cum))
+    out[-1] = (out[-1][0], 1.0)
+    return out
+
+
+def assign_split(df: DataFrame, fractions: Mapping[str, float],
+                 unit_col: str = "host", seed: int = 0,
+                 out_col: str = "split") -> DataFrame:
+    """Add ``out_col``: the split label of each row, a pure function of
+    ``unit_col`` — every row sharing a unit value lands in the same
+    split (the leakage-safety invariant), and expected mass per split
+    follows ``fractions`` over distinct units.
+
+    Zero shuffle: one md5 + a chained CASE per row, whole-stage
+    codegen.  Deterministic across runs, partitionings, and engines
+    (see :func:`oracle_assign_split_sql`).  A NULL unit coalesces to
+    ``''`` before hashing (both engines), so null-host rows all land
+    in one deterministic split rather than diverging between Spark's
+    null-skipping ``concat_ws`` and SQL's null-propagating ``||``.
+    """
+    c = F.col(unit_col) if isinstance(unit_col, str) else unit_col
+    u = uniform01(F.coalesce(c.cast("string"), F.lit("")), seed)
+    bounds = split_bounds(fractions)
+    expr: Column = F.lit(bounds[-1][0])
+    for label, hi in reversed(bounds[:-1]):
+        expr = F.when(u < F.lit(hi), F.lit(label)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def host_split(df: DataFrame, fractions: Mapping[str, float],
+               host_col: str = "host", seed: int = 0,
+               out_col: str = "split") -> DataFrame:
+    """:func:`assign_split` with the conventional unit = URL host."""
+    return assign_split(df, fractions, unit_col=host_col, seed=seed,
+                        out_col=out_col)
+
+
+def _oracle_u01_sql(col_sql: str, seed: int) -> str:
+    """DuckDB mirror of ``sampling.uniform01`` over the null-coalesced
+    unit (top-32-bit key)."""
+    key32 = (f"('0x' || substr(md5('{seed}' || '|' || "
+             f"coalesce(CAST({col_sql} AS VARCHAR), '')), 1, 8))::BIGINT")
+    return f"(({key32})::DOUBLE + 0.5) / {float(1 << 32)!r}"
+
+
+def oracle_assign_split_sql(col_sql: str,
+                            fractions: Mapping[str, float],
+                            seed: int = 0) -> str:
+    """ANSI-SQL CASE expression computing the same split label as
+    :func:`assign_split` — generated from the SAME ``split_bounds`` so
+    the two engines cannot drift."""
+    u = _oracle_u01_sql(col_sql, seed)
+    bounds = split_bounds(fractions)
+    parts = [f"WHEN {u} < {hi!r} THEN '{label}'"
+             for label, hi in bounds[:-1]]
+    return ("CASE " + " ".join(parts) +
+            f" ELSE '{bounds[-1][0]}' END")
+
+
+def training_order(df: DataFrame, id_col: str = "doc_id",
+                   n_shards: int = 8, seed: int = 0) -> DataFrame:
+    """Deterministic epoch shuffle: assign every row a ``shard`` in
+    ``[0, n_shards)`` and a 0-based ``pos`` within its shard, ordered
+    by the seeded md5 key (ties by id).  Reading shards 0..n-1 each in
+    ``pos`` order replays one globally-pseudorandom pass over the
+    corpus; a new ``seed`` is a new epoch order.
+
+    Plan: one Exchange on ``shard`` (hash partition) + a per-shard
+    local sort for the window — no global sort, no driver state.  At
+    10^12 rows pick ``n_shards`` ~ corpus_bytes / desired_file_size so
+    each shard sort fits an executor.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be positive")
+    key = sample_key(id_col, seed)
+    w = Window.partitionBy("shard").orderBy("_okey", id_col)
+    return (df.withColumn("_okey", key)
+            .withColumn("shard",
+                        F.pmod(F.col("_okey"), F.lit(n_shards))
+                        .cast("int"))
+            .withColumn("pos", F.row_number().over(w) - F.lit(1))
+            .drop("_okey"))
+
+
+def oracle_training_order_sql(id_sql: str, n_shards: int,
+                              seed: int = 0) -> tuple[str, str, str]:
+    """DuckDB mirrors of (key, shard, pos-window) for
+    :func:`training_order` — pos is ``ROW_NUMBER() OVER (<win>) - 1``."""
+    key = (f"('0x' || substr(md5('{seed}' || '|' || "
+           f"CAST({id_sql} AS VARCHAR)), 1, 15))::BIGINT")
+    shard = f"CAST(({key}) % {n_shards} AS INT)"
+    win = (f"PARTITION BY {shard} ORDER BY {key}, {id_sql}")
+    return key, shard, win
