@@ -10,6 +10,7 @@ from the library's scale-shaped operators:
         [--blocklist host1,host2,...] [--per-host-cap N] \\
         [--min-tokens 20] [--no-dedup] [--paragraph-dedup] \\
         [--length-band 0.02,0.98] [--decontam-max-frac 0.1] \\
+        [--url-rules] [--split-fractions train=0.9,val=0.05,test=0.05] \\
         [--report /path/report.json]
 
 Stage order is chosen so the cheapest filters run first and every
@@ -52,8 +53,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def curate(spark, pages, *, min_tokens=20, blocklist=None,
            per_host_cap=None, dedup=True, near_dedup=True, eval_df=None,
            decontam_n=13, decontam_max_frac=None, paragraph_dedup=False,
-           length_band=None, id_col="doc_id", text_col="text",
-           url_col="url"):
+           length_band=None, url_rules=False, split_fractions=None,
+           id_col="doc_id", text_col="text", url_col="url"):
     """Run the curation pipeline; returns (survivors_df, report_dict).
 
     ``pages`` must carry ``id_col`` + ``text_col``; host stages apply
@@ -80,6 +81,13 @@ def curate(spark, pages, *, min_tokens=20, blocklist=None,
       (``decontaminate_overlap_keep``) instead of the exact
       ``min_hits=1`` rule — drop only docs whose contaminated-gram
       fraction reaches ``f``.
+    - ``url_rules=True``: URL hygiene pre-filter (``filter_urls``,
+      RefinedWeb-style extension/spam/IP/query/depth rules) as stage
+      0 — the cheapest cut runs first, before any text is touched.
+    - ``split_fractions={label: frac}``: stamp a leakage-safe
+      ``split`` column on the survivors (``host_split`` keyed on the
+      URL host — zero extra shuffle, pure projection), so the written
+      corpus partitions into train/val/test with whole hosts intact.
 
     Each counted stage is persisted before its ``count()`` and the
     previous stage's cache released, so the per-stage report costs one
@@ -114,6 +122,12 @@ def curate(spark, pages, *, min_tokens=20, blocklist=None,
         return df
 
     report = {"input_rows": pages.count()}
+
+    # 0. URL hygiene rules: the cheapest filter runs first (pure
+    # regexp scan over the url column — no text touched, no shuffle)
+    if url_rules and url_col in pages.columns:
+        from gopie_spark.operators.hoststats import filter_urls
+        pages = _stage(filter_urls(pages, url_col), "after_url_rules")
 
     # 1. quality filter (+ per-reason drop counts in one extra agg)
     flagged = quality_filter(pages, text_col, min_tokens=min_tokens)
@@ -201,8 +215,23 @@ def curate(spark, pages, *, min_tokens=20, blocklist=None,
         [k for k in ("after_decontaminate", "after_near_dedup",
                      "after_exact_dedup", "after_paragraph_dedup",
                      "after_host_budget", "after_blocklist",
-                     "after_length_band", "after_quality")
+                     "after_length_band", "after_quality",
+                     "after_url_rules")
          if k in report][0]]
+
+    # 6. leakage-safe split stamp (pure projection on the survivors —
+    # report counts per split so the build audit shows the realized mass)
+    if split_fractions and url_col in kept.columns:
+        from gopie_spark.operators.hoststats import extract_host
+        from gopie_spark.operators.split import assign_split
+        kept = _stage(
+            assign_split(kept.withColumn("_host", extract_host(url_col)),
+                         split_fractions, unit_col="_host")
+            .drop("_host"),
+            "with_split")
+        report["split_rows"] = {
+            r["split"]: r["count"]
+            for r in kept.groupBy("split").count().collect()}
     return kept, report
 
 
@@ -230,6 +259,12 @@ def main() -> None:
     ap.add_argument("--decontam-max-frac", type=float, default=None,
                     help="overlap-fraction decontamination threshold "
                          "(default: exact min-hits=1 policy)")
+    ap.add_argument("--url-rules", action="store_true",
+                    help="URL hygiene pre-filter (extension/spam/IP/"
+                         "query/depth rules) as stage 0")
+    ap.add_argument("--split-fractions", default=None,
+                    help="stamp a leakage-safe host-keyed split column, "
+                         "e.g. train=0.9,val=0.05,test=0.05")
     ap.add_argument("--report", default=None)
     args = ap.parse_args()
 
@@ -245,12 +280,18 @@ def main() -> None:
     if args.length_band:
         lo, hi = args.length_band.split(",")
         band = (float(lo), float(hi))
+    fractions = None
+    if args.split_fractions:
+        fractions = {lab: float(fr) for lab, fr in
+                     (part.split("=") for part in
+                      args.split_fractions.split(","))}
     survivors, report = curate(
         spark, pages, min_tokens=args.min_tokens,
         blocklist=args.blocklist.split(",") if args.blocklist else None,
         per_host_cap=args.per_host_cap, dedup=not args.no_dedup,
         eval_df=eval_df, decontam_max_frac=args.decontam_max_frac,
         paragraph_dedup=args.paragraph_dedup, length_band=band,
+        url_rules=args.url_rules, split_fractions=fractions,
         id_col=args.id_col, text_col=args.text_col,
         url_col=args.url_col)
     survivors.write.mode("overwrite").parquet(args.output)

@@ -75,3 +75,36 @@ def test_url_filter_zero_shuffle(urls):
     plan = url_filter_flags(urls)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# -- curate(): url_rules stage 0 + leakage-safe split stamp --------------------
+
+def test_curate_url_rules_and_split_stamp(spark, sf_dir):
+    """url_rules drops rule-flagged URLs BEFORE any text stage; the
+    split stamp adds a host-keyed split column to the survivors, whole
+    hosts staying within one split, and per-split counts land in the
+    report."""
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    from filter_corpus import curate
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    url = F.when(d % 10 == 0,
+                 F.concat(F.lit("https://cdn.example.com/x"),
+                          d.cast("string"), F.lit(".zip"))) \
+        .otherwise(F.concat(F.lit("https://h"),
+                            (d % 23).cast("string"),
+                            F.lit(".example.com/a/"), d.cast("string")))
+    pages = docs.select("doc_id", "text", "lang", url.alias("url"))
+    out, rep = curate(spark, pages, min_tokens=5, near_dedup=False,
+                      url_rules=True,
+                      split_fractions={"train": 0.8, "val": 0.2})
+    assert rep["after_url_rules"] == rep["input_rows"] - 50
+    assert "split" in out.columns
+    per_host = (out.withColumn("_h", F.regexp_extract(
+        "url", r"^https://([^/]+)/", 1))
+        .groupBy("_h").agg(F.countDistinct("split").alias("k")))
+    assert per_host.filter(F.col("k") != 1).count() == 0
+    assert sum(rep["split_rows"].values()) == rep["output_rows"]
+    assert rep["with_split"] == rep["output_rows"]
+    out.unpersist()
