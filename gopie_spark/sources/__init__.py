@@ -1,8 +1,12 @@
-"""Data sources: synthetic pages table, HTML text extraction, multimodal."""
+"""Data sources: synthetic pages table, HTML text extraction, WARC
+archives, multimodal."""
 
 from gopie_spark.sources.pages import (extract_text, extract_text_series,
                                        generate_pages, pages_schema,
                                        with_extracted_text)
+from gopie_spark.sources.warc import (parse_warc, read_warc,
+                                      warc_schema, write_warc_file)
 
 __all__ = ["extract_text", "extract_text_series", "generate_pages",
-           "pages_schema", "with_extracted_text"]
+           "pages_schema", "with_extracted_text",
+           "parse_warc", "read_warc", "warc_schema", "write_warc_file"]

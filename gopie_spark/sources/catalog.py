@@ -81,6 +81,13 @@ def load_table(spark: SparkSession, ref: str,
         return spark.table(ref)
     if fmt == "parquet":
         return spark.read.parquet(ref)
+    if fmt == "warc":
+        # raw crawl archives -> pages-shaped rows with extracted text
+        # (sources/warc.py: one task per archive, streamed records)
+        from gopie_spark.sources.pages import with_extracted_text
+        from gopie_spark.sources.warc import read_warc
+        return with_extracted_text(read_warc(spark, ref),
+                                   html_col="html", out_col="text")
     return spark.read.format(fmt).load(ref)
 
 
