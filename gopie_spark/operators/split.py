@@ -40,6 +40,7 @@ __all__ = [
     "oracle_assign_split_sql",
     "training_order",
     "oracle_training_order_sql",
+    "write_training_shards",
 ]
 
 
@@ -151,3 +152,25 @@ def oracle_training_order_sql(id_sql: str, n_shards: int,
     shard = f"CAST(({key}) % {n_shards} AS INT)"
     win = (f"PARTITION BY {shard} ORDER BY {key}, {id_sql}")
     return key, shard, win
+
+
+def write_training_shards(df: DataFrame, path: str,
+                          id_col: str = "doc_id", n_shards: int = 8,
+                          seed: int = 0, mode: str = "overwrite") -> None:
+    """Materialize one epoch: :func:`training_order` written as
+    ``path/shard=K/`` parquet with rows PHYSICALLY in ``pos`` order
+    inside each file — the layout a training data-loader consumes by
+    streaming shard files sequentially, no Spark needed at read time.
+
+    One Exchange total (repartition on shard = the window's own
+    partitioning, so the sort and the write reuse it); each shard is
+    written by exactly one task, so each ``shard=K`` directory holds
+    one pos-ordered file.  Size ``n_shards`` so a shard's rows fit one
+    write task (~file-size target), exactly as :func:`training_order`
+    documents.
+    """
+    ordered = training_order(df, id_col=id_col, n_shards=n_shards,
+                             seed=seed)
+    (ordered.repartition(n_shards, "shard")
+     .sortWithinPartitions("shard", "pos")
+     .write.mode(mode).partitionBy("shard").parquet(path))

@@ -108,3 +108,25 @@ def test_training_order_single_exchange(docs):
         .queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "rangepartitioning" not in plan.lower()  # never a global sort
+
+
+def test_write_training_shards_physical_order(docs, tmp_path):
+    """Each shard=K dir holds files whose PHYSICAL row order is pos
+    order (what a sequential data-loader reads), and the union over
+    shards is exactly the corpus."""
+    import glob
+    import pyarrow.parquet as pq
+    from gopie_spark.operators.split import write_training_shards
+    out = str(tmp_path / "epoch0")
+    write_training_shards(docs.select("doc_id"), out, n_shards=4,
+                          seed=3)
+    seen = []
+    for k in range(4):
+        files = sorted(glob.glob(f"{out}/shard={k}/*.parquet"))
+        assert len(files) == 1  # one task per shard -> one file
+        t = pq.read_table(files[0]).to_pydict()
+        assert t["pos"] == sorted(t["pos"])
+        assert t["pos"] == list(range(len(t["pos"])))
+        seen += t["doc_id"]
+    assert sorted(seen) == sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect())
