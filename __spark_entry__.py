@@ -1932,7 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness window has historically
     # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
     # without a driver-green row yet (the round-3 wave-2 tier + everything
-    # added in round 4: 19 + the 8 round-4b/4c entries = 27) are listed first
+    # added in round 4: 19 + the 9 round-4b/4c entries = 28) are listed first
     # so the hard signal covers them; the remaining entries were all
     # rows+schema+hash green in r01-r03 windows and stay gated by the local
     # DuckDB replica (tests/test_driver_contract.py) regardless of window

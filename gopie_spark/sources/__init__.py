@@ -5,8 +5,10 @@ from gopie_spark.sources.pages import (extract_text, extract_text_series,
                                        generate_pages, pages_schema,
                                        with_extracted_text)
 from gopie_spark.sources.warc import (parse_warc, read_warc,
-                                      warc_schema, write_warc_file)
+                                      stream_warc, warc_schema,
+                                      write_warc_file)
 
 __all__ = ["extract_text", "extract_text_series", "generate_pages",
            "pages_schema", "with_extracted_text",
-           "parse_warc", "read_warc", "warc_schema", "write_warc_file"]
+           "parse_warc", "read_warc", "stream_warc", "warc_schema",
+           "write_warc_file"]

@@ -31,7 +31,8 @@ import io
 from datetime import datetime, timezone
 from typing import Iterable, Iterator
 
-__all__ = ["parse_warc", "read_warc", "write_warc_file", "warc_schema"]
+__all__ = ["parse_warc", "read_warc", "stream_warc",
+           "write_warc_file", "warc_schema"]
 
 _CRLF2 = b"\r\n\r\n"
 
@@ -184,3 +185,33 @@ def write_warc_file(path: str, records: list[dict],
         out.write(gzip.compress(record) if gzip_per_record else record)
     with open(path, "wb") as fh:
         fh.write(out.getvalue())
+
+
+def stream_warc(spark, path: str,
+                record_types: tuple[str, ...] = ("response",)):
+    """Streaming variant of :func:`read_warc`: archives LANDING in
+    ``path`` stream through as record rows — the continuous-ingest
+    shape (a crawler drops ``.warc.gz`` files; downstream streaming
+    dedup/sketches consume records).  File-source semantics give
+    exactly-once per archive across restarts from the query's own
+    checkpoint; per-archive work is identical to the batch path."""
+    import pandas as pd
+
+    files = (spark.readStream.format("binaryFile")
+             .schema("path string, modificationTime timestamp, "
+                     "length long, content binary")
+             .load(path)
+             .select("path", "content"))
+
+    def _explode(batches):
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                rows = [{**rec, "warc_path": path_}
+                        for rec in parse_warc(bytes(content),
+                                              record_types)]
+                if rows:
+                    yield pd.DataFrame(rows)[
+                        ["url", "warc_ts", "record_type",
+                         "content_type", "html", "warc_path"]]
+
+    return files.mapInPandas(_explode, schema=warc_schema())

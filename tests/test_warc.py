@@ -93,3 +93,34 @@ def test_load_table_warc_format(spark, warc_dir, tmp_path):
     assert {"url", "warc_ts", "html", "text"} <= set(df.columns)
     assert df.count() == 20
     assert df.filter(F.col("text").contains("body text")).count() == 20
+
+
+def test_stream_warc_incremental_exactly_once(spark, tmp_path):
+    """Archives landing in a directory stream through exactly once per
+    archive across query restarts (file-source checkpoint): run 1 sees
+    archive A's records; after B lands, run 2 from the same checkpoint
+    emits ONLY B's records."""
+    from gopie_spark.sources.warc import stream_warc, write_warc_file
+    land = tmp_path / "landing"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    write_warc_file(str(land / "a.warc.gz"), RECORDS[:7])
+
+    got_batches = []
+
+    def _run():
+        batch_urls = []
+        q = (stream_warc(spark, str(land))
+             .writeStream.trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .foreachBatch(lambda df, _i: batch_urls.extend(
+                 r["url"] for r in df.select("url").collect()))
+             .start())
+        q.awaitTermination(120)
+        return sorted(batch_urls)
+
+    got_batches.append(_run())
+    write_warc_file(str(land / "b.warc.gz"), RECORDS[7:12])
+    got_batches.append(_run())
+    assert got_batches[0] == sorted(r["url"] for r in RECORDS[:7])
+    assert got_batches[1] == sorted(r["url"] for r in RECORDS[7:12])
