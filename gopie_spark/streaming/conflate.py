@@ -140,3 +140,14 @@ class LatestNConflate:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+def latest_snapshot(df: DataFrame, key_cols: Sequence[str] = ("url",),
+                    ts_col: str = "warc_ts",
+                    agg_salts: int = 16) -> DataFrame:
+    """Recrawl conflation: newest snapshot per key (url) by ``ts_col``
+    — the merge step when consecutive Common-Crawl dumps overlap.
+    :func:`latest_n` with n=1, so it inherits the two-level salted
+    capped aggregation (partial-aggregable, no per-key window sort over
+    the corpus; a hot URL's snapshots never sit in one buffer)."""
+    return latest_n(df, list(key_cols), ts_col, 1, agg_salts=agg_salts)

@@ -108,3 +108,67 @@ def test_curate_url_rules_and_split_stamp(spark, sf_dir):
     assert sum(rep["split_rows"].values()) == rep["output_rows"]
     assert rep["with_split"] == rep["output_rows"]
     out.unpersist()
+
+
+# -- recrawl conflation: newest snapshot per url -------------------------------
+
+def test_latest_snapshot_recrawl(spark):
+    """Two overlapping 'dumps' of the same urls conflate to the newest
+    snapshot per url, equal to the window row_number plan."""
+    from gopie_spark.sources.warc import write_warc_file
+    from gopie_spark.sources.catalog import load_table
+    from gopie_spark.streaming.conflate import latest_snapshot
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    recs = lambda dump, ids: [
+        {"url": f"https://h.example.com/p/{i}",
+         "date": f"2026-0{dump}-02T00:00:00Z",
+         "body": f"<html><body><p>dump {dump} doc {i}</p></body></html>"
+         .encode()} for i in ids]
+    write_warc_file(os.path.join(d, "crawl1.warc.gz"), recs(1, range(10)))
+    write_warc_file(os.path.join(d, "crawl2.warc.gz"), recs(2, range(5, 15)))
+    pages = load_table(spark, d + "/*", "warc")
+    got = latest_snapshot(pages.select("url", "warc_ts", "text"))
+    rows = {r["url"]: (r["warc_ts"].month, r["text"]) for r in got.collect()}
+    assert len(rows) == 15
+    for i in range(15):
+        u = f"https://h.example.com/p/{i}"
+        want_dump = 2 if i >= 5 else 1
+        assert rows[u][0] == want_dump
+        assert f"dump {want_dump} doc {i}" in rows[u][1]
+
+
+# -- make_epochs job ------------------------------------------------------------
+
+def test_make_epochs_distinct_deterministic(spark, sf_dir, tmp_path):
+    """Each epoch is a different permutation; rerunning an epoch with
+    the same seed reproduces it byte-for-byte."""
+    import glob
+    import pyarrow.parquet as pq
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    from make_epochs import make_epochs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    out = str(tmp_path / "ep")
+    rep = make_epochs(docs, out, n_shards=4, epochs=2, seed0=11)
+    assert rep["input_rows"] == 500 and len(rep["epochs"]) == 2
+
+    def order(epoch):
+        seq = []
+        for k in range(4):
+            for f in sorted(glob.glob(f"{out}/epoch={epoch}/shard={k}/*.parquet")):
+                seq += pq.read_table(f).to_pydict()["doc_id"]
+        return seq
+
+    e0, e1 = order(0), order(1)
+    assert sorted(e0) == sorted(e1) == list(range(500))
+    assert e0 != e1  # different seeds -> different permutations
+    rep2 = make_epochs(docs, str(tmp_path / "ep2"), n_shards=4,
+                       epochs=1, seed0=11)
+    out2 = str(tmp_path / "ep2")
+    seq2 = []
+    for k in range(4):
+        for f in sorted(glob.glob(f"{out2}/epoch=0/shard={k}/*.parquet")):
+            seq2 += pq.read_table(f).to_pydict()["doc_id"]
+    assert seq2 == e0  # same seed -> identical epoch
