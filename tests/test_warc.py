@@ -124,3 +124,43 @@ def test_stream_warc_incremental_exactly_once(spark, tmp_path):
     got_batches.append(_run())
     assert got_batches[0] == sorted(r["url"] for r in RECORDS[:7])
     assert got_batches[1] == sorted(r["url"] for r in RECORDS[7:12])
+
+
+def test_stream_warc_feeds_streaming_sketch(spark, tmp_path):
+    """The full north-star ingest path in one piece: WARC archives
+    landing in a directory -> streaming records -> per-host streaming
+    HLL state, byte-equal to the one-shot batch sketch over the same
+    pages after both archives land."""
+    from gopie_spark.kernels.hll import HLL
+    from gopie_spark.operators.hoststats import extract_host
+    from gopie_spark.operators.sketch_agg import STATE_COL, sketch_agg
+    from gopie_spark.sources.warc import (read_warc, stream_warc,
+                                          write_warc_file)
+    from gopie_spark.streaming import StreamingSketch
+
+    land = tmp_path / "land"
+    land.mkdir()
+    write_warc_file(str(land / "a.warc.gz"), RECORDS[:12])
+    hll = HLL(p=12)
+    ss = StreamingSketch(spark, hll, ["host"], "url",
+                         str(tmp_path / "state"))
+    pages = stream_warc(spark, str(land)) \
+        .withColumn("host", extract_host("url")) \
+        .select("host", "url")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = ss.attach(pages, checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    write_warc_file(str(land / "b.warc.gz"), RECORDS[12:])
+    q = ss.attach(stream_warc(spark, str(land))
+                  .withColumn("host", extract_host("url"))
+                  .select("host", "url"), checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+
+    got = {r["host"]: bytes(r[STATE_COL])
+           for r in ss.current_states().collect()}
+    batch = read_warc(spark, str(land) + "/*") \
+        .withColumn("host", extract_host("url")).select("host", "url")
+    want = {r["host"]: bytes(r[STATE_COL])
+            for r in sketch_agg(batch, ["host"], "url", hll).collect()}
+    assert got == want and len(got) == 5
