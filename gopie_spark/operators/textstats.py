@@ -779,3 +779,34 @@ def remove_duplicate_spans(df: DataFrame, n: int = 20, min_count: int = 2,
         out_col, F.array_join(F.transform(keep_tok, lambda s: s["t"]),
                               " ")).select(id_col, out_col)
     return df.join(cleaned, id_col, "left")
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      out_col: str = "compression_ratio") -> DataFrame:
+    """zlib-compressed bytes / raw UTF-8 bytes per document — the
+    standard cheap repetition/boilerplate signal (highly repetitive or
+    templated docs compress far below prose; level 6, the zlib
+    default, deterministic across platforms by spec).  Arrow-batched
+    pandas UDF (compression is the one per-doc step Catalyst cannot
+    express); zero shuffle, NULL/empty text → NULL.
+
+    Typical gates: prose lands ~0.3-0.7; ratio < ~0.2 flags repetition
+    (use alongside :func:`repetition_stats`, which localizes WHAT
+    repeats), > ~0.9 flags binary-ish/low-redundancy noise."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, 6)) / len(raw)
+        return texts.map(one)
+
+    return df.withColumn(out_col, _ratio(F.col(text_col)))

@@ -194,3 +194,32 @@ def test_priority_queries_inside_driver_window():
     window = set(names[:50])
     assert set(uncertified) <= window, \
         sorted(set(uncertified) - window)
+
+
+# -- compression-ratio quality signal -------------------------------------------
+
+def test_compression_ratio_signal(spark, sf_dir):
+    """Repetitive text compresses far below prose; random-ish hex far
+    above; NULL/empty -> NULL; zero shuffle; deterministic rerun."""
+    from gopie_spark.operators.textstats import compression_ratio
+    import hashlib
+    hexes = " ".join(hashlib.sha256(str(i).encode()).hexdigest()
+                     for i in range(40))
+    rows = [(0, "spam " * 400),
+            (1, "The quick brown fox jumps over the lazy dog. " * 8
+                + "It was the best of times, it was the worst of times, "
+                  "a tale of two cities in plain English prose."),
+            (2, hexes), (3, None), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["compression_ratio"]
+           for r in compression_ratio(df).collect()}
+    assert out[0] < 0.05          # pure repetition
+    assert 0.2 < out[1] < 0.8     # prose
+    assert out[2] > out[1]        # low-redundancy noise
+    assert out[3] is None and out[4] is None
+    plan = compression_ratio(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    again = {r["doc_id"]: r["compression_ratio"]
+             for r in compression_ratio(df.repartition(5)).collect()}
+    assert again == out
