@@ -1699,6 +1699,29 @@ def _url_filter_oracle_sql() -> str:
     """
 
 
+def _q_compression_gate(spark, sf_dir):
+    """Compression-ratio repetition gate (textstats.compression_ratio,
+    the zlib boilerplate signal): docs planted with heavy repetition
+    (doc_id % 5 == 0 gets 'spam ' x 200 appended) must gate below 0.2
+    while untouched prose stays above — the planted anchors are the
+    DuckDB-recomputable side (zlib itself is not SQL-expressible, so
+    the certificate is outcome booleans over known plants, the same
+    pattern as the ANN recall certs)."""
+    from gopie_spark.operators.textstats import compression_ratio
+    d = F.col("doc_id")
+    planted = F.when(d % 5 == 0,
+                     F.concat(F.col("text"), F.lit(" "),
+                              F.repeat(F.lit("spam "), 200))) \
+        .otherwise(F.col("text"))
+    docs = _docs(spark, sf_dir).select(
+        d.cast("long").alias("doc_id"), planted.alias("text"))
+    return (compression_ratio(docs)
+            .select("doc_id",
+                    (F.col("compression_ratio") < 0.2)
+                    .alias("is_repetitive"))
+            .orderBy("doc_id"))
+
+
 def _q_host_split_assign(spark, sf_dir):
     """Leakage-safe train/val/test split (split.host_split): the split
     label is a pure per-row function of the synthesized host (md5-keyed
@@ -1932,7 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness window has historically
     # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
     # without a driver-green row yet (the round-3 wave-2 tier + everything
-    # added in round 4: 19 + the 9 round-4b/4c entries = 28) are listed first
+    # added in round 4: 19 + the 10 round-4b/4c entries = 29) are listed first
     # so the hard signal covers them; the remaining entries were all
     # rows+schema+hash green in r01-r03 windows and stay gated by the local
     # DuckDB replica (tests/test_driver_contract.py) regardless of window
@@ -1967,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_split_assign": _q_host_split_assign,
         "training_order_docs": _q_training_order_docs,
         "url_filter_docs": _q_url_filter_docs,
+        "compression_gate": _q_compression_gate,
         # --- driver-green in r01-r03 windows ---
         "hll_distinct_global": _q_hll_distinct_global,
         "hll_distinct_per_lang": _q_hll_distinct_per_lang,
@@ -2957,6 +2981,10 @@ def oracle_sql() -> dict[str, str]:
         "host_split_assign": _host_split_oracle_sql(),
         "training_order_docs": _training_order_oracle_sql(),
         "url_filter_docs": _url_filter_oracle_sql(),
+        "compression_gate": """
+            SELECT doc_id, (doc_id % 5 = 0) AS is_repetitive
+            FROM documents ORDER BY doc_id
+        """,
         "temperature_mixture": """
             WITH counts AS (
                 SELECT lang, count(*) AS n FROM documents GROUP BY lang
