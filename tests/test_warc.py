@@ -164,3 +164,31 @@ def test_stream_warc_feeds_streaming_sketch(spark, tmp_path):
     want = {r["host"]: bytes(r[STATE_COL])
             for r in sketch_agg(batch, ["host"], "url", hll).collect()}
     assert got == want and len(got) == 5
+
+
+def test_parse_warc_property_adversarial_bodies():
+    """Property: roundtrip survives arbitrary binary bodies — including
+    ones embedding CRLFCRLF and fake 'WARC/1.0' headers — because
+    records are length-prefixed, never delimiter-scanned."""
+    from hypothesis import given, settings, strategies as st
+
+    body = st.binary(min_size=0, max_size=400).map(
+        lambda b: b + b"\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n")
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(body, min_size=1, max_size=6),
+           st.booleans())
+    def check(bodies, gz):
+        recs = [{"url": f"https://x.example.com/{i}",
+                 "date": "2026-03-04T05:06:07Z", "body": b,
+                 "http": False,
+                 "content_type": "application/octet-stream"}
+                for i, b in enumerate(bodies)]
+        import io
+        write_warc_file("/tmp/_prop.warc", recs, gzip_per_record=gz)
+        out = list(parse_warc(open("/tmp/_prop.warc", "rb").read()))
+        assert [r["html"] for r in out] == bodies
+        assert [r["url"] for r in out] == \
+            [r["url"] for r in recs]
+
+    check()
