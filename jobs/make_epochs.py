@@ -7,8 +7,8 @@ files a data-loader actually reads:
     spark-submit --py-files /tmp/gopie_spark.zip jobs/make_epochs.py \\
         --input /path/curated --output /path/epochs \\
         --n-shards 1024 --epochs 3 [--seed0 0] [--id-col doc_id] \\
-        [--split train] [--format parquet|iceberg|warc] \\
-        [--report /path/report.json]
+        [--split train] [--chunk-tokens 2048] \\
+        [--format parquet|iceberg|warc] [--report /path/report.json]
 
 Each epoch ``e`` lands at ``<output>/epoch=<e>/shard=<k>/`` with rows
 PHYSICALLY in position order inside each shard file
@@ -35,15 +35,35 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_epochs(df, output: str, *, n_shards: int, epochs: int,
-                seed0: int = 0, id_col: str = "doc_id") -> dict:
+                seed0: int = 0, id_col: str = "doc_id",
+                chunk_tokens: int | None = None,
+                text_col: str = "text") -> dict:
     """Write ``epochs`` deterministic permutations of ``df``; returns
     the accounting dict.  Pure function of its inputs (jobs and tests
-    share it)."""
+    share it).
+
+    ``chunk_tokens=N``: shuffle context-window CHUNKS instead of whole
+    documents — ``chunk_documents`` (zero-shuffle Generate) splits each
+    doc into consecutive N-token pieces first, and the epoch unit
+    becomes ``<id>#<chunk_idx>`` (a deterministic string id, so the
+    permutation stays engine-reproducible).  This is the shape sequence
+    packing wants: pieces of one long document scatter across the
+    epoch instead of arriving consecutively."""
+    from pyspark.sql import functions as F
     from gopie_spark.operators.split import write_training_shards
+    report = {"n_shards": n_shards, "epochs": []}
+    if chunk_tokens is not None:
+        from gopie_spark.operators.textstats import chunk_documents
+        df = chunk_documents(df, max_tokens=chunk_tokens, id_col=id_col,
+                             text_col=text_col) \
+            .withColumn("chunk_id",
+                        F.concat(F.col(id_col).cast("string"),
+                                 F.lit("#"), F.col("chunk_idx")))
+        id_col = "chunk_id"
+        report["chunk_tokens"] = chunk_tokens
     df = df.persist()
     rows = df.count()
-    report = {"input_rows": rows, "n_shards": n_shards,
-              "epochs": []}
+    report["input_rows"] = rows
     for e in range(epochs):
         path = os.path.join(output, f"epoch={e}")
         t0 = time.perf_counter()
@@ -65,6 +85,10 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--seed0", type=int, default=0)
     ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--chunk-tokens", type=int, default=None,
+                    help="chunk docs into N-token pieces and shuffle "
+                         "the chunks instead of whole documents")
     ap.add_argument("--split", default=None,
                     help="keep only this value of the corpus's split "
                          "column before sharding")
@@ -81,7 +105,8 @@ def main() -> None:
         df = df.filter(F.col("split") == args.split)
     report = make_epochs(df, args.output, n_shards=args.n_shards,
                          epochs=args.epochs, seed0=args.seed0,
-                         id_col=args.id_col)
+                         id_col=args.id_col, text_col=args.text_col,
+                         chunk_tokens=args.chunk_tokens)
     line = json.dumps(report)
     print(line)
     if args.report:

@@ -223,3 +223,35 @@ def test_compression_ratio_signal(spark, sf_dir):
     again = {r["doc_id"]: r["compression_ratio"]
              for r in compression_ratio(df.repartition(5)).collect()}
     assert again == out
+
+
+def test_make_epochs_chunk_level(spark, sf_dir, tmp_path):
+    """--chunk-tokens shuffles context-window chunks: every chunk of
+    every doc appears exactly once per epoch, and a long doc's chunks
+    scatter instead of arriving consecutively."""
+    import glob
+    import pyarrow.parquet as pq
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    from make_epochs import make_epochs
+    from gopie_spark.operators.textstats import chunk_documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").filter(F.col("doc_id") < 100)
+    want_chunks = {(r["doc_id"], r["chunk_idx"]) for r in
+                   chunk_documents(docs, max_tokens=16).collect()}
+    out = str(tmp_path / "cep")
+    rep = make_epochs(docs, out, n_shards=2, epochs=1, seed0=5,
+                      chunk_tokens=16)
+    assert rep["input_rows"] == len(want_chunks) > 150
+    seq, got = [], set()
+    for k in range(2):
+        for f in sorted(glob.glob(f"{out}/epoch=0/shard={k}/*.parquet")):
+            t = pq.read_table(f).to_pydict()
+            seq += t["chunk_id"]
+            got |= {tuple(map(int, c.split("#"))) for c in t["chunk_id"]}
+    assert got == want_chunks
+    # scatter: consecutive chunks of one doc are rarely adjacent
+    adjacent = sum(
+        1 for a, b in zip(seq, seq[1:])
+        if a.split("#")[0] == b.split("#")[0])
+    assert adjacent < len(seq) * 0.1
