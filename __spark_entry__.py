@@ -1722,6 +1722,25 @@ def _q_compression_gate(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_normalize_gate(spark, sf_dir):
+    """Unicode NFC canonicalization (textstats.normalize_text): docs
+    get decomposed/compatibility characters planted (combining acute
+    'e\\u0301', ligature \\ufb01, fullwidth \\uff21), are NFC-normalized
+    Spark-side (unicodedata), and the md5 digests must equal DuckDB's
+    own nfc_normalize over the same planted text — two independent
+    Unicode implementations agreeing byte-for-byte."""
+    from gopie_spark.operators.textstats import normalize_text
+    planted = F.concat(F.col("text"),
+                       F.lit(" café ﬁn Ａ"),
+                       F.col("doc_id").cast("string"))
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        planted.alias("text"))
+    return (normalize_text(docs, form="NFC")
+            .select("doc_id", F.md5("norm_text").alias("norm_digest"))
+            .orderBy("doc_id"))
+
+
 def _q_host_split_assign(spark, sf_dir):
     """Leakage-safe train/val/test split (split.host_split): the split
     label is a pure per-row function of the synthesized host (md5-keyed
@@ -1955,7 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness window has historically
     # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
     # without a driver-green row yet (the round-3 wave-2 tier + everything
-    # added in round 4: 19 + the 10 round-4b/4c entries = 29) are listed first
+    # added in round 4: 19 + the 11 round-4b/4c entries = 30) are listed first
     # so the hard signal covers them; the remaining entries were all
     # rows+schema+hash green in r01-r03 windows and stay gated by the local
     # DuckDB replica (tests/test_driver_contract.py) regardless of window
@@ -1991,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order_docs": _q_training_order_docs,
         "url_filter_docs": _q_url_filter_docs,
         "compression_gate": _q_compression_gate,
+        "normalize_gate": _q_normalize_gate,
         # --- driver-green in r01-r03 windows ---
         "hll_distinct_global": _q_hll_distinct_global,
         "hll_distinct_per_lang": _q_hll_distinct_per_lang,
@@ -2983,6 +3003,14 @@ def oracle_sql() -> dict[str, str]:
         "url_filter_docs": _url_filter_oracle_sql(),
         "compression_gate": """
             SELECT doc_id, (doc_id % 5 = 0) AS is_repetitive
+            FROM documents ORDER BY doc_id
+        """,
+        "normalize_gate": """
+            SELECT doc_id,
+                   md5(nfc_normalize(
+                       text || ' cafe' || chr(769) || ' ' || chr(64257)
+                            || 'n ' || chr(65313)
+                            || CAST(doc_id AS VARCHAR))) AS norm_digest
             FROM documents ORDER BY doc_id
         """,
         "temperature_mixture": """

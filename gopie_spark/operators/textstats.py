@@ -810,3 +810,42 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
         return texts.map(one)
 
     return df.withColumn(out_col, _ratio(F.col(text_col)))
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str = "norm_text", form: str = "NFC",
+                   lowercase: bool = False,
+                   strip_accents: bool = False) -> DataFrame:
+    """Unicode normalization (CCNet-style pre-dedup canonicalization):
+    apply ``form`` (NFC/NFKC/NFD/NFKD), then optional lowercasing and
+    accent stripping (drop combining marks after NFD) — so visually
+    identical texts in different encodings share one dedup digest.
+
+    Arrow-batched pandas UDF, zero shuffle (Unicode normalization is
+    the one string step Catalyst has no expression for); NULL → NULL.
+    The NFC path is oracle-exact against DuckDB's ``nfc_normalize``
+    (driver cert ``normalize_gate``); the option paths are pinned by
+    pytest parity on planted multi-script text."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+    import pandas as pd
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _norm(texts: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def one(t):
+            if t is None:
+                return None
+            s = unicodedata.normalize(form, t)
+            if strip_accents:
+                s = "".join(c for c in unicodedata.normalize("NFD", s)
+                            if not unicodedata.combining(c))
+                s = unicodedata.normalize(form, s)
+            if lowercase:
+                s = s.lower()
+            return s
+        return texts.map(one)
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))

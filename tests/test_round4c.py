@@ -255,3 +255,30 @@ def test_make_epochs_chunk_level(spark, sf_dir, tmp_path):
         1 for a, b in zip(seq, seq[1:])
         if a.split("#")[0] == b.split("#")[0])
     assert adjacent < len(seq) * 0.1
+
+
+# -- unicode normalization -------------------------------------------------------
+
+def test_normalize_text(spark):
+    """NFC composes decomposed accents; options casefold/strip accents;
+    NULL passes through; zero shuffle; bad form raises."""
+    from gopie_spark.operators.textstats import normalize_text
+    rows = [(0, "café ﬁn Ａ"), (1, None)]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["norm_text"]
+           for r in normalize_text(d, form="NFC").collect()}
+    assert out[0] == "café ﬁn Ａ"  # composed; compat kept
+    assert out[1] is None
+    nfkc = {r["doc_id"]: r["norm_text"]
+            for r in normalize_text(d, form="NFKC").collect()}
+    assert nfkc[0] == "café fin A"  # compat chars folded
+    strip = {r["doc_id"]: r["norm_text"]
+             for r in normalize_text(d, form="NFC", lowercase=True,
+                                     strip_accents=True).collect()}
+    assert strip[0] == "cafe ﬁn Ａ".lower()
+    plan = normalize_text(d)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        normalize_text(d, form="NFX")
