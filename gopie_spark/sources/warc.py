@@ -15,8 +15,12 @@ no warcio) wired into Spark the scale-correct way:
   format no Catalyst expression parses — but it happens once per
   ARCHIVE, streaming records out as batched rows, never per-row UDF
   calls from the plan).
-- Memory: records are yielded incrementally off a streaming gzip
-  reader, so peak memory is O(largest record), not O(archive).
+- Memory: ``binaryFile`` holds one archive's COMPRESSED bytes per task
+  (~1 GB for CC); decompression + record extraction then stream, so
+  the decompressed side peaks at O(largest record), never O(archive
+  decompressed).  Budget executor memory for compressed-archive-size
+  x concurrent tasks; archives above ``spark.sql.sources.binaryFile.
+  maxLength`` (2 GiB default) are rejected by Spark, not truncated.
 
 WARC specifics handled: WARC/1.0 and 1.1 headers, one-gzip-member-per-
 record archives (the CC layout) as well as plain concatenated records,
