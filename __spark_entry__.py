@@ -1722,6 +1722,31 @@ def _q_compression_gate(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_mirror_hosts(spark, sf_dir):
+    """Mirror-site detection (hoststats.mirror_host_pairs): hosts
+    sharing many exact-duplicate docs, found via digest-blocked pair
+    expansion (work bounded by actual cross-host duplication with a
+    per-digest host cap, never |hosts|^2).  Synthesized urls put each
+    content class on exactly two hosts; the DuckDB oracle recomputes
+    the whole chain (distinct host-digest set, cap-eligible digests,
+    pair counts, sizes, overlap) exactly; overlap ppm-quantized."""
+    from gopie_spark.operators.hoststats import mirror_host_pairs
+    d = F.col("doc_id")
+    synth = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://h"), (d % 20).cast("string"),
+                 F.lit(".example.com/p/"), d.cast("string")).alias("url"),
+        F.concat(F.lit("c"), (d % 30).cast("string")).alias("text"))
+    out = mirror_host_pairs(synth, min_shared=1, min_overlap=0.01,
+                            max_hosts_per_digest=50)
+    return (out.select("host_a", "host_b",
+                       F.col("n_shared").cast("long").alias("n_shared"),
+                       F.col("size_a").cast("long").alias("size_a"),
+                       F.col("size_b").cast("long").alias("size_b"),
+                       F.round(F.col("overlap") * 1e6)
+                       .cast("long").alias("overlap_ppm"))
+            .orderBy("host_a", "host_b"))
+
+
 def _q_normalize_gate(spark, sf_dir):
     """Unicode NFC canonicalization (textstats.normalize_text): docs
     get decomposed/compatibility characters planted (combining acute
@@ -1974,7 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness window has historically
     # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
     # without a driver-green row yet (the round-3 wave-2 tier + everything
-    # added in round 4: 19 + the 11 round-4b/4c entries = 30) are listed first
+    # added in round 4: 19 + the 12 round-4b/4c entries = 31) are listed first
     # so the hard signal covers them; the remaining entries were all
     # rows+schema+hash green in r01-r03 windows and stay gated by the local
     # DuckDB replica (tests/test_driver_contract.py) regardless of window
@@ -2011,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter_docs": _q_url_filter_docs,
         "compression_gate": _q_compression_gate,
         "normalize_gate": _q_normalize_gate,
+        "mirror_hosts": _q_mirror_hosts,
         # --- driver-green in r01-r03 windows ---
         "hll_distinct_global": _q_hll_distinct_global,
         "hll_distinct_per_lang": _q_hll_distinct_per_lang,
@@ -3012,6 +3038,38 @@ def oracle_sql() -> dict[str, str]:
                             || 'n ' || chr(65313)
                             || CAST(doc_id AS VARCHAR))) AS norm_digest
             FROM documents ORDER BY doc_id
+        """,
+        "mirror_hosts": """
+            WITH base AS (
+                SELECT DISTINCT
+                       'h' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.example.com' AS h,
+                       md5('c' || CAST(doc_id % 30 AS VARCHAR)) AS d
+                FROM documents
+            ),
+            sizes AS (SELECT h, count(*) AS n FROM base GROUP BY h),
+            elig AS (SELECT d FROM base GROUP BY d
+                     HAVING count(*) >= 2 AND count(*) <= 50),
+            pairs AS (
+                SELECT a.h AS host_a, b.h AS host_b,
+                       count(*) AS n_shared
+                FROM base a
+                JOIN elig USING (d)
+                JOIN base b USING (d)
+                WHERE a.h < b.h
+                GROUP BY 1, 2
+            )
+            SELECT host_a, host_b, n_shared,
+                   sa.n AS size_a, sb.n AS size_b,
+                   CAST(round(1e6 * n_shared /
+                              least(sa.n, sb.n)) AS BIGINT)
+                       AS overlap_ppm
+            FROM pairs
+            JOIN sizes sa ON sa.h = host_a
+            JOIN sizes sb ON sb.h = host_b
+            WHERE n_shared >= 1
+              AND n_shared * 1.0 / least(sa.n, sb.n) >= 0.01
+            ORDER BY host_a, host_b
         """,
         "temperature_mixture": """
             WITH counts AS (

@@ -72,7 +72,7 @@ def main() -> None:
         # round 4c: leakage-safe host split, deterministic epoch order,
         # URL hygiene filter
         "host_split_assign", "training_order_docs", "url_filter_docs",
-        "compression_gate", "normalize_gate",
+        "compression_gate", "normalize_gate", "mirror_hosts",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",

@@ -236,3 +236,64 @@ def oracle_url_flag_sql(col_sql: str, pattern: str) -> str:
     pat = pattern.replace("'", "''")
     return (f"coalesce(regexp_matches(lower({col_sql}), '{pat}'), "
             "FALSE)")
+
+
+def mirror_host_pairs(df: DataFrame, url_col: str = "url",
+                      text_col: str = "text",
+                      min_shared: int = 2,
+                      min_overlap: float = 0.5,
+                      max_hosts_per_digest: int = 50) -> DataFrame:
+    """Mirror-site detection: pairs of hosts serving many EXACT-duplicate
+    documents — classic Common-Crawl pathology (www/no-www, CDN clones,
+    scraper mirrors) that per-document dedup resolves doc-by-doc but
+    only host-level detection lets a pipeline drop or down-weight the
+    whole mirror.
+
+    ``DataFrame[host_a, host_b, n_shared, size_a, size_b, overlap]``
+    with host_a < host_b, ``n_shared`` = distinct shared content
+    digests, ``overlap`` = n_shared / min(size_a, size_b); pairs kept
+    when ``n_shared >= min_shared`` and ``overlap >= min_overlap``.
+
+    Scale shape: the join key is the content digest, so join work is
+    bounded by actual cross-host duplication, never |hosts|^2 — the
+    blocking idea of the dedup tier applied at host granularity.
+    Digests on more than ``max_hosts_per_digest`` hosts are dropped
+    BEFORE pair expansion (universal boilerplate would otherwise
+    expand quadratically); the filter is part of the operator's
+    definition so the SQL oracle reproduces it exactly.  Per-host
+    sizes ride a broadcast (hosts << docs).
+    """
+    base = (df.select(extract_host(url_col).alias("_h"),
+                      F.md5(_c(text_col)).alias("_d"))
+            .filter(F.col("_h") != "").distinct())
+    sizes = base.groupBy("_h").agg(F.count("*").alias("_n"))
+    eligible = (base.groupBy("_d")
+                .agg(F.collect_set("_h").alias("_hosts"))
+                .filter((F.size("_hosts") >= 2)
+                        & (F.size("_hosts") <= max_hosts_per_digest)))
+    all_pairs = F.flatten(F.transform(
+        "_hosts",
+        lambda a: F.transform("_hosts",
+                              lambda b: F.struct(a.alias("a"),
+                                                 b.alias("b")))))
+    pairs = (eligible.select(
+        F.explode(F.filter(all_pairs,
+                           lambda p: p["a"] < p["b"])).alias("_p"))
+        .select(F.col("_p.a").alias("host_a"),
+                F.col("_p.b").alias("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("n_shared")))
+    out = (pairs
+           .join(F.broadcast(sizes.withColumnRenamed("_h", "host_a")
+                             .withColumnRenamed("_n", "size_a")),
+                 "host_a")
+           .join(F.broadcast(sizes.withColumnRenamed("_h", "host_b")
+                             .withColumnRenamed("_n", "size_b")),
+                 "host_b")
+           .withColumn("overlap",
+                       F.col("n_shared")
+                       / F.least("size_a", "size_b"))
+           .filter((F.col("n_shared") >= min_shared)
+                   & (F.col("overlap") >= min_overlap)))
+    return out.select("host_a", "host_b", "n_shared",
+                      "size_a", "size_b", "overlap")

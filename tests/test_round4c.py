@@ -282,3 +282,34 @@ def test_normalize_text(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         normalize_text(d, form="NFX")
+
+
+# -- mirror-host detection -------------------------------------------------------
+
+def test_mirror_host_pairs(spark):
+    """Planted mirror (m1/m2 share 4 of 5 docs) is found with the right
+    counts; unrelated hosts are not paired; universal boilerplate
+    shared by many hosts is excluded by the digest cap."""
+    from gopie_spark.operators.hoststats import mirror_host_pairs
+    rows = []
+    for i in range(5):
+        rows.append((f"https://m1.example.com/p{i}", f"mirrored doc {i}"))
+    for i in range(4):
+        rows.append((f"https://m2.example.com/q{i}", f"mirrored doc {i}"))
+    rows.append(("https://m2.example.com/q9", "unique to m2"))
+    for h in range(8):
+        rows.append((f"https://u{h}.example.com/a", f"unique {h}"))
+        rows.append((f"https://u{h}.example.com/b", "universal boilerplate"))
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = mirror_host_pairs(df, min_shared=2, min_overlap=0.5,
+                            max_hosts_per_digest=5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["host_a"], r["host_b"]) == ("m1.example.com",
+                                          "m2.example.com")
+    assert r["n_shared"] == 4 and r["size_a"] == 5 and r["size_b"] == 5
+    assert abs(r["overlap"] - 0.8) < 1e-12
+    # raising the cap past 8 pairs the boilerplate hosts
+    loose = mirror_host_pairs(df, min_shared=1, min_overlap=0.4,
+                              max_hosts_per_digest=20).count()
+    assert loose > 1
