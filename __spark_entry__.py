@@ -1699,6 +1699,19 @@ def _url_filter_oracle_sql() -> str:
     """
 
 
+def _doc_sentences_oracle_sql() -> str:
+    """doc_sentences oracle, generated from the operator module's own
+    boundary pattern so the engines cannot drift."""
+    from gopie_spark.operators.textstats import oracle_split_sentences_sql
+    planted = ("text || '. Tail one!  Tail two?? Tail ' || "
+               "CAST(doc_id AS VARCHAR) || '...'")
+    inner = oracle_split_sentences_sql(
+        "(SELECT doc_id, " + planted +
+        " AS text FROM documents WHERE doc_id < 200)")
+    return (f"SELECT doc_id, sent_idx, md5(sentence) AS sent_digest "
+            f"FROM ({inner}) ORDER BY doc_id, sent_idx")
+
+
 def _q_compression_gate(spark, sf_dir):
     """Compression-ratio repetition gate (textstats.compression_ratio,
     the zlib boilerplate signal): docs planted with heavy repetition
@@ -1720,6 +1733,27 @@ def _q_compression_gate(spark, sf_dir):
                     (F.col("compression_ratio") < 0.2)
                     .alias("is_repetitive"))
             .orderBy("doc_id"))
+
+
+def _q_doc_sentences(spark, sf_dir):
+    """Sentence segmentation (textstats.split_sentences): terminal-
+    punctuation boundary, trimmed, empties dropped — zero-shuffle
+    Generate.  Oracle generated from the operator module's own
+    boundary pattern (oracle_split_sentences_sql) so the two engines
+    share one pattern source.  Text gets planted multi-sentence
+    suffixes so every boundary kind (., !, ?, runs) is exercised."""
+    from gopie_spark.operators.textstats import split_sentences
+    planted = F.concat(F.col("text"),
+                       F.lit(". Tail one!  Tail two?? Tail "),
+                       F.col("doc_id").cast("string"), F.lit("..."))
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        planted.alias("text"))
+    return (split_sentences(docs)
+            .select("doc_id",
+                    F.col("sent_idx").cast("int").alias("sent_idx"),
+                    F.md5("sentence").alias("sent_digest"))
+            .orderBy("doc_id", "sent_idx"))
 
 
 def _q_mirror_hosts(spark, sf_dir):
@@ -1999,7 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness window has historically
     # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
     # without a driver-green row yet (the round-3 wave-2 tier + everything
-    # added in round 4: 19 + the 12 round-4b/4c entries = 31) are listed first
+    # added in round 4: 19 + the 13 round-4b/4c entries = 32) are listed first
     # so the hard signal covers them; the remaining entries were all
     # rows+schema+hash green in r01-r03 windows and stay gated by the local
     # DuckDB replica (tests/test_driver_contract.py) regardless of window
@@ -2037,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_gate": _q_compression_gate,
         "normalize_gate": _q_normalize_gate,
         "mirror_hosts": _q_mirror_hosts,
+        "doc_sentences": _q_doc_sentences,
         # --- driver-green in r01-r03 windows ---
         "hll_distinct_global": _q_hll_distinct_global,
         "hll_distinct_per_lang": _q_hll_distinct_per_lang,
@@ -3039,6 +3074,7 @@ def oracle_sql() -> dict[str, str]:
                             || CAST(doc_id AS VARCHAR))) AS norm_digest
             FROM documents ORDER BY doc_id
         """,
+        "doc_sentences": _doc_sentences_oracle_sql(),
         "mirror_hosts": """
             WITH base AS (
                 SELECT DISTINCT

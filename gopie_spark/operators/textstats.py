@@ -849,3 +849,57 @@ def normalize_text(df: DataFrame, text_col: str = "text",
         return texts.map(one)
 
     return df.withColumn(out_col, _norm(F.col(text_col)))
+
+
+# sentence boundary: terminal punctuation run followed by whitespace.
+# Kept in the RE2 ∩ Java subset so the DuckDB oracle runs the same
+# pattern text; the replacement syntax differs per engine ($1 vs \1),
+# which oracle_split_sentences_sql handles.
+SENTENCE_BOUNDARY_RE = r"([.!?]+)\s+"
+_SENT_SEP = "\x1e"
+
+
+def split_sentences(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """``DataFrame[id_col, sent_idx (int, 0-based), sentence]`` — one
+    row per sentence, split on terminal punctuation + whitespace (the
+    deterministic, oracle-checkable segmenter; plug a model-based one
+    into the same contract if needed).  Sentences are trimmed; empty
+    pieces drop; NULL/empty docs produce no rows.
+
+    Per-row Catalyst only (regexp_replace marker + split + filter +
+    posexplode): zero shuffle, the Generate multiplies rows not bytes.
+    Feeds sentence-level decontamination and quality stats.
+    """
+    marked = F.regexp_replace(F.col(text_col), SENTENCE_BOUNDARY_RE,
+                              "$1" + _SENT_SEP)
+    parts = F.filter(
+        F.transform(F.split(marked, _SENT_SEP), lambda p: F.trim(p)),
+        lambda p: p != "")
+    return (df.select(F.col(id_col), parts.alias("_parts"))
+            .select(id_col, F.posexplode("_parts")
+                    .alias("sent_idx", "sentence")))
+
+
+def oracle_split_sentences_sql(table: str, id_sql: str = "doc_id",
+                               text_sql: str = "text") -> str:
+    """DuckDB mirror of :func:`split_sentences` (same boundary pattern
+    text; DuckDB replacement syntax + explicit global flag)."""
+    pat = SENTENCE_BOUNDARY_RE
+    return f"""
+        WITH m AS (
+            SELECT {id_sql} AS _id,
+                   list_filter(
+                       list_transform(
+                           string_split(
+                               regexp_replace({text_sql}, '{pat}',
+                                              '\\1' || chr(30), 'g'),
+                               chr(30)),
+                           p -> trim(p)),
+                       p -> p <> '') AS parts
+            FROM {table}
+        )
+        SELECT _id AS {id_sql}, CAST(i - 1 AS INT) AS sent_idx,
+               parts[i] AS sentence
+        FROM m, unnest(generate_series(1, len(parts))) AS u(i)
+    """

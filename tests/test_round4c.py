@@ -313,3 +313,26 @@ def test_mirror_host_pairs(spark):
     loose = mirror_host_pairs(df, min_shared=1, min_overlap=0.4,
                               max_hosts_per_digest=20).count()
     assert loose > 1
+
+
+# -- sentence segmentation -------------------------------------------------------
+
+def test_split_sentences(spark):
+    """Boundary kinds (., !, ?, runs), trimming, empty/NULL docs, and
+    the zero-shuffle plan."""
+    from gopie_spark.operators.textstats import split_sentences
+    rows = [(0, "One. Two!  Three?? Four... no stop"),
+            (1, "   "), (2, None), (3, "Single")]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {}
+    for r in split_sentences(d).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["sent_idx"], r["sentence"]))
+    # an ellipsis run followed by space is a boundary by the rule
+    assert got[0] == [(0, "One."), (1, "Two!"), (2, "Three??"),
+                      (3, "Four..."), (4, "no stop")]
+    assert 1 not in got and 2 not in got
+    assert got[3] == [(0, "Single")]
+    plan = split_sentences(d)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
