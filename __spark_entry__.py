@@ -1756,6 +1756,66 @@ def _q_doc_sentences(spark, sf_dir):
             .orderBy("doc_id", "sent_idx"))
 
 
+def _q_sentence_dedup(spark, sf_dir):
+    """Sentence-level keep-first dedup (dedup.dedup_sentences): docs
+    get a disclaimer sentence shared across their doc_id%7 class
+    planted; corpus-wide first occurrence survives, later copies are
+    cut, docs rebuild in order.  Same 8-byte-hash-keyed exploded-dedup
+    machinery as paragraph_dedup; the DuckDB oracle recomputes the
+    whole chain (split via the module's own boundary pattern, min-key
+    winners, ordered rebuild) exactly."""
+    from gopie_spark.operators.dedup import dedup_sentences
+    planted = F.concat(F.col("text"),
+                       F.lit(". Disclaimer number "),
+                       (F.col("doc_id") % 7).cast("string"),
+                       F.lit(" applies!"))
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        planted.alias("text"))
+    return (dedup_sentences(docs)
+            .select("doc_id", F.md5("clean_text").alias("clean_md5"),
+                    F.col("n_sents_kept").cast("long")
+                    .alias("n_sents_kept"))
+            .orderBy("doc_id"))
+
+
+def _sentence_dedup_oracle_sql() -> str:
+    """sentence_dedup oracle: sentence split generated from the
+    operator module's boundary pattern; keep-first winners via the
+    (doc_id, idx) min key; ordered rebuild."""
+    from gopie_spark.operators.textstats import oracle_split_sentences_sql
+    planted = ("text || '. Disclaimer number ' || "
+               "CAST(doc_id % 7 AS VARCHAR) || ' applies!'")
+    inner = oracle_split_sentences_sql(
+        "(SELECT doc_id, " + planted + " AS text FROM documents)")
+    return f"""
+        WITH sents AS ({inner}),
+        firsts AS (
+            SELECT sentence,
+                   min(doc_id * 1000000 + sent_idx) AS fk
+            FROM sents GROUP BY sentence
+        ),
+        kept AS (
+            SELECT s.doc_id, s.sent_idx, s.sentence
+            FROM sents s JOIN firsts f
+              ON s.sentence = f.sentence
+             AND s.doc_id * 1000000 + s.sent_idx = f.fk
+        ),
+        agg AS (
+            SELECT doc_id,
+                   md5(string_agg(sentence, ' '
+                                  ORDER BY sent_idx)) AS clean_md5,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.clean_md5, md5('')) AS clean_md5,
+               CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_sents_kept
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
 def _q_mirror_hosts(spark, sf_dir):
     """Mirror-site detection (hoststats.mirror_host_pairs): hosts
     sharing many exact-duplicate docs, found via digest-blocked pair
@@ -2033,7 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness window has historically
     # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
     # without a driver-green row yet (the round-3 wave-2 tier + everything
-    # added in round 4: 19 + the 13 round-4b/4c entries = 32) are listed first
+    # added in round 4: 19 + the 14 round-4b/4c entries = 33) are listed first
     # so the hard signal covers them; the remaining entries were all
     # rows+schema+hash green in r01-r03 windows and stay gated by the local
     # DuckDB replica (tests/test_driver_contract.py) regardless of window
@@ -2072,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_gate": _q_normalize_gate,
         "mirror_hosts": _q_mirror_hosts,
         "doc_sentences": _q_doc_sentences,
+        "sentence_dedup": _q_sentence_dedup,
         # --- driver-green in r01-r03 windows ---
         "hll_distinct_global": _q_hll_distinct_global,
         "hll_distinct_per_lang": _q_hll_distinct_per_lang,
@@ -3075,6 +3136,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "doc_sentences": _doc_sentences_oracle_sql(),
+        "sentence_dedup": _sentence_dedup_oracle_sql(),
         "mirror_hosts": """
             WITH base AS (
                 SELECT DISTINCT

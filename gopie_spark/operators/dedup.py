@@ -843,6 +843,37 @@ def _rebuild_docs(df: DataFrame, kept: DataFrame, id_col: str,
                         .cast("long")))
 
 
+def dedup_sentences(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", joiner: str = " ",
+                    out_col: str = "clean_text",
+                    hash_keys: bool = True) -> DataFrame:
+    """Sentence-granularity keep-first dedup: split each doc into
+    sentences (``textstats.split_sentences``'s boundary rule), keep
+    only the corpus-wide FIRST occurrence of every exact sentence, and
+    rebuild ``out_col`` in original order — the C4-lineage cut for
+    repeated disclaimers/footers that survive paragraph-level dedup
+    because their surrounding paragraph differs page to page.
+
+    Same machinery and scale shape as :func:`dedup_paragraphs`
+    (zero-shuffle split, 8-byte-hash-keyed exploded dedup, per-doc
+    rebuild); output adds ``n_sents`` / ``n_sents_kept``.  Fully
+    SQL-expressible, so the driver cert recomputes the whole chain
+    exactly."""
+    from .textstats import SENTENCE_BOUNDARY_RE, _SENT_SEP
+    marked = F.regexp_replace(F.col(text_col), SENTENCE_BOUNDARY_RE,
+                              "$1" + _SENT_SEP)
+    sents_arr = F.filter(
+        F.transform(F.split(marked, _SENT_SEP), lambda p: F.trim(p)),
+        lambda p: p != "")
+    exploded = (df.select(F.col(id_col),
+                          F.posexplode(sents_arr).alias("_idx", "_para")))
+    kept = dedup_paragraphs_exploded(exploded, id_col, "_idx", "_para",
+                                     hash_keys=hash_keys)
+    out = _rebuild_docs(df, kept, id_col, sents_arr, joiner, out_col)
+    return (out.withColumnRenamed("n_paras", "n_sents")
+            .withColumnRenamed("n_paras_kept", "n_sents_kept"))
+
+
 def incremental_paragraph_dedup(new_docs: DataFrame, para_store: str,
                                 id_col: str = "doc_id",
                                 text_col: str = "text",

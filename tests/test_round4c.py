@@ -336,3 +336,28 @@ def test_split_sentences(spark):
     plan = split_sentences(d)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# -- sentence-level keep-first dedup ---------------------------------------------
+
+def test_dedup_sentences(spark):
+    """A disclaimer sentence repeated across docs keeps exactly its
+    first occurrence; rebuild preserves order; hash and string key
+    tiers agree byte-for-byte."""
+    from gopie_spark.operators.dedup import dedup_sentences
+    disclaimer = "All rights reserved."
+    rows = [(0, f"Intro zero. {disclaimer} Body zero!"),
+            (1, f"Intro one. {disclaimer} Body one!"),
+            (2, f"{disclaimer}"),
+            (3, "Unique text only.")]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: (r["clean_text"], r["n_sents"],
+                         r["n_sents_kept"])
+           for r in dedup_sentences(d).collect()}
+    assert out[0] == (f"Intro zero. {disclaimer} Body zero!", 3, 3)
+    assert out[1] == ("Intro one. Body one!", 3, 2)
+    assert out[2] == ("", 1, 0)
+    assert out[3] == ("Unique text only.", 1, 1)
+    a = dedup_sentences(d, hash_keys=True).collect()
+    b = dedup_sentences(d, hash_keys=False).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
