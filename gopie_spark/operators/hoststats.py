@@ -267,10 +267,17 @@ def mirror_host_pairs(df: DataFrame, url_col: str = "url",
                       F.md5(_c(text_col)).alias("_d"))
             .filter(F.col("_h") != "").distinct())
     sizes = base.groupBy("_h").agg(F.count("*").alias("_n"))
-    eligible = (base.groupBy("_d")
-                .agg(F.collect_set("_h").alias("_hosts"))
-                .filter((F.size("_hosts") >= 2)
-                        & (F.size("_hosts") <= max_hosts_per_digest)))
+    # eligibility decided on a partial-aggregable COUNT first, so no
+    # aggregation buffer ever holds a universal digest's host set —
+    # collect_set runs only on digests already known to have <= cap
+    # hosts (the two-phase shape the dedup tier's bucket caps use)
+    elig_d = (base.groupBy("_d").agg(F.count("*").alias("_nh"))
+              .filter((F.col("_nh") >= 2)
+                      & (F.col("_nh") <= max_hosts_per_digest))
+              .select("_d"))
+    eligible = (base.join(elig_d, "_d")
+                .groupBy("_d")
+                .agg(F.collect_set("_h").alias("_hosts")))
     all_pairs = F.flatten(F.transform(
         "_hosts",
         lambda a: F.transform("_hosts",
