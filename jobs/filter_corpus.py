@@ -11,6 +11,7 @@ from the library's scale-shaped operators:
         [--min-tokens 20] [--no-dedup] [--paragraph-dedup] \\
         [--length-band 0.02,0.98] [--decontam-max-frac 0.1] \\
         [--url-rules] [--split-fractions train=0.9,val=0.05,test=0.05] \\
+        [--sentence-dedup] [--mirror-report 20] \\
         [--report /path/report.json]
 
 Stage order is chosen so the cheapest filters run first and every
@@ -53,7 +54,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def curate(spark, pages, *, min_tokens=20, blocklist=None,
            per_host_cap=None, dedup=True, near_dedup=True, eval_df=None,
            decontam_n=13, decontam_max_frac=None, paragraph_dedup=False,
-           length_band=None, url_rules=False, split_fractions=None,
+           sentence_dedup=False, length_band=None, url_rules=False,
+           split_fractions=None, mirror_report=None,
            id_col="doc_id", text_col="text", url_col="url"):
     """Run the curation pipeline; returns (survivors_df, report_dict).
 
@@ -84,6 +86,13 @@ def curate(spark, pages, *, min_tokens=20, blocklist=None,
     - ``url_rules=True``: URL hygiene pre-filter (``filter_urls``,
       RefinedWeb-style extension/spam/IP/query/depth rules) as stage
       0 — the cheapest cut runs first, before any text is touched.
+    - ``sentence_dedup=True``: C4-lineage sentence-level keep-first cut
+      (``dedup.dedup_sentences``) after the paragraph stage — repeated
+      disclaimers whose surrounding paragraph differs still dedup;
+      emptied docs drop.
+    - ``mirror_report=k``: embed the top-``k`` mirror-host pairs
+      (``hoststats.mirror_host_pairs``) in the report — observability
+      only, no rows dropped; runs on the post-quality corpus.
     - ``split_fractions={label: frac}``: stamp a leakage-safe
       ``split`` column on the survivors (``host_split`` keyed on the
       URL host — zero extra shuffle, pure projection), so the written
@@ -165,6 +174,23 @@ def curate(spark, pages, *, min_tokens=20, blocklist=None,
                                              id_col=id_col),
                           "after_host_budget")
 
+    # 3a'. mirror observability: top-k host pairs sharing exact-dup
+    # docs (digest-blocked, capped — never |hosts|^2); report-only
+    if mirror_report and url_col in kept.columns:
+        from gopie_spark.operators.hoststats import mirror_host_pairs
+        report["mirror_pairs"] = [
+            {"host_a": r["host_a"], "host_b": r["host_b"],
+             "n_shared": r["n_shared"],
+             "overlap": round(r["overlap"], 4)}
+            for r in (mirror_host_pairs(kept, url_col=url_col,
+                                        text_col=text_col,
+                                        # report-only: permissive
+                                        # thresholds, top-k by overlap
+                                        min_shared=2, min_overlap=0.0)
+                      .orderBy(F.desc("overlap"), F.desc("n_shared"),
+                               "host_a", "host_b")
+                      .limit(int(mirror_report)).collect())]
+
     # 3b. CCNet paragraph dedup: replace each doc's text with its
     # corpus-wide-first paragraphs so the document-level dedups (and
     # their digests) see boilerplate-free text; emptied docs drop
@@ -177,6 +203,18 @@ def curate(spark, pages, *, min_tokens=20, blocklist=None,
             .withColumn(text_col, F.col("_para_clean"))
             .select(kept.columns),
             "after_paragraph_dedup")
+
+    # 3c. sentence-level keep-first cut (after paragraphs: coarser
+    # units first, then the finer sentence pass over what remains)
+    if sentence_dedup:
+        from gopie_spark.operators.dedup import dedup_sentences
+        sd_out = dedup_sentences(kept, id_col=id_col, text_col=text_col,
+                                 out_col="_sent_clean")
+        kept = _stage(
+            sd_out.filter(F.col("n_sents_kept") > 0)
+            .withColumn(text_col, F.col("_sent_clean"))
+            .select(kept.columns),
+            "after_sentence_dedup")
 
     # 4. dedup: exact digest, then MinHash-LSH near-dup (cc survivors)
     if dedup:
@@ -213,7 +251,8 @@ def curate(spark, pages, *, min_tokens=20, blocklist=None,
 
     report["output_rows"] = report[
         [k for k in ("after_decontaminate", "after_near_dedup",
-                     "after_exact_dedup", "after_paragraph_dedup",
+                     "after_exact_dedup", "after_sentence_dedup",
+                     "after_paragraph_dedup",
                      "after_host_budget", "after_blocklist",
                      "after_length_band", "after_quality",
                      "after_url_rules")
@@ -262,6 +301,12 @@ def main() -> None:
     ap.add_argument("--url-rules", action="store_true",
                     help="URL hygiene pre-filter (extension/spam/IP/"
                          "query/depth rules) as stage 0")
+    ap.add_argument("--sentence-dedup", action="store_true",
+                    help="sentence-level keep-first cut after the "
+                         "paragraph stage")
+    ap.add_argument("--mirror-report", type=int, default=None,
+                    help="embed the top-K mirror-host pairs in the "
+                         "report (observability only)")
     ap.add_argument("--split-fractions", default=None,
                     help="stamp a leakage-safe host-keyed split column, "
                          "e.g. train=0.9,val=0.05,test=0.05")
@@ -291,6 +336,8 @@ def main() -> None:
         per_host_cap=args.per_host_cap, dedup=not args.no_dedup,
         eval_df=eval_df, decontam_max_frac=args.decontam_max_frac,
         paragraph_dedup=args.paragraph_dedup, length_band=band,
+        sentence_dedup=args.sentence_dedup,
+        mirror_report=args.mirror_report,
         url_rules=args.url_rules, split_fractions=fractions,
         id_col=args.id_col, text_col=args.text_col,
         url_col=args.url_col)

@@ -361,3 +361,41 @@ def test_dedup_sentences(spark):
     a = dedup_sentences(d, hash_keys=True).collect()
     b = dedup_sentences(d, hash_keys=False).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_curate_sentence_dedup_and_mirror_report(spark, sf_dir):
+    """sentence_dedup composes as a counted stage (monotone accounting,
+    repeated planted disclaimers cut); mirror_report embeds the planted
+    mirror pair without dropping rows."""
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    from filter_corpus import curate
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    # two mirror hosts serve identical texts for doc_id<40 (20 each)
+    url = F.concat(F.lit("https://m"), (d % 2).cast("string"),
+                   F.lit(".example.com/p/"), d.cast("string"))
+    # class = d % 5 so every class has members of both host parities
+    text = F.when(d < 40,
+                  F.concat(F.lit("Shared page body number "),
+                           (d % 5).cast("string"),
+                           F.lit(" with plenty of the and of words. "
+                                 "It is here so that the filter keeps "
+                                 "it in the corpus for the test."))) \
+        .otherwise(F.concat(F.col("text"),
+                            F.lit(". Disclaimer number "),
+                            (d % 7).cast("string"), F.lit(" applies!")))
+    pages = docs.select("doc_id", text.alias("text"), "lang",
+                        url.alias("url"))
+    out, rep = curate(spark, pages, min_tokens=5, dedup=False,
+                      sentence_dedup=True, mirror_report=3)
+    assert rep["after_sentence_dedup"] <= rep["after_quality"]
+    assert rep["output_rows"] == rep["after_sentence_dedup"] \
+        == out.count()
+    pairs = {(m["host_a"], m["host_b"]) for m in rep["mirror_pairs"]}
+    assert ("m0.example.com", "m1.example.com") in pairs
+    # the planted disclaimer survives exactly once corpus-wide
+    n_disc = out.filter(F.col("text").contains(
+        "Disclaimer number 3 applies!")).count()
+    assert n_disc == 1
+    out.unpersist()
