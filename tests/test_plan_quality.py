@@ -252,3 +252,45 @@ def test_quality_filter_is_zero_shuffle_scan(spark):
     assert "Exchange" not in plan
     assert "Generate" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mirror_host_pairs_broadcasts_sizes_no_cartesian(spark):
+    """Mirror detection joins on the content digest (work bounded by
+    actual duplication): no cartesian/NL join anywhere, host-size
+    joins ride broadcasts, and the pair expansion is JVM-side (no
+    Python in the plan)."""
+    from gopie_spark.operators.hoststats import mirror_host_pairs
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .withColumn("url", F.concat(F.lit("https://h"),
+                                    (F.col("doc_id") % 20)
+                                    .cast("string"),
+                                    F.lit(".example.com/p")))
+    plan = plan_text(mirror_host_pairs(docs), "extended")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # both size joins
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sentence_dedup_no_window_hash_keys(spark):
+    """Sentence dedup inherits the paragraph tier's shape: no window
+    sort over occurrences, partial-aggregable winner agg, xxhash64
+    8-byte join keys, no Python."""
+    from gopie_spark.operators.dedup import dedup_sentences
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_text(dedup_sentences(docs), "extended")
+    assert "Window" not in plan
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_split_sentences_zero_shuffle_generate(spark):
+    """Segmentation is scan-shaped: one Generate, no Exchange, no
+    Python."""
+    from gopie_spark.operators.textstats import split_sentences
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_text(split_sentences(docs))
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
