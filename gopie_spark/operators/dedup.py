@@ -819,6 +819,18 @@ def _paras_arr_expr(text_col: str, delim: str):
         lambda p: p != "")
 
 
+def _sents_arr_expr(text_col: str):
+    """``array<string>`` of trimmed non-empty sentences (the shared
+    boundary rule from textstats — marker replace then split, since
+    RE2-portable patterns exclude lookbehind)."""
+    from .textstats import SENTENCE_BOUNDARY_RE, _SENT_SEP
+    marked = F.regexp_replace(F.col(text_col), SENTENCE_BOUNDARY_RE,
+                              "$1" + _SENT_SEP)
+    return F.filter(
+        F.transform(F.split(marked, _SENT_SEP), lambda p: F.trim(p)),
+        lambda p: p != "")
+
+
 def _rebuild_docs(df: DataFrame, kept: DataFrame, id_col: str,
                   paras_arr, joiner: str, out_col: str) -> DataFrame:
     """Rejoin surviving ``(id, _idx, _para)`` rows into per-doc text in
@@ -859,12 +871,7 @@ def dedup_sentences(df: DataFrame, id_col: str = "doc_id",
     rebuild); output adds ``n_sents`` / ``n_sents_kept``.  Fully
     SQL-expressible, so the driver cert recomputes the whole chain
     exactly."""
-    from .textstats import SENTENCE_BOUNDARY_RE, _SENT_SEP
-    marked = F.regexp_replace(F.col(text_col), SENTENCE_BOUNDARY_RE,
-                              "$1" + _SENT_SEP)
-    sents_arr = F.filter(
-        F.transform(F.split(marked, _SENT_SEP), lambda p: F.trim(p)),
-        lambda p: p != "")
+    sents_arr = _sents_arr_expr(text_col)
     exploded = (df.select(F.col(id_col),
                           F.posexplode(sents_arr).alias("_idx", "_para")))
     kept = dedup_paragraphs_exploded(exploded, id_col, "_idx", "_para",
@@ -880,7 +887,8 @@ def incremental_paragraph_dedup(new_docs: DataFrame, para_store: str,
                                 delim: str = r"\n+", joiner: str = "\n",
                                 out_col: str = "clean_text",
                                 hash_keys: bool = True,
-                                update_store: bool = True) -> DataFrame:
+                                update_store: bool = True,
+                                unit: str = "paragraph") -> DataFrame:
     """Paragraph-dedup a batch of NEW documents against a corpus
     represented ONLY by its paragraph-key store — the daily-crawl
     workflow for :func:`dedup_paragraphs`: history's text is never
@@ -911,7 +919,12 @@ def incremental_paragraph_dedup(new_docs: DataFrame, para_store: str,
     ``n_paras_kept`` — the same shape as :func:`dedup_paragraphs`.
     """
     spark = new_docs.sparkSession
-    paras_arr = _paras_arr_expr(text_col, delim)
+    if unit == "sentence":
+        paras_arr = _sents_arr_expr(text_col)
+    elif unit == "paragraph":
+        paras_arr = _paras_arr_expr(text_col, delim)
+    else:
+        raise ValueError(f"unknown unit: {unit}")
     exploded = (new_docs.select(F.col(id_col),
                                 F.posexplode(paras_arr)
                                 .alias("_idx", "_para")))
@@ -938,3 +951,23 @@ def incremental_paragraph_dedup(new_docs: DataFrame, para_store: str,
             .parquet(para_store)
     return _rebuild_docs(new_docs, keyed.drop("_pk"), id_col, paras_arr,
                          joiner, out_col)
+
+
+def incremental_sentence_dedup(new_docs: DataFrame, sent_store: str,
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               out_col: str = "clean_text",
+                               hash_keys: bool = True,
+                               update_store: bool = True) -> DataFrame:
+    """Sentence-granularity :func:`incremental_paragraph_dedup`: dedup
+    a NEW batch's sentences against a corpus represented only by its
+    sentence-key store (keys must not be mixed with a paragraph
+    store).  Same store contract, work shape, and full-batch
+    equivalence; output renames accounting to ``n_sents`` /
+    ``n_sents_kept`` (matching :func:`dedup_sentences`)."""
+    out = incremental_paragraph_dedup(
+        new_docs, sent_store, id_col=id_col, text_col=text_col,
+        joiner=" ", out_col=out_col, hash_keys=hash_keys,
+        update_store=update_store, unit="sentence")
+    return (out.withColumnRenamed("n_paras", "n_sents")
+            .withColumnRenamed("n_paras_kept", "n_sents_kept"))

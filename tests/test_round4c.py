@@ -399,3 +399,31 @@ def test_curate_sentence_dedup_and_mirror_report(spark, sf_dir):
         "Disclaimer number 3 applies!")).count()
     assert n_disc == 1
     out.unpersist()
+
+
+# -- incremental sentence dedup vs a sentence-key store --------------------------
+
+def test_incremental_sentence_dedup_equals_full_batch(spark, sf_dir,
+                                                      tmp_path):
+    """Two-phase (history then new batch via the store) == full-batch
+    dedup_sentences restricted to the new docs; store never re-reads
+    history text."""
+    from gopie_spark.operators.dedup import (dedup_sentences,
+                                             incremental_sentence_dedup)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = F.concat(F.col("text"), F.lit(". Disclaimer number "),
+                       (F.col("doc_id") % 7).cast("string"),
+                       F.lit(" applies!"))
+    corpus = docs.select("doc_id", planted.alias("text"))
+    hist = corpus.filter(F.col("doc_id") < 250)
+    new = corpus.filter(F.col("doc_id") >= 250)
+    store = str(tmp_path / "sent_store")
+    incremental_sentence_dedup(hist, store).collect()  # phase 1
+    got = {r["doc_id"]: (r["clean_text"], r["n_sents_kept"])
+           for r in incremental_sentence_dedup(new, store).collect()}
+    full = {r["doc_id"]: (r["clean_text"], r["n_sents_kept"])
+            for r in dedup_sentences(corpus).collect()
+            if r["doc_id"] >= 250}
+    assert got == full
+    # every later copy of each disclaimer was cut in phase 2
+    assert all("Disclaimer" not in t for t, _ in got.values())
