@@ -66,6 +66,10 @@ def main() -> None:
                     help="dedup this input as a NEW batch against the "
                          "--sig-dir store (history immutable; "
                          "survivor sigs appended)")
+    ap.add_argument("--paragraph-unit", default="paragraph",
+                    choices=["paragraph", "sentence"],
+                    help="granularity of the keep-first stage (a store "
+                         "holds keys of ONE unit kind; do not mix)")
     ap.add_argument("--paragraph-store", default=None,
                     help="run CCNet keep-first paragraph dedup against "
                          "this paragraph-key parquet store FIRST (text "
@@ -102,7 +106,9 @@ def main() -> None:
     if args.paragraph_store:
         from gopie_spark.operators.dedup import incremental_paragraph_dedup
         pd_out = incremental_paragraph_dedup(
-            pages, args.paragraph_store, text_col=args.text_col)
+            pages, args.paragraph_store, text_col=args.text_col,
+            unit=args.paragraph_unit,
+            joiner=" " if args.paragraph_unit == "sentence" else "\n")
         pages = (pd_out.filter(F.col("n_paras_kept") > 0)
                  .withColumn(args.text_col, F.col("clean_text"))
                  .drop("clean_text", "n_paras", "n_paras_kept")
