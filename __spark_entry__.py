@@ -2133,57 +2133,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": _q_mirror_hosts,
         "doc_sentences": _q_doc_sentences,
         "sentence_dedup": _q_sentence_dedup,
-        # --- driver-green in r01-r03 windows ---
-        "hll_distinct_global": _q_hll_distinct_global,
-        "hll_distinct_per_lang": _q_hll_distinct_per_lang,
-        "hll_distinct_per_window": _q_hll_distinct_per_window,
-        "hll_union_reuse": _q_hll_union_reuse,
-        "cms_event_type_counts": _q_cms_event_type_counts,
-        "cms_topk_heavy_hitters": _q_cms_topk_heavy_hitters,
-        "mg_heavy_hitters": _q_mg_heavy_hitters,
-        "bloom_membership": _q_bloom_membership,
-        "bloom_shards_membership": _q_bloom_shards_membership,
-        "tdigest_quantiles": _q_tdigest_quantiles,
-        "kll_quantiles": _q_kll_quantiles,
-        "pushsum_mean": _q_pushsum_mean,
-        "topk_orders": _q_topk_orders,
-        "sorted_range_scan": _q_sorted_range_scan,
-        "window_tumbling_counts": _q_window_tumbling_counts,
-        "dedup_exact_stats": _q_dedup_exact_stats,
-        "dedup_exact_keep": _q_dedup_exact_keep,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "minhash_lsh_dedup": _q_minhash_lsh_dedup,
-        "simhash_dedup": _q_simhash_dedup,
-        "ann_brute_force": _q_ann_brute_force,
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
-        "ann_pq": _q_ann_pq,
-        "token_stats": _q_token_stats,
-        "bpe_token_stats": _q_bpe_token_stats,
-        "quality_scores": _q_quality_scores,
-        "doc_fingerprints": _q_doc_fingerprints,
-        "bitflag_ops": _q_bitflag_ops,
-        "lang_id_histogram": _q_lang_id_agreement,
-        "cms_token_heavy_hitters": _q_cms_token_heavy_hitters,
-        "cms_topk_tokens_per_lang": _q_cms_topk_tokens_per_lang,
-        "sliding_window_epoch_counts": _q_sliding_window_epoch_counts,
-        "cosine_pairs_bruteforce": _q_cosine_pairs_bruteforce,
-        "iceflake_unique": _q_iceflake_unique,
-        "jumphash_balance": _q_jumphash_balance,
-        "bloom_scalable_membership": _q_bloom_scalable_membership,
-        "tdigest_grouped_median": _q_tdigest_grouped_median,
-        "bloom_counting_remove": _q_bloom_counting_remove,
-        "bloom_counting_remove_dist": _q_bloom_counting_remove_dist,
-        "base58_roundtrip": _q_base58_roundtrip,
-        "sort_multi_key": _q_sort_multi_key,
-        "hll_intersect": _q_hll_intersect,
-        "cc_components": _q_cc_components,
-        "latest_n_events": _q_latest_n_events,
-        "hll_distinct_per_sliding_window": _q_hll_distinct_per_sliding_window,
-        "decontaminate_docs": _q_decontaminate_docs,
-        "uniform_sample_docs": _q_uniform_sample_docs,
-        "stratified_sample_docs": _q_stratified_sample_docs,
+        # --- driver-green in r01-r03 windows (rotated: reverse of the
+        # r03 ordering, so the window's remaining ~17 slots re-certify the
+        # LEAST-recently-windowed of the old queries each round) ---
         "priority_sample_docs": _q_priority_sample_docs,
+        "stratified_sample_docs": _q_stratified_sample_docs,
+        "uniform_sample_docs": _q_uniform_sample_docs,
+        "decontaminate_docs": _q_decontaminate_docs,
+        "hll_distinct_per_sliding_window": _q_hll_distinct_per_sliding_window,
+        "latest_n_events": _q_latest_n_events,
+        "cc_components": _q_cc_components,
+        "hll_intersect": _q_hll_intersect,
+        "sort_multi_key": _q_sort_multi_key,
+        "base58_roundtrip": _q_base58_roundtrip,
+        "bloom_counting_remove_dist": _q_bloom_counting_remove_dist,
+        "bloom_counting_remove": _q_bloom_counting_remove,
+        "tdigest_grouped_median": _q_tdigest_grouped_median,
+        "bloom_scalable_membership": _q_bloom_scalable_membership,
+        "jumphash_balance": _q_jumphash_balance,
+        "iceflake_unique": _q_iceflake_unique,
+        "cosine_pairs_bruteforce": _q_cosine_pairs_bruteforce,
+        "sliding_window_epoch_counts": _q_sliding_window_epoch_counts,
+        "cms_topk_tokens_per_lang": _q_cms_topk_tokens_per_lang,
+        "cms_token_heavy_hitters": _q_cms_token_heavy_hitters,
+        "lang_id_histogram": _q_lang_id_agreement,
+        "bitflag_ops": _q_bitflag_ops,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "quality_scores": _q_quality_scores,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "token_stats": _q_token_stats,
+        "ann_pq": _q_ann_pq,
+        "ann_ivf": _q_ann_ivf,
+        "ann_lsh": _q_ann_lsh,
+        "ann_brute_force": _q_ann_brute_force,
+        "simhash_dedup": _q_simhash_dedup,
+        "minhash_lsh_dedup": _q_minhash_lsh_dedup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "dedup_exact_keep": _q_dedup_exact_keep,
+        "dedup_exact_stats": _q_dedup_exact_stats,
+        "window_tumbling_counts": _q_window_tumbling_counts,
+        "sorted_range_scan": _q_sorted_range_scan,
+        "topk_orders": _q_topk_orders,
+        "pushsum_mean": _q_pushsum_mean,
+        "kll_quantiles": _q_kll_quantiles,
+        "tdigest_quantiles": _q_tdigest_quantiles,
+        "bloom_shards_membership": _q_bloom_shards_membership,
+        "bloom_membership": _q_bloom_membership,
+        "mg_heavy_hitters": _q_mg_heavy_hitters,
+        "cms_topk_heavy_hitters": _q_cms_topk_heavy_hitters,
+        "cms_event_type_counts": _q_cms_event_type_counts,
+        "hll_union_reuse": _q_hll_union_reuse,
+        "hll_distinct_per_window": _q_hll_distinct_per_window,
+        "hll_distinct_per_lang": _q_hll_distinct_per_lang,
+        "hll_distinct_global": _q_hll_distinct_global,
     }
 
 
