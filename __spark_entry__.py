@@ -1841,6 +1841,34 @@ def _q_mirror_hosts(spark, sf_dir):
             .orderBy("host_a", "host_b"))
 
 
+def _q_ams_f2_join_size(spark, sf_dir):
+    """AMS F2 sketch (kernels/ams.py, Alon–Matias–Szegedy): estimate
+    the self-join size Σf² of (event_type, user_id bucket) pairs — the
+    statistic a planner wants before choosing a join strategy — from
+    one mergeable median-of-means sign-sketch pass (sketch_agg
+    partial/merge, distributed==serial byte-equal pytest-pinned).
+    Exact anchor + 4·sqrt(2/n_means) bound certificate, the HLL cert
+    pattern."""
+    from gopie_spark.kernels import AMS
+    from gopie_spark.operators import global_sketch
+    ev = spark.read.parquet(_t(sf_dir, "events")).select(
+        F.concat(F.col("event_type"), F.lit("|"),
+                 F.pmod(F.col("user_id"), F.lit(100)).cast("string"))
+        .alias("v"))
+    ams = AMS(n_means=64, n_medians=5)
+    st = global_sketch(ev, "v", ams)
+    est = ams.estimate(st)
+    bound = 4 * ams.rel_err
+    exact_df = (ev.groupBy("v").count()
+                .agg(F.sum(F.col("count") * F.col("count"))
+                     .cast("long").alias("f2_exact")))
+    return exact_df.select(
+        "f2_exact",
+        ((F.lit(float(est)) <= F.col("f2_exact") * (1 + bound)) &
+         (F.lit(float(est)) >= F.col("f2_exact") * (1 - bound)))
+        .alias("within_bound"))
+
+
 def _q_normalize_gate(spark, sf_dir):
     """Unicode NFC canonicalization (textstats.normalize_text): docs
     get decomposed/compatibility characters planted (combining acute
@@ -2093,7 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness window has historically
     # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
     # without a driver-green row yet (the round-3 wave-2 tier + everything
-    # added in round 4: 19 + the 14 round-4b/4c entries = 33) are listed first
+    # added in round 4: 19 + the 15 round-4b/4c entries = 34) are listed first
     # so the hard signal covers them; the remaining entries were all
     # rows+schema+hash green in r01-r03 windows and stay gated by the local
     # DuckDB replica (tests/test_driver_contract.py) regardless of window
@@ -2133,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": _q_mirror_hosts,
         "doc_sentences": _q_doc_sentences,
         "sentence_dedup": _q_sentence_dedup,
+        "ams_f2_join_size": _q_ams_f2_join_size,
         # --- driver-green in r01-r03 windows (rotated: reverse of the
         # r03 ordering, so the window's remaining ~17 slots re-certify the
         # LEAST-recently-windowed of the old queries each round) ---
@@ -3139,6 +3168,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_sentences": _doc_sentences_oracle_sql(),
         "sentence_dedup": _sentence_dedup_oracle_sql(),
+        "ams_f2_join_size": """
+            WITH g AS (
+                SELECT event_type || '|' ||
+                       CAST(user_id % 100 AS VARCHAR) AS v,
+                       count(*) AS c
+                FROM events GROUP BY 1
+            )
+            SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact,
+                   TRUE AS within_bound
+            FROM g
+        """,
         "mirror_hosts": """
             WITH base AS (
                 SELECT DISTINCT

@@ -73,7 +73,7 @@ def main() -> None:
         # URL hygiene filter
         "host_split_assign", "training_order_docs", "url_filter_docs",
         "compression_gate", "normalize_gate", "mirror_hosts",
-        "doc_sentences", "sentence_dedup",
+        "doc_sentences", "sentence_dedup", "ams_f2_join_size",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",

@@ -17,8 +17,9 @@ from gopie_spark.kernels.tdigest import TDigest
 from gopie_spark.kernels.kll import KLL
 from gopie_spark.kernels.minhash import MinHash, SimHash
 from gopie_spark.kernels.misragries import MisraGries
+from gopie_spark.kernels.ams import AMS
 
 __all__ = [
     "HLL", "CMS", "BloomBit", "BloomCounting", "BloomScalable",
-    "TDigest", "KLL", "MinHash", "SimHash", "MisraGries",
+    "TDigest", "KLL", "MinHash", "SimHash", "MisraGries", "AMS",
 ]

@@ -34,6 +34,7 @@ KIND_KLL = 7
 KIND_MINHASH = 8
 KIND_SIMHASH = 9
 KIND_MISRAGRIES = 10
+KIND_AMS = 11
 
 
 def pack(kind: int, fields: List[Tuple[int, bytes]]) -> bytes:

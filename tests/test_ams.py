@@ -1,0 +1,74 @@
+"""AMS F2 sketch: kernel properties + Spark sketch_agg integration.
+
+F2 = Σ f² (self-join size).  Gates: estimate within 4·sqrt(2/n_means)
+of exact (the single-mean Chebyshev bound; the median only tightens
+it), merge == serial byte-equal under any partition split, blob
+roundtrip, shape/garbage refusal.
+"""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gopie_spark.kernels import AMS
+from gopie_spark.operators.sketch_agg import (STATE_COL, global_sketch,
+                                              sketch_agg)
+
+
+def test_ams_kernel_bound_and_merge():
+    rng = np.random.default_rng(11)
+    vals = np.array([f"key{i}" for i in range(500)], dtype=object)
+    cnts = (rng.zipf(1.7, size=500) % 1000 + 1).astype(np.int64)
+    f2 = float((cnts.astype(np.float64) ** 2).sum())
+    ams = AMS(n_means=64, n_medians=5)
+    st = ams.update(ams.zero(), vals, cnts)
+    est = ams.estimate(st)
+    assert abs(est - f2) <= 4 * ams.rel_err * f2
+    # linearity: any split merges to the identical state
+    for cut in (1, 137, 499):
+        a = ams.update(ams.zero(), vals[:cut], cnts[:cut])
+        b = ams.update(ams.zero(), vals[cut:], cnts[cut:])
+        assert np.array_equal(ams.merge(a, b)["z"], st["z"])
+    # roundtrip + refusals
+    blob = ams.serialize(st)
+    rt = ams.deserialize(blob)
+    assert np.array_equal(rt["z"], st["z"])
+    with pytest.raises(ValueError):
+        AMS(n_means=32).deserialize(blob)
+    with pytest.raises(Exception):
+        ams.deserialize(b"\x00garbage")
+
+
+def test_ams_spark_distributed_equals_serial(spark, sf_dir):
+    """sketch_agg partial/merge over the real events table == one
+    serial kernel pass, byte-equal; estimate within the bound of the
+    exact F2 (self-join size of event_type)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select(F.col("event_type").alias("v"))
+    ams = AMS(n_means=64, n_medians=5)
+    st = global_sketch(ev, "v", ams)
+    rows = [(r["v"], r["cnt"]) for r in
+            ev.groupBy("v").agg(F.count("*").alias("cnt")).collect()]
+    vals = np.array([r[0] for r in rows], dtype=object)
+    cnts = np.array([r[1] for r in rows], dtype=np.int64)
+    serial = ams.update(ams.zero(), vals, cnts)
+    assert np.array_equal(st["z"], serial["z"])
+    f2 = float((cnts.astype(np.float64) ** 2).sum())
+    assert abs(ams.estimate(st) - f2) <= 4 * ams.rel_err * f2
+
+
+def test_ams_grouped_sketch_agg(spark, sf_dir):
+    """Grouped AMS per lang: each group's estimate within the bound of
+    its exact per-group F2 over doc sources."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ams = AMS(n_means=64, n_medians=5)
+    states = {r["lang"]: bytes(r[STATE_COL]) for r in
+              sketch_agg(docs.select("lang", F.col("source").alias("v")),
+                         ["lang"], "v", ams).collect()}
+    exact = {}
+    for r in docs.groupBy("lang", "source").count().collect():
+        exact.setdefault(r["lang"], []).append(r["count"])
+    assert set(states) == set(exact)
+    for lang, blob in states.items():
+        est = ams.estimate(ams.deserialize(blob))
+        f2 = float(np.sum(np.asarray(exact[lang], dtype=np.float64) ** 2))
+        assert abs(est - f2) <= 4 * ams.rel_err * f2, lang
