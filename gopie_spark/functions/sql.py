@@ -141,6 +141,17 @@ def register_sql_functions(spark: SparkSession,
                                      [str(v)])[0])
         return pd.Series(out)
 
+
+    def _ams_f2(blobs):
+        from gopie_spark.kernels import AMS
+        out = np.zeros(len(blobs), dtype=np.float64)
+        for i, b in enumerate(blobs):
+            if b is None:
+                continue
+            ams = AMS.from_blob(bytes(b))
+            out[i] = ams.estimate(ams.deserialize(bytes(b)))
+        return pd.Series(out)
+
     spark.udf.register(f"{prefix}mg_estimate",
                        pandas_udf(_mg_estimate, "long"))
     spark.udf.register(f"{prefix}hll_estimate",
@@ -151,6 +162,8 @@ def register_sql_functions(spark: SparkSession,
                        pandas_udf(_cms_total, "long"))
     spark.udf.register(f"{prefix}bloom_exist",
                        pandas_udf(_bloom_exist, "boolean"))
+    spark.udf.register(f"{prefix}ams_f2",
+                       pandas_udf(_ams_f2, "double"))
     spark.udf.register(f"{prefix}tdigest_quantile",
                        pandas_udf(_tdigest_quantile, "double"))
     spark.udf.register(f"{prefix}kll_quantile",

@@ -171,3 +171,26 @@ def test_mg_estimate_from_sql(registered, spark):
     for t in types:
         assert got[t] == exact[t]  # exact: capacity covers universe
     assert got["absent"] == 0
+
+
+def test_ams_f2_from_sql(registered, spark):
+    """Grouped AMS states finalize from spark.sql; each group's F2
+    estimate within the kernel bound of its exact self-join size."""
+    from gopie_spark.kernels import AMS
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ams = AMS(n_means=64, n_medians=5)
+    sk = sketch_agg(docs.select("lang", F.col("source").alias("v")),
+                    ["lang"], "v", ams)
+    sk.createOrReplaceTempView("ams_states")
+    got = {r["lang"]: r["f2"] for r in spark.sql(
+        f"SELECT lang, gopie_ams_f2({STATE_COL}) AS f2 "
+        "FROM ams_states").collect()}
+    exact = {r["lang"]: r["f2"] for r in
+             docs.groupBy("lang", "source").count()
+             .groupBy("lang")
+             .agg(F.sum(F.col("count") * F.col("count")).alias("f2"))
+             .collect()}
+    assert set(got) == set(exact)
+    for lang in got:
+        assert abs(got[lang] - exact[lang]) \
+            <= 4 * ams.rel_err * exact[lang], lang
