@@ -1841,6 +1841,19 @@ def _q_mirror_hosts(spark, sf_dir):
             .orderBy("host_a", "host_b"))
 
 
+def _q_token_entropy_per_lang(spark, sf_dir):
+    """Per-lang token-entropy corpus-diversity report
+    (textstats.token_entropy): exact two-aggregation fold
+    (log2(N) − Σ c·log2 c / N — no second corpus pass, no window),
+    e6-quantized; DuckDB recomputes identically."""
+    from gopie_spark.operators.textstats import token_entropy
+    return (token_entropy(_docs(spark, sf_dir), keys=["lang"])
+            .select("lang", "n_tokens", "n_distinct",
+                    F.round(F.col("entropy_bits") * 1e6)
+                    .cast("long").alias("entropy_e6"))
+            .orderBy("lang"))
+
+
 def _q_ams_f2_join_size(spark, sf_dir):
     """AMS F2 sketch (kernels/ams.py, Alon–Matias–Szegedy): estimate
     the self-join size Σf² of (event_type, user_id bucket) pairs — the
@@ -2121,7 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness window has historically
     # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
     # without a driver-green row yet (the round-3 wave-2 tier + everything
-    # added in round 4: 19 + the 15 round-4b/4c entries = 34) are listed first
+    # added in round 4: 19 + the 16 round-4b/4c entries = 35) are listed first
     # so the hard signal covers them; the remaining entries were all
     # rows+schema+hash green in r01-r03 windows and stay gated by the local
     # DuckDB replica (tests/test_driver_contract.py) regardless of window
@@ -2162,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sentences": _q_doc_sentences,
         "sentence_dedup": _q_sentence_dedup,
         "ams_f2_join_size": _q_ams_f2_join_size,
+        "token_entropy_per_lang": _q_token_entropy_per_lang,
         # --- driver-green in r01-r03 windows (rotated: reverse of the
         # r03 ordering, so the window's remaining ~17 slots re-certify the
         # LEAST-recently-windowed of the old queries each round) ---
@@ -3178,6 +3192,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact,
                    TRUE AS within_bound
             FROM g
+        """,
+        "token_entropy_per_lang": r"""
+            WITH toks AS (
+                SELECT lang, unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    t -> t <> '')) AS t
+                FROM documents
+            ),
+            c AS (SELECT lang, t, count(*) AS c
+                  FROM toks GROUP BY lang, t)
+            SELECT lang,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(round(1e6 * (log2(sum(c))
+                        - sum(c * log2(c)) / sum(c))) AS BIGINT)
+                       AS entropy_e6
+            FROM c GROUP BY lang ORDER BY lang
         """,
         "mirror_hosts": """
             WITH base AS (

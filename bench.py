@@ -74,6 +74,7 @@ def main() -> None:
         "host_split_assign", "training_order_docs", "url_filter_docs",
         "compression_gate", "normalize_gate", "mirror_hosts",
         "doc_sentences", "sentence_dedup", "ams_f2_join_size",
+        "token_entropy_per_lang",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",

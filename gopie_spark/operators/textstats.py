@@ -7,7 +7,7 @@ heuristic — inherently not a SQL expression).
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List
+from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
 import pandas as pd
@@ -903,3 +903,35 @@ def oracle_split_sentences_sql(table: str, id_sql: str = "doc_id",
                parts[i] AS sentence
         FROM m, unnest(generate_series(1, len(parts))) AS u(i)
     """
+
+
+def token_entropy(df: DataFrame, keys: Sequence[str] | None = None,
+                  text_col: str = "text") -> DataFrame:
+    """Shannon entropy (bits/token) of the token frequency distribution
+    per key group — the corpus-diversity report a data-mixing pass
+    reads next to the dup-ngram fraction (low entropy = concentrated /
+    templated corpus slice; the uniform-distribution max is
+    log2(n_distinct_tokens)).
+
+    Output: ``DataFrame[keys..., n_tokens, n_distinct, entropy_bits]``.
+
+    Exact, two partial-aggregable hash aggregations (token counts, then
+    the per-group fold of ``-Σ (c/N)·log2(c/N)`` computed as
+    ``log2(N) - Σ c·log2(c) / N`` so the second agg needs only
+    ``sum(c·log2 c)``, ``sum(c)``, ``count`` — no second pass over the
+    corpus, no window).  SQL-expressible, so the driver cert recomputes
+    it exactly.
+    """
+    keys = list(keys or [])
+    toks = df.select(*keys,
+                     F.explode(F.filter(
+                         F.split(F.lower(F.trim(F.col(text_col))), _WS),
+                         lambda t: t != "")).alias("_t"))
+    counts = toks.groupBy(*keys, "_t").agg(F.count("*").alias("_c"))
+    n = F.sum("_c")
+    return (counts.groupBy(*keys)
+            .agg(n.cast("long").alias("n_tokens"),
+                 F.count("*").cast("long").alias("n_distinct"),
+                 ((F.log2(n) - F.sum(F.col("_c") * F.log2("_c")) / n))
+                 .alias("entropy_bits"))
+            )
