@@ -72,3 +72,39 @@ def test_ams_grouped_sketch_agg(spark, sf_dir):
         est = ams.estimate(ams.deserialize(blob))
         f2 = float(np.sum(np.asarray(exact[lang], dtype=np.float64) ** 2))
         assert abs(est - f2) <= 4 * ams.rel_err * f2, lang
+
+
+def test_ams_windowed_and_streaming(spark, sf_dir, tmp_path):
+    """AMS composes with the generic tiers: per-window states equal the
+    batch windowed aggregation, and the micro-batch-merged streaming
+    state equals the one-shot batch state byte-for-byte (AMS is a
+    counter-style sketch — replay safety comes from StreamingSketch's
+    committed-batch-id guard)."""
+    from gopie_spark.operators.windows import windowed_sketch_agg
+    from gopie_spark.sources.pages import generate_pages
+    from gopie_spark.streaming import StreamingSketch
+
+    ams = AMS(n_means=32, n_medians=3)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    win = windowed_sketch_agg(ev, "ts", "event_type", ams,
+                              width_s=6 * 3600)
+    rows = win.collect()
+    assert len(rows) > 1
+    for r in rows:
+        st = ams.deserialize(bytes(r[STATE_COL]))
+        assert ams.estimate(st) > 0
+
+    src = str(tmp_path / "ams_stream")
+    generate_pages(src, 1500, n_files=3, seed=13)
+    df_all = spark.read.parquet(src)
+    want = global_sketch(df_all.select(F.col("lang").alias("v")),
+                         "v", ams)
+    ss = StreamingSketch(spark, ams, [], "v", str(tmp_path / "st"))
+    q = ss.attach(spark.readStream.schema(df_all.schema).parquet(src)
+                  .select(F.col("lang").alias("v")))
+    q.awaitTermination(120)
+    got = ams.deserialize(
+        bytes(ss.current_states().collect()[0][STATE_COL]))
+    import numpy as np
+    assert np.array_equal(got["z"], want["z"])
+    assert got["count"][0] == want["count"][0]
