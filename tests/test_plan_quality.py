@@ -294,3 +294,14 @@ def test_split_sentences_zero_shuffle_generate(spark):
     assert "Exchange" not in plan
     assert "Generate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_entropy_two_hash_aggregates_no_window(spark):
+    """The entropy fold is two partial-aggregable hash aggregations —
+    no window, no extra corpus pass, no Python."""
+    from gopie_spark.operators.textstats import token_entropy
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_text(token_entropy(docs, keys=["lang"]), "extended")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 aggs
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
