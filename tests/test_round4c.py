@@ -427,3 +427,36 @@ def test_incremental_sentence_dedup_equals_full_batch(spark, sf_dir,
     assert got == full
     # every later copy of each disclaimer was cut in phase 2
     assert all("Disclaimer" not in t for t, _ in got.values())
+
+
+# -- corpus card -----------------------------------------------------------------
+
+def test_corpus_card(spark, sf_dir):
+    """The card composes the certified operators into one dict: exact
+    token totals, entropy per lang, t-digest quantiles bracketing the
+    true median, duplicate fraction of a planted duplicate, host
+    sections, quality rates in [0,1]."""
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    from corpus_report import corpus_card
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://h"), (d % 20).cast("string"),
+                   F.lit(".example.com/p/"), d.cast("string"))
+    # plant 50 exact duplicates (doc_id 450+ copy doc 0's text)
+    text = F.when(d >= 450, F.lit("the shared duplicate body text")) \
+        .otherwise(F.col("text"))
+    pages = docs.select("doc_id", text.alias("text"), "lang",
+                        url.alias("url"))
+    card = corpus_card(spark, pages)
+    assert card["n_docs"] == 500 and card["n_hosts"] == 20
+    assert set(card["languages"]) == {r["lang"] for r in
+                                      docs.select("lang").distinct()
+                                      .collect()}
+    assert card["n_tokens"] == sum(
+        v["n_tokens"] for v in card["languages"].values())
+    assert card["exact_duplicate_fraction"] == round(49 / 500, 6)
+    q = card["token_length_quantiles"]
+    assert q["0.01"] <= q["0.5"] <= q["0.99"]
+    assert all(0.0 <= v <= 1.0
+               for v in card["quality_flag_rates"].values())
