@@ -311,6 +311,9 @@ def main() -> None:
                     help="stamp a leakage-safe host-keyed split column, "
                          "e.g. train=0.9,val=0.05,test=0.05")
     ap.add_argument("--report", default=None)
+    ap.add_argument("--card", default=None,
+                    help="also write the survivors' corpus card "
+                         "(jobs/corpus_report.py) to this JSON path")
     args = ap.parse_args()
 
     from gopie_spark.plans import get_spark
@@ -342,6 +345,15 @@ def main() -> None:
         id_col=args.id_col, text_col=args.text_col,
         url_col=args.url_col)
     survivors.write.mode("overwrite").parquet(args.output)
+    if args.card:
+        # sibling job module (script dir is on sys.path when run as a
+        # script; ensure it for spark-submit deployments too)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from corpus_report import corpus_card
+        card = corpus_card(spark, survivors, text_col=args.text_col,
+                           url_col=args.url_col)
+        with open(args.card, "w") as fh:
+            fh.write(json.dumps(card) + "\n")
     report["wall_sec"] = round(time.perf_counter() - t0, 2)
     line = json.dumps(report)
     print(line)
