@@ -26,6 +26,7 @@ Registered names (idempotent to re-register):
 - ``gopie_tdigest_rank(state, value) -> double``   (CDF)
 - ``gopie_kll_rank(state, value) -> double``       (CDF)
 - ``gopie_mg_estimate(state, value) -> bigint``    (Misra–Gries lower bound)
+- ``gopie_theta_estimate(state) -> bigint``        (KMV distinct)
 """
 
 from __future__ import annotations
@@ -142,6 +143,16 @@ def register_sql_functions(spark: SparkSession,
         return pd.Series(out)
 
 
+    def _theta_estimate(blobs):
+        from gopie_spark.kernels import Theta
+        out = np.zeros(len(blobs), dtype=np.int64)
+        for i, b in enumerate(blobs):
+            if b is None:
+                continue
+            th = Theta.from_blob(bytes(b))
+            out[i] = int(round(th.estimate(th.deserialize(bytes(b)))))
+        return pd.Series(out)
+
     def _ams_f2(blobs):
         from gopie_spark.kernels import AMS
         out = np.zeros(len(blobs), dtype=np.float64)
@@ -164,6 +175,8 @@ def register_sql_functions(spark: SparkSession,
                        pandas_udf(_bloom_exist, "boolean"))
     spark.udf.register(f"{prefix}ams_f2",
                        pandas_udf(_ams_f2, "double"))
+    spark.udf.register(f"{prefix}theta_estimate",
+                       pandas_udf(_theta_estimate, "long"))
     spark.udf.register(f"{prefix}tdigest_quantile",
                        pandas_udf(_tdigest_quantile, "double"))
     spark.udf.register(f"{prefix}kll_quantile",

@@ -18,8 +18,10 @@ from gopie_spark.kernels.kll import KLL
 from gopie_spark.kernels.minhash import MinHash, SimHash
 from gopie_spark.kernels.misragries import MisraGries
 from gopie_spark.kernels.ams import AMS
+from gopie_spark.kernels.theta import Theta
 
 __all__ = [
     "HLL", "CMS", "BloomBit", "BloomCounting", "BloomScalable",
     "TDigest", "KLL", "MinHash", "SimHash", "MisraGries", "AMS",
+    "Theta",
 ]

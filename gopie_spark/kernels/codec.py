@@ -35,6 +35,7 @@ KIND_MINHASH = 8
 KIND_SIMHASH = 9
 KIND_MISRAGRIES = 10
 KIND_AMS = 11
+KIND_THETA = 12
 
 
 def pack(kind: int, fields: List[Tuple[int, bytes]]) -> bytes:

@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from gopie_spark.kernels import (CMS, HLL, BloomBit, BloomCounting,
-                                 BloomScalable, MinHash, SimHash)
+                                 BloomScalable, MinHash, SimHash, Theta)
 from gopie_spark.kernels.hashes import fnv1_64_values
 
 
@@ -48,6 +48,7 @@ SKETCHES = [
     ("bloom_counting", BloomCounting(m=1 << 14, k=6)),
     ("minhash", MinHash(k=64)),
     ("simhash", SimHash()),
+    ("theta", Theta(k=256)),  # k < distinct(TOKENS) so the trim tier merges
 ]
 
 
