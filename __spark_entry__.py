@@ -2130,6 +2130,107 @@ def _q_ngram_containment(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def _q_theta_distinct_events(spark, sf_dir):
+    """Theta/KMV distinct (kernels/theta.py, Beyer et al. 2007): the
+    event_id row exercises the theta tier (distinct >> k=512; estimate
+    (k-1)/U_(k) within 4/sqrt(k-2) of exact) and the user_id row the
+    tier split: STRICT equality when distinct < k (the retained set IS
+    the answer — true at sf0.001/sf0.01 with 15/150 users), the 4-sigma
+    bound when the table outgrows k (sf0.1's 1500 users).  States built
+    by the standard two-level sketch_agg partial/merge; merge is
+    byte-exact associative min-k."""
+    from gopie_spark.kernels import Theta
+    from gopie_spark.operators.sketch_agg import global_sketch
+    ev = _events(spark, sf_dir)
+    t = Theta(k=512)
+    st_eid = global_sketch(
+        ev.select(F.col("event_id").cast("string").alias("v")), "v", t)
+    st_uid = global_sketch(
+        ev.select(F.col("user_id").cast("string").alias("v")), "v", t)
+    row = ev.agg(F.countDistinct("event_id").alias("ne"),
+                 F.countDistinct("user_id").alias("nu")).collect()[0]
+    est_e, est_u = t.estimate(st_eid), t.estimate(st_uid)
+    ok_e = abs(est_e - row["ne"]) <= 4 * t.rel_err * row["ne"]
+    ok_u = (est_u == float(row["nu"]) if row["nu"] < t.k
+            else abs(est_u - row["nu"]) <= 4 * t.rel_err * row["nu"])
+    return spark.createDataFrame(
+        [("event_id", int(row["ne"]), bool(ok_e)),
+         ("user_id", int(row["nu"]), bool(ok_u))],
+        "scope string, n_exact long, within_bound boolean").orderBy("scope")
+
+
+_THETA_SRC_A = ("src0", "src1")
+_THETA_SRC_B = ("src1", "src2")
+
+
+def _shingles_by_source(docs, n=3):
+    """JVM-side word n-gram shingles per source (same transform(
+    sequence)/slice/array_join construction as textstats.dup_ngram_stats
+    — one Generate, no Python)."""
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != "")
+    n_sh = F.size(F.col("_toks")) - F.lit(n - 1)
+    grams = F.when(
+        n_sh >= 1,
+        F.transform(F.sequence(F.lit(1), n_sh),
+                    lambda i: F.array_join(F.slice(F.col("_toks"), i, n),
+                                           " "))
+    ).otherwise(F.array().cast("array<string>"))
+    return (docs.filter(F.col("text").isNotNull())
+            .select("source", toks.alias("_toks"))
+            .select("source", F.explode(grams).alias("sh")))
+
+
+def _q_theta_shingle_algebra(spark, sf_dir):
+    """Theta-sketch SET ALGEBRA over per-source 3-gram shingle sets —
+    the crawl-overlap question ("how much content do two source groups
+    share?") answered from per-source states built ONCE and merged,
+    never rescanned: A = src0 u src1, B = src1 u src2; union /
+    intersection / difference cardinalities estimated per Beyer et al.
+    2007 §5 (retained-union membership rho/K), each within its derived
+    4-sigma bound of the exact answer (kernels/theta.py docstring).
+    HLL can only do this by inclusion-exclusion on three estimates —
+    the theta sketch's sample-based intersection is the reason it
+    exists next to HLL."""
+    from gopie_spark.kernels import Theta
+    from gopie_spark.operators.sketch_agg import STATE_COL, sketch_agg
+    srcs = sorted(set(_THETA_SRC_A) | set(_THETA_SRC_B))
+    sh = _shingles_by_source(
+        _docs(spark, sf_dir).filter(F.col("source").isin(srcs)))
+    t = Theta(k=1024)
+    states = {r["source"]: t.deserialize(bytes(r[STATE_COL]))
+              for r in sketch_agg(sh.withColumnRenamed("sh", "v"),
+                                  ["source"], "v", t).collect()}
+    def _merged(names):
+        st = t.zero()
+        for s in names:
+            st = t.merge(st, t.deserialize(t.serialize(states[s])))
+        return st
+    sa, sb = _merged(_THETA_SRC_A), _merged(_THETA_SRC_B)
+    flags = (sh.groupBy("sh")
+             .agg(F.max(F.col("source").isin(list(_THETA_SRC_A)))
+                  .alias("ina"),
+                  F.max(F.col("source").isin(list(_THETA_SRC_B)))
+                  .alias("inb")))
+    ex = flags.agg(
+        F.count(F.when(F.col("ina") | F.col("inb"), 1)).alias("u"),
+        F.count(F.when(F.col("ina") & F.col("inb"), 1)).alias("i"),
+        F.count(F.when(F.col("ina") & ~F.col("inb"), 1)).alias("d"),
+    ).collect()[0]
+    cases = [
+        ("diff_ab", int(ex["d"]), t.diff_estimate(sa, sb),
+         t.diff_bound(sa, sb)),
+        ("intersect", int(ex["i"]), t.intersect_estimate(sa, sb),
+         t.intersect_bound(sa, sb)),
+        ("union", int(ex["u"]), t.union_estimate(sa, sb),
+         t.union_bound(sa, sb)),
+    ]
+    return spark.createDataFrame(
+        [(op, n, bool(abs(est - n) <= bound))
+         for op, n, est, bound in cases],
+        "op string, n_exact long, within_bound boolean").orderBy("op")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness window has historically
     # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
@@ -2141,6 +2242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position.
     return {
         # --- no driver-green row yet (r4 priority block) ---
+        "theta_distinct_events": _q_theta_distinct_events,
+        "theta_shingle_algebra": _q_theta_shingle_algebra,
         "paragraph_dedup": _q_paragraph_dedup,
         "contamination_overlap": _q_contamination_overlap,
         "semantic_dedup": _q_semantic_dedup,
@@ -2234,6 +2337,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "theta_distinct_events": """
+            SELECT * FROM (
+                SELECT 'event_id' AS scope,
+                       count(DISTINCT event_id) AS n_exact,
+                       TRUE AS within_bound
+                FROM events
+                UNION ALL
+                SELECT 'user_id', count(DISTINCT user_id), TRUE
+                FROM events
+            ) ORDER BY scope
+        """,
+        "theta_shingle_algebra": r"""
+            WITH toks AS (
+                SELECT source,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                                      '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+                WHERE text IS NOT NULL
+                  AND source IN ('src0', 'src1', 'src2')
+            ), sh AS (
+                SELECT source, array_to_string(t[i:i+2], ' ') AS sh
+                FROM toks,
+                     LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) g
+            ), flags AS (
+                SELECT sh,
+                       bool_or(source IN ('src0', 'src1')) AS ina,
+                       bool_or(source IN ('src1', 'src2')) AS inb
+                FROM sh GROUP BY sh
+            )
+            SELECT * FROM (
+                SELECT 'diff_ab' AS op,
+                       count(*) FILTER (ina AND NOT inb) AS n_exact,
+                       TRUE AS within_bound
+                FROM flags
+                UNION ALL
+                SELECT 'intersect', count(*) FILTER (ina AND inb), TRUE
+                FROM flags
+                UNION ALL
+                SELECT 'union', count(*) FILTER (ina OR inb), TRUE
+                FROM flags
+            ) ORDER BY op
+        """,
         "hll_distinct_global": """
             SELECT count(DISTINCT doc_id) AS n_exact, TRUE AS within_bound
             FROM documents
