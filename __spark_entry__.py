@@ -2130,6 +2130,49 @@ def _q_ngram_containment(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def _q_sketch_cube_rollup(spark, sf_dir):
+    """Persisted sketch cube (operators/cube.py, the hypertable /
+    continuous-aggregate pattern): one scan builds an HLL cube keyed
+    (event_type, day), persisted partitionBy(day) and reopened through
+    its self-describing metadata; the per-event_type rollup is then a
+    merge over cube cells only — no raw rescans.  Certificate:
+    (a) the rolled-up state is BYTE-IDENTICAL to a direct per-type
+    build (register-max mergeability makes precomputation lossless),
+    (b) its estimate is within the HLL 3-sigma bound of the exact
+    distinct-user count."""
+    import tempfile
+    from gopie_spark.kernels import HLL
+    from gopie_spark.operators.cube import (build_sketch_cube,
+                                            load_sketch_cube, rollup)
+    from gopie_spark.operators.sketch_agg import STATE_COL, sketch_agg
+    hll = HLL(p=14)
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    with tempfile.TemporaryDirectory() as d:
+        build_sketch_cube(ev, ["event_type", "day"], "user_id", hll,
+                          path=d, partition_dim="day")
+        cells, kern, _dims = load_sketch_cube(spark, d)
+        rolled = {r["event_type"]: bytes(r[STATE_COL]) for r in
+                  rollup(cells, ["event_type"], kern).collect()}
+    direct = {r["event_type"]: bytes(r[STATE_COL]) for r in
+              sketch_agg(ev.select("event_type",
+                                   F.col("user_id").alias("v")),
+                         ["event_type"], "v", hll).collect()}
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    bound = 3 * hll.std_err
+    rows = []
+    for et in sorted(exact):
+        est = hll.count(hll.deserialize(rolled[et]))
+        rows.append((et, int(exact[et]),
+                     bool(rolled[et] == direct[et]),
+                     bool(abs(est - exact[et])
+                          <= max(bound * exact[et], 1.0))))
+    return spark.createDataFrame(
+        rows, "event_type string, n_exact long, state_equal boolean, "
+              "within_bound boolean").orderBy("event_type")
+
+
 def _q_theta_distinct_events(spark, sf_dir):
     """Theta/KMV distinct (kernels/theta.py, Beyer et al. 2007): the
     event_id row exercises the theta tier (distinct >> k=512; estimate
@@ -2242,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position.
     return {
         # --- no driver-green row yet (r4 priority block) ---
+        "sketch_cube_rollup": _q_sketch_cube_rollup,
         "theta_distinct_events": _q_theta_distinct_events,
         "theta_shingle_algebra": _q_theta_shingle_algebra,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -2337,6 +2381,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sketch_cube_rollup": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_exact,
+                   TRUE AS state_equal,
+                   TRUE AS within_bound
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
         "theta_distinct_events": """
             SELECT * FROM (
                 SELECT 'event_id' AS scope,

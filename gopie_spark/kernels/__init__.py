@@ -23,5 +23,32 @@ from gopie_spark.kernels.theta import Theta
 __all__ = [
     "HLL", "CMS", "BloomBit", "BloomCounting", "BloomScalable",
     "TDigest", "KLL", "MinHash", "SimHash", "MisraGries", "AMS",
-    "Theta",
+    "Theta", "sketch_from_blob",
 ]
+
+
+def sketch_from_blob(blob: bytes):
+    """Reconstruct the right kernel (with its parameters) from any
+    state blob via the codec kind tag — the self-describing-state
+    property that lets persisted sketch tables (operators/cube.py)
+    be reopened without out-of-band schema knowledge."""
+    from gopie_spark.kernels import codec
+
+    kind, _ = codec.unpack(blob)
+    by_kind = {
+        codec.KIND_HLL: HLL,
+        codec.KIND_CMS: CMS,
+        codec.KIND_BLOOM_COUNTING: BloomCounting,
+        codec.KIND_BLOOM_BIT: BloomBit,
+        codec.KIND_BLOOM_SCALABLE: BloomScalable,
+        codec.KIND_TDIGEST: TDigest,
+        codec.KIND_KLL: KLL,
+        codec.KIND_MINHASH: MinHash,
+        codec.KIND_SIMHASH: SimHash,
+        codec.KIND_MISRAGRIES: MisraGries,
+        codec.KIND_AMS: AMS,
+        codec.KIND_THETA: Theta,
+    }
+    if kind not in by_kind:
+        raise ValueError(f"unknown sketch kind {kind}")
+    return by_kind[kind].from_blob(blob)

@@ -186,6 +186,11 @@ class MinHash:
             raise ValueError("minhash k mismatch")
         return np.frombuffer(fields[2], dtype=U64).copy()
 
+    @classmethod
+    def from_blob(cls, blob: bytes) -> "MinHash":
+        fields = codec.expect_kind(blob, codec.KIND_MINHASH)
+        return cls(k=int(np.frombuffer(fields[1], dtype=I64)[0]))
+
 
 _BITS = np.arange(64, dtype=U64)
 
@@ -265,3 +270,8 @@ class SimHash:
     def deserialize(self, blob: bytes):
         fields = codec.expect_kind(blob, codec.KIND_SIMHASH)
         return np.frombuffer(fields[2], dtype=I64).copy()
+
+    @classmethod
+    def from_blob(cls, blob: bytes) -> "SimHash":
+        codec.expect_kind(blob, codec.KIND_SIMHASH)
+        return cls()

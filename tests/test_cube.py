@@ -1,0 +1,173 @@
+"""Sketch cube (operators/cube.py): scan-once, merge-only rollups.
+
+Gates: rollup state == direct-build state BYTE-EQUAL at every grain
+(register-max / min-k mergeability is grain-free); persisted cube is
+self-describing (kernel + params reopen from the blob alone); a
+partition-dim predicate statically prunes cube files; refusals.
+"""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gopie_spark.kernels import HLL, Theta, sketch_from_blob
+from gopie_spark.operators.cube import (build_sketch_cube,
+                                        load_sketch_cube, rollup,
+                                        rollup_estimates)
+from gopie_spark.operators.sketch_agg import STATE_COL, sketch_agg
+
+
+def _events_with_day(spark, sf_dir):
+    return (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .withColumn("day", F.to_date("ts")))
+
+
+def _states(df, keys):
+    return {tuple(r[k] for k in keys) if keys else (): bytes(r[STATE_COL])
+            for r in df.collect()}
+
+
+@pytest.mark.parametrize("sketch", [HLL(p=12), Theta(k=256)],
+                         ids=["hll", "theta"])
+def test_rollup_byte_equal_to_direct_build(spark, sf_dir, sketch):
+    """(event_type, day) cube rolled up to event_type / day / global is
+    byte-identical to building each grain directly from the raw rows —
+    the lossless-precomputation property the cube exists for."""
+    ev = _events_with_day(spark, sf_dir)
+    cube = build_sketch_cube(ev, ["event_type", "day"], "user_id", sketch)
+    cube = cube.localCheckpoint()  # build once, roll up three ways
+    for keep in (["event_type"], ["day"], []):
+        got = _states(rollup(cube, keep, sketch), keep)
+        want = _states(
+            sketch_agg(ev.select(*keep, F.col("user_id").alias("v")),
+                       keep, "v", sketch), keep)
+        assert got == want, keep
+
+
+def test_rollup_estimates_and_filter(spark, sf_dir):
+    """Day-range rollup: filter cells, merge, estimate — matches the
+    exact distinct over the same raw slice within the HLL bound."""
+    hll = HLL(p=14)
+    ev = _events_with_day(spark, sf_dir)
+    cube = build_sketch_cube(ev, ["event_type", "day"], "user_id", hll)
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    keep_days = days[: max(1, len(days) // 2)]
+    est = {r["event_type"]: r["estimate"] for r in rollup_estimates(
+        cube, ["event_type"], hll,
+        where=F.col("day").isin(keep_days)).collect()}
+    exact = {r["event_type"]: r["n"] for r in
+             ev.filter(F.col("day").isin(keep_days))
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    bound = 3 * 1.04 / np.sqrt(2 ** 14)
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) <= max(bound * exact[k], 1.0), k
+
+
+def test_persisted_cube_self_describing(spark, sf_dir, tmp_path):
+    """Write with partitionBy(day); reopen WITHOUT naming the kernel —
+    sketch_from_blob reconstructs Theta(k=128) from the meta blob; a
+    day predicate lands in the scan's partition filters (static file
+    pruning on the cube read)."""
+    t = Theta(k=128)
+    ev = _events_with_day(spark, sf_dir)
+    path = str(tmp_path / "cube")
+    build_sketch_cube(ev, ["event_type", "day"], "user_id", t,
+                      path=path, partition_dim="day")
+    cells, sketch2, dims = load_sketch_cube(spark, path)
+    assert dims == ["event_type", "day"]
+    assert type(sketch2).__name__ == "Theta" and sketch2.k == 128
+    day0 = ev.agg(F.min("day")).collect()[0][0]
+    pruned = rollup(cells, ["event_type"], sketch2,
+                    where=F.col("day") == day0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("Scan parquet"):]
+    assert "PartitionFilters" in scan
+    pf = [ln for ln in scan.splitlines() if "PartitionFilters" in ln][0]
+    assert "day" in pf
+    # and the pruned rollup equals a direct build over the same slice
+    want = _states(sketch_agg(
+        ev.filter(F.col("day") == day0)
+        .select("event_type", F.col("user_id").alias("v")),
+        ["event_type"], "v", sketch2), ["event_type"])
+    assert _states(pruned, ["event_type"]) == want
+
+
+def test_incremental_cube_merge_equals_full_build(spark, sf_dir):
+    """cube(first half) ⊎ cube(second half) == cube(everything),
+    byte-equal — the daily-crawl increment never rescans history."""
+    from gopie_spark.operators.cube import merge_cubes
+    hll = HLL(p=12)
+    ev = _events_with_day(spark, sf_dir)
+    dims = ["event_type", "day"]
+    old = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1)
+    merged = merge_cubes(
+        build_sketch_cube(old, dims, "user_id", hll),
+        build_sketch_cube(new, dims, "user_id", hll), dims, hll)
+    full = build_sketch_cube(ev, dims, "user_id", hll)
+    assert _states(merged, dims) == _states(full, dims)
+
+
+def test_cube_refusals(spark, sf_dir):
+    ev = _events_with_day(spark, sf_dir)
+    hll = HLL(p=12)
+    with pytest.raises(ValueError):
+        build_sketch_cube(ev, ["event_type"], "user_id", hll,
+                          path=None, partition_dim="day")
+    cube = build_sketch_cube(ev, ["event_type"], "user_id", hll)
+    with pytest.raises(ValueError):
+        rollup(cube, ["nope"], hll)
+
+
+def test_sketch_cube_job_incremental(spark, sf_dir, tmp_path):
+    """jobs/sketch_cube.py: base build + incremental --merge-into run
+    over the other half == one full build, byte-equal; kernel-mismatch
+    merge refused."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "jobs"))
+    from sketch_cube import parse_sketch, run_cube
+
+    hll = parse_sketch("hll:p=12")
+    ev = _events_with_day(spark, sf_dir)
+    dims = ["event_type", "day"]
+    base, inc, full = (str(tmp_path / n) for n in ("base", "inc", "full"))
+    r1 = run_cube(spark, ev.filter(F.col("event_id") % 2 == 0), dims,
+                  "user_id", hll, base, partition_dim="day")
+    r2 = run_cube(spark, ev.filter(F.col("event_id") % 2 == 1), dims,
+                  "user_id", hll, inc, partition_dim="day",
+                  merge_into=base)
+    assert r2["incremental"] and r1["cells"] > 0
+    run_cube(spark, ev, dims, "user_id", hll, full, partition_dim="day")
+    inc_cells, k1, d1 = load_sketch_cube(spark, inc)
+    full_cells, k2, d2 = load_sketch_cube(spark, full)
+    assert d1 == d2 == dims and k1.p == k2.p == 12
+    assert _states(inc_cells, dims) == _states(full_cells, dims)
+    with pytest.raises(SystemExit):
+        run_cube(spark, ev, dims, "user_id", parse_sketch("theta:k=64"),
+                 str(tmp_path / "bad"), merge_into=base)
+
+
+def test_sketch_from_blob_dispatch():
+    """Every kernel's state blob reopens as the right kernel with the
+    right parameters."""
+    from gopie_spark.kernels import (AMS, CMS, KLL, BloomBit,
+                                     BloomCounting, MinHash, MisraGries,
+                                     SimHash, TDigest)
+    kernels = [HLL(p=11), CMS(width=101, depth=4), BloomBit(m=1 << 10, k=3),
+               BloomCounting(m=1 << 10, k=3), TDigest(), KLL(),
+               MinHash(k=32), SimHash(), MisraGries(k=10),
+               AMS(n_means=16, n_medians=3), Theta(k=64)]
+    for kern in kernels:
+        blob = kern.serialize(kern.zero())
+        back = sketch_from_blob(blob)
+        assert type(back) is type(kern), kern
+        # parameterized kernels must round-trip their params
+        for attr in ("p", "k", "width", "depth", "n_means"):
+            if hasattr(kern, attr):
+                assert getattr(back, attr) == getattr(kern, attr), \
+                    (kern, attr)
+    with pytest.raises(ValueError):
+        sketch_from_blob(b"\x00junk")
