@@ -2130,6 +2130,21 @@ def _q_ngram_containment(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def _q_bpe_pair_counts(spark, sf_dir):
+    """Iteration-0 BPE pair statistics (operators/bpe.py, Sennrich et
+    al. 2016): adjacent character pairs inside words weighted by word
+    frequency, top-20 by (cnt desc, pair) — the distributed half of the
+    first merge decision (argmax IS merge #1; the sequential merge loop
+    is driver-side on the bounded histogram, certified vs an
+    independent reference in tests/test_bpe.py).  Two
+    partial-aggregable aggregations, no window, no Python."""
+    from gopie_spark.operators.bpe import bpe_pair_counts
+    docs = _docs(spark, sf_dir)
+    return (bpe_pair_counts(docs)
+            .select("pair", F.col("cnt").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pair").limit(20))
+
+
 def _q_sketch_cube_rollup(spark, sf_dir):
     """Persisted sketch cube (operators/cube.py, the hypertable /
     continuous-aggregate pattern): one scan builds an HLL cube keyed
@@ -2285,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position.
     return {
         # --- no driver-green row yet (r4 priority block) ---
+        "bpe_pair_counts": _q_bpe_pair_counts,
         "sketch_cube_rollup": _q_sketch_cube_rollup,
         "theta_distinct_events": _q_theta_distinct_events,
         "theta_shingle_algebra": _q_theta_shingle_algebra,
@@ -2381,6 +2397,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bpe_pair_counts": r"""
+            WITH words AS (
+                SELECT unnest(string_split_regex(lower(trim(text)),
+                                                 '\s+')) AS w
+                FROM documents WHERE text IS NOT NULL
+            ), wf AS (
+                SELECT w, count(*) AS f FROM words
+                WHERE w <> '' GROUP BY w
+            ), pc AS (
+                SELECT substr(w, i, 2) AS pair, sum(f) AS cnt
+                FROM wf,
+                     LATERAL (SELECT unnest(range(1, length(w))) AS i) g
+                GROUP BY 1
+            )
+            SELECT pair, CAST(cnt AS BIGINT) AS cnt
+            FROM pc ORDER BY cnt DESC, pair LIMIT 20
+        """,
         "sketch_cube_rollup": """
             SELECT event_type,
                    count(DISTINCT user_id) AS n_exact,
