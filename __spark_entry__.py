@@ -2130,6 +2130,31 @@ def _q_ngram_containment(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def _q_freqdir_covariance(spark, sf_dir):
+    """Frequent-Directions covariance sketch over the embeddings table
+    (kernels/freqdir.py, Liberty KDD'13 / Ghashami et al. SICOMP'16):
+    per-partition mapInArrow partials tree-merged; certificate checks
+    the published spectral bound ||A'A - B'B||_2 <= ||A||_F^2 / ell
+    against the EXACT one-pass distributed Gram (matrix.exact_gram).
+    Exact anchors (row count, ||A||_F^2 at e2) are recomputed by the
+    DuckDB oracle."""
+    import numpy as np
+    from gopie_spark.kernels import FreqDir
+    from gopie_spark.operators.matrix import exact_gram, freqdir_global
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    d = len(emb.select("embedding").first()[0])
+    fd = FreqDir(ell=16, d=d)
+    st = freqdir_global(emb, "embedding", fd)
+    G = exact_gram(emb, "embedding")
+    err = float(np.linalg.norm(G - fd.gram(st), 2))
+    ok = err <= fd.spectral_bound(st)
+    return spark.createDataFrame(
+        [(int(fd.count(st)),
+          int(math.floor(float(G.trace()) * 100 + 0.5)),
+          bool(ok))],
+        "n_rows long, fro2_e2 long, within_bound boolean")
+
+
 def _q_bpe_pair_counts(spark, sf_dir):
     """Iteration-0 BPE pair statistics (operators/bpe.py, Sennrich et
     al. 2016): adjacent character pairs inside words weighted by word
@@ -2300,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position.
     return {
         # --- no driver-green row yet (r4 priority block) ---
+        "freqdir_covariance": _q_freqdir_covariance,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "sketch_cube_rollup": _q_sketch_cube_rollup,
         "theta_distinct_events": _q_theta_distinct_events,
@@ -2397,6 +2423,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "freqdir_covariance": """
+            SELECT count(*) AS n_rows,
+                   CAST(floor(sum(ss) * 100 + 0.5) AS BIGINT) AS fro2_e2,
+                   TRUE AS within_bound
+            FROM (
+                SELECT list_sum(list_transform(embedding,
+                                               x -> CAST(x AS DOUBLE)
+                                                    * CAST(x AS DOUBLE)))
+                       AS ss
+                FROM embeddings
+            )
+        """,
         "bpe_pair_counts": r"""
             WITH words AS (
                 SELECT unnest(string_split_regex(lower(trim(text)),

@@ -19,11 +19,12 @@ from gopie_spark.kernels.minhash import MinHash, SimHash
 from gopie_spark.kernels.misragries import MisraGries
 from gopie_spark.kernels.ams import AMS
 from gopie_spark.kernels.theta import Theta
+from gopie_spark.kernels.freqdir import FreqDir
 
 __all__ = [
     "HLL", "CMS", "BloomBit", "BloomCounting", "BloomScalable",
     "TDigest", "KLL", "MinHash", "SimHash", "MisraGries", "AMS",
-    "Theta", "sketch_from_blob",
+    "Theta", "FreqDir", "sketch_from_blob",
 ]
 
 
@@ -48,6 +49,7 @@ def sketch_from_blob(blob: bytes):
         codec.KIND_MISRAGRIES: MisraGries,
         codec.KIND_AMS: AMS,
         codec.KIND_THETA: Theta,
+        codec.KIND_FREQDIR: FreqDir,
     }
     if kind not in by_kind:
         raise ValueError(f"unknown sketch kind {kind}")

@@ -36,6 +36,7 @@ KIND_SIMHASH = 9
 KIND_MISRAGRIES = 10
 KIND_AMS = 11
 KIND_THETA = 12
+KIND_FREQDIR = 13
 
 
 def pack(kind: int, fields: List[Tuple[int, bytes]]) -> bytes:
