@@ -75,6 +75,10 @@ def main() -> None:
         "compression_gate", "normalize_gate", "mirror_hosts",
         "doc_sentences", "sentence_dedup", "ams_f2_join_size",
         "token_entropy_per_lang",
+        # round 4d: theta/KMV set algebra, persisted sketch cube,
+        # BPE pair statistics, Frequent-Directions covariance
+        "theta_distinct_events", "theta_shingle_algebra",
+        "sketch_cube_rollup", "bpe_pair_counts", "freqdir_covariance",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",
