@@ -2130,6 +2130,44 @@ def _q_ngram_containment(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py, Xie et al. NeurIPS
+    2023): hashed unigram+bigram multinomial log-likelihood ratio of
+    target (lang='en' docs) vs raw (whole corpus), 4096 buckets keyed
+    by the repo's md5 rule.  Bucket counting is one partial-aggregable
+    aggregation per corpus; scoring is a zero-shuffle Arrow batch
+    np.take + sum.  The DuckDB oracle re-derives buckets, smoothed log
+    tables, and every per-doc weight; e4 quantization (engine ln/sum
+    last-ulp differences sit ~9 orders below the step)."""
+    from gopie_spark.operators.dsir import dsir_weights_within
+    docs = _docs(spark, sf_dir)
+    out = dsir_weights_within(docs, F.col("lang") == "en",
+                              n_buckets=4096, seed=0)
+    return (out.filter((F.col("doc_id") < 200) &
+                       F.col("text").isNotNull())
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.floor(F.col("dsir_logweight") * 10000 + F.lit(0.5))
+                    .cast("long").alias("logweight_e4"))
+            .orderBy("doc_id"))
+
+
+def _dsir_oracle_sql() -> str:
+    """dsir_weights oracle generated from the operator module's own
+    SQL builder (one bucket/smoothing source for both engines)."""
+    from gopie_spark.operators.dsir import oracle_dsir_sql
+    prelude, weight = oracle_dsir_sql(
+        raw_where="TRUE", target_where="lang = 'en'",
+        n_buckets=4096, seed=0)
+    return f"""
+        WITH {prelude},
+        d AS (SELECT _id FROM toks WHERE _is_raw AND _id < 200)
+        SELECT d._id AS doc_id,
+               CAST(floor(coalesce({weight}, 0.0) * 10000 + 0.5)
+                    AS BIGINT) AS logweight_e4
+        FROM d ORDER BY doc_id
+    """
+
+
 def _q_freqdir_covariance(spark, sf_dir):
     """Frequent-Directions covariance sketch over the embeddings table
     (kernels/freqdir.py, Liberty KDD'13 / Ghashami et al. SICOMP'16):
@@ -2325,6 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position.
     return {
         # --- no driver-green row yet (r4 priority block) ---
+        "dsir_weights": _q_dsir_weights,
         "freqdir_covariance": _q_freqdir_covariance,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "sketch_cube_rollup": _q_sketch_cube_rollup,
@@ -2423,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dsir_weights": _dsir_oracle_sql(),
         "freqdir_covariance": """
             SELECT count(*) AS n_rows,
                    CAST(floor(sum(ss) * 100 + 0.5) AS BIGINT) AS fro2_e2,
