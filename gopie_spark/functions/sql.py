@@ -27,6 +27,9 @@ Registered names (idempotent to re-register):
 - ``gopie_kll_rank(state, value) -> double``       (CDF)
 - ``gopie_mg_estimate(state, value) -> bigint``    (Misra–Gries lower bound)
 - ``gopie_theta_estimate(state) -> bigint``        (KMV distinct)
+- ``gopie_theta_union(a, b) -> double``            (|A ∪ B| estimate)
+- ``gopie_theta_intersect(a, b) -> double``        (|A ∩ B| estimate)
+- ``gopie_theta_jaccard(a, b) -> double``
 """
 
 from __future__ import annotations
@@ -153,6 +156,22 @@ def register_sql_functions(spark: SparkSession,
             out[i] = int(round(th.estimate(th.deserialize(bytes(b)))))
         return pd.Series(out)
 
+    def _theta_pairwise(op):
+        from gopie_spark.kernels import Theta
+
+        def fn(a_blobs, b_blobs):
+            out = np.zeros(len(a_blobs), dtype=np.float64)
+            for i, (a, b) in enumerate(zip(a_blobs, b_blobs)):
+                if a is None or b is None:
+                    continue
+                th = Theta.from_blob(bytes(a))
+                sa = th.deserialize(bytes(a))
+                sb = th.deserialize(bytes(b))
+                out[i] = float(getattr(th, op)(sa, sb))
+            return pd.Series(out)
+
+        return fn
+
     def _ams_f2(blobs):
         from gopie_spark.kernels import AMS
         out = np.zeros(len(blobs), dtype=np.float64)
@@ -177,6 +196,15 @@ def register_sql_functions(spark: SparkSession,
                        pandas_udf(_ams_f2, "double"))
     spark.udf.register(f"{prefix}theta_estimate",
                        pandas_udf(_theta_estimate, "long"))
+    spark.udf.register(f"{prefix}theta_union",
+                       pandas_udf(_theta_pairwise("union_estimate"),
+                                  "double"))
+    spark.udf.register(f"{prefix}theta_intersect",
+                       pandas_udf(_theta_pairwise("intersect_estimate"),
+                                  "double"))
+    spark.udf.register(f"{prefix}theta_jaccard",
+                       pandas_udf(_theta_pairwise("jaccard_estimate"),
+                                  "double"))
     spark.udf.register(f"{prefix}tdigest_quantile",
                        pandas_udf(_tdigest_quantile, "double"))
     spark.udf.register(f"{prefix}kll_quantile",

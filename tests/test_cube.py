@@ -93,6 +93,56 @@ def test_persisted_cube_self_describing(spark, sf_dir, tmp_path):
     assert _states(pruned, ["event_type"]) == want
 
 
+def test_tdigest_cube_rollup_quantiles(spark, sf_dir):
+    """Quantile sketches compose with the cube too: per-(type, day)
+    t-digest cells rolled up per type answer value quantiles within the
+    digest's rank tolerance vs exact — precision survives the rollup
+    (centroid merge is the same op the direct build uses)."""
+    from gopie_spark.kernels import TDigest
+    td = TDigest()
+    ev = _events_with_day(spark, sf_dir)
+    cube = build_sketch_cube(ev, ["event_type", "day"], "value", td)
+    rolled = {r["event_type"]: td.deserialize(bytes(r[STATE_COL]))
+              for r in rollup(cube, ["event_type"], td).collect()}
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for et, st in rolled.items():
+        xs = np.sort(np.array(vals[et]))
+        for q in (0.1, 0.5, 0.9):
+            got = td.quantile(st, [q])[0]
+            # rank tolerance: where does the estimate fall in the
+            # exact distribution?
+            rank = np.searchsorted(xs, got) / len(xs)
+            assert abs(rank - q) <= 0.05, (et, q, rank)
+
+
+def test_streaming_states_equal_cube_cells(spark, sf_dir, tmp_path):
+    """The cube is the batch sibling of StreamingSketch: keyed states
+    maintained by micro-batch merges == cube cells from one batch
+    build, byte-equal (HLL register-max)."""
+    from gopie_spark.streaming import StreamingSketch
+    hll = HLL(p=12)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "evstream")
+    ev.repartition(3).write.parquet(src)
+    df_all = spark.read.parquet(src)
+    ss = StreamingSketch(spark, hll, ["event_type"], "v",
+                         str(tmp_path / "st"))
+    q = ss.attach(spark.readStream.schema(df_all.schema).parquet(src)
+                  .select("event_type",
+                          F.col("user_id").cast("string").alias("v")))
+    q.awaitTermination(120)
+    stream_states = {r["event_type"]: bytes(r[STATE_COL])
+                     for r in ss.current_states().collect()}
+    cube = build_sketch_cube(
+        ev.select("event_type",
+                  F.col("user_id").cast("string").alias("uid")),
+        ["event_type"], "uid", hll)
+    cube_states = _states(cube, ["event_type"])
+    assert stream_states == {k[0]: v for k, v in cube_states.items()}
+
+
 def test_incremental_cube_merge_equals_full_build(spark, sf_dir):
     """cube(first half) ⊎ cube(second half) == cube(everything),
     byte-equal — the daily-crawl increment never rescans history."""

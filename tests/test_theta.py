@@ -138,6 +138,44 @@ def test_theta_windowed_and_sql_surface(spark, sf_dir):
         assert abs(r["n"] - ex) <= max(4 * t.rel_err * ex, 1.0)
 
 
+def test_theta_pairwise_sql_surface(spark, sf_dir):
+    """gopie_theta_union/intersect/jaccard over a self-joined state
+    table: pairwise host/source overlap answered entirely in SQL —
+    exact-tier states, so union == exact union and the estimates agree
+    with the kernel's driver-side values."""
+    from gopie_spark.functions.sql import register_sql_functions
+    register_sql_functions(spark)
+    t = Theta(k=512)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    states = sketch_agg(docs.select(
+        "source", F.col("doc_id").cast("string").alias("v")),
+        ["source"], "v", t)
+    states.createOrReplaceTempView("theta_src")
+    rows = spark.sql("""
+        SELECT a.source AS sa, b.source AS sb,
+               gopie_theta_union(a.sketch_state, b.sketch_state) AS u,
+               gopie_theta_intersect(a.sketch_state,
+                                     b.sketch_state) AS i,
+               gopie_theta_jaccard(a.sketch_state, b.sketch_state) AS j
+        FROM theta_src a JOIN theta_src b ON a.source < b.source
+    """).collect()
+    assert rows
+    kern_states = {r["source"]: t.deserialize(bytes(r[STATE_COL]))
+                   for r in states.collect()}
+    exact = {r["source"]: {x["doc_id"] for x in
+                           docs.filter(F.col("source") == r["source"])
+                           .select("doc_id").collect()}
+             for r in states.collect()}
+    for r in rows:
+        a, b = exact[r["sa"]], exact[r["sb"]]
+        # doc_id sets are disjoint across sources and < k: exact tier
+        assert r["u"] == float(len(a | b))
+        assert r["i"] == t.intersect_estimate(kern_states[r["sa"]],
+                                              kern_states[r["sb"]])
+        assert r["j"] == t.jaccard_estimate(kern_states[r["sa"]],
+                                            kern_states[r["sb"]])
+
+
 def test_theta_streaming_equals_batch(spark, tmp_path):
     """Micro-batch-merged streaming state == one-shot batch state
     byte-equal (theta merge is idempotent AND associative, so replay
