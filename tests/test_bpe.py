@@ -152,6 +152,40 @@ def test_bpe_plan_gates(spark, sf_dir):
     assert "Exchange" not in plan2
 
 
+def test_learn_tokenizer_job(spark, sf_dir, tmp_path):
+    """jobs/learn_tokenizer.py end-to-end: merges.json round-trips into
+    apply_bpe; fertility < 1 BPE-token-per-CHAR sanity band and > 1
+    token per word only when merges stop early; report accounting."""
+    import json
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "jobs"))
+    from learn_tokenizer import learn_and_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "tok")
+    rep = learn_and_report(spark, docs, out, n_merges=40,
+                           v_words=10_000, sample_docs=100,
+                           id_col="doc_id")
+    assert rep["n_merges"] == 40
+    assert rep["token_mass_kept"] == rep["token_mass_total"]
+    assert rep["fertility_sample_docs"] == 100
+    assert rep["fertility_tokens_per_word"] >= 1.0  # can't beat 1/word
+    merges = [tuple(m) for m in
+              json.load(open(os.path.join(out, "merges.json")))]
+    assert len(merges) == 40
+    enc = apply_bpe(docs.filter(F.col("doc_id") < 5), merges)
+    row = enc.filter(F.col("text").isNotNull()).first()
+    assert "".join(row["bpe_tokens"]).replace("", "")  # non-empty
+    # fewer merges -> higher (or equal) fertility on the same sample
+    rep2 = learn_and_report(spark, docs, str(tmp_path / "tok2"),
+                            n_merges=5, v_words=10_000,
+                            sample_docs=100, id_col="doc_id")
+    assert rep2["fertility_tokens_per_word"] >= \
+        rep["fertility_tokens_per_word"]
+
+
 def test_empty_and_degenerate():
     assert learn_bpe_from_freqs([], 5) == []
     assert learn_bpe_from_freqs([("a", 3)], 5) == []  # no pairs
