@@ -90,15 +90,44 @@ def run_cube(spark, df, dims, value, sketch, out, *,
     return report
 
 
+def run_rollup(spark, cube_dir, keep_dims, where_sql=None) -> list:
+    """Query mode: reopen a persisted cube, merge up to ``keep_dims``
+    (optionally filtering cells with a SQL predicate first — a
+    partition-dim predicate statically prunes files), return
+    [{dims..., estimate}] — merge-only, no raw-table access."""
+    from pyspark.sql import functions as F
+    from gopie_spark.operators.cube import (load_sketch_cube,
+                                            rollup_estimates)
+    cells, sketch, dims = load_sketch_cube(spark, cube_dir)
+    bad = [k for k in keep_dims if k not in dims]
+    if bad:
+        raise SystemExit(f"--rollup dims {bad} not in cube dims {dims}")
+    where = F.expr(where_sql) if where_sql else None
+    out = rollup_estimates(cells, keep_dims, sketch, where=where)
+    return [{**{k: str(r[k]) for k in keep_dims},
+             "estimate": r["estimate"]} for r in out.collect()]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    ap.add_argument("--input",
+                    help="build mode: input table (required unless "
+                         "--rollup)")
     ap.add_argument("--format", default="parquet")
-    ap.add_argument("--dims", required=True,
-                    help="comma-separated dimension columns")
-    ap.add_argument("--value", required=True,
-                    help="column whose distincts the sketch tracks")
-    ap.add_argument("--out", required=True)
+    ap.add_argument("--dims",
+                    help="build mode: comma-separated dimension columns")
+    ap.add_argument("--value",
+                    help="build mode: column whose distincts the "
+                         "sketch tracks")
+    ap.add_argument("--out",
+                    help="build mode: cube output dir")
+    ap.add_argument("--rollup",
+                    help="query mode: comma-separated dims to keep "
+                         "(requires --cube; '' for the global state)")
+    ap.add_argument("--cube", help="query mode: persisted cube dir")
+    ap.add_argument("--where", default=None,
+                    help="query mode: SQL predicate over cube cells "
+                         "(partition-dim predicates prune files)")
     ap.add_argument("--sketch", default="hll:p=14")
     ap.add_argument("--partition-dim", default=None)
     ap.add_argument("--derive-day-from", default=None,
@@ -114,6 +143,18 @@ def main() -> None:
     from gopie_spark.sources.catalog import load_table
 
     spark = get_spark("gopie-sketch-cube")
+    if args.rollup is not None:
+        if not args.cube:
+            raise SystemExit("--rollup requires --cube")
+        keep = [d for d in args.rollup.split(",") if d]
+        rows = run_rollup(spark, args.cube, keep, args.where)
+        print(json.dumps({"cube": args.cube, "rollup": keep,
+                          "where": args.where, "cells": rows}))
+        spark.stop()
+        return
+    if not (args.input and args.dims and args.value and args.out):
+        raise SystemExit("build mode requires --input --dims --value "
+                         "--out (or use --rollup --cube)")
     df = load_table(spark, args.input, args.format)
     if args.derive_day_from:
         df = df.withColumn("day", F.to_date(F.col(args.derive_day_from)))

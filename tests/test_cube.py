@@ -198,6 +198,21 @@ def test_sketch_cube_job_incremental(spark, sf_dir, tmp_path):
     with pytest.raises(SystemExit):
         run_cube(spark, ev, dims, "user_id", parse_sketch("theta:k=64"),
                  str(tmp_path / "bad"), merge_into=base)
+    # query mode: merge-only rollup over the persisted full cube, with
+    # a cell predicate; estimates == exact (150 users/type < 2^12 HLL
+    # small-range regime is NOT exact, so compare within the bound)
+    from sketch_cube import run_rollup
+    rows = run_rollup(spark, full, ["event_type"])
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert {r["event_type"] for r in rows} == set(exact)
+    for r in rows:
+        ex = exact[r["event_type"]]
+        assert abs(r["estimate"] - ex) <= max(3 * 1.04 /
+                                              np.sqrt(2 ** 12) * ex, 2.0)
+    with pytest.raises(SystemExit):
+        run_rollup(spark, full, ["nope"])
 
 
 def test_sketch_from_blob_dispatch():
