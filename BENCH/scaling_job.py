@@ -18,9 +18,11 @@ The job is the north-rule workload over the pages table:
   core-scalable choice and is what this gate job measures,
 - global KLL over whitespace token counts,
 - global Bloom build over urls (input coalesced to the core count so
-  partial-state volume, MBs per state, tracks cores not splits).
+  partial-state volume, MBs per state, tracks cores not splits),
+- per-lang Theta/KMV distinct-url build+merge (round-4d kernel; same
+  two-level shape as the HLL pass, k=4096 states).
 
-Docs consumed = 4 x rows (four full passes).  Timing starts after the
+Docs consumed = 5 x rows (five full passes).  Timing starts after the
 Python worker pool is warm (a tiny mapInPandas touching every core pays
 the one-time worker-spawn + numpy/pandas import cost) — matching a real
 cluster, where long-lived executor workers amortize imports across the
@@ -85,12 +87,20 @@ def main() -> None:
                                           n=n, p=0.001, shards=64)
         n_shards = shard_states.count()
         timings["bloom_urls_sharded"] = round(time.perf_counter() - t3, 3)
+
+        t4 = time.perf_counter()
+        from gopie_spark.kernels import Theta
+        theta_states = sketch_agg(
+            pages.select("lang", "url"), ["lang"], "url", Theta(k=4096))
+        n_theta = theta_states.count()
+        timings["theta_per_lang_url"] = round(time.perf_counter() - t4, 3)
         return {
             "seconds": round(time.perf_counter() - t0, 3),
             "timings": timings,
             "n_langs": n_langs,
             "cms_total": int(cms.count(cms_state)),
             "bloom_shards": n_shards,
+            "theta_groups": n_theta,
         }
 
     # pass 1 warms the JVM (JIT of the parquet/Arrow hot loops); pass 2 is
@@ -98,7 +108,7 @@ def main() -> None:
     # stage runs in.  Both are reported.
     cold = suite()
     steady = suite()
-    docs = 4 * n
+    docs = 5 * n  # five full passes over the table
     print(json.dumps({
         "cores": cores, "rows": n, "docs_consumed": docs,
         "seconds": steady["seconds"],
