@@ -46,12 +46,16 @@ from gopie_spark.operators.sketch_agg import (STATE_COL, build_partials,
 class SketchCheckpoint:
     def __init__(self, checkpoint_dir: str, sketch,
                  keys: Sequence[str], value_col: str,
-                 n_buckets: int = 64):
+                 n_buckets: int = 64, transform=None):
         self.dir = checkpoint_dir
         self.sketch = sketch
         self.keys = list(keys)
         self.value_col = value_col
         self.n_buckets = n_buckets
+        # optional DataFrame -> DataFrame hook applied after the raw
+        # read (derive key columns, e.g. day from a timestamp); runs
+        # before bucketing so resume identity stays file-based
+        self.transform = transform
         os.makedirs(os.path.join(self.dir, "partials"), exist_ok=True)
         os.makedirs(os.path.join(self.dir, "lineage"), exist_ok=True)
 
@@ -112,6 +116,8 @@ class SketchCheckpoint:
         run_id = uuid.uuid4().hex[:12]
         t0 = time.perf_counter()
         df = spark.read.parquet(*pend_files)
+        if self.transform is not None:
+            df = self.transform(df)
         base_names = {os.path.basename(f): b for f, b in fb.items()}
 
         @F.pandas_udf(LongType())

@@ -215,6 +215,47 @@ def test_sketch_cube_job_incremental(spark, sf_dir, tmp_path):
         run_rollup(spark, full, ["nope"])
 
 
+def test_cube_checkpointed_build_resumes_byte_equal(spark, tmp_path):
+    """Kill-after-partial-stage resume: a checkpointed cube build
+    interrupted after some buckets, then resumed by a fresh job
+    invocation, finalizes cells BYTE-identical to an uninterrupted
+    direct build (merge associativity + file-bucket lineage)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "jobs"))
+    from sketch_cube import run_cube_checkpointed
+
+    from gopie_spark.plans.checkpoint import SketchCheckpoint
+    from gopie_spark.sources.pages import generate_pages
+
+    src = str(tmp_path / "pages")
+    generate_pages(src, 3000, n_files=6, seed=9)
+    hll = HLL(p=12)
+    dims = ["lang", "day"]
+
+    def transform(d):
+        return d.withColumn("day", F.to_date("warc_ts"))
+
+    # simulate the kill: process only 2 buckets, then abandon
+    ck = str(tmp_path / "ckpt")
+    partial = SketchCheckpoint(ck, hll, dims, "url", transform=transform)
+    assert partial.run_partials(spark, src, max_buckets=2) == 2
+
+    # fresh invocation with the same checkpoint resumes and finalizes
+    out = str(tmp_path / "cube")
+    rep = run_cube_checkpointed(spark, src, dims, "url", hll, out, ck,
+                                transform=transform,
+                                partition_dim="day")
+    assert rep["checkpointed"] and rep["runs"] >= 2
+
+    cells, kern, d2 = load_sketch_cube(spark, out)
+    assert d2 == dims and kern.p == 12
+    direct = build_sketch_cube(
+        transform(spark.read.parquet(src)), dims, "url", hll)
+    assert _states(cells, dims) == _states(direct, dims)
+
+
 def test_sketch_from_blob_dispatch():
     """Every kernel's state blob reopens as the right kernel with the
     right parameters."""
