@@ -56,6 +56,7 @@ def curate(spark, pages, *, min_tokens=20, blocklist=None,
            decontam_n=13, decontam_max_frac=None, paragraph_dedup=False,
            sentence_dedup=False, length_band=None, url_rules=False,
            split_fractions=None, mirror_report=None,
+           dsir_target=None, dsir_min_weight=None, dsir_buckets=10_000,
            id_col="doc_id", text_col="text", url_col="url"):
     """Run the curation pipeline; returns (survivors_df, report_dict).
 
@@ -249,8 +250,27 @@ def curate(spark, pages, *, min_tokens=20, blocklist=None,
                                            n=decontam_n)
         kept = _stage(survivors, "after_decontaminate")
 
+    # 5b. DSIR domain selection on the survivors (last content cut:
+    # score what survived cleaning, not what dedup will drop anyway).
+    # ``dsir_target`` is a SQL boolean expr naming the target subset
+    # (e.g. "lang = 'en'"); every survivor gets a ``dsir_logweight``
+    # column (for downstream importance resampling); with
+    # ``dsir_min_weight`` set the stage also cuts below-threshold docs
+    # and is counted.  One partial-aggregable histogram pass + a
+    # zero-shuffle scoring scan (operators/dsir.py).
+    if dsir_target is not None:
+        from gopie_spark.operators.dsir import dsir_weights_within
+        kept = dsir_weights_within(kept, F.expr(dsir_target),
+                                   text_col=text_col,
+                                   n_buckets=dsir_buckets)
+        if dsir_min_weight is not None:
+            kept = _stage(
+                kept.filter(F.col("dsir_logweight") >= dsir_min_weight),
+                "after_dsir")
+
     report["output_rows"] = report[
-        [k for k in ("after_decontaminate", "after_near_dedup",
+        [k for k in ("after_dsir", "after_decontaminate",
+                     "after_near_dedup",
                      "after_exact_dedup", "after_sentence_dedup",
                      "after_paragraph_dedup",
                      "after_host_budget", "after_blocklist",
@@ -310,6 +330,13 @@ def main() -> None:
     ap.add_argument("--split-fractions", default=None,
                     help="stamp a leakage-safe host-keyed split column, "
                          "e.g. train=0.9,val=0.05,test=0.05")
+    ap.add_argument("--dsir-target", default=None,
+                    help="SQL boolean expr naming the DSIR target "
+                         "subset (e.g. \"lang = 'en'\"); survivors get "
+                         "a dsir_logweight column")
+    ap.add_argument("--dsir-min-weight", type=float, default=None,
+                    help="cut survivors below this DSIR log-weight "
+                         "(counted stage; requires --dsir-target)")
     ap.add_argument("--report", default=None)
     ap.add_argument("--card", default=None,
                     help="also write the survivors' corpus card "
@@ -342,6 +369,8 @@ def main() -> None:
         sentence_dedup=args.sentence_dedup,
         mirror_report=args.mirror_report,
         url_rules=args.url_rules, split_fractions=fractions,
+        dsir_target=args.dsir_target,
+        dsir_min_weight=args.dsir_min_weight,
         id_col=args.id_col, text_col=args.text_col,
         url_col=args.url_col)
     survivors.write.mode("overwrite").parquet(args.output)

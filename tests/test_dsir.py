@@ -109,6 +109,41 @@ def test_null_and_empty_text(spark):
     assert w[1] > 0.0 > w[4]  # target-like up, off-target down
 
 
+def test_curate_dsir_stage(spark, sf_dir):
+    """curate(dsir_target=...) stamps dsir_logweight on survivors and
+    (with a threshold) cuts + counts the stage; the baseline stage
+    counts are unchanged by the stamp-only mode."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "jobs"))
+    from filter_corpus import curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .withColumn("url", F.concat(F.lit("https://h"),
+                                    (F.col("doc_id") % 7).cast("string"),
+                                    F.lit(".example.com/"),
+                                    F.col("doc_id").cast("string")))
+    base, base_rep = curate(spark, docs, near_dedup=False)
+    stamped, rep = curate(spark, docs, near_dedup=False,
+                          dsir_target="lang = 'en'", dsir_buckets=512)
+    assert "dsir_logweight" in stamped.columns
+    assert rep["after_exact_dedup"] == base_rep["after_exact_dedup"]
+    assert stamped.count() == base.count()  # stamp-only: no cut
+    cut, rep2 = curate(spark, docs, near_dedup=False,
+                       dsir_target="lang = 'en'", dsir_buckets=512,
+                       dsir_min_weight=0.0)
+    assert rep2["after_dsir"] == rep2["output_rows"] <= \
+        rep["output_rows"]
+    assert cut.filter(F.col("dsir_logweight") < 0.0).count() == 0
+    # the kept set over-represents the target lang vs pre-cut
+    frac = (cut.filter(F.col("lang") == "en").count() /
+            max(rep2["after_dsir"], 1))
+    frac0 = (stamped.filter(F.col("lang") == "en").count() /
+             max(stamped.count(), 1))
+    assert frac >= frac0
+
+
 def test_dsir_plan_gates(spark, sf_dir):
     """Count agg: partial-aggregable, text-only scan.  Scoring: no
     Exchange below the pandas UDF (zero-shuffle)."""
