@@ -2130,6 +2130,59 @@ def _q_ngram_containment(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def _q_session_stats(spark, sf_dir):
+    """Sessionization (operators/sessions.py): gap>6h session
+    boundaries per user (lag + cumulative boundary sum over ONE
+    user-keyed shuffle + per-user sort — never a global sort), rolled
+    up to per-session stats by a partial-aggregable groupBy.  Exactly
+    SQL-expressible; the DuckDB oracle shares the generated boundary
+    rule (whole-second gap truncation mirrored)."""
+    from gopie_spark.operators.sessions import session_stats
+    ev = _events(spark, sf_dir)
+    return (session_stats(ev, gap_s=21600)
+            .select(F.col("user_id").cast("long").alias("user_id"),
+                    "session_id",
+                    F.col("n_events").cast("long").alias("n_events"),
+                    F.col("duration_s").cast("long").alias("duration_s"))
+            .orderBy("user_id", "session_id"))
+
+
+def _q_retention_cohorts(spark, sf_dir):
+    """Weekly triangle retention (operators/sessions.py): cohort =
+    first-activity week, offset = weeks since; exact distinct users per
+    cell (two partial-aggregable aggregations) PLUS the mergeable-HLL
+    variant's estimate certified within the 3-sigma bound per cell —
+    the 10^12-user path riding the same plan."""
+    from gopie_spark.operators.sessions import retention_cohorts
+    ev = _events(spark, sf_dir)
+    exact = retention_cohorts(ev, period="week")
+    hll = retention_cohorts(ev, period="week", approx=14) \
+        .withColumnRenamed("n_users", "n_hll")
+    bound = 3 * 1.04 / math.sqrt(2 ** 14)
+    ok = (F.col("n_hll") <= F.col("n_users") * (1 + bound) + 1) & \
+         (F.col("n_hll") >= F.col("n_users") * (1 - bound) - 1)
+    return (exact.join(hll, ["cohort", "offset"])
+            .select(F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+                    F.col("offset").cast("long").alias("offset"),
+                    F.col("n_users").cast("long").alias("n_users"),
+                    ok.alias("hll_within_bound"))
+            .orderBy("cohort", "offset"))
+
+
+def _session_oracle_sql() -> str:
+    from gopie_spark.operators.sessions import oracle_sessionize_sql
+    inner = oracle_sessionize_sql("events", "user_id", "ts", 21600)
+    return f"""
+        WITH s AS ({inner})
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               CAST(floor(epoch(max(ts))) AS BIGINT)
+                   - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+        FROM s GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (operators/dsir.py, Xie et al. NeurIPS
     2023): hashed unigram+bigram multinomial log-likelihood ratio of
@@ -2363,6 +2416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position.
     return {
         # --- no driver-green row yet (r4 priority block) ---
+        "session_stats": _q_session_stats,
+        "retention_cohorts": _q_retention_cohorts,
         "dsir_weights": _q_dsir_weights,
         "freqdir_covariance": _q_freqdir_covariance,
         "bpe_pair_counts": _q_bpe_pair_counts,
@@ -2462,6 +2517,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "session_stats": _session_oracle_sql(),
+        "retention_cohorts": """
+            WITH firsts AS (
+                SELECT user_id, min(date_trunc('week', ts)) AS cohort
+                FROM events GROUP BY user_id
+            )
+            SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+                   CAST((epoch(date_trunc('week', e.ts))
+                         - epoch(f.cohort)) / 604800 AS BIGINT) AS offset,
+                   count(DISTINCT e.user_id) AS n_users,
+                   TRUE AS hll_within_bound
+            FROM events e JOIN firsts f USING (user_id)
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
         "dsir_weights": _dsir_oracle_sql(),
         "freqdir_covariance": """
             SELECT count(*) AS n_rows,
