@@ -2130,6 +2130,17 @@ def _q_ngram_containment(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def _q_funnel_steps(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase
+    (sessions.funnel): first-event-per-step via ONE conditional-MIN
+    pivot aggregation keyed on user (no explode, no join), strict
+    ordering conjunctions counted in a second scalar agg.  Exact;
+    DuckDB recomputes the identical pivot."""
+    from gopie_spark.operators.sessions import funnel
+    ev = _events(spark, sf_dir)
+    return funnel(ev, ["view", "click", "purchase"]).orderBy("step_idx")
+
+
 def _q_session_stats(spark, sf_dir):
     """Sessionization (operators/sessions.py): gap>6h session
     boundaries per user (lag + cumulative boundary sum over ONE
@@ -2418,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- no driver-green row yet (r4 priority block) ---
         "session_stats": _q_session_stats,
         "retention_cohorts": _q_retention_cohorts,
+        "funnel_steps": _q_funnel_steps,
         "dsir_weights": _q_dsir_weights,
         "freqdir_covariance": _q_freqdir_covariance,
         "bpe_pair_counts": _q_bpe_pair_counts,
@@ -2517,6 +2529,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "funnel_steps": """
+            WITH firsts AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'view' THEN ts END)
+                           AS t0,
+                       min(CASE WHEN event_type = 'click' THEN ts END)
+                           AS t1,
+                       min(CASE WHEN event_type = 'purchase' THEN ts END)
+                           AS t2
+                FROM events GROUP BY user_id
+            )
+            SELECT * FROM (
+                SELECT 'view' AS step, CAST(0 AS BIGINT) AS step_idx,
+                       count(CASE WHEN t0 IS NOT NULL THEN 1 END)
+                           AS n_users
+                FROM firsts
+                UNION ALL
+                SELECT 'click', 1,
+                       count(CASE WHEN t0 IS NOT NULL AND t1 > t0
+                             THEN 1 END)
+                FROM firsts
+                UNION ALL
+                SELECT 'purchase', 2,
+                       count(CASE WHEN t0 IS NOT NULL AND t1 > t0
+                                  AND t2 > t1 THEN 1 END)
+                FROM firsts
+            ) ORDER BY step_idx
+        """,
         "session_stats": _session_oracle_sql(),
         "retention_cohorts": """
             WITH firsts AS (

@@ -97,6 +97,37 @@ def retention_cohorts(df: DataFrame, user_col: str = "user_id",
     ).withColumnRenamed("approx_distinct", "n_users")
 
 
+def funnel(df: DataFrame, steps: Sequence[str],
+           user_col: str = "user_id", type_col: str = "event_type",
+           ts_col: str = "ts") -> DataFrame:
+    """Ordered conversion funnel: for steps [s1, s2, ...], a user
+    converts through step i when their FIRST s_i event strictly
+    follows their first s_{i-1} event.  Returns (step, step_idx,
+    n_users) with n_users monotonically non-increasing.
+
+    Plan: one partial-aggregable pivot aggregation (min ts per user per
+    step — conditional MIN columns, no explode, no join) + one count
+    aggregation over the conjunctions.  At 10^12 events that is one
+    shuffle keyed on the user column; nothing else moves."""
+    steps = list(steps)
+    firsts = df.filter(F.col(type_col).isin(steps)).groupBy(user_col) \
+        .agg(*[F.min(F.when(F.col(type_col) == s, F.col(ts_col)))
+               .alias(f"_t{i}") for i, s in enumerate(steps)])
+    conv = None
+    counts = []
+    for i in range(len(steps)):
+        here = F.col(f"_t{i}").isNotNull()
+        if i > 0:
+            here = here & (F.col(f"_t{i}") > F.col(f"_t{i-1}"))
+        conv = here if conv is None else (conv & here)
+        counts.append(F.count(F.when(conv, 1)).alias(f"_c{i}"))
+    row = firsts.agg(*counts).collect()[0]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(steps[i], i, int(row[f"_c{i}"])) for i in range(len(steps))],
+        "step string, step_idx long, n_users long")
+
+
 def oracle_sessionize_sql(table: str = "events",
                           user_sql: str = "user_id",
                           ts_sql: str = "ts", gap_s: int = 1800) -> str:

@@ -100,6 +100,30 @@ def test_retention_exact_and_hll(spark, sf_dir):
         assert abs(est - want[k]) <= max(bound * want[k], 1.0), k
 
 
+def test_funnel_fixture_and_monotone(spark, sf_dir):
+    """Hand-built funnel: strict ordering required (same-ts step does
+    NOT convert); monotone non-increasing counts on the real table."""
+    from gopie_spark.operators.sessions import funnel
+    rows = [
+        (1, "view", 0), (1, "click", 10), (1, "purchase", 20),  # full
+        (2, "view", 0), (2, "click", 5),                        # partial
+        (3, "click", 0), (3, "view", 10),   # wrong order: view only
+        (4, "view", 0), (4, "click", 0),    # tie: strict > fails
+    ]
+    df = spark.createDataFrame(
+        [(u, t, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s))
+         for u, t, s in rows],
+        "user_id long, event_type string, ts timestamp")
+    got = {r["step"]: r["n_users"]
+           for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 4, "click": 2, "purchase": 1}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ns = [r["n_users"] for r in
+          funnel(ev, ["view", "click", "purchase"])
+          .orderBy("step_idx").collect()]
+    assert all(a >= b for a, b in zip(ns, ns[1:])) and ns[0] > 0
+
+
 def test_retention_offsets_non_negative(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     offs = [r["offset"] for r in
