@@ -171,7 +171,10 @@ def main() -> None:
     ap.add_argument("--partition-dim", default=None)
     ap.add_argument("--derive-day-from", default=None,
                     help="timestamp column to derive a 'day' dim from")
-    ap.add_argument("--salt", type=int, default=0)
+    ap.add_argument("--salt", type=int, default=-1,
+                    help="merge-fanin salt for hot cells; -1 (default) "
+                         "= data-driven via suggest_salt on a 1%% "
+                         "sample (reported), 0 = off")
     ap.add_argument("--merge-into", default=None,
                     help="existing cube dir: fold this build into it "
                          "cell-wise (incremental; history not rescanned)")
@@ -204,27 +207,33 @@ def main() -> None:
 
         def transform(d):  # noqa: E306
             return d.withColumn("day", F.to_date(F.col(ts)))
+    dims = args.dims.split(",")
+    df = load_table(spark, args.input, args.format)
+    if transform is not None:
+        df = transform(df)
+    salt = args.salt
+    if salt < 0:
+        # data-driven: no merge task's cell may exceed 1.25x the average
+        # share; key shares converge on a 1% sample (exact counts never
+        # needed) — the skew pre-flight the 100-TB build wants by default
+        from gopie_spark.operators.sketch_agg import suggest_salt
+        salt = suggest_salt(df, dims, sample_fraction=0.01)
     if args.checkpoint:
         if args.merge_into:
             raise SystemExit("--checkpoint and --merge-into are "
                              "separate build modes")
         report = run_cube_checkpointed(
-            spark, args.input, args.dims.split(","), args.value,
+            spark, args.input, dims, args.value,
             parse_sketch(args.sketch), args.out, args.checkpoint,
             fmt=args.format, transform=transform,
-            partition_dim=args.partition_dim, salt=args.salt)
-        report["input"] = args.input
-        print(json.dumps(report))
-        spark.stop()
-        return
-    df = load_table(spark, args.input, args.format)
-    if transform is not None:
-        df = transform(df)
-    report = run_cube(spark, df, args.dims.split(","), args.value,
-                      parse_sketch(args.sketch), args.out,
-                      partition_dim=args.partition_dim, salt=args.salt,
-                      merge_into=args.merge_into)
+            partition_dim=args.partition_dim, salt=salt)
+    else:
+        report = run_cube(spark, df, dims, args.value,
+                          parse_sketch(args.sketch), args.out,
+                          partition_dim=args.partition_dim, salt=salt,
+                          merge_into=args.merge_into)
     report["input"] = args.input
+    report["salt"] = salt
     print(json.dumps(report))
     spark.stop()
 
