@@ -8,6 +8,7 @@ from gopie_spark.streaming.dedup import (BloomStreamingDedup,
 from gopie_spark.streaming.microbatch import (StreamingSketch,
                                               fanout_foreach_batch,
                                               windowed_stream_counts)
+from gopie_spark.streaming.sessions import StreamingSessions
 from gopie_spark.streaming.stateful import (streaming_heavy_hitters,
                                             streaming_hll_estimates)
 
@@ -16,4 +17,4 @@ __all__ = ["StreamingSketch", "windowed_stream_counts",
            "BloomStreamingDedup",
            "streaming_exact_dedup", "sharded_bloom_streaming_dedup",
            "latest_n", "LatestNConflate",
-           "fanout_foreach_batch"]
+           "fanout_foreach_batch", "StreamingSessions"]
