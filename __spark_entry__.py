@@ -2130,6 +2130,23 @@ def _q_ngram_containment(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def _q_grouped_topk(spark, sf_dir):
+    """Top-3 events by value per event_type (operators/topk.py): the
+    map-side-pruned grouped top-k — only each partition's local top-k
+    per key survives to the final per-key rank (the window sorts
+    k x partitions rows, never whole groups).  Exact; ties break by
+    event_id ASC in both engines."""
+    from gopie_spark.operators.topk import grouped_topk
+    ev = _events(spark, sf_dir)
+    return (grouped_topk(ev, ["event_type"], "value", 3, "event_id")
+            .select("event_type",
+                    F.col("rank").cast("long").alias("rank"),
+                    F.col("event_id").cast("long").alias("event_id"),
+                    F.floor(F.col("value") * 100 + F.lit(0.5))
+                    .cast("long").alias("value_e2"))
+            .orderBy("event_type", "rank"))
+
+
 def _q_funnel_steps(spark, sf_dir):
     """Ordered conversion funnel view -> click -> purchase
     (sessions.funnel): first-event-per-step via ONE conditional-MIN
@@ -2430,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": _q_session_stats,
         "retention_cohorts": _q_retention_cohorts,
         "funnel_steps": _q_funnel_steps,
+        "grouped_topk": _q_grouped_topk,
         "dsir_weights": _q_dsir_weights,
         "freqdir_covariance": _q_freqdir_covariance,
         "bpe_pair_counts": _q_bpe_pair_counts,
@@ -2556,6 +2574,19 @@ def oracle_sql() -> dict[str, str]:
                                   AND t2 > t1 THEN 1 END)
                 FROM firsts
             ) ORDER BY step_idx
+        """,
+        "grouped_topk": """
+            SELECT event_type, rank, event_id, value_e2 FROM (
+                SELECT event_type,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value DESC,
+                                                   event_id ASC) AS rank,
+                       event_id,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           AS value_e2
+                FROM events
+            ) WHERE rank <= 3
+            ORDER BY event_type, rank
         """,
         "session_stats": _session_oracle_sql(),
         "retention_cohorts": """
