@@ -83,6 +83,37 @@ def test_streaming_sessions_equal_batch(spark, sf_dir, tmp_path):
     assert before == after
 
 
+def test_streaming_sessions_restart_resumes(spark, sf_dir, tmp_path):
+    """Process-restart simulation: a FRESH StreamingSessions instance
+    (new object, same state dir + stream checkpoint) continues where
+    the killed one stopped; the final view equals batch."""
+    src = _write_time_split_files(spark, str(sf_dir),
+                                  str(tmp_path), n_parts=4)
+    ev_all = spark.read.parquet(src)
+    state = str(tmp_path / "st")
+
+    ss1 = StreamingSessions(spark, state, gap_s=GAP)
+    # first "process": consume only 2 of the 4 files, then die
+    ss1.process_batch(spark.read.parquet(f"{src}/f0.parquet"), 0)
+    ss1.process_batch(spark.read.parquet(f"{src}/f1.parquet"), 1)
+    del ss1
+
+    ss2 = StreamingSessions(spark, state, gap_s=GAP)
+    assert ss2.committed_batch_id() == 1
+    # replay of an already-committed batch on restart: no-op
+    ss2.process_batch(spark.read.parquet(f"{src}/f1.parquet"), 1)
+    ss2.process_batch(spark.read.parquet(f"{src}/f2.parquet"), 2)
+    ss2.process_batch(spark.read.parquet(f"{src}/f3.parquet"), 3)
+
+    got = {(r["user_id"], r["session_id"]):
+           (r["n_events"], r["duration_s"])
+           for r in ss2.sessions_view().collect()}
+    want = {(r["user_id"], r["session_id"]):
+            (r["n_events"], r["duration_s"])
+            for r in session_stats(ev_all, gap_s=GAP).collect()}
+    assert got == want
+
+
 def test_streaming_sessions_boundary_stitch(spark, tmp_path):
     """Explicit stitch fixture: user 1's session straddles the batch
     boundary (gap within limit) -> ONE session; user 2's does not ->
