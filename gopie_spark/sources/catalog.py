@@ -88,6 +88,16 @@ def load_table(spark: SparkSession, ref: str,
         from gopie_spark.sources.warc import read_warc
         return with_extracted_text(read_warc(spark, ref),
                                    html_col="html", out_col="text")
+    if fmt == "csv":
+        # header on; schema inference costs an extra pass — acceptable
+        # for ad-hoc loads, pass an explicit-schema DataFrame upstream
+        # for the 100-TB path
+        return spark.read.option("header", "true") \
+            .option("inferSchema", "true").csv(ref)
+    if fmt in ("json", "jsonl"):
+        return spark.read.json(ref)
+    if fmt == "orc":
+        return spark.read.orc(ref)
     return spark.read.format(fmt).load(ref)
 
 

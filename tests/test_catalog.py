@@ -144,3 +144,21 @@ def test_checkpointed_build_via_iceberg_metadata(spark, monkeypatch,
     got = {tuple(r[k] for k in ("lang",)): bytes(r[STATE_COL])
            for r in ckpt.finalize(spark).collect()}
     assert got == want
+
+
+def test_load_table_text_formats_roundtrip(spark, sf_dir, tmp_path):
+    """csv / json / orc branches of load_table round-trip the events
+    table (csv via header+inference; orc/json native)."""
+    from gopie_spark.sources.catalog import load_table
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id", "user_id", "event_type", "value")
+    want = sorted(map(tuple, ev.collect()))
+    for fmt, writer in (
+            ("csv", lambda d, p: d.write.option("header", "true").csv(p)),
+            ("json", lambda d, p: d.write.json(p)),
+            ("orc", lambda d, p: d.write.orc(p))):
+        p = str(tmp_path / fmt)
+        writer(ev, p)
+        back = load_table(spark, p, fmt) \
+            .select("event_id", "user_id", "event_type", "value")
+        assert sorted(map(tuple, back.collect())) == want, fmt
