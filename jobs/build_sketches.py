@@ -47,7 +47,10 @@ def main() -> None:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--hll-p", type=int, default=14)
-    ap.add_argument("--salt", type=int, default=8)
+    ap.add_argument("--salt", type=int, default=-1,
+                    help="finalize-merge salt for hot keys; -1 "
+                         "(default) = data-driven via suggest_salt on "
+                         "a 1%% sample, 0 = off")
     ap.add_argument("--n-buckets", type=int, default=256)
     ap.add_argument("--resume-only", action="store_true",
                     help="finalize from existing checkpoint without "
@@ -84,10 +87,16 @@ def main() -> None:
         # iceberg: buckets are planned from the <table>.files metadata
         # table (sources/catalog.py), same resumability guarantees
         ckpt.run_until_complete(spark, args.input, fmt=args.format)
-    states = ckpt.finalize(spark, salt=args.salt)
+    pages = load_table(spark, args.input, args.format)
+    salt = args.salt
+    if salt < 0:
+        # bounded-load rule made batch: no merge task's key above
+        # 1.25x the average share, measured on a 1% sample
+        from gopie_spark.operators.sketch_agg import suggest_salt
+        salt = suggest_salt(pages, ["lang"], sample_fraction=0.01)
+    states = ckpt.finalize(spark, salt=salt)
     states.write.mode("overwrite").parquet(f"{args.output}/hll_lang_url")
 
-    pages = load_table(spark, args.input, args.format)
     n = pages.count()
 
     # Arrow-side tokenize: no token row ever shuffles (measured 1.8x
