@@ -160,7 +160,9 @@ def register_sql_functions(spark: SparkSession,
         from gopie_spark.kernels import Theta
 
         def fn(a_blobs, b_blobs):
-            out = np.zeros(len(a_blobs), dtype=np.float64)
+            # NULL input -> NULL output (0.0 is a legitimate estimate
+            # for disjoint sets, so a missing sketch must stay distinct)
+            out = np.full(len(a_blobs), np.nan, dtype=np.float64)
             for i, (a, b) in enumerate(zip(a_blobs, b_blobs)):
                 if a is None or b is None:
                     continue

@@ -63,8 +63,20 @@ class FreqDir:
         """SVD the full buffer, subtract sigma_ell^2, keep ell rows."""
         try:
             _, s, vt = np.linalg.svd(state["B"], full_matrices=False)
-        except np.linalg.LinAlgError:  # rare non-convergence: jitter-free retry via gesvd
-            _, s, vt = np.linalg.svd(state["B"] + 0.0, full_matrices=False)
+        except np.linalg.LinAlgError:
+            # gesdd very rarely fails to converge; scipy's gesvd driver
+            # is the standard robust fallback when available, else fall
+            # back to the eigendecomposition of B'B (symmetric — always
+            # converges; fine here because only s and vt are needed)
+            try:
+                from scipy.linalg import svd as _ssvd
+                _, s, vt = _ssvd(state["B"], full_matrices=False,
+                                 lapack_driver="gesvd")
+            except ImportError:
+                w, v = np.linalg.eigh(state["B"].T @ state["B"])
+                order = np.argsort(w)[::-1]
+                s = np.sqrt(np.maximum(w[order], 0.0))
+                vt = v[:, order].T
         delta = s[self.ell - 1] ** 2 if len(s) >= self.ell else 0.0
         s2 = np.sqrt(np.maximum(s * s - delta, 0.0))
         k = min(self.ell, len(s2))

@@ -46,7 +46,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 _WS = r"\s+"
-_KEY_HEX_CHARS = 15
 
 
 def _tokens(text_col: str) -> Column:
@@ -56,11 +55,11 @@ def _tokens(text_col: str) -> Column:
 
 def _bucket_of(feature: Column, n_buckets: int, seed: int) -> Column:
     """md5-derived bucket id — byte-identical in DuckDB via
-    ('0x' || substr(md5(...), 1, 15))::BIGINT % n_buckets."""
-    digest = F.md5(F.concat_ws("|", F.lit(str(seed)), feature))
-    key = F.conv(F.substring(digest, 1, _KEY_HEX_CHARS), 16, 10) \
-        .cast("long")
-    return F.pmod(key, F.lit(n_buckets))
+    ('0x' || substr(md5(...), 1, 15))::BIGINT % n_buckets.  The 60-bit
+    key rule is sampling.sample_key — ONE source for the cross-engine
+    hash contract."""
+    from gopie_spark.operators.sampling import sample_key
+    return F.pmod(sample_key(feature, seed), F.lit(n_buckets))
 
 
 def doc_feature_buckets(df: DataFrame, text_col: str = "text",

@@ -26,6 +26,28 @@ from gopie_spark.kernels.freqdir import FreqDir
 from gopie_spark.operators.sketch_agg import STATE_COL, merge_partials
 
 
+def _dense_matrix(rb, col_idx: int, d: int = None) -> np.ndarray:
+    """(rows, d) float64 from an Arrow list column, refusing nulls and
+    jagged rows (flatten() silently DROPS null entries, which would
+    misalign the reshape — a wrong Gram with no error)."""
+    vec = rb.column(col_idx)
+    if vec.null_count:
+        raise ValueError(
+            "matrix sketch: null embedding rows — filter them upstream")
+    flat = np.asarray(vec.flatten(), dtype=np.float64)
+    if rb.num_rows == 0:
+        return flat.reshape(0, d if d else 0)
+    if flat.size % rb.num_rows:
+        raise ValueError(
+            f"matrix sketch: jagged embedding lengths in batch "
+            f"({flat.size} values / {rb.num_rows} rows)")
+    out = flat.reshape(rb.num_rows, -1)
+    if d is not None and out.shape[1] != d:
+        raise ValueError(
+            f"matrix sketch: embedding dim {out.shape[1]} != {d}")
+    return out
+
+
 def freqdir_partials(df: DataFrame, vec_col: str, fd: FreqDir,
                      keys: Sequence[str] = ()) -> DataFrame:
     """Stage A: one FD state per input partition (per key set when
@@ -43,11 +65,11 @@ def freqdir_partials(df: DataFrame, vec_col: str, fd: FreqDir,
         states = {}
         key_types = [None] * len(keys)
         for rb in batches:
+            if rb.num_rows == 0:
+                continue
             for i in range(len(keys)):
                 key_types[i] = rb.schema.field(i).type
-            mat = np.asarray(
-                rb.column(len(keys)).flatten(), dtype=np.float64
-            ).reshape(rb.num_rows, -1)
+            mat = _dense_matrix(rb, len(keys), fd.d)
             if keys:
                 keymat = list(zip(*(rb.column(i).to_pylist()
                                     for i in range(len(keys)))))
@@ -98,8 +120,9 @@ def exact_gram(df: DataFrame, vec_col: str) -> np.ndarray:
     def fn(batches):
         acc = None
         for rb in batches:
-            mat = np.asarray(rb.column(0).flatten(),
-                             dtype=np.float64).reshape(rb.num_rows, -1)
+            if rb.num_rows == 0:
+                continue
+            mat = _dense_matrix(rb, 0)
             g = mat.T @ mat
             acc = g if acc is None else acc + g
         if acc is not None:

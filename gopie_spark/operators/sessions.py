@@ -75,6 +75,12 @@ def retention_cohorts(df: DataFrame, user_col: str = "user_id",
     since.  ``approx=p`` swaps exact countDistinct for the repo's
     mergeable HLL (same two-aggregation plan, constant-size states) —
     the 10^12-user path."""
+    if period not in ("day", "week"):
+        # fixed-length periods only: the offset is a seconds division,
+        # which is wrong for variable-length months/years
+        raise ValueError(
+            f"retention_cohorts: period must be 'day' or 'week', "
+            f"got {period!r}")
     trunc = F.date_trunc(period, F.col(ts_col))
     firsts = (df.groupBy(user_col)
               .agg(F.min(trunc).alias("_cohort")))

@@ -47,12 +47,22 @@ def _prune_iter(keys: List[str], order_col: str, id_col: str, k: int):
     def fn(batches):
         acc = None
         for pdf in batches:
+            if pdf[order_col].isna().any():
+                # Spark orders NULL (last under desc) and NaN (first)
+                # differently; pandas conflates them, so a silent prune
+                # here could disagree with the final window.  Filter or
+                # coalesce upstream — refusing beats a wrong top-k.
+                raise ValueError(
+                    f"grouped_topk: null/NaN in order column "
+                    f"{order_col!r}; filter or coalesce first")
             both = pdf if acc is None else pd.concat([acc, pdf],
                                                      ignore_index=True)
+            # dropna=False keeps NULL-key groups (pandas would silently
+            # drop them, diverging from the window's PARTITION BY)
             both = both.sort_values([order_col, id_col],
                                     ascending=[False, True],
                                     kind="mergesort")
-            acc = both.groupby(keys, sort=False).head(k)
+            acc = both.groupby(keys, sort=False, dropna=False).head(k)
         if acc is not None and len(acc):
             yield acc
 

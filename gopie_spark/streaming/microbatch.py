@@ -49,6 +49,8 @@ class StreamingSketch:
         self.value_col = value_col
         self.state_dir = state_dir
         os.makedirs(state_dir, exist_ok=True)
+        from gopie_spark.streaming.swap import recover
+        recover(state_dir, "current")
 
     @property
     def _current(self) -> str:
@@ -83,14 +85,10 @@ class StreamingSketch:
         merged.write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, "_batch_id"), "w") as fh:
             fh.write(str(batch_id))
-        # atomic swap (rename) so readers never see a half-written state
-        bak = os.path.join(self.state_dir, f"_old_{batch_id}")
-        if os.path.exists(self._current):
-            os.rename(self._current, bak)
-        os.rename(tmp, self._current)
-        if os.path.exists(bak):
-            import shutil
-            shutil.rmtree(bak)
+        # crash-safe swap: a kill between the two renames is healed by
+        # recover() on the next startup (streaming/swap.py)
+        from gopie_spark.streaming.swap import swap_in
+        swap_in(self.state_dir, "current", tmp, batch_id)
 
     def attach(self, stream_df: DataFrame,
                checkpoint_dir: Optional[str] = None,

@@ -35,11 +35,12 @@ open-state join.
 from __future__ import annotations
 
 import os
-import shutil
 from typing import Optional, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gopie_spark.streaming.swap import recover, swap_in
 
 _STATE_SCHEMA = ("user_id long, ordinal long, session_start timestamp, "
                  "last_ts timestamp, n_events long")
@@ -64,6 +65,8 @@ class StreamingSessions:
         self.ts_col = ts_col
         self.gap_s = gap_s
         os.makedirs(state_dir, exist_ok=True)
+        # heal a crash that landed between the swap's two renames
+        recover(state_dir, "open")
 
     # -- state plumbing (StreamingSketch protocol) ---------------------------
     @property
@@ -159,12 +162,7 @@ class StreamingSessions:
         new_open.write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, "_batch_id"), "w") as fh:
             fh.write(str(batch_id))
-        bak = os.path.join(self.state_dir, f"_old_{batch_id}")
-        if os.path.exists(self._open):
-            os.rename(self._open, bak)
-        os.rename(tmp, self._open)
-        if os.path.exists(bak):
-            shutil.rmtree(bak)
+        swap_in(self.state_dir, "open", tmp, batch_id)
 
     # -- views ---------------------------------------------------------------
     def sessions_view(self) -> Optional[DataFrame]:

@@ -258,6 +258,9 @@ def curate(spark, pages, *, min_tokens=20, blocklist=None,
     # ``dsir_min_weight`` set the stage also cuts below-threshold docs
     # and is counted.  One partial-aggregable histogram pass + a
     # zero-shuffle scoring scan (operators/dsir.py).
+    if dsir_min_weight is not None and dsir_target is None:
+        raise SystemExit("--dsir-min-weight requires --dsir-target "
+                         "(no weights to threshold otherwise)")
     if dsir_target is not None:
         from gopie_spark.operators.dsir import dsir_weights_within
         kept = dsir_weights_within(kept, F.expr(dsir_target),

@@ -59,9 +59,10 @@ def learn_and_report(spark, df, out, *, text_col="text", n_merges=1000,
 
     vocab = sorted({s for m in merges for s in ("".join(m),)} |
                    {c for m in merges for p in m for c in p})
+    n_w = int(probe["w"] or 0)
+    n_t = int(probe["t"] or 0)
     report.update({
-        "fertility_tokens_per_word":
-            round(probe["t"] / max(probe["w"], 1), 4),
+        "fertility_tokens_per_word": round(n_t / max(n_w, 1), 4),
         "fertility_sample_docs": int(probe["docs"]),
         "vocab_size_learned": len(vocab),
         "wall_s": round(time.perf_counter() - t0, 2),

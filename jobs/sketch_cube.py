@@ -60,6 +60,9 @@ def run_cube_checkpointed(spark, input_dir, dims, value, sketch, out,
     from gopie_spark.operators.cube import _CELLS, _META
     from gopie_spark.plans.checkpoint import SketchCheckpoint
 
+    if partition_dim is not None and partition_dim not in dims:
+        raise SystemExit(
+            f"--partition-dim {partition_dim!r} not in dims {list(dims)}")
     t0 = time.perf_counter()
     ckpt = SketchCheckpoint(checkpoint, sketch, list(dims), value,
                             transform=transform)
@@ -72,8 +75,10 @@ def run_cube_checkpointed(spark, input_dir, dims, value, sketch, out,
     meta = {"dims": list(dims), "value_col": value,
             "partition_dim": partition_dim,
             "zero_blob_hex": sketch.serialize(sketch.zero()).hex()}
-    with open(os.path.join(out, _META), "w") as f:
+    tmp_meta = os.path.join(out, _META + ".tmp")
+    with open(tmp_meta, "w") as f:
         _json.dump(meta, f)
+    os.replace(tmp_meta, os.path.join(out, _META))
     report = {
         "dims": list(dims), "value": value, "cells": cells.count(),
         "incremental": False, "checkpointed": True,
@@ -114,8 +119,10 @@ def run_cube(spark, df, dims, value, sketch, out, *,
         w.parquet(os.path.join(out, _CELLS))
         with open(os.path.join(merge_into, _META)) as f:
             meta = json.load(f)
-        with open(os.path.join(out, _META), "w") as f:
+        tmp_meta = os.path.join(out, _META + ".tmp")
+        with open(tmp_meta, "w") as f:
             json.dump(meta, f)
+        os.replace(tmp_meta, os.path.join(out, _META))
     else:
         cells = build_sketch_cube(df, dims, value, sketch, path=out,
                                   partition_dim=partition_dim, salt=salt)
