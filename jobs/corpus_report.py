@@ -89,6 +89,14 @@ def corpus_card(spark, df, *, text_col="text",
 
     # hosts
     if url_col in df.columns:
+        # distinct urls via the theta sketch (the exact count would be
+        # a full-url shuffle at corpus scale; the KMV state is 32 KB
+        # and exact below k anyway)
+        from gopie_spark.kernels import Theta
+        th = Theta(k=4096)
+        st_u = global_sketch(df.select(F.col(url_col).alias("v")),
+                             "v", th)
+        card["distinct_urls_est"] = int(round(th.estimate(st_u)))
         hosts = (df.select(extract_host(url_col).alias("h"))
                  .filter(F.col("h") != ""))
         card["n_hosts"] = hosts.distinct().count()

@@ -450,6 +450,7 @@ def test_corpus_card(spark, sf_dir):
                         url.alias("url"))
     card = corpus_card(spark, pages)
     assert card["n_docs"] == 500 and card["n_hosts"] == 20
+    assert card["distinct_urls_est"] == 500  # < k=4096: exact tier
     assert set(card["languages"]) == {r["lang"] for r in
                                       docs.select("lang").distinct()
                                       .collect()}
