@@ -86,3 +86,29 @@ def test_dsir_min_weight_requires_target(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with pytest.raises(SystemExit, match="dsir-target"):
         curate(spark, docs, near_dedup=False, dsir_min_weight=0.0)
+
+
+def test_streaming_sketch_swap_recovery(spark, tmp_path):
+    """Same mid-swap crash window for StreamingSketch: a fresh instance
+    restores the backup, keeps the committed batch id, and the replayed
+    batch stays a no-op (byte-equal state)."""
+    from pyspark.sql import functions as F2
+    from gopie_spark.kernels import HLL
+    from gopie_spark.streaming import StreamingSketch
+
+    state = str(tmp_path / "sk")
+    hll = HLL(p=10)
+    ss = StreamingSketch(spark, hll, ["lang"], "v", state)
+    batch = spark.createDataFrame(
+        [("en", str(i)) for i in range(50)], "lang string, v string")
+    ss.process_batch(batch, 0)
+    before = {r["lang"]: bytes(r["sketch_state"])
+              for r in ss.current_states().collect()}
+    os.rename(os.path.join(state, "current"),
+              os.path.join(state, "_old_7"))
+    ss2 = StreamingSketch(spark, hll, ["lang"], "v", state)
+    assert ss2.committed_batch_id() == 0
+    ss2.process_batch(batch, 0)  # replay: no-op
+    after = {r["lang"]: bytes(r["sketch_state"])
+             for r in ss2.current_states().collect()}
+    assert after == before
