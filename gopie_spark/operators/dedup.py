@@ -43,6 +43,14 @@ from gopie_spark.kernels.hashes import fnv1_64_values
 # exact dedup
 # --------------------------------------------------------------------------
 
+def content_digest(text_col: str = "text", normalize: bool = True):
+    """The repo's ONE content-digest rule (md5 of whitespace-collapsed
+    lowercased text) — exact_dedup, duplicate stats, and the theta
+    novelty pre-flight all key on it."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return F.md5(norm if normalize else F.col(text_col))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", normalize: bool = True,
                 keep: str = "min") -> DataFrame:
@@ -57,8 +65,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     ~one row per distinct digest per partition instead of every row plus
     a per-partition sort.  Digests are uniform so no skew handling
     needed."""
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    fp = F.md5(norm if normalize else F.col(text_col))
+    fp = content_digest(text_col, normalize)
     cols = df.columns
     others = [c for c in cols if c != id_col]
     rep = F.struct(F.col(id_col), *[F.col(c) for c in others])

@@ -48,6 +48,48 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def novelty_preflight(batch_df, text_col: str, sig_dir: str,
+                      k: int = 4096) -> dict:
+    """Theta content-novelty estimate BEFORE the incremental dedup's
+    candidate work: one KMV pass over the BATCH's content digests (the
+    store is a persisted 32 KB sketch, never rescanned) estimates how
+    much of the batch is new vs already-seen content — the
+    skip-this-crawl / budget signal, with the sketch's published
+    bounds.  The batch state then merges into the store sketch
+    (associative, so the store equals a from-scratch build).  Uses the
+    same digest rule as exact_dedup."""
+    from pyspark.sql import functions as F
+    from gopie_spark.kernels import Theta
+    from gopie_spark.operators.dedup import content_digest
+    from gopie_spark.operators.sketch_agg import global_sketch
+
+    th = Theta(k=k)
+    batch = global_sketch(
+        batch_df.filter(F.col(text_col).isNotNull())
+        .select(content_digest(text_col).alias("v")), "v", th)
+    path = os.path.join(sig_dir, "_theta_digests.bin")
+    if os.path.exists(path):
+        with open(path, "rb") as fh:
+            store = th.deserialize(fh.read())
+    else:
+        store = th.zero()
+    est_batch = th.estimate(batch)
+    overlap = (th.intersect_estimate(store, batch)
+               if store["hashes"].size else 0.0)
+    merged = th.merge(store, batch)
+    os.makedirs(sig_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(th.serialize(merged))
+    os.replace(tmp, path)
+    return {
+        "batch_distinct_est": int(round(est_batch)),
+        "overlap_with_store_est": int(round(overlap)),
+        "new_distinct_est": int(round(max(est_batch - overlap, 0.0))),
+        "store_distinct_est": int(round(th.estimate(merged))),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
@@ -122,7 +164,9 @@ def main() -> None:
 
     # stage 2+3: near-dup pairs + survivor selection
     preflight = None
+    novelty = None
     if args.incremental:
+        novelty = novelty_preflight(pages, args.text_col, args.sig_dir)
         deduped = incremental_minhash_dedup(
             survivors, args.sig_dir, text_col=args.text_col,
             threshold=args.threshold, strategy=args.strategy, k=args.k,
@@ -162,6 +206,7 @@ def main() -> None:
         "paragraph_store": args.paragraph_store,
         "incremental": args.incremental,
         "lsh_preflight": preflight,
+        "novelty_preflight": novelty,
     }
     print(json.dumps(report))
     spark.stop()

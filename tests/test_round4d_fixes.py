@@ -112,3 +112,36 @@ def test_streaming_sketch_swap_recovery(spark, tmp_path):
     after = {r["lang"]: bytes(r["sketch_state"])
              for r in ss2.current_states().collect()}
     assert after == before
+
+
+def test_novelty_preflight_estimates(spark, sf_dir, tmp_path):
+    """Two-batch crawl with a planted 60% overlap: the theta novelty
+    pre-flight reports batch/new/overlap distincts within the sketch
+    bound, and the persisted store sketch accumulates associatively."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "jobs"))
+    from dedup_corpus import novelty_preflight
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("text").isNotNull())
+    sig = str(tmp_path / "sig")
+    b1 = docs.filter(F.col("doc_id") < 300)
+    r1 = novelty_preflight(b1, "text", sig)
+    # distinct digests can be < rows (the corpus has planted dups)
+    n1 = b1.selectExpr(
+        "md5(lower(regexp_replace(text, '\\\\s+', ' '))) d") \
+        .distinct().count()
+    assert r1["batch_distinct_est"] == n1  # < k: exact tier
+    assert r1["overlap_with_store_est"] == 0
+    assert r1["store_distinct_est"] == n1
+
+    b2 = docs.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 420))
+    r2 = novelty_preflight(b2, "text", sig)
+    union = docs.filter(F.col("doc_id") < 420).selectExpr(
+        "md5(lower(regexp_replace(text, '\\\\s+', ' '))) d") \
+        .distinct().count()
+    assert r2["store_distinct_est"] == union  # merge == full rebuild
+    assert 0 < r2["overlap_with_store_est"] <= r2["batch_distinct_est"]
+    assert r2["new_distinct_est"] + r2["overlap_with_store_est"] == \
+        r2["batch_distinct_est"]
