@@ -2130,6 +2130,38 @@ def _q_ngram_containment(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def _q_ams_join_size_cross(spark, sf_dir):
+    """CROSS join-size estimation (kernels/ams.py inner_product, Alon-
+    Gibbons-Matias-Szegedy PODS'99): the equi-join cardinality of
+    click-events x purchase-events on user_id, estimated from TWO AMS
+    states built independently with shared sign functions — the
+    query-planner statistic, no join executed.  Certificate: estimate
+    within the 4-sigma product bound of the exact join size, which the
+    DuckDB oracle recomputes."""
+    from gopie_spark.kernels import AMS
+    from gopie_spark.operators.sketch_agg import global_sketch
+    ev = _events(spark, sf_dir)
+    ams = AMS(n_means=256, n_medians=5)
+    sides = {}
+    for et in ("click", "purchase"):
+        sides[et] = global_sketch(
+            ev.filter(F.col("event_type") == et)
+            .select(F.col("user_id").cast("string").alias("v")),
+            "v", ams)
+    est = ams.inner_product(sides["click"], sides["purchase"])
+    bound = ams.inner_product_bound(sides["click"], sides["purchase"])
+    c = ev.filter(F.col("event_type") == "click") \
+        .groupBy("user_id").count().withColumnRenamed("count", "nc")
+    p = ev.filter(F.col("event_type") == "purchase") \
+        .groupBy("user_id").count().withColumnRenamed("count", "np")
+    exact = c.join(p, "user_id").agg(
+        F.sum(F.col("nc") * F.col("np")).alias("n")).collect()[0]["n"]
+    exact = int(exact or 0)
+    return spark.createDataFrame(
+        [(exact, bool(abs(est - exact) <= bound))],
+        "n_exact long, within_bound boolean")
+
+
 def _q_grouped_topk(spark, sf_dir):
     """Top-3 events by value per event_type (operators/topk.py): the
     map-side-pruned grouped top-k — only each partition's local top-k
@@ -2448,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention_cohorts,
         "funnel_steps": _q_funnel_steps,
         "grouped_topk": _q_grouped_topk,
+        "ams_join_size_cross": _q_ams_join_size_cross,
         "dsir_weights": _q_dsir_weights,
         "freqdir_covariance": _q_freqdir_covariance,
         "bpe_pair_counts": _q_bpe_pair_counts,
@@ -2574,6 +2607,15 @@ def oracle_sql() -> dict[str, str]:
                                   AND t2 > t1 THEN 1 END)
                 FROM firsts
             ) ORDER BY step_idx
+        """,
+        "ams_join_size_cross": """
+            SELECT CAST(sum(c.n * p.n) AS BIGINT) AS n_exact,
+                   TRUE AS within_bound
+            FROM (SELECT user_id, count(*) AS n FROM events
+                  WHERE event_type = 'click' GROUP BY user_id) c
+            JOIN (SELECT user_id, count(*) AS n FROM events
+                  WHERE event_type = 'purchase' GROUP BY user_id) p
+            USING (user_id)
         """,
         "grouped_topk": """
             SELECT event_type, rank, event_id, value_e2 FROM (

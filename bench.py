@@ -80,7 +80,7 @@ def main() -> None:
         "theta_distinct_events", "theta_shingle_algebra",
         "sketch_cube_rollup", "bpe_pair_counts", "freqdir_covariance",
         "dsir_weights", "session_stats", "retention_cohorts", "funnel_steps",
-        "grouped_topk",
+        "grouped_topk", "ams_join_size_cross",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",

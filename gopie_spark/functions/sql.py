@@ -30,6 +30,7 @@ Registered names (idempotent to re-register):
 - ``gopie_theta_union(a, b) -> double``            (|A ∪ B| estimate)
 - ``gopie_theta_intersect(a, b) -> double``        (|A ∩ B| estimate)
 - ``gopie_theta_jaccard(a, b) -> double``
+- ``gopie_ams_join(a, b) -> double``            (equi-join size est.)
 """
 
 from __future__ import annotations
@@ -174,6 +175,17 @@ def register_sql_functions(spark: SparkSession,
 
         return fn
 
+    def _ams_join(a_blobs, b_blobs):
+        from gopie_spark.kernels import AMS
+        out = np.full(len(a_blobs), np.nan, dtype=np.float64)
+        for i, (a, b) in enumerate(zip(a_blobs, b_blobs)):
+            if a is None or b is None:
+                continue
+            ams = AMS.from_blob(bytes(a))
+            out[i] = ams.inner_product(ams.deserialize(bytes(a)),
+                                       ams.deserialize(bytes(b)))
+        return pd.Series(out)
+
     def _ams_f2(blobs):
         from gopie_spark.kernels import AMS
         out = np.zeros(len(blobs), dtype=np.float64)
@@ -196,6 +208,8 @@ def register_sql_functions(spark: SparkSession,
                        pandas_udf(_bloom_exist, "boolean"))
     spark.udf.register(f"{prefix}ams_f2",
                        pandas_udf(_ams_f2, "double"))
+    spark.udf.register(f"{prefix}ams_join",
+                       pandas_udf(_ams_join, "double"))
     spark.udf.register(f"{prefix}theta_estimate",
                        pandas_udf(_theta_estimate, "long"))
     spark.udf.register(f"{prefix}theta_union",

@@ -100,6 +100,26 @@ class AMS:
     def count(self, state) -> int:
         return int(state["count"][0])
 
+    def inner_product(self, a, b) -> float:
+        """JOIN-SIZE estimate between two columns sketched with the
+        SAME AMS params (shared sign functions): E[z_a_j * z_b_j] =
+        sum_x f_a(x) f_b(x) — the equi-join cardinality (Alon, Gibbons,
+        Matias, Szegedy, PODS 1999 'Tracking Join and Self-Join Sizes
+        in Limited Storage').  Median-of-means over the products."""
+        if a["z"].shape != b["z"].shape:
+            raise ValueError("AMS estimator counts must match")
+        prod = a["z"].astype(np.float64) * b["z"].astype(np.float64)
+        means = prod.reshape(self.n_medians, self.n_means).mean(axis=1)
+        return float(np.median(means))
+
+    def inner_product_bound(self, a, b) -> float:
+        """Conservative 4-sigma absolute bound for inner_product:
+        Var[z_a z_b] <= 2 F2(a) F2(b), so sigma of one mean group is
+        sqrt(2 F2a F2b / n_means) — evaluated on the sketch's own F2
+        estimates (+1 slack for the zero corner)."""
+        f2a, f2b = max(self.estimate(a), 0.0), max(self.estimate(b), 0.0)
+        return 4.0 * float(np.sqrt(2.0 * f2a * f2b / self.n_means)) + 1.0
+
     @property
     def rel_err(self) -> float:
         """Relative standard error of one mean group: sqrt(2/n_means)."""

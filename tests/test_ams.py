@@ -108,3 +108,26 @@ def test_ams_windowed_and_streaming(spark, sf_dir, tmp_path):
     import numpy as np
     assert np.array_equal(got["z"], want["z"])
     assert got["count"][0] == want["count"][0]
+
+
+def test_ams_inner_product_join_size():
+    """AGMS join-size estimation: two columns over a shared key domain,
+    estimate within the 4-sigma product bound; shared-seed requirement
+    enforced; distributed split-merge states give the identical
+    estimate (linearity)."""
+    rng = np.random.default_rng(7)
+    ams = AMS(n_means=256, n_medians=5)
+    keys = np.array([f"u{i}" for i in range(300)], dtype=object)
+    fa = (rng.zipf(1.5, 300) % 40 + 1).astype(np.int64)
+    fb = (rng.zipf(1.5, 300) % 25 + 1).astype(np.int64)
+    sa = ams.update(ams.zero(), keys, fa)
+    sb = ams.update(ams.zero(), keys, fb)
+    exact = float((fa * fb).sum())
+    est = ams.inner_product(sa, sb)
+    assert abs(est - exact) <= ams.inner_product_bound(sa, sb)
+    # split-merge linearity: same estimate from merged partials
+    h1 = ams.update(ams.zero(), keys[:150], fa[:150])
+    h2 = ams.update(ams.zero(), keys[150:], fa[150:])
+    assert ams.inner_product(ams.merge(h1, h2), sb) == est
+    with pytest.raises(ValueError):
+        ams.inner_product(sa, AMS(n_means=32, n_medians=5).zero())
