@@ -259,6 +259,46 @@ def _q_kll_quantiles(spark, sf_dir):
             .orderBy("event_type"))
 
 
+def _q_ddsketch_quantiles(spark, sf_dir):
+    """DDSketch RELATIVE-error certificate on documents.n_chars.
+
+    The sketch guarantee (Masson et al., VLDB 2019): the estimate e for
+    the rank-``k = floor(q*(n-1))+1`` item x_k satisfies
+    ``|e - x_k| <= alpha * x_k``, i.e. ``x_k in [e/(1+a), e/(1-a)]``.
+    Certificate (one aggregate scan, same shape as the tdigest one):
+    for each q, ``count(x <= e/(1-a)) >= k`` (x_k not above the band)
+    and ``count(x < e/(1+a)) < k`` (x_k not below it).  n_chars > 0 so
+    the positive-branch algebra applies.  The build itself is the fully
+    Catalyst ``groupBy(closed-form bucket).count()`` path — no Python,
+    no sketch blob (operators/sketch_agg.py ddsketch_quantiles)."""
+    from gopie_spark.operators import ddsketch_quantiles
+    docs = _docs(spark, sf_dir)
+    alpha = 0.01
+    qs = [0.25, 0.5, 0.75, 0.99]
+    est_row = ddsketch_quantiles(docs, "n_chars", qs, alpha=alpha) \
+        .collect()[0]
+    slack = 1e-9  # float fuzz on the band edges
+    aggs = [F.count("*").alias("n")]
+    for q in qs:
+        tag = str(q).replace('.', '_')
+        e = float(est_row[f"q{tag}"])
+        hi = e / (1.0 - alpha) * (1.0 + slack)
+        lo = e / (1.0 + alpha) * (1.0 - slack)
+        aggs.append(F.sum(F.when(F.col("n_chars") <= hi, 1).otherwise(0))
+                    .alias(f"le_{tag}"))
+        aggs.append(F.sum(F.when(F.col("n_chars") < lo, 1).otherwise(0))
+                    .alias(f"lt_{tag}"))
+    r = docs.agg(*aggs).collect()[0]
+    checks = []
+    for q in qs:
+        tag = str(q).replace('.', '_')
+        k = math.floor(q * (r["n"] - 1)) + 1
+        ok = (r[f"le_{tag}"] >= k) and (r[f"lt_{tag}"] < k)
+        checks.append((f"q{q}", bool(ok)))
+    return spark.createDataFrame(
+        checks, "quantile string, within_bound boolean")
+
+
 def _q_hll_distinct_per_window(spark, sf_dir):
     """Windowed sketch composition (SURVEY.md §2.5): per-hour tumbling
     HLL distinct-user estimate over events — exact anchors + per-window
@@ -2476,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position.
     return {
         # --- no driver-green row yet (r4 priority block) ---
+        "ddsketch_quantiles": _q_ddsketch_quantiles,
         "session_stats": _q_session_stats,
         "retention_cohorts": _q_retention_cohorts,
         "funnel_steps": _q_funnel_steps,
@@ -2797,6 +2838,10 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT DISTINCT event_type, TRUE AS within_bound
             FROM events ORDER BY event_type
+        """,
+        "ddsketch_quantiles": """
+            SELECT q AS quantile, TRUE AS within_bound
+            FROM (VALUES ('q0.25'), ('q0.5'), ('q0.75'), ('q0.99')) t(q)
         """,
         "pushsum_mean": """
             SELECT event_type,

@@ -20,11 +20,12 @@ from gopie_spark.kernels.misragries import MisraGries
 from gopie_spark.kernels.ams import AMS
 from gopie_spark.kernels.theta import Theta
 from gopie_spark.kernels.freqdir import FreqDir
+from gopie_spark.kernels.ddsketch import DDSketch
 
 __all__ = [
     "HLL", "CMS", "BloomBit", "BloomCounting", "BloomScalable",
     "TDigest", "KLL", "MinHash", "SimHash", "MisraGries", "AMS",
-    "Theta", "FreqDir", "sketch_from_blob",
+    "Theta", "FreqDir", "DDSketch", "sketch_from_blob",
 ]
 
 
@@ -50,6 +51,7 @@ def sketch_from_blob(blob: bytes):
         codec.KIND_AMS: AMS,
         codec.KIND_THETA: Theta,
         codec.KIND_FREQDIR: FreqDir,
+        codec.KIND_DDSKETCH: DDSketch,
     }
     if kind not in by_kind:
         raise ValueError(f"unknown sketch kind {kind}")

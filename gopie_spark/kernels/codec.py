@@ -37,6 +37,7 @@ KIND_MISRAGRIES = 10
 KIND_AMS = 11
 KIND_THETA = 12
 KIND_FREQDIR = 13
+KIND_DDSKETCH = 14
 
 
 def pack(kind: int, fields: List[Tuple[int, bytes]]) -> bytes:

@@ -357,6 +357,99 @@ def kll_quantiles(df: DataFrame, value_col: str, qs: Iterable[float],
                             out_prefix, salt)
 
 
+def ddsketch_buckets(df: DataFrame, value_col: str,
+                     keys: Sequence[str] = (), alpha: float = 0.01,
+                     min_value: float = 1e-9) -> DataFrame:
+    """DDSketch build as a PLAIN Catalyst aggregation — the cheapest
+    possible distributed quantile pass.
+
+    Because the DDSketch bucket index is a closed-form function of the
+    value (``ceil(log_gamma x)``, ``gamma = (1+alpha)/(1-alpha)`` —
+    kernels/ddsketch.py has the background), the sketch "state" is just
+    the relation ``(keys, _sign, _bucket, _n)`` and the build is
+    ``groupBy(bucket).count()``: whole-stage-codegen bucket math,
+    map-side partial aggregation (at most ``O(buckets)`` rows leave each
+    partition regardless of input size), and merge = ``SUM`` — no
+    Python anywhere, no sketch blobs, no UDAF.  t-digest/KLL cannot do
+    this because their bucket boundaries are data-adaptive.
+
+    ``_sign`` is -1/0/+1 (``|x| < min_value`` counts as the exact-zero
+    bin); ``_bucket`` is the mirrored index of ``|x|``.  Nulls and NaNs
+    are dropped, matching the numeric-kernel contract."""
+    g = (1.0 + alpha) / (1.0 - alpha)
+    v = F.col(value_col).cast("double")
+    sign = (F.when(F.abs(v) < F.lit(float(min_value)), F.lit(0))
+            .when(v > 0, F.lit(1)).otherwise(F.lit(-1)).cast("int"))
+    raw_b = F.ceil(F.log(F.abs(v)) / F.lit(math.log(g))).cast("long")
+    bucket = F.when(sign == 0, F.lit(0).cast("long")).otherwise(raw_b)
+    return (df.filter(v.isNotNull() & ~F.isnan(v))
+            .groupBy(*keys, sign.alias("_sign"), bucket.alias("_bucket"))
+            .agg(F.count("*").alias("_n")))
+
+
+def ddsketch_quantiles(df: DataFrame, value_col: str, qs: Iterable[float],
+                       keys: Sequence[str] = (), alpha: float = 0.01,
+                       min_value: float = 1e-9,
+                       out_prefix: str = "q") -> DataFrame:
+    """Quantiles with a RELATIVE-error guarantee, end-to-end in Catalyst.
+
+    Output shape matches :func:`tdigest_quantiles` /
+    :func:`kll_quantiles` (one row per key group, one double column per
+    requested quantile), but the guarantee is DDSketch's: each estimate
+    is within ``alpha * |x_k|`` of the true rank-``k = floor(q*(n-1))+1``
+    item ``x_k`` — heavy tails keep full precision.
+
+    Scale shape: the corpus is touched ONCE by the
+    :func:`ddsketch_buckets` partial-agg scan; everything after runs on
+    the bucket relation, whose size is ``O(groups x log(range)/alpha)``
+    (a few thousand rows per group at alpha=0.01), so the window cumsum
+    and the quantile pick are noise.  The rank walk: order buckets by
+    ``(sign, sign*bucket)`` (ascending value), running-count them, and
+    for each q take the FIRST bucket whose cumulative count reaches the
+    target rank; the answer is that bucket's midpoint
+    ``sign * 2*gamma^b/(gamma+1)``.  qs outside (0,1) still honor the
+    bound (rank clamps to 1 / n)."""
+    from pyspark.sql import Window
+    g = (1.0 + alpha) / (1.0 - alpha)
+    qs = [float(q) for q in qs]
+    keys = list(keys)
+    bk = ddsketch_buckets(df, value_col, keys, alpha, min_value)
+    # single sortable key for (sign, sign*bucket): |bucket| < 2^31 for
+    # any representable double at any sane alpha, so the packing is exact
+    okey = (F.col("_sign").cast("long") * F.lit(2 ** 32)
+            + F.col("_sign") * F.col("_bucket"))
+    est = (F.when(F.col("_sign") == 0, F.lit(0.0))
+           .otherwise(F.col("_sign")
+                      * (F.lit(2.0)
+                         * F.exp(F.col("_bucket") * F.lit(math.log(g)))
+                         / F.lit(g + 1.0))))
+    part = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    w_cum = part.orderBy("_okey").rowsBetween(Window.unboundedPreceding,
+                                              Window.currentRow)
+    w_all = part.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    walk = (bk.select(*keys, okey.alias("_okey"), est.alias("_est"), "_n")
+            .withColumn("_cum", F.sum("_n").over(w_cum))
+            .withColumn("_tot", F.sum("_n").over(w_all)))
+    names = [f"{out_prefix}{str(q).replace('.', '_')}" for q in qs]
+    qtab = F.explode(F.array(*[
+        F.struct(F.lit(nm).alias("_qname"), F.lit(q).alias("_q"))
+        for nm, q in zip(names, qs)])).alias("_qs")
+    rank = F.greatest(
+        F.lit(1).cast("long"),
+        (F.floor(F.col("_qs._q") * (F.col("_tot") - 1)) + 1).cast("long"))
+    hits = (walk.select(*keys, "_okey", "_est", "_cum", "_tot", qtab)
+            .filter(F.col("_cum") >= rank))
+    picked = (hits.groupBy(*keys)
+              .pivot("_qs._qname", names)
+              .agg(F.min_by("_est", "_okey")))
+    if not keys:
+        # pivot with no grouping keys still yields one row; keep column
+        # order deterministic and matching the sibling quantile ops
+        return picked.select(*names)
+    return picked.select(*keys, *names)
+
+
 def quantile_gate(df: DataFrame, value_col: str,
                   keys: Sequence[str] = (), q_lo: float = 0.05,
                   q_hi: float = 0.95, method: str = "tdigest",
