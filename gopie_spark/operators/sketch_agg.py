@@ -39,7 +39,7 @@ from pyspark.sql.types import (BinaryType, DoubleType, LongType,
 STATE_COL = "sketch_state"
 
 # sketches whose update() consumes string/bytes; others consume float64
-_NUMERIC_KERNELS = ("TDigest", "KLL")
+_NUMERIC_KERNELS = ("TDigest", "KLL", "DDSketch")
 
 
 def _is_numeric_kernel(sketch) -> bool:
@@ -453,7 +453,8 @@ def ddsketch_quantiles(df: DataFrame, value_col: str, qs: Iterable[float],
 def quantile_gate(df: DataFrame, value_col: str,
                   keys: Sequence[str] = (), q_lo: float = 0.05,
                   q_hi: float = 0.95, method: str = "tdigest",
-                  delta: float = 100.0, k: int = 200, salt: int = 0,
+                  delta: float = 100.0, k: int = 200, alpha: float = 0.01,
+                  salt: int = 0,
                   lo_col: str = "q_lo_val",
                   hi_col: str = "q_hi_val") -> DataFrame:
     """Keep rows inside the per-group ``[q_lo, q_hi]`` quantile band of
@@ -483,6 +484,13 @@ def quantile_gate(df: DataFrame, value_col: str,
                                 delta=delta, salt=salt)
     elif method == "kll":
         est = kll_quantiles(df, value_col, qs, keys=keys, k=k, salt=salt)
+    elif method == "ddsketch":
+        # cheapest threshold pass: pure Catalyst (closed-form buckets,
+        # partial-aggregable groupBy), no mapInPandas stage at all; the
+        # contract shifts from rank error to DDSketch's RELATIVE error —
+        # each threshold is within alpha*|x_k| of the true quantile item,
+        # so prefer it when value ranges are heavy-tailed (doc lengths)
+        est = ddsketch_quantiles(df, value_col, qs, keys=keys, alpha=alpha)
     else:
         raise ValueError(f"unknown quantile method: {method!r}")
     names = [f"q{str(q).replace('.', '_')}" for q in qs]

@@ -36,7 +36,7 @@ class StreamingSketch:
     Replay safety: Structured Streaming re-invokes ``foreachBatch``
     with the same ``batch_id`` after a failure.  Register-max sketches
     (HLL, Bloom) merge idempotently, but counter sketches (CMS,
-    t-digest, KLL) would DOUBLE-COUNT a replayed batch — so the batch
+    t-digest, KLL, DDSketch) would DOUBLE-COUNT a replayed batch — so the batch
     id rides inside the state dir (an ``_batch_id`` marker written into
     the tmp dir *before* the atomic swap, so state and marker commit
     together) and an already-committed batch id is skipped."""

@@ -10,6 +10,8 @@ import functools
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from gopie_spark.kernels import DDSketch, sketch_from_blob
 
 ALPHA = 0.01
@@ -149,6 +151,77 @@ class TestCatalyst:
         got = ddsketch_quantiles(frame, "v", [0.5, 0.9]).collect()[0]
         assert got["q0_5"] == pytest.approx(float(want[0]), rel=1e-12)
         assert got["q0_9"] == pytest.approx(float(want[1]), rel=1e-12)
+
+    def test_generic_blob_path_equals_kernel(self, df, spark):
+        """DDSketch routes through the generic two-level blob aggregation
+        (build_partials -> merge_partials) as a numeric kernel — the
+        protocol path streaming state and checkpoints use — and the
+        merged state is byte-equal to the serial kernel build."""
+        from gopie_spark.operators import sketch_agg
+        from gopie_spark.operators.sketch_agg import STATE_COL
+        frame, rows = df
+        sk = DDSketch(alpha=0.01)
+        got = {r["lang"]: bytes(r[STATE_COL])
+               for r in sketch_agg(frame, ["lang"], "v", sk).collect()}
+        by_lang = {}
+        for lang, v in rows:
+            if v is not None:
+                by_lang.setdefault(lang, []).append(v)
+        for lang, vs in by_lang.items():
+            want = sk.serialize(sk.update(sk.zero(), np.array(vs)))
+            assert got[lang] == want, lang
+
+    def test_streaming_equals_batch(self, df, spark, tmp_path):
+        """Micro-batch-merged streaming state == one-shot batch state
+        byte-for-byte (DDSketch is a counter sketch; replay safety is
+        StreamingSketch's committed-batch-id guard, tested generically
+        in test_round3/test_round4d_fixes)."""
+        from gopie_spark.operators import global_sketch
+        from gopie_spark.streaming import StreamingSketch
+        frame, _ = df
+        src = str(tmp_path / "dd_stream")
+        frame.select(F.col("v")).repartition(3).write.parquet(src)
+        df_all = spark.read.parquet(src)
+        sk = DDSketch(alpha=0.01)
+        want = global_sketch(df_all, "v", sk)
+        ss = StreamingSketch(spark, sk, [], "v", str(tmp_path / "st"))
+        q = ss.attach(spark.readStream.schema(df_all.schema).parquet(src))
+        q.awaitTermination(120)
+        from gopie_spark.operators.sketch_agg import STATE_COL
+        got = bytes(ss.current_states().collect()[0][STATE_COL])
+        assert got == sk.serialize(want)
+
+    def test_quantile_gate_ddsketch_method(self, df):
+        """quantile_gate(method='ddsketch'): thresholds within the alpha
+        relative band of the exact per-group quantile items; the gate
+        keeps exactly the rows inside [lo, hi]."""
+        from gopie_spark.operators import ddsketch_quantiles, quantile_gate
+        frame, rows = df
+        pos = frame.filter(F.col("v") > 0)
+        kept = quantile_gate(pos, "v", keys=["lang"], q_lo=0.1, q_hi=0.9,
+                             method="ddsketch").collect()
+        thr = {r["lang"]: (r["q0_1"], r["q0_9"])
+               for r in ddsketch_quantiles(pos, "v", [0.1, 0.9],
+                                           keys=["lang"]).collect()}
+        by_lang = {}
+        for lang, v in rows:
+            if v is not None and v > 0:
+                by_lang.setdefault(lang, []).append(v)
+        # thresholds honor the relative bound vs the exact rank item
+        for lang, vs in by_lang.items():
+            xs = np.sort(vs)
+            n = xs.size
+            for q, e in zip((0.1, 0.9), thr[lang]):
+                xk = xs[int(np.floor(q * (n - 1)))]
+                assert abs(e - xk) <= ALPHA * abs(xk) + 1e-12, (lang, q)
+        # the gate is exactly the [lo, hi] band filter
+        want_n = sum(1 for lang, vs in by_lang.items() for v in vs
+                     if thr[lang][0] <= v <= thr[lang][1])
+        assert len(kept) == want_n
+        for r in kept:
+            lo, hi = thr[r["lang"]]
+            assert lo <= r["v"] <= hi
+            assert (r["q_lo_val"], r["q_hi_val"]) == (lo, hi)
 
     def test_plan_no_python_and_partial_agg(self, df):
         from gopie_spark.operators import (ddsketch_buckets,
