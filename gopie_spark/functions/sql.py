@@ -23,6 +23,7 @@ Registered names (idempotent to re-register):
 - ``gopie_bloom_exist(state, value) -> boolean``   (bit variant)
 - ``gopie_tdigest_quantile(state, q) -> double``
 - ``gopie_kll_quantile(state, q) -> double``
+- ``gopie_ddsketch_quantile(state, q) -> double``
 - ``gopie_tdigest_rank(state, value) -> double``   (CDF)
 - ``gopie_kll_rank(state, value) -> double``       (CDF)
 - ``gopie_mg_estimate(state, value) -> bigint``    (Misra–Gries lower bound)
@@ -136,6 +137,17 @@ def register_sql_functions(spark: SparkSession,
                                         [float(q)])[0])
         return pd.Series(out)
 
+    def _ddsketch_quantile(blobs, qs):
+        from gopie_spark.kernels import DDSketch
+        out = np.full(len(blobs), np.nan)
+        for i, (b, q) in enumerate(zip(blobs, qs)):
+            if b is None or q is None:
+                continue
+            dd = DDSketch.from_blob(bytes(b))
+            out[i] = float(dd.quantile(dd.deserialize(bytes(b)),
+                                       [float(q)])[0])
+        return pd.Series(out)
+
     def _mg_estimate(blobs, values):
         out = np.zeros(len(blobs), dtype=np.int64)
         for i, (b, v) in enumerate(zip(blobs, values)):
@@ -229,3 +241,5 @@ def register_sql_functions(spark: SparkSession,
                        pandas_udf(_tdigest_rank, "double"))
     spark.udf.register(f"{prefix}kll_rank",
                        pandas_udf(_kll_rank, "double"))
+    spark.udf.register(f"{prefix}ddsketch_quantile",
+                       pandas_udf(_ddsketch_quantile, "double"))

@@ -5,7 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from gopie_spark.functions.sql import register_sql_functions
-from gopie_spark.kernels import HLL, KLL, TDigest
+from gopie_spark.kernels import HLL, KLL, DDSketch, TDigest
 from gopie_spark.operators.sketch_agg import STATE_COL, sketch_agg
 
 SF = "/root/testdata/sf0.01"
@@ -53,7 +53,8 @@ def test_hll_sql_handles_mixed_p_blobs(registered, spark):
 def test_quantile_fns_from_sql(registered, spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     for kernel, fn in ((TDigest(), "gopie_tdigest_quantile"),
-                       (KLL(k=200), "gopie_kll_quantile")):
+                       (KLL(k=200), "gopie_kll_quantile"),
+                       (DDSketch(alpha=0.01), "gopie_ddsketch_quantile")):
         states = sketch_agg(
             docs.selectExpr("lang", "cast(n_chars as double) v"),
             ["lang"], "v", kernel)
