@@ -81,6 +81,8 @@ def main() -> None:
         "sketch_cube_rollup", "bpe_pair_counts", "freqdir_covariance",
         "dsir_weights", "session_stats", "retention_cohorts", "funnel_steps",
         "grouped_topk", "ams_join_size_cross",
+        # round 4e: DDSketch relative-error quantiles (pure-Catalyst build)
+        "ddsketch_quantiles",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",
