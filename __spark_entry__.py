@@ -2269,6 +2269,31 @@ def _q_retention_cohorts(spark, sf_dir):
             .orderBy("cohort", "offset"))
 
 
+def _session_overlap_oracle_sql() -> str:
+    """session_overlap_pairs oracle: the shared sessionize boundary
+    rule on the user_id < 80 block, rolled to intervals, self-joined on
+    the raw overlap predicate (quadratic is fine at oracle scale — the
+    Spark side is the one that must stay binned)."""
+    from gopie_spark.operators.sessions import oracle_sessionize_sql
+    inner = oracle_sessionize_sql(
+        "(SELECT * FROM events WHERE user_id < 80)",
+        "user_id", "ts", 1800)
+    return f"""
+        WITH s AS ({inner}),
+        iv AS (
+            SELECT user_id, session_id,
+                   min(ts) AS s, max(ts) AS e
+            FROM s GROUP BY user_id, session_id
+        )
+        SELECT a.session_id AS session_a, b.session_id AS session_b,
+               epoch_us(least(a.e, b.e))
+                   - epoch_us(greatest(a.s, b.s)) AS overlap_us
+        FROM iv a JOIN iv b
+          ON a.user_id < b.user_id AND a.s < b.e AND b.s < a.e
+        ORDER BY session_a, session_b
+    """
+
+
 def _session_oracle_sql() -> str:
     from gopie_spark.operators.sessions import oracle_sessionize_sql
     inner = oracle_sessionize_sql("events", "user_id", "ts", 21600)
@@ -2505,6 +2530,94 @@ def _q_theta_shingle_algebra(spark, sf_dir):
         "op string, n_exact long, within_bound boolean").orderBy("op")
 
 
+def _q_asof_click_attribution(spark, sf_dir):
+    """As-of join (operators/temporal.py): every purchase event is
+    attributed to the same user's most recent click AT OR BEFORE it —
+    the union + running-last formulation: one Exchange on user_id, one
+    per-user window sort, NO join operator (the naive range join is an
+    O(n*m)-per-key nested loop at scale).  Clicks are pre-collapsed to
+    one per (user, ts) keeping max event_id, so the tie rule is shared
+    with the oracle (DuckDB's native ASOF LEFT JOIN picks an arbitrary
+    equal-ts row otherwise).  Gap rides as exact microseconds (both
+    engines compute it on integer epoch-us, no float drift);
+    unattributed purchases survive with NULLs (left semantics)."""
+    from gopie_spark.operators.temporal import asof_join
+    ev = _events(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("event_id").alias("click_id")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         "user_id", "ts"))
+    j = asof_join(purchases, clicks, ["user_id"], "ts",
+                  right_cols=["ts", "click_id"])
+    return (j.select(F.col("purchase_id").cast("long").alias("purchase_id"),
+                     F.col("user_id").cast("long").alias("user_id"),
+                     F.col("click_id").cast("long").alias("click_id"),
+                     (F.unix_micros(F.col("ts").cast("timestamp")) -
+                      F.unix_micros(F.col("ts_r").cast("timestamp")))
+                     .cast("long").alias("gap_us"))
+            .orderBy("purchase_id"))
+
+
+def _q_session_overlap_pairs(spark, sf_dir):
+    """Interval-overlap join (operators/temporal.py): pairs of
+    DIFFERENT users' 30-min-gap sessions that overlap in time, on the
+    bounded user_id < 80 block (17/442/406 pairs at sf
+    0.001/0.01/0.1).  The overlap predicate runs as an EQUI-join on
+    30-min time bins (JVM sequence-explode, each pair emitted exactly
+    once from the bin of its later start — no distinct, no cartesian);
+    session intervals share sessionize's single user-keyed shuffle.
+    Overlap rides as exact microseconds."""
+    from gopie_spark.operators.temporal import (interval_overlap_join,
+                                                session_intervals)
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 80)
+    iv = session_intervals(ev, gap_s=1800)
+    pairs = interval_overlap_join(
+        iv, iv, "session_start", "session_end",
+        "session_start", "session_end", bin_s=1800,
+        extra_pred=F.col("a_user_id") < F.col("b_user_id"))
+    return (pairs.select(
+        F.col("a_session_id").alias("session_a"),
+        F.col("b_session_id").alias("session_b"),
+        (F.unix_micros(F.least("a_session_end", "b_session_end")
+                       .cast("timestamp")) -
+         F.unix_micros(F.greatest("a_session_start", "b_session_start")
+                       .cast("timestamp")))
+        .cast("long").alias("overlap_us"))
+        .orderBy("session_a", "session_b"))
+
+
+def _q_range_shard_balance(spark, sf_dir):
+    """Sketch-driven balanced range sharding (operators/split.py):
+    one KLL pass yields 8 cutpoints of documents.n_chars; assignment is
+    a zero-shuffle scan-side expression.  Certificate: every shard's
+    row count within ``2 * eps * n + boundary_tie_mass + 1`` of the
+    ideal n/8 (eps = 0.02 at k=200 — the published normalized rank
+    error envelope; tie mass is exact, computed from the data since
+    range partitioning cannot split equal keys).  Anchor column
+    ``n_total`` is the exact corpus count the oracle re-derives."""
+    from gopie_spark.operators.split import range_shard_cuts, range_shards
+    docs = _docs(spark, sf_dir)
+    n_shards, eps = 8, 0.02
+    cuts = range_shard_cuts(docs, "n_chars", n_shards)
+    sharded = range_shards(docs, "n_chars", n_shards, cuts=cuts)
+    counts = sharded.groupBy("range_shard").agg(F.count("*").alias("n"))
+    totals = docs.agg(F.count("*").alias("n_total"))
+    tie_mass = (docs.filter(F.col("n_chars").cast("double")
+                            .isin([float(c) for c in cuts]))
+                .groupBy("n_chars").agg(F.count("*").alias("m"))
+                .agg(F.coalesce(F.max("m"), F.lit(0)).alias("tie")))
+    return (counts.crossJoin(F.broadcast(totals.select("n_total")))
+            .crossJoin(F.broadcast(tie_mass))
+            .select(F.col("range_shard").cast("long").alias("shard"),
+                    F.col("n_total").cast("long").alias("n_total"),
+                    (F.abs(F.col("n") - F.col("n_total") / n_shards) <=
+                     2 * eps * F.col("n_total") + F.col("tie") + 1)
+                    .alias("balanced"))
+            .orderBy("shard"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness window has historically
     # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
@@ -2563,6 +2676,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_dedup": _q_sentence_dedup,
         "ams_f2_join_size": _q_ams_f2_join_size,
         "token_entropy_per_lang": _q_token_entropy_per_lang,
+        "asof_click_attribution": _q_asof_click_attribution,
+        "session_overlap_pairs": _q_session_overlap_pairs,
+        "range_shard_balance": _q_range_shard_balance,
         # --- driver-green in r01-r03 windows (rotated: reverse of the
         # r03 ordering, so the window's remaining ~17 slots re-certify the
         # LEAST-recently-windowed of the old queries each round) ---
@@ -3747,6 +3863,29 @@ def oracle_sql() -> dict[str, str]:
                         - sum(c * log2(c)) / sum(c))) AS BIGINT)
                        AS entropy_e6
             FROM c GROUP BY lang ORDER BY lang
+        """,
+        "asof_click_attribution": """
+            WITH c AS (
+                SELECT user_id, ts, max(event_id) AS click_id
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, ts
+            ),
+            p AS (
+                SELECT event_id AS purchase_id, user_id, ts
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.purchase_id, p.user_id, c.click_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY purchase_id
+        """,
+        "session_overlap_pairs": _session_overlap_oracle_sql(),
+        "range_shard_balance": """
+            SELECT CAST(i AS BIGINT) AS shard,
+                   (SELECT count(*) FROM documents) AS n_total,
+                   true AS balanced
+            FROM range(0, 8) t(i) ORDER BY shard
         """,
         "mirror_hosts": """
             WITH base AS (

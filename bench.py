@@ -83,6 +83,10 @@ def main() -> None:
         "grouped_topk", "ams_join_size_cross",
         # round 4e: DDSketch relative-error quantiles (pure-Catalyst build)
         "ddsketch_quantiles",
+        # round 4f: as-of join (union + running-last), binned interval
+        # overlap join, sketch-driven balanced range sharding
+        "asof_click_attribution", "session_overlap_pairs",
+        "range_shard_balance",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",

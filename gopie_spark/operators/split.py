@@ -41,6 +41,8 @@ __all__ = [
     "training_order",
     "oracle_training_order_sql",
     "write_training_shards",
+    "range_shard_cuts",
+    "range_shards",
 ]
 
 
@@ -174,3 +176,58 @@ def write_training_shards(df: DataFrame, path: str,
     (ordered.repartition(n_shards, "shard")
      .sortWithinPartitions("shard", "pos")
      .write.mode(mode).partitionBy("shard").parquet(path))
+
+
+def range_shard_cuts(df: DataFrame, value_col: str, n_shards: int,
+                     k: int = 200):
+    """(n_shards - 1) KLL cutpoints of ``value_col`` at ranks i/n_shards
+    — one mergeable-sketch aggregation pass (constant driver payload:
+    the sketch state, never the data).  Returned as a plain float list
+    (driver-sized: n_shards - 1 numbers)."""
+    import numpy as np
+
+    from gopie_spark.kernels import KLL
+    from gopie_spark.operators.sketch_agg import global_sketch
+    if n_shards < 2:
+        raise ValueError("n_shards must be >= 2")
+    kll = KLL(k=k)
+    st = global_sketch(
+        df.select(F.col(value_col).cast("double").alias("_v")), "_v", kll)
+    qs = np.arange(1, n_shards) / n_shards
+    return [float(c) for c in kll.quantile(st, qs)]
+
+
+def range_shards(df: DataFrame, value_col: str, n_shards: int,
+                 k: int = 200, out_col: str = "range_shard",
+                 cuts: Sequence[float] = None) -> DataFrame:
+    """Sketch-driven BALANCED range sharding: bucket ``i`` holds the
+    rows with ``cuts[i-1] <= value < cuts[i]`` where the cuts are the
+    KLL i/n_shards quantiles — every shard lands within
+    ``2 * eps * n + tie_mass`` rows of the ideal ``n / n_shards``
+    (eps ~ 0.02 at k=200; tie_mass = the boundary values' own
+    multiplicity, which range partitioning cannot split).
+
+    This is how a 100-TB table gets written range-clustered WITHOUT a
+    global sort: one sketch pass (mergeable states, constant size per
+    partition) replaces the sampling stage of a range-exchange, and the
+    assignment itself is a zero-shuffle scan-side expression — the
+    returned frame adds ``out_col`` as a pure projection.  Downstream,
+    ``df.repartition(out_col)`` + ``sortWithinPartitions(value_col)``
+    yields files whose min/max zone maps prune range predicates, at the
+    cost of one hash Exchange instead of a rangepartitioning sample +
+    skew-prone range Exchange.
+
+    Assignment is ``sum(value >= cut)`` over the literal cut array
+    (O(n_shards) whole-stage-codegen comparisons per row — fine to
+    ~1024 shards; beyond that, compose two levels).  NULL values get
+    shard -1 (they have no rank).  Pass precomputed ``cuts`` to reuse
+    one sketch pass across many frames (e.g. per-partition writers).
+    """
+    if cuts is None:
+        cuts = range_shard_cuts(df, value_col, n_shards, k)
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    v = F.col(value_col).cast("double")
+    shard = F.aggregate(
+        arr, F.lit(0), lambda acc, c: acc + F.when(v >= c, 1).otherwise(0))
+    return df.withColumn(
+        out_col, F.when(v.isNull(), F.lit(-1)).otherwise(shard))
