@@ -2618,6 +2618,50 @@ def _q_range_shard_balance(spark, sf_dir):
             .orderBy("shard"))
 
 
+def _q_weighted_minhash_pairs(spark, sf_dir):
+    """Weighted-MinHash (ICWS, kernels/wminhash.py) certificate over
+    token MULTISETS, anchored on the exact weighted-Jaccard pairs
+    (DuckDB recomputes them independently):
+
+    - rows = the exact J_w >= 0.7 pairs among docs with doc_id < 300
+      (13/7/2 pairs at sf 0.001/0.01/0.1 — bounded, non-empty);
+    - ``wmh_found``: the 128-slot ICWS estimate (fraction of slots
+      where BOTH the sampled feature and its t match) clears 0.7 minus
+      3-sigma estimator slack (sigma = sqrt(J(1-J)/128) ~ 0.04 at
+      J=0.7) — deterministic per input under the fixed hash family.
+
+    Weighted Jaccard is the measure plain MinHash cannot see: it
+    distinguishes a doc from the same doc with every sentence pasted
+    twice.  The exact tier is the quadratic-by-design oracle
+    (freq-capped token self-join); the signature tier is the one that
+    scales."""
+    import math as _math
+    from gopie_spark.operators.dedup import (add_wminhash_signatures,
+                                             weighted_jaccard_pairs)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    exact = weighted_jaccard_pairs(docs, threshold=0.7) \
+        .localCheckpoint(eager=False)
+    sigs = add_wminhash_signatures(
+        docs.select("doc_id", "text"), k=128) \
+        .select("doc_id", "wmh_feat", "wmh_t")
+    sa = sigs.select(F.col("doc_id").alias("id_a"),
+                     F.col("wmh_feat").alias("fa"),
+                     F.col("wmh_t").alias("ta"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"),
+                     F.col("wmh_feat").alias("fb"),
+                     F.col("wmh_t").alias("tb"))
+    z = F.arrays_zip("fa", "fb", "ta", "tb")
+    est = (F.size(F.filter(z, lambda s: (s["fa"] == s["fb"]) &
+                           (s["ta"] == s["tb"]))) / F.lit(128.0))
+    gate = 0.7 - 3 * _math.sqrt(0.7 * 0.3 / 128)
+    return (exact.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b",
+                    F.floor(F.col("jaccard") * 10000 + F.lit(0.5))
+                    .cast("long").alias("jw_e4"),
+                    (est >= F.lit(gate)).alias("wmh_found"))
+            .orderBy("id_a", "id_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness window has historically
     # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
@@ -2679,6 +2723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_attribution": _q_asof_click_attribution,
         "session_overlap_pairs": _q_session_overlap_pairs,
         "range_shard_balance": _q_range_shard_balance,
+        "weighted_minhash_pairs": _q_weighted_minhash_pairs,
         # --- driver-green in r01-r03 windows (rotated: reverse of the
         # r03 ordering, so the window's remaining ~17 slots re-certify the
         # LEAST-recently-windowed of the old queries each round) ---
@@ -3881,6 +3926,33 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY purchase_id
         """,
         "session_overlap_pairs": _session_overlap_oracle_sql(),
+        "weighted_minhash_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(text), '\s+'),
+                    t -> t <> '')) AS t
+                FROM documents WHERE doc_id < 300
+            ),
+            c AS (SELECT doc_id, t, count(*) AS c
+                  FROM toks GROUP BY doc_id, t),
+            tot AS (SELECT doc_id, sum(c) AS tot FROM c GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       sum(least(a.c, b.c)) AS summin
+                FROM c a JOIN c b
+                  ON a.t = b.t AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(floor(summin / (ta.tot + tb.tot - summin)
+                              * 10000 + 0.5) AS BIGINT) AS jw_e4,
+                   true AS wmh_found
+            FROM inter
+            JOIN tot ta ON ta.doc_id = id_a
+            JOIN tot tb ON tb.doc_id = id_b
+            WHERE summin / (ta.tot + tb.tot - summin) >= 0.7
+            ORDER BY id_a, id_b
+        """,
         "range_shard_balance": """
             SELECT CAST(i AS BIGINT) AS shard,
                    (SELECT count(*) FROM documents) AS n_total,

@@ -16,6 +16,7 @@ from gopie_spark.kernels.bloom import BloomBit, BloomCounting, BloomScalable
 from gopie_spark.kernels.tdigest import TDigest
 from gopie_spark.kernels.kll import KLL
 from gopie_spark.kernels.minhash import MinHash, SimHash
+from gopie_spark.kernels.wminhash import WeightedMinHash
 from gopie_spark.kernels.misragries import MisraGries
 from gopie_spark.kernels.ams import AMS
 from gopie_spark.kernels.theta import Theta
@@ -25,7 +26,7 @@ from gopie_spark.kernels.ddsketch import DDSketch
 __all__ = [
     "HLL", "CMS", "BloomBit", "BloomCounting", "BloomScalable",
     "TDigest", "KLL", "MinHash", "SimHash", "MisraGries", "AMS",
-    "Theta", "FreqDir", "DDSketch", "sketch_from_blob",
+    "Theta", "FreqDir", "DDSketch", "WeightedMinHash", "sketch_from_blob",
 ]
 
 
@@ -52,6 +53,7 @@ def sketch_from_blob(blob: bytes):
         codec.KIND_THETA: Theta,
         codec.KIND_FREQDIR: FreqDir,
         codec.KIND_DDSKETCH: DDSketch,
+        codec.KIND_WMINHASH: WeightedMinHash,
     }
     if kind not in by_kind:
         raise ValueError(f"unknown sketch kind {kind}")

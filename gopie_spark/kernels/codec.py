@@ -38,6 +38,7 @@ KIND_AMS = 11
 KIND_THETA = 12
 KIND_FREQDIR = 13
 KIND_DDSKETCH = 14
+KIND_WMINHASH = 15
 
 
 def pack(kind: int, fields: List[Tuple[int, bytes]]) -> bytes:

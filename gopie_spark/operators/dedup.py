@@ -978,3 +978,90 @@ def incremental_sentence_dedup(new_docs: DataFrame, sent_store: str,
         update_store=update_store, unit="sentence")
     return (out.withColumnRenamed("n_paras", "n_sents")
             .withColumnRenamed("n_paras_kept", "n_sents_kept"))
+
+
+def add_wminhash_signatures(df: DataFrame, text_col: str = "text",
+                            k: int = 128,
+                            feat_col: str = "wmh_feat",
+                            t_col: str = "wmh_t") -> DataFrame:
+    """Add the ICWS weighted-MinHash signature of each document's token
+    MULTISET (kernels/wminhash.py: Ioffe, ICDM 2010) as two
+    ``array<bigint>`` columns — slot sample features and their ``t``
+    integers; two docs' weighted Jaccard is estimated by the fraction
+    of slots where BOTH match.
+
+    Weights are the token multiplicities, so a doc and the same doc
+    with every sentence pasted twice (identical token SET — invisible
+    to plain MinHash) estimate J_w = 1/2 here.  The whole chain —
+    Arrow regex tokenize, vectorized FNV token hashes, one-lexsort
+    per-doc bagging, per-slot activity argmin — runs flat over each
+    batch with no per-document Python (same contract as
+    :func:`add_minhash_signatures`)."""
+    from gopie_spark.kernels.wminhash import (WeightedMinHash,
+                                              weighted_counts_flat)
+    wmh = WeightedMinHash(k=k)
+    schema = StructType(df.schema.fields + [
+        StructField(feat_col, ArrayType(LongType()), False),
+        StructField(t_col, ArrayType(LongType()), False),
+    ])
+    # per-slot pass allocates O(distinct tokens in chunk) doubles; cap
+    # the chunk so ~10 work arrays stay ~64 MB at ~200 distinct/doc
+    chunk_rows = max(64, (1 << 26) // (8 * 10 * 200))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf.assign(**{feat_col: pd.Series([], dtype=object),
+                                    t_col: pd.Series([], dtype=object)})
+                continue
+            for lo in range(0, len(pdf), chunk_rows):
+                chunk = pdf.iloc[lo:lo + chunk_rows]
+                tok_h, tok_lens = _flat_token_hashes(chunk[text_col])
+                uniq, counts, pair_lens = weighted_counts_flat(
+                    tok_h, tok_lens)
+                feat, t = wmh.batch_signatures_flat(uniq, counts,
+                                                    pair_lens)
+                out = chunk.copy()
+                out[feat_col] = list(feat.astype(np.int64))
+                out[t_col] = list(t)
+                yield out
+
+    return _widen(df).mapInPandas(fn, schema)
+
+
+def weighted_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           threshold: float = 0.5,
+                           max_token_freq: int = 10000) -> DataFrame:
+    """EXACT weighted Jaccard over token multisets via token self-join:
+    ``J_w = sum_t min(c_a, c_b) / sum_t max(c_a, c_b)`` with c = the
+    token's per-doc count.  DataFrame[id_a, id_b, jaccard] with
+    id_a < id_b and jaccard >= threshold.
+
+    The oracle tier for :func:`add_wminhash_signatures` — quadratic by
+    design (like :func:`ngram_jaccard_pairs`), kept safe by the
+    ``max_token_freq`` doc-frequency cap on the blocking join (dropping
+    a ubiquitous token can only LOWER a pair's computed overlap, and
+    sum-max in the denominator is reconstructed from per-doc totals, so
+    the estimate errs conservative).  SQL-expressible."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+    tc = (df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("t"))
+          .groupBy("_id", "t").agg(F.count("*").alias("c")))
+    totals = tc.groupBy("_id").agg(F.sum("c").alias("tot"))
+    freq = tc.groupBy("t").agg(F.count("*").alias("df"))
+    tc2 = tc.join(freq.filter(F.col("df") <= max_token_freq), "t")
+    a, b = tc2.alias("a"), tc2.alias("b")
+    summin = (a.join(b, (F.col("a.t") == F.col("b.t"))
+                     & (F.col("a._id") < F.col("b._id")))
+              .groupBy(F.col("a._id").alias("id_a"),
+                       F.col("b._id").alias("id_b"))
+              .agg(F.sum(F.least("a.c", "b.c")).alias("summin")))
+    ta = totals.select(F.col("_id").alias("id_a"), F.col("tot").alias("tota"))
+    tb = totals.select(F.col("_id").alias("id_b"), F.col("tot").alias("totb"))
+    jac = (F.col("summin") /
+           (F.col("tota") + F.col("totb") - F.col("summin")))
+    return (summin.join(ta, "id_a").join(tb, "id_b")
+            .withColumn("jaccard", jac.cast("double"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
