@@ -2662,6 +2662,40 @@ def _q_weighted_minhash_pairs(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def _q_countsketch_token_counts(spark, sf_dir):
+    """CountSketch (kernels/countsketch.py, Charikar et al. 2002)
+    bound certificate: for the exact top-20 tokens, the UNBIASED
+    median-of-signed-cells estimate must land within
+    ``3 * sqrt((F2 - f^2)/w)`` of the exact count (F2 = sum of squared
+    token counts, computed exactly from the same wordcount pre-agg the
+    sketch consumes).  Deterministic given the fixed splitmix64 row
+    hashes.  Complements the CMS cert (one-sided, error ~ N/w): on
+    this Zipf-ish stream the two-sided sqrt(F2/w) band is the tighter
+    guarantee for mid-frequency tokens."""
+    from gopie_spark.operators import countsketch_tokens_build
+    docs = _docs(spark, sf_dir)
+    cs, state = countsketch_tokens_build(docs.select("text"), "text",
+                                         width=2048, depth=7)
+    counted = (docs.select(F.explode(F.split(F.col("text"), r"\s+"))
+                           .alias("tok"))
+               .filter(F.col("tok") != "")
+               .groupBy("tok").agg(F.count("*").alias("cnt")))
+    counted = counted.localCheckpoint(eager=False)
+    f2 = counted.agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("f2")).collect()[0]["f2"]
+    top = (counted.orderBy(F.desc("cnt"), F.asc("tok")).limit(20)
+           .collect())
+    toks = [r["tok"] for r in top]
+    est = cs.estimate(state, toks)
+    rows = [(t, int(r["cnt"]),
+             bool(abs(float(e) - r["cnt"]) <=
+                  cs.error_bound(float(f2), float(r["cnt"]))))
+            for t, r, e in zip(toks, top, est)]
+    return spark.createDataFrame(
+        rows, "tok string, cnt long, within_bound boolean") \
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness window has historically
     # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
@@ -2724,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_overlap_pairs": _q_session_overlap_pairs,
         "range_shard_balance": _q_range_shard_balance,
         "weighted_minhash_pairs": _q_weighted_minhash_pairs,
+        "countsketch_token_counts": _q_countsketch_token_counts,
         # --- driver-green in r01-r03 windows (rotated: reverse of the
         # r03 ordering, so the window's remaining ~17 slots re-certify the
         # LEAST-recently-windowed of the old queries each round) ---
@@ -3926,6 +3961,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY purchase_id
         """,
         "session_overlap_pairs": _session_overlap_oracle_sql(),
+        "countsketch_token_counts": r"""
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(text, '\s+'), t -> t <> '')) AS tok
+                FROM documents
+            ),
+            c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+            SELECT tok, CAST(cnt AS BIGINT) AS cnt, true AS within_bound
+            FROM c ORDER BY cnt DESC, tok ASC LIMIT 20
+        """,
         "weighted_minhash_pairs": r"""
             WITH toks AS (
                 SELECT doc_id, unnest(list_filter(

@@ -87,8 +87,9 @@ def main() -> None:
         # overlap join, sketch-driven balanced range sharding
         "asof_click_attribution", "session_overlap_pairs",
         "range_shard_balance",
-        # round 4f: ICWS weighted-MinHash over token multisets
-        "weighted_minhash_pairs",
+        # round 4f: ICWS weighted-MinHash over token multisets,
+        # unbiased CountSketch point estimates
+        "weighted_minhash_pairs", "countsketch_token_counts",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",

@@ -17,6 +17,7 @@ from gopie_spark.kernels.tdigest import TDigest
 from gopie_spark.kernels.kll import KLL
 from gopie_spark.kernels.minhash import MinHash, SimHash
 from gopie_spark.kernels.wminhash import WeightedMinHash
+from gopie_spark.kernels.countsketch import CountSketch
 from gopie_spark.kernels.misragries import MisraGries
 from gopie_spark.kernels.ams import AMS
 from gopie_spark.kernels.theta import Theta
@@ -26,7 +27,8 @@ from gopie_spark.kernels.ddsketch import DDSketch
 __all__ = [
     "HLL", "CMS", "BloomBit", "BloomCounting", "BloomScalable",
     "TDigest", "KLL", "MinHash", "SimHash", "MisraGries", "AMS",
-    "Theta", "FreqDir", "DDSketch", "WeightedMinHash", "sketch_from_blob",
+    "Theta", "FreqDir", "DDSketch", "WeightedMinHash", "CountSketch",
+    "sketch_from_blob",
 ]
 
 
@@ -54,6 +56,7 @@ def sketch_from_blob(blob: bytes):
         codec.KIND_FREQDIR: FreqDir,
         codec.KIND_DDSKETCH: DDSketch,
         codec.KIND_WMINHASH: WeightedMinHash,
+        codec.KIND_COUNTSKETCH: CountSketch,
     }
     if kind not in by_kind:
         raise ValueError(f"unknown sketch kind {kind}")

@@ -39,6 +39,7 @@ KIND_THETA = 12
 KIND_FREQDIR = 13
 KIND_DDSKETCH = 14
 KIND_WMINHASH = 15
+KIND_COUNTSKETCH = 16
 
 
 def pack(kind: int, fields: List[Tuple[int, bytes]]) -> bytes:

@@ -574,6 +574,48 @@ def cms_tokens_build(df: DataFrame, text_col: str = "text",
     return cms, state
 
 
+def countsketch_tokens_build(df: DataFrame, text_col: str = "text",
+                             width: int = 2048, depth: int = 7):
+    """Token-frequency CountSketch (kernels/countsketch.py — UNBIASED
+    point estimates, error ~ sqrt(F2/w) vs the CMS's one-sided N/w)
+    behind the same JVM wordcount pre-aggregation as
+    :func:`cms_tokens_build`: the shuffle carries (token,
+    partial_count) pairs from Catalyst's map-side hash aggregate, the
+    Python boundary sees only the vocabulary-bounded aggregated
+    stream, and the per-partition sketch states merge associatively
+    (signed counter ADD — CountSketch is linear, so A - B is the
+    frequency-difference sketch of two corpora for free)."""
+    import pyarrow as pa
+    from gopie_spark.kernels import CountSketch
+    cs = CountSketch(width=width, depth=depth)
+
+    counted = (df.select(F.explode(F.split(F.col(text_col), r"\s+"))
+                         .alias("tok"))
+               .filter(F.col("tok") != "")
+               .groupBy("tok").agg(F.count("*").alias("cnt")))
+
+    out_schema = StructType([StructField(STATE_COL, BinaryType(), False)])
+
+    def fn(batches):
+        st = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            if st is None:
+                st = cs.zero()
+            cs.update(st, rb.column(0),
+                      np.asarray(rb.column(1)).astype(np.int64))
+        if st is not None:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([cs.serialize(st)], type=pa.binary())],
+                names=[STATE_COL])
+
+    partials = counted.mapInArrow(fn, out_schema)
+    row = merge_partials(partials, [], cs).collect()
+    state = cs.deserialize(bytes(row[0][STATE_COL])) if row else cs.zero()
+    return cs, state
+
+
 def cms_build(df: DataFrame, value_col: str, epsilon: float = 0.001,
               delta: float = 0.99, pre_aggregate: bool = True,
               tokenize: bool = False, coalesce_to: Optional[int] = None,
