@@ -208,6 +208,40 @@ def register_sql_functions(spark: SparkSession,
             out[i] = ams.estimate(ams.deserialize(bytes(b)))
         return pd.Series(out)
 
+    def _countsketch_estimate(blobs, values):
+        from gopie_spark.kernels import CountSketch
+        out = np.full(len(blobs), np.nan, dtype=np.float64)
+        for i, (b, v) in enumerate(zip(blobs, values)):
+            if b is None or v is None:
+                continue
+            cs = CountSketch.from_blob(bytes(b))
+            out[i] = float(cs.estimate(cs.deserialize(bytes(b)),
+                                       [str(v)])[0])
+        return pd.Series(out)
+
+    def _countsketch_f2(blobs):
+        from gopie_spark.kernels import CountSketch
+        out = np.full(len(blobs), np.nan, dtype=np.float64)
+        for i, b in enumerate(blobs):
+            if b is None:
+                continue
+            cs = CountSketch.from_blob(bytes(b))
+            out[i] = cs.f2_estimate(cs.deserialize(bytes(b)))
+        return pd.Series(out)
+
+    def _wmh_jaccard(a_blobs, b_blobs):
+        from gopie_spark.kernels import WeightedMinHash
+        out = np.full(len(a_blobs), np.nan, dtype=np.float64)
+        for i, (a, b) in enumerate(zip(a_blobs, b_blobs)):
+            if a is None or b is None:
+                continue
+            wmh = WeightedMinHash.from_blob(bytes(a))
+            sa = wmh.deserialize(bytes(a))
+            sb = wmh.deserialize(bytes(b))
+            out[i] = wmh.estimate((sa["feat"], sa["t"]),
+                                  (sb["feat"], sb["t"]))
+        return pd.Series(out)
+
     spark.udf.register(f"{prefix}mg_estimate",
                        pandas_udf(_mg_estimate, "long"))
     spark.udf.register(f"{prefix}hll_estimate",
@@ -243,3 +277,9 @@ def register_sql_functions(spark: SparkSession,
                        pandas_udf(_kll_rank, "double"))
     spark.udf.register(f"{prefix}ddsketch_quantile",
                        pandas_udf(_ddsketch_quantile, "double"))
+    spark.udf.register(f"{prefix}countsketch_estimate",
+                       pandas_udf(_countsketch_estimate, "double"))
+    spark.udf.register(f"{prefix}countsketch_f2",
+                       pandas_udf(_countsketch_f2, "double"))
+    spark.udf.register(f"{prefix}wmh_jaccard",
+                       pandas_udf(_wmh_jaccard, "double"))

@@ -195,3 +195,58 @@ def test_ams_f2_from_sql(registered, spark):
     for lang in got:
         assert abs(got[lang] - exact[lang]) \
             <= 4 * ams.rel_err * exact[lang], lang
+
+
+def test_countsketch_from_sql(registered, spark):
+    """CountSketch states finalize from spark.sql: point estimates for
+    the exact top tokens within the 3-sigma sqrt(F2/w) band, and the
+    state's own F2 estimate near the exact F2."""
+    from gopie_spark.operators import countsketch_tokens_build
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cs, state = countsketch_tokens_build(docs.select("text"), "text",
+                                         width=2048, depth=7)
+    counted = (docs.select(F.explode(F.split(F.col("text"), r"\s+"))
+                           .alias("tok"))
+               .filter(F.col("tok") != "")
+               .groupBy("tok").agg(F.count("*").alias("cnt")))
+    f2 = counted.agg(F.sum(F.col("cnt") * F.col("cnt"))).collect()[0][0]
+    top = counted.orderBy(F.desc("cnt"), F.asc("tok")).limit(10).collect()
+    blob = bytearray(cs.serialize(state))
+    df = spark.createDataFrame(
+        [(blob, r["tok"], int(r["cnt"])) for r in top],
+        "state binary, tok string, cnt long")
+    df.createOrReplaceTempView("cs_probe")
+    rows = spark.sql(
+        "SELECT tok, cnt, gopie_countsketch_estimate(state, tok) AS est, "
+        "gopie_countsketch_f2(state) AS f2 FROM cs_probe").collect()
+    for r in rows:
+        assert abs(r["est"] - r["cnt"]) \
+            <= cs.error_bound(float(f2), float(r["cnt"])), r["tok"]
+        assert abs(r["f2"] - f2) / f2 < 0.1
+
+
+def test_wmh_jaccard_from_sql(registered, spark):
+    """Weighted-MinHash pairwise estimate from spark.sql over two
+    serialized states: doubled weights estimate J_w ~ 1/2; NULL in ->
+    NULL out."""
+    import numpy as np
+    from gopie_spark.kernels import WeightedMinHash
+    rng = np.random.default_rng(9)
+    wmh = WeightedMinHash(k=512)
+    feats = rng.integers(1, 2 ** 63, 60).astype(np.uint64)
+    w = rng.uniform(1, 3, 60)
+    sa = wmh.update_weighted(wmh.zero(), feats, w)
+    sb = wmh.update_weighted(wmh.zero(), feats, 2 * w)
+    df = spark.createDataFrame(
+        [(bytearray(wmh.serialize(sa)), bytearray(wmh.serialize(sb))),
+         (bytearray(wmh.serialize(sa)), None)],
+        "a binary, b binary")
+    df.createOrReplaceTempView("wmh_probe")
+    rows = spark.sql(
+        "SELECT gopie_wmh_jaccard(a, b) AS j FROM wmh_probe").collect()
+    ests = [r["j"] for r in rows]
+    import math
+    half = [e for e in ests if e is not None]
+    assert len(half) == 1
+    assert abs(half[0] - 0.5) <= 3 * math.sqrt(0.25 / 512)
+    assert any(e is None for e in ests)
