@@ -259,6 +259,37 @@ def _q_kll_quantiles(spark, sf_dir):
             .orderBy("event_type"))
 
 
+def _q_cuckoo_membership_remove(spark, sf_dir):
+    """Cuckoo-filter membership with DELETE (kernels/cuckoo.py — Fan et
+    al. CoNEXT 2014): the deletable-membership tier at ~1/8 the counting
+    Bloom's space.  Click events are inserted distributed (two-level
+    canonical-entry-multiset agg, ~6 B/key partials); the user_id%3==0
+    click events are built as a second state with the same geometry and
+    removed via the strict sub-multiset subtract; membership is probed
+    distributed through the broadcast kicked table.  At fbits=30
+    (p=1e-8) the surviving set equals the exact kept-click event set."""
+    from gopie_spark.kernels import CuckooFilter
+    from gopie_spark.operators import bloom_filter, global_sketch
+    events = _events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click") \
+        .select(F.col("event_id").cast("string").alias("e"),
+                F.col("user_id"))
+    # pmod, not %: Spark's % keeps the dividend's sign (see the counting
+    # Bloom remove query) — the oracle's `user_id % 3 = 0` is pmod
+    removed_set = clicks.filter(F.pmod(F.col("user_id"), F.lit(3)) == 0) \
+        .select("e")
+    n = max(clicks.count(), 64)
+    cf = CuckooFilter.from_guess(n, 1e-8)
+    added = global_sketch(clicks.select("e"), "e", cf)
+    removed = global_sketch(removed_set, "e", cf)
+    state = cf.subtract(added, removed)
+    # the generic membership semi-join broadcasts the post-removal
+    # state; the kicked table is placed once per executor probe task
+    hits = bloom_filter(spark, cf, state, clicks.select("e"), "e")
+    return (hits.select(F.col("e").cast("long").alias("event_id"))
+            .orderBy("event_id"))
+
+
 def _q_ddsketch_quantiles(spark, sf_dir):
     """DDSketch RELATIVE-error certificate on documents.n_chars.
 
@@ -2707,6 +2738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position.
     return {
         # --- no driver-green row yet (r4 priority block) ---
+        "cuckoo_membership_remove": _q_cuckoo_membership_remove,
         "ddsketch_quantiles": _q_ddsketch_quantiles,
         "session_stats": _q_session_stats,
         "retention_cohorts": _q_retention_cohorts,
@@ -3208,6 +3240,11 @@ def oracle_sql() -> dict[str, str]:
         "bloom_counting_remove_dist": """
             SELECT DISTINCT user_id FROM events
             WHERE user_id % 2 = 0 ORDER BY user_id
+        """,
+        "cuckoo_membership_remove": """
+            SELECT event_id FROM events
+            WHERE event_type = 'click' AND user_id % 3 <> 0
+            ORDER BY event_id
         """,
         "cc_components": """
             SELECT doc_id,

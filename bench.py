@@ -90,6 +90,8 @@ def main() -> None:
         # round 4f: ICWS weighted-MinHash over token multisets,
         # unbiased CountSketch point estimates
         "weighted_minhash_pairs", "countsketch_token_counts",
+        # round 4g: deletable cuckoo-filter membership (strict subtract)
+        "cuckoo_membership_remove",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",

@@ -21,6 +21,7 @@ Registered names (idempotent to re-register):
 - ``gopie_cms_estimate(state, value) -> bigint``
 - ``gopie_cms_total(state) -> bigint``
 - ``gopie_bloom_exist(state, value) -> boolean``   (bit variant)
+- ``gopie_cuckoo_exist(state, value) -> boolean``
 - ``gopie_tdigest_quantile(state, q) -> double``
 - ``gopie_kll_quantile(state, q) -> double``
 - ``gopie_ddsketch_quantile(state, q) -> double``
@@ -95,6 +96,25 @@ def register_sql_functions(spark: SparkSession,
             else:
                 raise ValueError(f"not a bloom state (kind {kind})")
             out[i] = bool(bf.exist(bf.deserialize(b), [str(v)])[0])
+        return pd.Series(out)
+
+    def _cuckoo_exist(blobs, values):
+        from gopie_spark.kernels import CuckooFilter
+        out = np.zeros(len(blobs), dtype=bool)
+        # one kicked placement per distinct blob, not per row: the
+        # deserialized state (with its cached table) is memoized on the
+        # blob bytes — a column of N probes against one filter places once
+        memo = {}
+        for i, (b, v) in enumerate(zip(blobs, values)):
+            if b is None or v is None:
+                continue
+            b = bytes(b)
+            got = memo.get(b)
+            if got is None:
+                cf = CuckooFilter.from_blob(b)
+                got = memo[b] = (cf, cf.deserialize(b))
+            cf, st = got
+            out[i] = bool(cf.exist(st, [str(v)])[0])
         return pd.Series(out)
 
     def _tdigest_quantile(blobs, qs):
@@ -252,6 +272,8 @@ def register_sql_functions(spark: SparkSession,
                        pandas_udf(_cms_total, "long"))
     spark.udf.register(f"{prefix}bloom_exist",
                        pandas_udf(_bloom_exist, "boolean"))
+    spark.udf.register(f"{prefix}cuckoo_exist",
+                       pandas_udf(_cuckoo_exist, "boolean"))
     spark.udf.register(f"{prefix}ams_f2",
                        pandas_udf(_ams_f2, "double"))
     spark.udf.register(f"{prefix}ams_join",

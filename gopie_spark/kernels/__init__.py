@@ -23,11 +23,13 @@ from gopie_spark.kernels.ams import AMS
 from gopie_spark.kernels.theta import Theta
 from gopie_spark.kernels.freqdir import FreqDir
 from gopie_spark.kernels.ddsketch import DDSketch
+from gopie_spark.kernels.cuckoo import CuckooFilter
 
 __all__ = [
     "HLL", "CMS", "BloomBit", "BloomCounting", "BloomScalable",
     "TDigest", "KLL", "MinHash", "SimHash", "MisraGries", "AMS",
     "Theta", "FreqDir", "DDSketch", "WeightedMinHash", "CountSketch",
+    "CuckooFilter",
     "sketch_from_blob",
 ]
 
@@ -57,6 +59,7 @@ def sketch_from_blob(blob: bytes):
         codec.KIND_DDSKETCH: DDSketch,
         codec.KIND_WMINHASH: WeightedMinHash,
         codec.KIND_COUNTSKETCH: CountSketch,
+        codec.KIND_CUCKOO: CuckooFilter,
     }
     if kind not in by_kind:
         raise ValueError(f"unknown sketch kind {kind}")

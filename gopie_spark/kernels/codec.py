@@ -40,6 +40,7 @@ KIND_FREQDIR = 13
 KIND_DDSKETCH = 14
 KIND_WMINHASH = 15
 KIND_COUNTSKETCH = 16
+KIND_CUCKOO = 17
 
 
 def pack(kind: int, fields: List[Tuple[int, bytes]]) -> bytes:

@@ -749,6 +749,21 @@ def bloom_build(df: DataFrame, value_col: str, n: int, p: float,
     return bloom, global_sketch(df, value_col, bloom)
 
 
+def cuckoo_build(df: DataFrame, value_col: str, n: int, p: float,
+                 coalesce_to: Optional[int] = None):
+    """Build a global cuckoo filter over a column; returns (cf, state).
+
+    Same two-level shape as :func:`bloom_build`, but the partial states
+    are canonical entry multisets (~6 B per inserted key, independent of
+    the sized capacity) and the kicked table is materialized only where
+    the filter is probed — see kernels/cuckoo.py.  Use the cuckoo tier
+    instead of the counting Bloom when removals are needed at less than
+    uint16-counter space."""
+    from gopie_spark.kernels import CuckooFilter
+    cf = CuckooFilter.from_guess(n, p)
+    return cf, global_sketch(df, value_col, cf, coalesce_to=coalesce_to)
+
+
 def bloom_filter(spark: SparkSession, bloom, state, df: DataFrame,
                  value_col: str, keep: bool = True,
                  out_col: Optional[str] = None) -> DataFrame:

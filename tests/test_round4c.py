@@ -191,9 +191,17 @@ def test_priority_queries_inside_driver_window():
         except FileNotFoundError:
             pass
     uncertified = [n for n in names if n not in certified]
-    window = set(names[:50])
-    assert set(uncertified) <= window, \
-        sorted(set(uncertified) - window)
+    window = names[:50]
+    if len(uncertified) <= 50:
+        # everything uncertified fits — it must ALL be inside the window
+        assert set(uncertified) <= set(window), \
+            sorted(set(uncertified) - set(window))
+    else:
+        # more uncertified queries than window slots (rounds 4f+): the
+        # window must be FULLY spent on uncertified queries; the overflow
+        # rotates into the next round's window
+        assert all(n in set(uncertified) for n in window), \
+            [n for n in window if n not in set(uncertified)]
 
 
 # -- compression-ratio quality signal -------------------------------------------
