@@ -14,7 +14,12 @@ shuffle.  Properties:
 - semantics: identical FPR per shard (each shard sized from its expected
   key share); zero false negatives, like the unsharded kernel;
 - incremental: per-shard states are ordinary mergeable BloomBit states,
-  so day-2 data merges shard-by-shard (bit-OR) with checkpoint lineage.
+  so day-2 data merges shard-by-shard (bit-OR) with checkpoint lineage;
+- deletable: pass ``filter_cls=kernels.CuckooFilter`` to build the same
+  sharded structure over cuckoo states, then :func:`shards_subtract`
+  applies distributed removals shard-locally (strict sub-multiset
+  semantics from the kernel) — sharded membership with DELETE, no
+  broadcast, no concentration.
 
 The unsharded ``bloom_build``/``bloom_filter`` (sketch_agg.py) remains the
 right tool when the filter fits a broadcast (<= ~100 MB).
@@ -43,11 +48,18 @@ def _shard_expr(col: str, shards: int):
 
 
 def bloom_shards_build(df: DataFrame, value_col: str, n: int, p: float,
-                       shards: int = 64) -> DataFrame:
+                       shards: int = 64,
+                       filter_cls=BloomBit) -> DataFrame:
     """Build DataFrame[bloom_shard, sketch_state] over ``df[value_col]``.
 
     ``n`` is the expected total key count; each shard is sized for its
     share (n/shards) at the same per-shard FPR ``p``.
+
+    ``filter_cls`` is any membership kernel with the uniform
+    ``from_guess/zero/update/merge/serialize/deserialize/exist``
+    lifecycle — BloomBit (default) for pure membership,
+    ``kernels.CuckooFilter`` when the sharded structure must also
+    support DELETE (:func:`shards_subtract`).
 
     Memory-bounded at any key volume: the input is hash-repartitioned so
     each task owns whole shards, then the two-level aggregation streams
@@ -57,7 +69,7 @@ def bloom_shards_build(df: DataFrame, value_col: str, n: int, p: float,
     only the ~1-2 shard states routed to its partition (the filter bits),
     never the keys; co-location means stage B merges ~one blob per shard.
     """
-    per_shard = BloomBit.from_guess(max(n // shards, 64), p)
+    per_shard = filter_cls.from_guess(max(n // shards, 64), p)
     from gopie_spark.operators.sketch_agg import (build_partials,
                                                   merge_partials)
     keyed = df.select(_shard_expr(value_col, shards),
@@ -71,10 +83,11 @@ def bloom_shards_filter(spark: SparkSession, shard_states: DataFrame,
                         df: DataFrame, value_col: str, n: int, p: float,
                         shards: int = 64,
                         out_col: Optional[str] = None,
-                        keep: bool = True) -> DataFrame:
+                        keep: bool = True,
+                        filter_cls=BloomBit) -> DataFrame:
     """Membership-test ``df[value_col]`` against sharded filters via a
     cogrouped join — the filter never concentrates on one node."""
-    per_shard = BloomBit.from_guess(max(n // shards, 64), p)
+    per_shard = filter_cls.from_guess(max(n // shards, 64), p)
     probe = df.withColumn(SHARD_COL, _shard_expr(value_col, shards))
     out_schema = StructType(probe.schema.fields +
                             [StructField("_maybe_member", BooleanType(), False)])
@@ -96,3 +109,44 @@ def bloom_shards_filter(spark: SparkSession, shard_states: DataFrame,
             .drop(SHARD_COL)
     cond = F.col("_maybe_member") if keep else ~F.col("_maybe_member")
     return flagged.filter(cond).drop("_maybe_member", SHARD_COL)
+
+
+def shards_subtract(added: DataFrame, removed: DataFrame, n: int, p: float,
+                    shards: int = 64, filter_cls=None) -> DataFrame:
+    """Per-shard distributed DELETE: subtract the ``removed`` shard
+    states from the ``added`` shard states (both built by
+    :func:`bloom_shards_build` with the SAME n/p/shards/filter_cls).
+
+    The deletable tier at web scale: with ``filter_cls=CuckooFilter``
+    the global structure supports remove without any single node ever
+    holding more than its shards' states — removals are themselves
+    built distributed (one hash shuffle), and the subtraction is a
+    shard-local kernel call on co-partitioned blobs.  Strictness is the
+    kernel's: CuckooFilter.subtract RAISES unless the removals are a
+    sub-multiset of the additions (per shard).
+
+    Shards with no removals pass through unchanged; a removal shard
+    with no matching addition shard is an error (nothing to subtract
+    from)."""
+    if filter_cls is None:
+        from gopie_spark.kernels import CuckooFilter as filter_cls
+    per_shard = filter_cls.from_guess(max(n // shards, 64), p)
+    out_schema = StructType(added.schema.fields)
+
+    def sub(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            if not right.empty:
+                raise ValueError(
+                    "shards_subtract: removal shard has no addition "
+                    "shard to subtract from")
+            return left
+        if right.empty:
+            return left
+        a = per_shard.deserialize(bytes(left[STATE_COL].iloc[0]))
+        b = per_shard.deserialize(bytes(right[STATE_COL].iloc[0]))
+        out = per_shard.subtract(a, b)
+        return left.assign(**{STATE_COL: [per_shard.serialize(out)]})
+
+    return (added.groupBy(SHARD_COL)
+            .cogroup(removed.groupBy(SHARD_COL))
+            .applyInPandas(sub, out_schema))

@@ -149,3 +149,53 @@ def test_distributed_build_equals_serial(spark, sf_dir, parts):
     serial = cf.update(cf.zero(), vals)
     assert cf.serialize(state) == cf.serialize(serial)
     assert cf.exist(state, vals).all()
+
+
+def test_sharded_cuckoo_build_subtract_probe(spark, sf_dir):
+    """The 10^12-key deletable tier: sharded cuckoo states built after
+    one hash shuffle, removals subtracted shard-locally on
+    co-partitioned blobs (never broadcast, never concentrated), probe
+    == the exact surviving set."""
+    import pyspark.sql.functions as F
+    from gopie_spark.kernels import CuckooFilter
+    from gopie_spark.operators.membership import (bloom_shards_build,
+                                                  bloom_shards_filter,
+                                                  shards_subtract)
+    events = (spark.read.parquet(f"{sf_dir}/events.parquet")
+              .select(F.col("event_id").cast("string").alias("e"),
+                      "user_id"))
+    n = events.count()
+    removed_rows = events.filter(F.pmod(F.col("user_id"), F.lit(3)) == 0) \
+        .select("e")
+    kw = dict(n=n, p=1e-6, shards=8, filter_cls=CuckooFilter)
+    added = bloom_shards_build(events.select("e"), "e", **kw)
+    removed = bloom_shards_build(removed_rows, "e", **kw)
+    after = shards_subtract(added, removed, n=n, p=1e-6, shards=8)
+    hits = bloom_shards_filter(spark, after, events.select("e"), "e", **kw)
+    got = sorted(int(r["e"]) for r in hits.collect())
+    want = sorted(int(r["e"]) for r in events
+                  .filter(F.pmod(F.col("user_id"), F.lit(3)) != 0)
+                  .select("e").collect())
+    assert got == want
+    # shard-count sanity: one state row per non-empty shard
+    assert added.count() <= 8
+
+
+def test_shards_subtract_strict_raises(spark, sf_dir):
+    """Subtracting keys never added must raise (per-shard kernel
+    strictness surfaces through the cogroup)."""
+    import pyspark.sql.functions as F
+    from gopie_spark.kernels import CuckooFilter
+    from gopie_spark.operators.membership import (bloom_shards_build,
+                                                  shards_subtract)
+    events = (spark.read.parquet(f"{sf_dir}/events.parquet")
+              .select(F.col("event_id").cast("string").alias("e")))
+    n = events.count()
+    kw = dict(n=n, p=1e-6, shards=4, filter_cls=CuckooFilter)
+    added = bloom_shards_build(events.limit(50), "e", **kw)
+    ghosts = bloom_shards_build(
+        events.select(F.concat(F.lit("ghost"), F.col("e")).alias("e"))
+        .limit(20), "e", **kw)
+    bad = shards_subtract(added, ghosts, n=n, p=1e-6, shards=4)
+    with pytest.raises(Exception, match="sub-multiset|subtract"):
+        bad.collect()
