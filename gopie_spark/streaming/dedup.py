@@ -15,6 +15,11 @@ Two tiers, mirroring the batch dedup trade-off at unbounded input:
   genuinely first-seen among retained docs).  This is the only shape
   that survives an unbounded 10^12-doc stream without a state-store
   the size of the corpus.
+- :class:`CuckooWindowedStreamingDedup` — bounded-state AND bounded
+  memory of the past: dedup against a sliding window of the last W
+  micro-batches, with exact state expiry via the cuckoo filter's
+  strict subtract (a Bloom filter cannot unset bits, so its streams
+  must remember forever or rebuild).
 
 Within a micro-batch, duplicates are removed exactly (digest groupBy)
 before the filter is consulted, so results do not depend on row order
@@ -249,3 +254,154 @@ class BloomStreamingDedup:
         finally:
             survivors.unpersist()
             bc.unpersist()  # one broadcast per batch; don't accumulate
+
+
+class CuckooWindowedStreamingDedup:
+    """Bounded-state streaming dedup over a SLIDING WINDOW of the last
+    ``window`` micro-batches, with EXACT state expiry — the semantic a
+    Bloom filter cannot support (bits cannot be unset; a scalable-Bloom
+    stream must either remember forever or rebuild).  The cuckoo
+    filter's strict sub-multiset ``subtract`` (kernels/cuckoo.py) makes
+    expiry a kernel call:
+
+        rolling <- subtract(rolling, state[b - window - 1])   # expire
+        rolling <- merge(rolling, state[b])                   # admit
+
+    so a document is dropped iff a copy of it was EMITTED within the
+    last ``window`` batches (suppressed duplicates do not refresh the
+    clock — TTL-cache-without-refresh semantics), and a duplicate
+    arriving after that copy expires is re-emitted — count-based
+    dropDuplicatesWithinWatermark semantics at O(window-keys x ~6 B)
+    driver state, any stream length.
+
+    Same scale/fault contracts as :class:`BloomStreamingDedup`: the
+    batch's digests fold executor-side (``global_sketch`` partials, one
+    blob to the driver), probes ride a broadcast of the rolling state,
+    output is overwrite-by-batch-id, and with ``state_dir`` both the
+    rolling state and the per-batch entry states persist atomically so
+    replay rewinds exactly and restarts resume mid-window.  False
+    positives (<= p within the window) drop uniques, never the reverse;
+    false negatives do not exist.
+
+    ``n_window`` sizes the filter for the expected DISTINCT digests per
+    window; exceeding ~0.95 occupancy raises (resize, don't guess).
+    """
+
+    def __init__(self, spark, out_dir: str, window: int,
+                 text_col: str = "text", order_col: str = "doc_id",
+                 n_window: int = 1 << 16, p: float = 1e-6,
+                 state_dir: Optional[str] = None):
+        from gopie_spark.kernels import CuckooFilter
+        if window < 1:
+            raise ValueError("window must be >= 1 batch")
+        self.spark = spark
+        self.out_dir = out_dir
+        self.window = window
+        self.text_col = text_col
+        self.order_col = order_col
+        self.cf = CuckooFilter.from_guess(max(n_window, 64), p)
+        self.state_dir = state_dir
+        self.rolling = self.cf.zero()
+        self._batch_states: dict = {}     # bid -> serialized entry state
+        self._state_bid: Optional[int] = None
+        if state_dir is not None:
+            os.makedirs(state_dir, exist_ok=True)
+            self._load_newest(before=None)
+
+    # -- persisted state ---------------------------------------------------
+
+    def _path(self, kind: str, bid: int) -> str:
+        return os.path.join(self.state_dir, f"{kind}_{bid:09d}.blob")
+
+    def _saved(self, kind: str):
+        import re
+        out = []
+        for name in os.listdir(self.state_dir):
+            m = re.fullmatch(rf"{kind}_(\d+)\.blob", name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _write(self, kind: str, bid: int, blob: bytes) -> None:
+        tmp = self._path(kind, bid) + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, self._path(kind, bid))
+
+    def _load_newest(self, before: Optional[int]) -> None:
+        bids = [b for b in self._saved("rolling")
+                if before is None or b < before]
+        if not bids:
+            self.rolling = self.cf.zero()
+            self._state_bid = None
+            return
+        bid = bids[-1]
+        with open(self._path("rolling", bid), "rb") as fh:
+            self.rolling = self.cf.deserialize(fh.read())
+        self._state_bid = bid
+
+    def _batch_state(self, bid: int):
+        blob = self._batch_states.get(bid)
+        if blob is None and self.state_dir is not None:
+            path = self._path("batch", bid)
+            if os.path.exists(path):
+                with open(path, "rb") as fh:
+                    blob = fh.read()
+        if blob is None:
+            return None
+        return self.cf.deserialize(blob)
+
+    # -- the foreachBatch hook ----------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from gopie_spark.operators.sketch_agg import global_sketch
+
+        if self._state_bid is not None and batch_id <= self._state_bid:
+            if self.state_dir is None:
+                return                      # cannot rewind in-memory
+            self._load_newest(before=batch_id)
+        # expire the batch leaving the suppression horizon: the probe of
+        # batch b must see exactly the `window` PRECEDING batches
+        # [b-window, b-1], so the state leaving is b - window - 1 (exact
+        # subtract of the recorded sub-multiset; no-op early on)
+        old = self._batch_state(batch_id - self.window - 1)
+        if old is not None:
+            self.rolling = self.cf.subtract(self.rolling, old)
+
+        cols = batch_df.columns
+        rep = F.struct(F.col(self.order_col),
+                       *[F.col(c) for c in cols if c != self.order_col])
+        in_batch = (batch_df
+                    .withColumn("_fp", content_digest(self.text_col))
+                    .groupBy("_fp").agg(F.min(rep).alias("_rep"))
+                    .select("_fp", *[F.col(f"_rep.{c}").alias(c)
+                                     for c in cols]))
+        blob = self.cf.serialize(self.rolling)
+        bc = self.spark.sparkContext.broadcast(blob)
+        cf = self.cf
+
+        @F.pandas_udf("boolean")
+        def _seen(fps):
+            import pandas as pd
+            st = cf.deserialize(bytes(bc.value))
+            return pd.Series(cf.exist(st, fps.tolist()))
+
+        survivors = in_batch.filter(~_seen(F.col("_fp")))
+        survivors.persist()
+        try:
+            survivors.select(*cols).write.mode("overwrite") \
+                .parquet(f"{self.out_dir}/batch_id={batch_id}")
+            batch_state = global_sketch(survivors.select("_fp"), "_fp",
+                                        self.cf)
+            bblob = self.cf.serialize(batch_state)
+            self._batch_states[batch_id] = bblob
+            self._batch_states.pop(batch_id - self.window - 1, None)
+            self.rolling = self.cf.merge(self.rolling, batch_state)
+            self._state_bid = batch_id
+            if self.state_dir is not None:
+                self._write("batch", batch_id, bblob)
+                self._write("rolling", batch_id,
+                            self.cf.serialize(self.rolling))
+        finally:
+            survivors.unpersist()
+            bc.unpersist()
