@@ -114,3 +114,60 @@ def test_window_validation():
     from gopie_spark.streaming.dedup import CuckooWindowedStreamingDedup
     with pytest.raises(ValueError, match="window"):
         CuckooWindowedStreamingDedup(None, "/tmp/x", window=0)
+
+
+def test_stream_dedup_job_cuckoo_window_tier(tmp_path):
+    """jobs/stream_dedup.py --tier cuckoo-window as a black box: two
+    --drain invocations against a growing input dir, one stream
+    checkpoint and one --state-dir produce exactly one survivor per
+    distinct digest (window larger than the batch count, so no expiry
+    inside the test horizon; the re-emission semantic is pinned by the
+    unit tests above)."""
+    import os
+    import subprocess
+    import sys
+    import duckdb
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    st = str(tmp_path / "fstate")
+    con = duckdb.connect()
+    os.makedirs(src)
+    con.execute(f"""
+        COPY (SELECT doc_id, text
+              FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+              WHERE doc_id % 2 = 0)
+        TO '{src}/a.parquet' (FORMAT PARQUET)""")
+
+    def run():
+        env = dict(os.environ, SPARK_GRAFT_CPUS="8",
+                   PYTHONPATH="/root/repo")
+        r = subprocess.run(
+            [sys.executable, "jobs/stream_dedup.py",
+             "--input", src, "--output", out, "--checkpoint", ckpt,
+             "--tier", "cuckoo-window", "--window", "24",
+             "--n-window", "65536", "--p", "1e-8",
+             "--state-dir", st, "--drain"],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+            timeout=400)
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    run()
+    con.execute(f"""
+        COPY (SELECT doc_id, text
+              FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+              WHERE doc_id % 2 = 1)
+        TO '{src}/b.parquet' (FORMAT PARQUET)""")
+    run()  # restart: same checkpoint + filter state, new file arrived
+
+    got = con.execute(
+        f"SELECT count(*), count(DISTINCT md5(lower(regexp_replace("
+        f"text,'\\s+',' ','g')))) FROM "
+        f"read_parquet('{out}/batch_id=*/*.parquet')").fetchone()
+    n_digests = con.execute(
+        "SELECT count(DISTINCT md5(lower(regexp_replace(text,'\\s+',"
+        "' ','g')))) FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    ).fetchone()[0]
+    assert got == (n_digests, n_digests)
