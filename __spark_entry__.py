@@ -290,6 +290,34 @@ def _q_cuckoo_membership_remove(spark, sf_dir):
             .orderBy("event_id"))
 
 
+def _q_sliding_hll_suffix_distinct(spark, sf_dir):
+    """Sliding HyperLogLog (kernels/slidinghll.py, Chabchoub-Hébrail
+    2010): ONE pass builds a state answering COUNT(DISTINCT) over ANY
+    suffix time window — the windows are chosen at QUERY time, unlike
+    windows.py's build-time explode.  Distinct event_ids over the
+    suffixes starting at 0% / 50% / 90% of the time span, each
+    certified within the standard 3σ·1.04/√m HLL band against the
+    exact count (the frontier state is byte-equal distributed vs
+    serial, tested)."""
+    from gopie_spark.operators import sliding_hll_build
+    events = _events(spark, sf_dir)
+    sh, st = sliding_hll_build(events, "event_id", "ts", p=12)
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    lo, hi = events.agg(F.min(epoch), F.max(epoch)).first()
+    bound = 3 * sh.std_err
+    rows = []
+    for frac_e2 in (0, 50, 90):
+        c = lo + (frac_e2 / 100.0) * (hi - lo)
+        est = sh.count(st, cutoff=c)
+        n_exact = events.filter(epoch >= F.lit(c)) \
+            .agg(F.countDistinct("event_id")).first()[0]
+        ok = (est <= n_exact * (1 + bound)) and (est >= n_exact * (1 - bound))
+        rows.append((frac_e2, int(n_exact), bool(ok)))
+    return spark.createDataFrame(
+        rows, "frac_e2 long, n_exact long, within_bound boolean") \
+        .orderBy("frac_e2")
+
+
 def _q_ddsketch_quantiles(spark, sf_dir):
     """DDSketch RELATIVE-error certificate on documents.n_chars.
 
@@ -2739,6 +2767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- no driver-green row yet (r4 priority block) ---
         "cuckoo_membership_remove": _q_cuckoo_membership_remove,
+        "sliding_hll_suffix_distinct": _q_sliding_hll_suffix_distinct,
         "ddsketch_quantiles": _q_ddsketch_quantiles,
         "session_stats": _q_session_stats,
         "retention_cohorts": _q_retention_cohorts,
@@ -3245,6 +3274,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id FROM events
             WHERE event_type = 'click' AND user_id % 3 <> 0
             ORDER BY event_id
+        """,
+        "sliding_hll_suffix_distinct": """
+            WITH b AS (SELECT min(epoch(ts)) AS lo, max(epoch(ts)) AS hi
+                       FROM events)
+            SELECT f.frac_e2,
+                   (SELECT count(DISTINCT event_id) FROM events, b
+                    WHERE epoch(ts) >= b.lo
+                          + (f.frac_e2 / 100.0) * (b.hi - b.lo))
+                       AS n_exact,
+                   TRUE AS within_bound
+            FROM (VALUES (CAST(0 AS BIGINT)), (50), (90)) f(frac_e2)
+            ORDER BY f.frac_e2
         """,
         "cc_components": """
             SELECT doc_id,

@@ -90,8 +90,9 @@ def main() -> None:
         # round 4f: ICWS weighted-MinHash over token multisets,
         # unbiased CountSketch point estimates
         "weighted_minhash_pairs", "countsketch_token_counts",
-        # round 4g: deletable cuckoo-filter membership (strict subtract)
-        "cuckoo_membership_remove",
+        # round 4g: deletable cuckoo-filter membership (strict subtract),
+        # sliding-HLL suffix-window distinct (query-time windows)
+        "cuckoo_membership_remove", "sliding_hll_suffix_distinct",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",

@@ -22,6 +22,8 @@ Registered names (idempotent to re-register):
 - ``gopie_cms_total(state) -> bigint``
 - ``gopie_bloom_exist(state, value) -> boolean``   (bit variant)
 - ``gopie_cuckoo_exist(state, value) -> boolean``
+- ``gopie_sliding_hll_estimate(state, cutoff_epoch) -> bigint``
+  (distinct over the suffix window [cutoff, now]; NULL cutoff = all)
 - ``gopie_tdigest_quantile(state, q) -> double``
 - ``gopie_kll_quantile(state, q) -> double``
 - ``gopie_ddsketch_quantile(state, q) -> double``
@@ -115,6 +117,19 @@ def register_sql_functions(spark: SparkSession,
                 got = memo[b] = (cf, cf.deserialize(b))
             cf, st = got
             out[i] = bool(cf.exist(st, [str(v)])[0])
+        return pd.Series(out)
+
+    def _sliding_hll_estimate(blobs, cutoffs):
+        from gopie_spark.kernels import SlidingHLL
+        out = np.zeros(len(blobs), dtype=np.int64)
+        for i, (b, c) in enumerate(zip(blobs, cutoffs)):
+            if b is None:
+                continue
+            sh = SlidingHLL.from_blob(bytes(b))
+            st = sh.deserialize(bytes(b))
+            cut = None if c is None or (isinstance(c, float)
+                                        and np.isnan(c)) else float(c)
+            out[i] = int(sh.count(st, cut))
         return pd.Series(out)
 
     def _tdigest_quantile(blobs, qs):
@@ -274,6 +289,8 @@ def register_sql_functions(spark: SparkSession,
                        pandas_udf(_bloom_exist, "boolean"))
     spark.udf.register(f"{prefix}cuckoo_exist",
                        pandas_udf(_cuckoo_exist, "boolean"))
+    spark.udf.register(f"{prefix}sliding_hll_estimate",
+                       pandas_udf(_sliding_hll_estimate, "long"))
     spark.udf.register(f"{prefix}ams_f2",
                        pandas_udf(_ams_f2, "double"))
     spark.udf.register(f"{prefix}ams_join",

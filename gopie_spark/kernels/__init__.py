@@ -24,12 +24,13 @@ from gopie_spark.kernels.theta import Theta
 from gopie_spark.kernels.freqdir import FreqDir
 from gopie_spark.kernels.ddsketch import DDSketch
 from gopie_spark.kernels.cuckoo import CuckooFilter
+from gopie_spark.kernels.slidinghll import SlidingHLL
 
 __all__ = [
     "HLL", "CMS", "BloomBit", "BloomCounting", "BloomScalable",
     "TDigest", "KLL", "MinHash", "SimHash", "MisraGries", "AMS",
     "Theta", "FreqDir", "DDSketch", "WeightedMinHash", "CountSketch",
-    "CuckooFilter",
+    "CuckooFilter", "SlidingHLL",
     "sketch_from_blob",
 ]
 
@@ -60,6 +61,7 @@ def sketch_from_blob(blob: bytes):
         codec.KIND_WMINHASH: WeightedMinHash,
         codec.KIND_COUNTSKETCH: CountSketch,
         codec.KIND_CUCKOO: CuckooFilter,
+        codec.KIND_SLIDING_HLL: SlidingHLL,
     }
     if kind not in by_kind:
         raise ValueError(f"unknown sketch kind {kind}")

@@ -41,6 +41,7 @@ KIND_DDSKETCH = 14
 KIND_WMINHASH = 15
 KIND_COUNTSKETCH = 16
 KIND_CUCKOO = 17
+KIND_SLIDING_HLL = 18
 
 
 def pack(kind: int, fields: List[Tuple[int, bytes]]) -> bytes:

@@ -749,6 +749,35 @@ def bloom_build(df: DataFrame, value_col: str, n: int, p: float,
     return bloom, global_sketch(df, value_col, bloom)
 
 
+def sliding_hll_build(df: DataFrame, value_col: str, ts_col: str,
+                      p: int = 14, keys: Sequence[str] = (),
+                      coalesce_to: Optional[int] = None):
+    """Build sliding-HLL states over (value, event-time) — distinct
+    counts over ANY suffix time window from ONE pass (kernels/
+    slidinghll.py, Chabchoub-Hébrail 2010).
+
+    Returns ``(sketch, state)`` for no keys, else ``(sketch,
+    DataFrame[keys..., sketch_state])``.  The value and timestamp ride
+    one Arrow struct column through the standard two-level aggregation
+    (mapInArrow partials, frontier-union merge), so the shuffle carries
+    ~m*ln(n/m) entries per state, never rows.  Contrast with
+    ``windows.py``'s sliding-window sketches: those pick the windows at
+    BUILD time (explode into member windows); this picks them at QUERY
+    time (any cutoff, same state)."""
+    from gopie_spark.kernels import SlidingHLL
+    sh = SlidingHLL(p=p)
+    # timestamp/ntz -> epoch seconds (double, sub-second precision);
+    # the session tz is pinned UTC (plans.get_spark) so this equals
+    # DuckDB's epoch(ts); numeric ts columns pass through the same cast
+    vt = F.struct(F.col(value_col).cast("string").alias("v"),
+                  F.col(ts_col).cast("timestamp").cast("double")
+                  .alias("t")).alias("_vt")
+    src = df.select(*keys, vt)
+    if keys:
+        return sh, sketch_agg(src, list(keys), "_vt", sh)
+    return sh, global_sketch(src, "_vt", sh, coalesce_to=coalesce_to)
+
+
 def cuckoo_build(df: DataFrame, value_col: str, n: int, p: float,
                  coalesce_to: Optional[int] = None):
     """Build a global cuckoo filter over a column; returns (cf, state).

@@ -250,3 +250,28 @@ def test_wmh_jaccard_from_sql(registered, spark):
     assert len(half) == 1
     assert abs(half[0] - 0.5) <= 3 * math.sqrt(0.25 / 512)
     assert any(e is None for e in ests)
+
+
+def test_sliding_hll_estimate_from_sql(registered, spark):
+    """gopie_sliding_hll_estimate(state, cutoff): NULL cutoff = whole
+    history (== plain-HLL band); a mid-span cutoff counts only the
+    suffix; a cutoff past the last event counts ~0."""
+    import math
+    from gopie_spark.kernels import SlidingHLL
+    sh = SlidingHLL(p=12)
+    st = sh.zero()
+    # two epochs: 4000 ids at t=100, 2000 NEW ids at t=200
+    st = sh.update(st, ([f"old{i}" for i in range(4000)], [100.0] * 4000))
+    st = sh.update(st, ([f"new{i}" for i in range(2000)], [200.0] * 2000))
+    df = spark.createDataFrame(
+        [(bytearray(sh.serialize(st)),)], "state binary")
+    df.createOrReplaceTempView("shll_probe")
+    row = spark.sql(
+        "SELECT gopie_sliding_hll_estimate(state, NULL) AS full, "
+        "gopie_sliding_hll_estimate(state, 150.0) AS recent, "
+        "gopie_sliding_hll_estimate(state, 999.0) AS empty "
+        "FROM shll_probe").collect()[0]
+    band = 3 * 1.04 / math.sqrt(sh.m)
+    assert abs(row["full"] - 6000) <= band * 6000 + 5
+    assert abs(row["recent"] - 2000) <= band * 2000 + 5
+    assert row["empty"] <= band * 100  # nothing past t=200
