@@ -318,6 +318,41 @@ def _q_sliding_hll_suffix_distinct(spark, sf_dir):
         .orderBy("frac_e2")
 
 
+def _q_window_cms_trending(spark, sf_dir):
+    """Windowed Count-Min (kernels/windowcms.py): ONE pass builds a
+    per-day-tick counter state answering point frequencies over ANY
+    trailing window at QUERY time.  Per event_type counts over the
+    trailing 1 / 7 / 30 day-ticks, each certified against the exact
+    windowed count by the published CMS bound (never undercounts;
+    overcount <= 3 * epsilon * N_window), with the tick rule
+    floor(epoch/86400) shared verbatim with the DuckDB oracle."""
+    from gopie_spark.operators import window_cms_build
+    events = _events(spark, sf_dir)
+    wc, st = window_cms_build(events, "event_type", "ts",
+                              epsilon=0.001, delta=0.99,
+                              resolution=86400.0, n_ticks=3000)
+    types = sorted(r[0] for r in
+                   events.select("event_type").distinct().collect())
+    at = int(st["ticks"].max())
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    tick = F.floor(epoch / F.lit(86400.0))
+    rows = []
+    for w in (1, 7, 30):
+        exact = dict(events.filter((tick <= at) & (tick > at - w))
+                     .groupBy("event_type").count().collect())
+        n_win = wc.window_total(st, window_ticks=w)
+        est = wc.estimate(st, types, window_ticks=w)
+        for t, e in zip(types, est):
+            true = exact.get(t, 0)
+            ok = (int(e) >= true
+                  and int(e) - true <= 3 * wc.epsilon * n_win)
+            rows.append((w, t, int(true), bool(ok)))
+    return spark.createDataFrame(
+        rows, "window_days long, event_type string, n_exact long, "
+              "within_bound boolean") \
+        .orderBy("window_days", "event_type")
+
+
 def _q_ddsketch_quantiles(spark, sf_dir):
     """DDSketch RELATIVE-error certificate on documents.n_chars.
 
@@ -2768,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- no driver-green row yet (r4 priority block) ---
         "cuckoo_membership_remove": _q_cuckoo_membership_remove,
         "sliding_hll_suffix_distinct": _q_sliding_hll_suffix_distinct,
+        "window_cms_trending": _q_window_cms_trending,
         "ddsketch_quantiles": _q_ddsketch_quantiles,
         "session_stats": _q_session_stats,
         "retention_cohorts": _q_retention_cohorts,
@@ -3286,6 +3322,23 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_bound
             FROM (VALUES (CAST(0 AS BIGINT)), (50), (90)) f(frac_e2)
             ORDER BY f.frac_e2
+        """,
+        "window_cms_trending": """
+            WITH m AS (SELECT max(CAST(floor(epoch(ts) / 86400.0)
+                                      AS BIGINT)) AS at FROM events),
+            w AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (7), (30))
+                  AS t(window_days)),
+            ty AS (SELECT DISTINCT event_type FROM events)
+            SELECT w.window_days, ty.event_type,
+                   (SELECT count(*) FROM events e, m
+                    WHERE e.event_type = ty.event_type
+                      AND CAST(floor(epoch(e.ts) / 86400.0) AS BIGINT)
+                          <= m.at
+                      AND CAST(floor(epoch(e.ts) / 86400.0) AS BIGINT)
+                          > m.at - w.window_days) AS n_exact,
+                   TRUE AS within_bound
+            FROM w CROSS JOIN ty
+            ORDER BY w.window_days, ty.event_type
         """,
         "cc_components": """
             SELECT doc_id,

@@ -93,6 +93,8 @@ def main() -> None:
         # round 4g: deletable cuckoo-filter membership (strict subtract),
         # sliding-HLL suffix-window distinct (query-time windows)
         "cuckoo_membership_remove", "sliding_hll_suffix_distinct",
+        # round 4g: windowed CMS trailing-window frequencies
+        "window_cms_trending",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",

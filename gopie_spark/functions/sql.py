@@ -24,6 +24,8 @@ Registered names (idempotent to re-register):
 - ``gopie_cuckoo_exist(state, value) -> boolean``
 - ``gopie_sliding_hll_estimate(state, cutoff_epoch) -> bigint``
   (distinct over the suffix window [cutoff, now]; NULL cutoff = all)
+- ``gopie_window_cms_estimate(state, value, window_ticks) -> bigint``
+  (frequency over the trailing window; NULL window = whole horizon)
 - ``gopie_tdigest_quantile(state, q) -> double``
 - ``gopie_kll_quantile(state, q) -> double``
 - ``gopie_ddsketch_quantile(state, q) -> double``
@@ -130,6 +132,20 @@ def register_sql_functions(spark: SparkSession,
             cut = None if c is None or (isinstance(c, float)
                                         and np.isnan(c)) else float(c)
             out[i] = int(sh.count(st, cut))
+        return pd.Series(out)
+
+    def _window_cms_estimate(blobs, vals, windows):
+        from gopie_spark.kernels import WindowCMS
+        out = np.zeros(len(blobs), dtype=np.int64)
+        for i, (b, v, w) in enumerate(zip(blobs, vals, windows)):
+            if b is None or v is None:
+                continue
+            wc = WindowCMS.from_blob(bytes(b))
+            st = wc.deserialize(bytes(b))
+            win = None if w is None or (isinstance(w, float)
+                                        and np.isnan(w)) else int(w)
+            out[i] = int(wc.estimate(st, [str(v)],
+                                     window_ticks=win)[0])
         return pd.Series(out)
 
     def _tdigest_quantile(blobs, qs):
@@ -291,6 +307,8 @@ def register_sql_functions(spark: SparkSession,
                        pandas_udf(_cuckoo_exist, "boolean"))
     spark.udf.register(f"{prefix}sliding_hll_estimate",
                        pandas_udf(_sliding_hll_estimate, "long"))
+    spark.udf.register(f"{prefix}window_cms_estimate",
+                       pandas_udf(_window_cms_estimate, "long"))
     spark.udf.register(f"{prefix}ams_f2",
                        pandas_udf(_ams_f2, "double"))
     spark.udf.register(f"{prefix}ams_join",

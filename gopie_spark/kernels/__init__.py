@@ -25,12 +25,13 @@ from gopie_spark.kernels.freqdir import FreqDir
 from gopie_spark.kernels.ddsketch import DDSketch
 from gopie_spark.kernels.cuckoo import CuckooFilter
 from gopie_spark.kernels.slidinghll import SlidingHLL
+from gopie_spark.kernels.windowcms import WindowCMS
 
 __all__ = [
     "HLL", "CMS", "BloomBit", "BloomCounting", "BloomScalable",
     "TDigest", "KLL", "MinHash", "SimHash", "MisraGries", "AMS",
     "Theta", "FreqDir", "DDSketch", "WeightedMinHash", "CountSketch",
-    "CuckooFilter", "SlidingHLL",
+    "CuckooFilter", "SlidingHLL", "WindowCMS",
     "sketch_from_blob",
 ]
 
@@ -62,6 +63,7 @@ def sketch_from_blob(blob: bytes):
         codec.KIND_COUNTSKETCH: CountSketch,
         codec.KIND_CUCKOO: CuckooFilter,
         codec.KIND_SLIDING_HLL: SlidingHLL,
+        codec.KIND_WINDOW_CMS: WindowCMS,
     }
     if kind not in by_kind:
         raise ValueError(f"unknown sketch kind {kind}")

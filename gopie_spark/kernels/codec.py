@@ -42,6 +42,7 @@ KIND_WMINHASH = 15
 KIND_COUNTSKETCH = 16
 KIND_CUCKOO = 17
 KIND_SLIDING_HLL = 18
+KIND_WINDOW_CMS = 19
 
 
 def pack(kind: int, fields: List[Tuple[int, bytes]]) -> bytes:

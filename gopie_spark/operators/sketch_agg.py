@@ -778,6 +778,82 @@ def sliding_hll_build(df: DataFrame, value_col: str, ts_col: str,
     return sh, global_sketch(src, "_vt", sh, coalesce_to=coalesce_to)
 
 
+def window_cms_build(df: DataFrame, value_col: str, ts_col: str,
+                     epsilon: float = 0.001, delta: float = 0.99,
+                     resolution: float = 3600.0, n_ticks: int = 168,
+                     keys: Sequence[str] = (),
+                     coalesce_to: Optional[int] = None):
+    """Build windowed-CMS states over (value, event-time) — point
+    frequencies over ANY trailing tick-aligned window from ONE pass
+    (kernels/windowcms.py).  Same transport shape as
+    :func:`sliding_hll_build`: value+ts ride one Arrow struct column
+    through the standard two-level aggregation, so the shuffle carries
+    adaptive-sparse counter blobs, never rows.  Returns ``(sketch,
+    state)`` for no keys, else ``(sketch, DataFrame[keys..., state])``.
+    """
+    from gopie_spark.kernels import WindowCMS
+    wc = WindowCMS.from_guess(epsilon, delta, resolution=resolution,
+                              n_ticks=n_ticks)
+    vt = F.struct(F.col(value_col).cast("string").alias("v"),
+                  F.col(ts_col).cast("timestamp").cast("double")
+                  .alias("t")).alias("_vt")
+    src = df.select(*keys, vt)
+    if keys:
+        return wc, sketch_agg(src, list(keys), "_vt", wc)
+    return wc, global_sketch(src, "_vt", wc, coalesce_to=coalesce_to)
+
+
+def window_cms_tokens_build(df: DataFrame, text_col: str = "text",
+                            ts_col: str = "warc_ts",
+                            epsilon: float = 0.001, delta: float = 0.99,
+                            resolution: float = 3600.0,
+                            n_ticks: int = 168):
+    """Token-frequency windowed CMS with JVM exact pre-aggregation.
+
+    The wordcount trick of :func:`cms_tokens_build` with the tick as a
+    second group key: ``explode(split(text)) -> groupBy(token,
+    floor(epoch/resolution)).count()`` runs in whole-stage codegen with
+    map-side partial aggregation, so the Python boundary sees only the
+    aggregated (token, tick, count) stream and the sketch hashes each
+    distinct (token, tick) once (``update_ticked``).  Time-bucketing
+    happens JVM-side with the SAME floor rule the kernel (and any SQL
+    oracle) uses."""
+    import pyarrow as pa
+    from gopie_spark.kernels import WindowCMS
+    wc = WindowCMS.from_guess(epsilon, delta, resolution=resolution,
+                              n_ticks=n_ticks)
+
+    counted = (df.select(
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+        F.floor(F.col(ts_col).cast("timestamp").cast("double")
+                / F.lit(float(resolution))).alias("tick"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok", "tick").agg(F.count("*").alias("cnt")))
+
+    out_schema = StructType([StructField(STATE_COL, BinaryType(), False)])
+
+    def fn(batches):
+        st = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            if st is None:
+                st = wc.zero()
+            st = wc.update_ticked(
+                st, rb.column(0),
+                np.asarray(rb.column(1)).astype(np.int64),
+                np.asarray(rb.column(2)).astype(np.uint64))
+        if st is not None:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([wc.serialize(st)], type=pa.binary())],
+                names=[STATE_COL])
+
+    partials = counted.mapInArrow(fn, out_schema)
+    row = merge_partials(partials, [], wc).collect()
+    state = wc.deserialize(bytes(row[0][STATE_COL])) if row else wc.zero()
+    return wc, state
+
+
 def cuckoo_build(df: DataFrame, value_col: str, n: int, p: float,
                  coalesce_to: Optional[int] = None):
     """Build a global cuckoo filter over a column; returns (cf, state).

@@ -275,3 +275,25 @@ def test_sliding_hll_estimate_from_sql(registered, spark):
     assert abs(row["full"] - 6000) <= band * 6000 + 5
     assert abs(row["recent"] - 2000) <= band * 2000 + 5
     assert row["empty"] <= band * 100  # nothing past t=200
+
+
+def test_window_cms_estimate_from_sql(registered, spark):
+    """gopie_window_cms_estimate(state, value, window): NULL window =
+    whole horizon; a 1-tick window counts only the newest tick; never
+    undercounts and obeys the epsilon bound on the probes."""
+    from gopie_spark.kernels import WindowCMS
+    wc = WindowCMS(width=2719, depth=7, resolution=10.0, n_ticks=50)
+    st = wc.zero()
+    st = wc.update(st, ["a"] * 300 + ["b"] * 100, [5.0] * 400)   # tick 0
+    st = wc.update(st, ["a"] * 50, [15.0] * 50)                  # tick 1
+    df = spark.createDataFrame(
+        [(bytearray(wc.serialize(st)),)], "state binary")
+    df.createOrReplaceTempView("wcms_probe")
+    row = spark.sql(
+        "SELECT gopie_window_cms_estimate(state, 'a', NULL) AS a_all, "
+        "gopie_window_cms_estimate(state, 'a', 1) AS a_new, "
+        "gopie_window_cms_estimate(state, 'b', 1) AS b_new "
+        "FROM wcms_probe").collect()[0]
+    assert 350 <= row["a_all"] <= 350 + 3 * wc.epsilon * 450
+    assert 50 <= row["a_new"] <= 50 + 3 * wc.epsilon * 50
+    assert row["b_new"] <= 3 * wc.epsilon * 50  # b absent from tick 1
