@@ -353,6 +353,55 @@ def _q_window_cms_trending(spark, sf_dir):
         .orderBy("window_days", "event_type")
 
 
+def _q_ddsketch_window_quantiles(spark, sf_dir):
+    """Quantiles over query-time TRAILING WINDOWS with the DDSketch
+    relative-error guarantee per window (operators/sketch_agg.py
+    ddsketch_window_quantiles) — the quantile member of the
+    query-time-window tier (distinct: sliding HLL, frequencies:
+    windowed CMS).  ONE corpus scan builds (bucket, day-tick) counts in
+    pure Catalyst; each of the 1/7/30-day trailing windows re-sums the
+    bucket relation only.  Certificate per (window, q), same
+    count-based band algebra as ddsketch_quantiles: with a = alpha and
+    e the estimate, count(x <= e/(1-a)) >= k and count(x < e/(1+a)) < k
+    for k = floor(q*(n_window - 1)) + 1 (positive values, so the
+    positive-branch algebra applies)."""
+    from gopie_spark.operators import ddsketch_window_quantiles
+    events = _events(spark, sf_dir).filter(F.col("value") > 0)
+    alpha = 0.01
+    qs = [0.5, 0.99]
+    windows = [1, 7, 30]
+    est = {r["window_ticks"]: r for r in ddsketch_window_quantiles(
+        events, "value", "ts", qs, windows, resolution=86400.0,
+        alpha=alpha).collect()}
+    tick = F.floor(F.col("ts").cast("timestamp").cast("double")
+                   / F.lit(86400.0)).cast("long")
+    at = events.agg(F.max(tick)).first()[0]
+    slack = 1e-9
+    rows = []
+    for w in windows:
+        win = events.filter((tick <= at) & (tick > at - w))
+        aggs = [F.count("*").alias("n")]
+        for q in qs:
+            tag = str(q).replace(".", "_")
+            e = float(est[w][f"q{tag}"])
+            hi = e / (1.0 - alpha) * (1.0 + slack)
+            lo = e / (1.0 + alpha) * (1.0 - slack)
+            aggs.append(F.sum(F.when(F.col("value") <= hi, 1)
+                              .otherwise(0)).alias(f"le_{tag}"))
+            aggs.append(F.sum(F.when(F.col("value") < lo, 1)
+                              .otherwise(0)).alias(f"lt_{tag}"))
+        r = win.agg(*aggs).collect()[0]
+        for q in qs:
+            tag = str(q).replace(".", "_")
+            k = math.floor(q * (r["n"] - 1)) + 1
+            ok = (r[f"le_{tag}"] >= k) and (r[f"lt_{tag}"] < k)
+            rows.append((w, f"q{q}", int(r["n"]), bool(ok)))
+    return spark.createDataFrame(
+        rows, "window_days long, quantile string, n_window long, "
+              "within_bound boolean") \
+        .orderBy("window_days", "quantile")
+
+
 def _q_ddsketch_quantiles(spark, sf_dir):
     """DDSketch RELATIVE-error certificate on documents.n_chars.
 
@@ -2804,6 +2853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_membership_remove": _q_cuckoo_membership_remove,
         "sliding_hll_suffix_distinct": _q_sliding_hll_suffix_distinct,
         "window_cms_trending": _q_window_cms_trending,
+        "ddsketch_window_quantiles": _q_ddsketch_window_quantiles,
         "ddsketch_quantiles": _q_ddsketch_quantiles,
         "session_stats": _q_session_stats,
         "retention_cohorts": _q_retention_cohorts,
@@ -3322,6 +3372,24 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_bound
             FROM (VALUES (CAST(0 AS BIGINT)), (50), (90)) f(frac_e2)
             ORDER BY f.frac_e2
+        """,
+        "ddsketch_window_quantiles": """
+            WITH p AS (SELECT value,
+                              CAST(floor(epoch(ts) / 86400.0) AS BIGINT)
+                                  AS tick
+                       FROM events WHERE value > 0),
+            m AS (SELECT max(tick) AS at FROM p),
+            w AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (7), (30))
+                  AS t(window_days)),
+            q AS (SELECT * FROM (VALUES ('q0.5'), ('q0.99'))
+                  AS t(quantile))
+            SELECT w.window_days, q.quantile,
+                   (SELECT count(*) FROM p, m
+                    WHERE p.tick <= m.at
+                      AND p.tick > m.at - w.window_days) AS n_window,
+                   TRUE AS within_bound
+            FROM w CROSS JOIN q
+            ORDER BY w.window_days, q.quantile
         """,
         "window_cms_trending": """
             WITH m AS (SELECT max(CAST(floor(epoch(ts) / 86400.0)

@@ -94,7 +94,7 @@ def main() -> None:
         # sliding-HLL suffix-window distinct (query-time windows)
         "cuckoo_membership_remove", "sliding_hll_suffix_distinct",
         # round 4g: windowed CMS trailing-window frequencies
-        "window_cms_trending",
+        "window_cms_trending", "ddsketch_window_quantiles",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",

@@ -409,11 +409,20 @@ def ddsketch_quantiles(df: DataFrame, value_col: str, qs: Iterable[float],
     target rank; the answer is that bucket's midpoint
     ``sign * 2*gamma^b/(gamma+1)``.  qs outside (0,1) still honor the
     bound (rank clamps to 1 / n)."""
+    bk = ddsketch_buckets(df, value_col, list(keys), alpha, min_value)
+    return _ddsketch_walk(bk, qs, list(keys), alpha, out_prefix)
+
+
+def _ddsketch_walk(bk: DataFrame, qs: Iterable[float],
+                   keys: Sequence[str], alpha: float,
+                   out_prefix: str = "q") -> DataFrame:
+    """The rank walk over a ``(keys..., _sign, _bucket, _n)`` bucket
+    relation — shared by :func:`ddsketch_quantiles` and
+    :func:`ddsketch_window_quantiles`."""
     from pyspark.sql import Window
     g = (1.0 + alpha) / (1.0 - alpha)
     qs = [float(q) for q in qs]
     keys = list(keys)
-    bk = ddsketch_buckets(df, value_col, keys, alpha, min_value)
     # single sortable key for (sign, sign*bucket): |bucket| < 2^31 for
     # any representable double at any sane alpha, so the packing is exact
     okey = (F.col("_sign").cast("long") * F.lit(2 ** 32)
@@ -448,6 +457,53 @@ def ddsketch_quantiles(df: DataFrame, value_col: str, qs: Iterable[float],
         # order deterministic and matching the sibling quantile ops
         return picked.select(*names)
     return picked.select(*keys, *names)
+
+
+def ddsketch_window_quantiles(df: DataFrame, value_col: str, ts_col: str,
+                              qs: Iterable[float],
+                              windows: Sequence[int],
+                              resolution: float = 86400.0,
+                              keys: Sequence[str] = (),
+                              alpha: float = 0.01,
+                              min_value: float = 1e-9,
+                              out_prefix: str = "q") -> DataFrame:
+    """Relative-error quantiles over TRAILING TIME WINDOWS chosen at
+    query time, still end-to-end in Catalyst — the quantile member of
+    the query-time-window tier (distinct: ``sliding_hll_build``,
+    frequencies: ``window_cms_build``, quantiles: this).
+
+    The corpus is touched ONCE: :func:`ddsketch_buckets` with the tick
+    ``floor(epoch / resolution)`` as an extra group key (still a plain
+    codegen ``groupBy().count()`` with map-side partials — at most
+    O(buckets x ticks) rows leave any partition).  Each requested
+    trailing window ``w`` (in ticks, ending at the newest tick present)
+    then filters + re-sums the BUCKET RELATION ONLY and runs the same
+    rank walk, so per-window cost is independent of corpus size.  Each
+    window's estimates carry the full DDSketch guarantee for exactly
+    that window's substream (the per-tick bucket counts are exact).
+
+    Returns ``DataFrame[window_ticks, keys..., q...]``, one row per
+    (window, key group)."""
+    keys = list(keys)
+    tick = F.floor(F.col(ts_col).cast("timestamp").cast("double")
+                   / F.lit(float(resolution))).cast("long")
+    bk = ddsketch_buckets(df.withColumn("_tick", tick), value_col,
+                          keys + ["_tick"], alpha, min_value)
+    bk = bk.localCheckpoint(eager=False)   # one corpus scan, reused per window
+    at = bk.agg(F.max("_tick")).first()[0]
+    outs = []
+    for w in windows:
+        w = int(w)
+        win = (bk.filter((F.col("_tick") <= at)
+                         & (F.col("_tick") > at - w))
+               .groupBy(*keys, "_sign", "_bucket")
+               .agg(F.sum("_n").alias("_n")))
+        outs.append(_ddsketch_walk(win, qs, keys, alpha, out_prefix)
+                    .select(F.lit(w).alias("window_ticks"), "*"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
 
 
 def quantile_gate(df: DataFrame, value_col: str,

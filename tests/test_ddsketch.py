@@ -237,3 +237,69 @@ class TestCatalyst:
         # map-side combine: partial_count below the exchange
         assert "partial_count" in build
         assert build.index("partial_count") > build.index("Exchange")
+
+
+class TestWindowed:
+    """ddsketch_window_quantiles: query-time trailing windows, one
+    corpus scan, per-window DDSketch guarantee on that window's
+    substream."""
+
+    def test_window_band_vs_exact(self, spark, sf_dir):
+        from gopie_spark.operators import ddsketch_window_quantiles
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        qs = [0.5, 0.99]
+        got = {r["window_ticks"]: (r["q0_5"], r["q0_99"])
+               for r in ddsketch_window_quantiles(
+                   ev, "value", "ts", qs, [1, 7, 30],
+                   resolution=86400.0, alpha=ALPHA).collect()}
+        rows = ev.select(
+            F.col("value").cast("double").alias("v"),
+            F.floor(F.col("ts").cast("timestamp").cast("double")
+                    / 86400.0).cast("long").alias("t")).collect()
+        v = np.array([r["v"] for r in rows])
+        t = np.array([r["t"] for r in rows])
+        at = t.max()
+        for w in (1, 7, 30):
+            vals = v[(t <= at) & (t > at - w)]
+            _assert_bound(got[w], qs, vals)
+
+    def test_whole_horizon_equals_unwindowed(self, spark, sf_dir):
+        from gopie_spark.operators import (ddsketch_quantiles,
+                                           ddsketch_window_quantiles)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        qs = [0.25, 0.5, 0.9]
+        huge = 10 ** 9        # covers every tick present
+        win = ddsketch_window_quantiles(
+            ev, "value", "ts", qs, [huge]).drop("window_ticks") \
+            .collect()[0]
+        plain = ddsketch_quantiles(ev, "value", qs).collect()[0]
+        assert win.asDict() == plain.asDict()
+
+    def test_grouped_windows(self, spark, sf_dir):
+        from gopie_spark.operators import ddsketch_window_quantiles
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = ddsketch_window_quantiles(
+            ev, "value", "ts", [0.5], [7, 30],
+            keys=["event_type"]).collect()
+        types = {r[0] for r in
+                 ev.select("event_type").distinct().collect()}
+        seen = {(r["window_ticks"], r["event_type"]) for r in out}
+        # every (window, type) pair present in the trailing 7/30 days
+        rows = ev.select(
+            "event_type",
+            F.floor(F.col("ts").cast("timestamp").cast("double")
+                    / 86400.0).cast("long").alias("t")).collect()
+        at = max(r["t"] for r in rows)
+        for w in (7, 30):
+            want = {r["event_type"] for r in rows
+                    if at - w < r["t"] <= at}
+            assert {ty for (ww, ty) in seen if ww == w} == want
+
+    def test_still_no_python_in_plan(self, spark, sf_dir):
+        from gopie_spark.operators import ddsketch_window_quantiles
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        plan = ddsketch_window_quantiles(
+            ev, "value", "ts", [0.5], [7])._jdf.queryExecution() \
+            .executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEval", "InPandas"):
+            assert marker not in plan, marker
