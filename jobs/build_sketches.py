@@ -55,6 +55,15 @@ def main() -> None:
     ap.add_argument("--resume-only", action="store_true",
                     help="finalize from existing checkpoint without "
                          "processing new buckets")
+    ap.add_argument("--time-windows", action="store_true",
+                    help="also build the query-time-window states over "
+                         "warc_ts: sliding-HLL distinct urls (any suffix "
+                         "cutoff) and windowed-CMS token frequencies "
+                         "(any trailing window) — one extra pass each")
+    ap.add_argument("--window-resolution", type=float, default=86400.0,
+                    help="windowed-CMS tick width in seconds")
+    ap.add_argument("--window-horizon", type=int, default=365,
+                    help="windowed-CMS retention horizon in ticks")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -110,10 +119,28 @@ def main() -> None:
     shard_states.write.mode("overwrite") \
         .parquet(f"{args.output}/bloom_url_shards")
 
+    outputs = ["hll_lang_url", "bloom_url_shards", "cms_tokens.bin"]
+    if args.time_windows:
+        # query-time-window states: built once, answer any suffix /
+        # trailing window later (kernels/slidinghll.py, windowcms.py)
+        from gopie_spark.operators import (sliding_hll_build,
+                                           window_cms_tokens_build)
+        sh, sh_state = sliding_hll_build(pages, "url", "warc_ts",
+                                         p=args.hll_p)
+        with open(f"{args.checkpoint}/sliding_hll_url.bin", "wb") as fh:
+            fh.write(sh.serialize(sh_state))
+        wc, wc_state = window_cms_tokens_build(
+            pages, text_col="text", ts_col="warc_ts",
+            resolution=args.window_resolution,
+            n_ticks=args.window_horizon)
+        with open(f"{args.checkpoint}/window_cms_tokens.bin", "wb") as fh:
+            fh.write(wc.serialize(wc_state))
+        outputs += ["sliding_hll_url.bin", "window_cms_tokens.bin"]
+
     summary = {
         "rows": n,
         "seconds": round(time.perf_counter() - t0, 3),
-        "outputs": ["hll_lang_url", "bloom_url_shards", "cms_tokens.bin"],
+        "outputs": outputs,
     }
     print(json.dumps(summary))
     spark.stop()
