@@ -93,17 +93,24 @@ class HLL:
         """Add a batch of string/bytes values (vectorized)."""
         return self.update_hashes(state, self.hash_values(values))
 
-    def update_hashes(self, state: np.ndarray, h: np.ndarray) -> np.ndarray:
-        b = np.uint32(self.p)
+    def index_rank(self, h: np.ndarray):
+        """Per-hash ``(register index, rank)`` — the one place the
+        reference rule lives (index = top p bits; rank =
+        min(trailing_zeros + 1, k + 1), h == 0 -> k + 1).  Shared with
+        the sliding variant (kernels/slidinghll.py) so the register
+        semantics cannot diverge."""
         k = np.uint32(32 - self.p)
         j = (h >> k).astype(np.int64)
-        # rank = min(trailing_zeros(h) + 1, k + 1); h == 0 -> k + 1.
         low = h & (~h + U32(1))  # isolate lowest set bit (0 if h == 0)
         tz = np.zeros(h.shape, dtype=np.float64)
         nz = low != 0
         tz[nz] = np.log2(low[nz].astype(np.float64))  # exact for powers of 2
         r = np.minimum(tz + 1.0, float(int(k) + 1)).astype(U8)
         r[~nz] = U8(int(k) + 1)
+        return j, r
+
+    def update_hashes(self, state: np.ndarray, h: np.ndarray) -> np.ndarray:
+        j, r = self.index_rank(h)
         np.maximum.at(state, j, r)
         return state
 

@@ -35,7 +35,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from gopie_spark.kernels import codec
+from gopie_spark.kernels import codec, timed
 from gopie_spark.kernels.hll import HLL, U8, U32
 
 F64 = np.float64
@@ -98,52 +98,17 @@ class SlidingHLL:
 
     # -- update / merge -----------------------------------------------------------
 
-    def _parts(self, values):
-        """(values, ts) from an Arrow StructArray (fields: value, ts) or
-        a (values, ts) tuple — flat-batch, zero per-element Python."""
-        try:
-            import pyarrow as pa
-            if isinstance(values, (pa.StructArray, pa.ChunkedArray)):
-                if isinstance(values, pa.ChunkedArray):
-                    values = values.combine_chunks()
-                return values.field(0), np.asarray(
-                    values.field(1).cast(pa.float64()), dtype=F64)
-        except ImportError:
-            pass
-        vals, ts = values
-        return vals, np.asarray(ts, dtype=F64)
-
     def update(self, state, values):
-        vals, ts = self._parts(values)
-        # a null value or missing timestamp contributes nothing (the
-        # outer struct is non-null even when its fields are, so the
-        # generic drop_null in build_partials cannot catch these; NaN
-        # timestamps would also poison the frontier sort order)
-        try:
-            import pyarrow as pa
-            if isinstance(vals, pa.Array):
-                null_v = vals.is_null().to_numpy(zero_copy_only=False)
-            else:
-                null_v = np.array([v is None for v in vals], dtype=bool)
-        except ImportError:
-            null_v = np.array([v is None for v in vals], dtype=bool)
-        valid = ~null_v & ~np.isnan(ts)
-        if not valid.all():
-            vals = vals.filter(pa.array(valid)) if hasattr(vals, "filter") \
-                else vals[valid]
-            ts = ts[valid]
+        vals, ts = timed.struct_parts(values)
+        # a null value or missing timestamp contributes nothing
+        vals, ts = timed.drop_invalid(vals, ts)
         hll = self._hll()
-        h = hll.hash_values(vals)
-        k = np.uint32(32 - self.p)
-        j = (h >> k).astype(U32)
-        low = h & (~h + U32(1))
-        tz = np.zeros(h.shape, dtype=F64)
-        nz = low != 0
-        tz[nz] = np.log2(low[nz].astype(F64))
-        r = np.minimum(tz + 1.0, float(int(k) + 1)).astype(U8)
-        r[~nz] = U8(int(k) + 1)
+        # the register index/rank rule is HLL's OWN (kernels/hll.py),
+        # so the tested "full-window registers == plain HLL" byte
+        # equality is structural, not coincidental
+        j, r = hll.index_rank(hll.hash_values(vals))
         return self._prune(
-            np.concatenate([state["reg"], j]),
+            np.concatenate([state["reg"], j.astype(U32)]),
             np.concatenate([state["ts"], ts]),
             np.concatenate([state["rank"], r]))
 

@@ -35,7 +35,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from gopie_spark.kernels import codec
+from gopie_spark.kernels import codec, timed
 from gopie_spark.kernels.cms import CMS, params_from_guess
 
 U64 = np.uint64
@@ -46,7 +46,13 @@ F64 = np.float64
 
 @dataclass(frozen=True)
 class WindowCMS:
-    """CMS whose counters remember WHICH time tick they were earned in."""
+    """CMS whose counters remember WHICH time tick they were earned in.
+
+    Mutation convention (same as CMS): ``update``/``update_ticked`` may
+    add IN PLACE into the passed state's arrays when every batch tick is
+    already materialized (the steady state of an accumulator fold) —
+    always rebind to the return value and never alias a state you still
+    need; ``merge`` and ``deserialize`` always return fresh arrays."""
 
     width: int = 2719
     depth: int = 7
@@ -107,21 +113,6 @@ class WindowCMS:
 
     # -- update / merge -----------------------------------------------------------
 
-    def _parts(self, values):
-        """(values, epochs) from an Arrow StructArray (fields: value,
-        ts) or a (values, epochs) pair — flat-batch."""
-        try:
-            import pyarrow as pa
-            if isinstance(values, (pa.StructArray, pa.ChunkedArray)):
-                if isinstance(values, pa.ChunkedArray):
-                    values = values.combine_chunks()
-                return values.field(0), np.asarray(
-                    values.field(1).cast(pa.float64()), dtype=F64)
-        except ImportError:
-            pass
-        vals, ts = values
-        return vals, np.asarray(ts, dtype=F64)
-
     def update(self, state, values, epochs=None,
                counts: Optional[np.ndarray] = None):
         """Add a batch: ``update(st, values, epochs[, counts])`` or
@@ -129,24 +120,13 @@ class WindowCMS:
         scalable path is pre-aggregation — pass distinct (value, tick)
         rows with exact counts so hashing is per distinct key."""
         if epochs is None:
-            values, epochs = self._parts(values)
+            values, epochs = timed.struct_parts(values)
         vals = values
         ts = np.asarray(epochs, dtype=F64)
-        try:
-            import pyarrow as pa
-            if isinstance(vals, pa.Array):
-                null_v = vals.is_null().to_numpy(zero_copy_only=False)
-            else:
-                null_v = np.array([v is None for v in vals], dtype=bool)
-        except ImportError:
-            null_v = np.array([v is None for v in vals], dtype=bool)
-        valid = ~null_v & ~np.isnan(ts)
-        if not valid.all():
-            vals = vals.filter(pa.array(valid)) if hasattr(vals, "filter") \
-                else [v for v, ok in zip(vals, valid) if ok]
-            ts = ts[valid]
-            if counts is not None:
-                counts = np.asarray(counts)[valid]
+        if counts is not None:
+            vals, ts, counts = timed.drop_invalid(vals, ts, counts)
+        else:
+            vals, ts = timed.drop_invalid(vals, ts)
         n = len(ts)
         if n == 0:
             return state

@@ -489,8 +489,12 @@ def ddsketch_window_quantiles(df: DataFrame, value_col: str, ts_col: str,
                    / F.lit(float(resolution))).cast("long")
     bk = ddsketch_buckets(df.withColumn("_tick", tick), value_col,
                           keys + ["_tick"], alpha, min_value)
+    if not windows:
+        raise ValueError("windows must not be empty")
     bk = bk.localCheckpoint(eager=False)   # one corpus scan, reused per window
     at = bk.agg(F.max("_tick")).first()[0]
+    if at is None:
+        at = 0   # empty bucket relation: every window walk is empty
     outs = []
     for w in windows:
         w = int(w)
@@ -830,7 +834,8 @@ def sliding_hll_build(df: DataFrame, value_col: str, ts_col: str,
                   .alias("t")).alias("_vt")
     src = df.select(*keys, vt)
     if keys:
-        return sh, sketch_agg(src, list(keys), "_vt", sh)
+        return sh, sketch_agg(src, list(keys), "_vt", sh,
+                              coalesce_to=coalesce_to)
     return sh, global_sketch(src, "_vt", sh, coalesce_to=coalesce_to)
 
 
@@ -855,7 +860,8 @@ def window_cms_build(df: DataFrame, value_col: str, ts_col: str,
                   .alias("t")).alias("_vt")
     src = df.select(*keys, vt)
     if keys:
-        return wc, sketch_agg(src, list(keys), "_vt", wc)
+        return wc, sketch_agg(src, list(keys), "_vt", wc,
+                              coalesce_to=coalesce_to)
     return wc, global_sketch(src, "_vt", wc, coalesce_to=coalesce_to)
 
 
@@ -883,7 +889,7 @@ def window_cms_tokens_build(df: DataFrame, text_col: str = "text",
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
         F.floor(F.col(ts_col).cast("timestamp").cast("double")
                 / F.lit(float(resolution))).alias("tick"))
-        .filter(F.col("tok") != "")
+        .filter((F.col("tok") != "") & F.col("tick").isNotNull())
         .groupBy("tok", "tick").agg(F.count("*").alias("cnt")))
 
     out_schema = StructType([StructField(STATE_COL, BinaryType(), False)])

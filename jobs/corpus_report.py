@@ -28,6 +28,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -70,7 +72,8 @@ def corpus_card(spark, df, *, text_col="text",
         "v", td)
     qs = (0.01, 0.25, 0.5, 0.75, 0.99)
     card["token_length_quantiles"] = {
-        str(q): round(float(td.quantile(st, q)), 1) for q in qs}
+        str(q): round(float(np.asarray(td.quantile(st, q)).reshape(-1)[0]),
+                      1) for q in qs}
 
     # duplication
     dup = duplicate_stats(df, text_col=text_col).collect()[0]

@@ -303,3 +303,19 @@ class TestWindowed:
             .executedPlan().toString()
         for marker in ("BatchEvalPython", "ArrowEval", "InPandas"):
             assert marker not in plan, marker
+
+
+def test_window_quantiles_empty_corpus_and_empty_windows(spark):
+    """An empty (or all-null) corpus yields the SQL global-agg result —
+    one row per window with NULL quantiles, exactly like the unwindowed
+    ddsketch_quantiles — not a NoneType crash; windows=[] is an explicit
+    error."""
+    import pytest as _pytest
+    from gopie_spark.operators import ddsketch_window_quantiles
+    ev = spark.createDataFrame([], "value double, ts timestamp")
+    rows = ddsketch_window_quantiles(ev, "value", "ts", [0.5], [7],
+                                     resolution=86400.0).collect()
+    assert [(r["window_ticks"], r["q0_5"]) for r in rows] == [(7, None)]
+    with _pytest.raises(ValueError):
+        ddsketch_window_quantiles(ev, "value", "ts", [0.5], [],
+                                  resolution=86400.0)

@@ -130,3 +130,12 @@ def test_grouped_build(spark, sf_dir):
         est = sh.count(st)
         assert abs(est - exact[r["event_type"]]) \
             <= 3 * sh.std_err * exact[r["event_type"]] + 1
+
+
+def test_update_list_input_with_null_value_and_nan_ts():
+    # the documented non-Arrow (values, ts) path must FILTER a null
+    # value / NaN timestamp, not crash boolean-masking a Python list
+    sh = SlidingHLL(p=10)
+    st = sh.update(sh.zero(), ([None, "a", "b"], [1.0, 2.0, float("nan")]))
+    clean = sh.update(sh.zero(), (["a"], [2.0]))
+    assert sh.serialize(st) == sh.serialize(clean)

@@ -175,3 +175,45 @@ def test_tokens_preagg_build_equals_serial(spark, sf_dir):
     ts = np.array([r["e"] for r in rows])
     serial = wc.update(wc.zero(), vals, ts)
     assert wc.serialize(state) == wc.serialize(serial)
+
+
+def test_update_list_input_with_null_value_and_nan_ts():
+    from gopie_spark.kernels import WindowCMS
+    wc = WindowCMS(width=64, depth=3, resolution=1.0, n_ticks=10)
+    st = wc.update(wc.zero(), ([None, "a", "b"], [1.0, 2.0, float("nan")]))
+    clean = wc.update(wc.zero(), (["a"], [2.0]))
+    assert wc.serialize(st) == wc.serialize(clean)
+
+
+def test_tokens_build_null_ts_rows_are_dropped_deterministically(spark):
+    """Rows with a null timestamp must not reach the kernel as a
+    NaN->int64 garbage tick: the build filters them JVM-side."""
+    from gopie_spark.operators import window_cms_tokens_build
+    df = spark.createDataFrame(
+        [("a b a", 86400.0), ("b c", None), ("a", 86400.0 * 2)],
+        "text string, e double").selectExpr(
+            "text", "cast(e as timestamp) as ts")
+    wc, st = window_cms_tokens_build(df, text_col="text", ts_col="ts",
+                                     epsilon=0.01, delta=0.99,
+                                     resolution=86400.0, n_ticks=10)
+    clean = wc.update(wc.zero(),
+                      np.array(["a", "b", "a", "a"], dtype=object),
+                      np.array([86400.0, 86400.0, 86400.0, 86400.0 * 2]))
+    assert wc.serialize(st) == wc.serialize(clean)
+
+
+def test_grouped_build_forwards_coalesce_to(spark, sf_dir):
+    """keys= + coalesce_to must bound partial count AND stay correct."""
+    import pyspark.sql.functions as F
+    from gopie_spark.operators import window_cms_build
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(3000) \
+        .repartition(8)
+    wc, states = window_cms_build(ev, "event_id", "ts",
+                                  epsilon=0.01, delta=0.9,
+                                  resolution=86400.0, n_ticks=400,
+                                  keys=["event_type"], coalesce_to=2)
+    exact = dict(ev.groupBy("event_type").count().collect())
+    for r in states.collect():
+        st = wc.deserialize(bytes(r["sketch_state"]))
+        n = wc.window_total(st)
+        assert n == exact[r["event_type"]]
