@@ -377,25 +377,30 @@ def _q_ddsketch_window_quantiles(spark, sf_dir):
                    / F.lit(86400.0)).cast("long")
     at = events.agg(F.max(tick)).first()[0]
     slack = 1e-9
-    rows = []
+    # verify all windows in ONE conditional-aggregate scan (window
+    # membership + both band counts as when() sums) instead of one
+    # corpus scan per window
+    aggs = []
     for w in windows:
-        win = events.filter((tick <= at) & (tick > at - w))
-        aggs = [F.count("*").alias("n")]
+        in_w = (tick <= at) & (tick > at - w)
+        aggs.append(F.sum(F.when(in_w, 1).otherwise(0)).alias(f"n_{w}"))
         for q in qs:
             tag = str(q).replace(".", "_")
             e = float(est[w][f"q{tag}"])
             hi = e / (1.0 - alpha) * (1.0 + slack)
             lo = e / (1.0 + alpha) * (1.0 - slack)
-            aggs.append(F.sum(F.when(F.col("value") <= hi, 1)
-                              .otherwise(0)).alias(f"le_{tag}"))
-            aggs.append(F.sum(F.when(F.col("value") < lo, 1)
-                              .otherwise(0)).alias(f"lt_{tag}"))
-        r = win.agg(*aggs).collect()[0]
+            aggs.append(F.sum(F.when(in_w & (F.col("value") <= hi), 1)
+                              .otherwise(0)).alias(f"le_{w}_{tag}"))
+            aggs.append(F.sum(F.when(in_w & (F.col("value") < lo), 1)
+                              .otherwise(0)).alias(f"lt_{w}_{tag}"))
+    r = events.agg(*aggs).collect()[0]
+    rows = []
+    for w in windows:
         for q in qs:
             tag = str(q).replace(".", "_")
-            k = math.floor(q * (r["n"] - 1)) + 1
-            ok = (r[f"le_{tag}"] >= k) and (r[f"lt_{tag}"] < k)
-            rows.append((w, f"q{q}", int(r["n"]), bool(ok)))
+            k = math.floor(q * (r[f"n_{w}"] - 1)) + 1
+            ok = (r[f"le_{w}_{tag}"] >= k) and (r[f"lt_{w}_{tag}"] < k)
+            rows.append((w, f"q{q}", int(r[f"n_{w}"]), bool(ok)))
     return spark.createDataFrame(
         rows, "window_days long, quantile string, n_window long, "
               "within_bound boolean") \
