@@ -2327,23 +2327,30 @@ def _q_ams_join_size_cross(spark, sf_dir):
     within the 4-sigma product bound of the exact join size, which the
     DuckDB oracle recomputes."""
     from gopie_spark.kernels import AMS
-    from gopie_spark.operators.sketch_agg import global_sketch
+    from gopie_spark.operators.sketch_agg import STATE_COL, sketch_agg
     ev = _events(spark, sf_dir)
     ams = AMS(n_means=256, n_medians=5)
-    sides = {}
-    for et in ("click", "purchase"):
-        sides[et] = global_sketch(
-            ev.filter(F.col("event_type") == et)
-            .select(F.col("user_id").cast("string").alias("v")),
-            "v", ams)
+    # both sides from ONE keyed build (event_type is the key — the sign
+    # functions are hash-derived from the kernel params, so a keyed
+    # build is state-identical to two independent global builds)
+    both = ev.filter(F.col("event_type").isin("click", "purchase"))
+    sides = {et: ams.zero() for et in ("click", "purchase")}
+    for r in sketch_agg(
+            both.select("event_type",
+                        F.col("user_id").cast("string").alias("v")),
+            ["event_type"], "v", ams).collect():
+        sides[r["event_type"]] = ams.deserialize(bytes(r[STATE_COL]))
     est = ams.inner_product(sides["click"], sides["purchase"])
     bound = ams.inner_product_bound(sides["click"], sides["purchase"])
-    c = ev.filter(F.col("event_type") == "click") \
-        .groupBy("user_id").count().withColumnRenamed("count", "nc")
-    p = ev.filter(F.col("event_type") == "purchase") \
-        .groupBy("user_id").count().withColumnRenamed("count", "np")
-    exact = c.join(p, "user_id").agg(
-        F.sum(F.col("nc") * F.col("np")).alias("n")).collect()[0]["n"]
+    # exact join size in one shuffle: per-user conditional counts, then
+    # sum(nc*np) — no second scan, no join
+    exact = both.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1)
+              .otherwise(0)).alias("nc"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1)
+              .otherwise(0)).alias("np")) \
+        .agg(F.sum(F.col("nc") * F.col("np")).alias("n")) \
+        .collect()[0]["n"]
     exact = int(exact or 0)
     return spark.createDataFrame(
         [(exact, bool(abs(est - exact) <= bound))],
