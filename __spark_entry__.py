@@ -2357,6 +2357,114 @@ def _q_ams_join_size_cross(spark, sf_dir):
         "n_exact long, within_bound boolean")
 
 
+def _q_corpus_drift(spark, sf_dir):
+    """Snapshot drift report (operators/drift.py): crawl A (doc_id%10<7)
+    vs crawl B (doc_id%10>=3) of documents, compared SKETCH-ONLY —
+    theta set algebra on the synthetic URL sets (distinct/common/new
+    with 4-sigma bounds), the top token-frequency mover from the
+    LINEAR CountSketch difference B-A gated by 3*sqrt(F2(B-A)/w), and
+    the two-sample KS statistic on the token-count distributions from
+    two KLL states gated by the 2*eps rank band.  Exact anchors (url
+    counts, top mover, integer KS numerator max|cumA*tb - cumB*ta|)
+    each cost ONE conditional-aggregate pass here and are recomputed by
+    the DuckDB oracle; at corpus scale only the sketch passes run."""
+    import numpy as np
+    from gopie_spark.kernels import KLL, CountSketch, MisraGries, Theta
+    from gopie_spark.operators.drift import (kll_eps, ks_from_states,
+                                             token_drift_from_states,
+                                             url_set_drift_from_states)
+    from gopie_spark.operators.sketch_agg import (global_sketch,
+                                                  tokens_sketch_build)
+    from gopie_spark.operators.textstats import token_count
+
+    docs = _docs_with_url(_docs(spark, sf_dir)).withColumn(
+        "in_a", F.pmod(F.col("doc_id"), F.lit(10)) < 7).withColumn(
+        "in_b", F.pmod(F.col("doc_id"), F.lit(10)) >= 3)
+    docs = docs.persist()
+    df_a, df_b = docs.filter("in_a"), docs.filter("in_b")
+
+    # --- exact anchors (one conditional-aggregate pass each) --------------
+    urow = (docs.groupBy("url")
+            .agg(F.max(F.col("in_a").cast("int")).alias("a"),
+                 F.max(F.col("in_b").cast("int")).alias("b"))
+            .agg(F.sum("a").alias("n_a"), F.sum("b").alias("n_b"),
+                 F.sum(F.col("a") * F.col("b")).alias("n_c"))
+            .collect()[0])
+    tok = (docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        "in_a", "in_b")
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.sum(F.col("in_a").cast("long")).alias("ca"),
+             F.sum(F.col("in_b").cast("long")).alias("cb"))
+        .withColumn("delta", F.col("cb") - F.col("ca"))
+        .persist())
+    mover = tok.orderBy(F.abs(F.col("delta")).desc(),
+                        F.col("tok").asc()).first()
+    f2_exact = float(tok.agg(
+        F.sum(F.col("delta") * F.col("delta")).alias("f2"))
+        .collect()[0]["f2"])
+    tok.unpersist()
+    lens = docs.select(token_count("text").alias("v"), "in_a", "in_b")
+    bylen = (lens.groupBy("v")
+             .agg(F.sum(F.col("in_a").cast("long")).alias("na"),
+                  F.sum(F.col("in_b").cast("long")).alias("nb"))
+             .collect())
+    bylen.sort(key=lambda r: r["v"])
+    ta = sum(r["na"] for r in bylen)
+    tb = sum(r["nb"] for r in bylen)
+    ks_num, cna, cnb = 0, 0, 0
+    for r in bylen:
+        cna += r["na"]
+        cnb += r["nb"]
+        ks_num = max(ks_num, abs(cna * tb - cnb * ta))
+
+    # --- sketch estimates (what actually runs at corpus scale) ------------
+    theta = Theta(k=64)
+    st_a = global_sketch(df_a.select(F.col("url").alias("v")), "v", theta)
+    st_b = global_sketch(df_b.select(F.col("url").alias("v")), "v", theta)
+    u = url_set_drift_from_states(theta, st_a, st_b)
+    band = 4.0 * theta.rel_err
+    urls_ok = (abs(u["n_a_est"] - urow["n_a"]) <= band * urow["n_a"]
+               and abs(u["n_b_est"] - urow["n_b"]) <= band * urow["n_b"]
+               and abs(u["n_common_est"] - urow["n_c"])
+               <= u["common_bound"]
+               and abs(u["n_new_b_est"] - (urow["n_b"] - urow["n_c"]))
+               <= u["new_b_bound"])
+
+    cs = CountSketch(width=8192, depth=7)
+    mg = MisraGries(k=256)
+    cs_a = tokens_sketch_build(df_a, cs, "text", counts_dtype=np.int64)
+    cs_b = tokens_sketch_build(df_b, cs, "text", counts_dtype=np.int64)
+    mg_a = tokens_sketch_build(df_a, mg, "text", counts_dtype=np.int64)
+    mg_b = tokens_sketch_build(df_b, mg, "text", counts_dtype=np.int64)
+    td = token_drift_from_states(cs, cs_a, cs_b, mg, mg_a, mg_b)
+    est_delta = float(cs.estimate(td["diff_state"],
+                                  np.array([mover["tok"]], dtype=object))[0])
+    delta_ok = (abs(est_delta - mover["delta"])
+                <= cs.error_bound(f2_exact, f=float(mover["delta"])))
+
+    kll = KLL(k=200)
+    k_a = global_sketch(
+        df_a.select(token_count("text").cast("double").alias("v")),
+        "v", kll)
+    k_b = global_sketch(
+        df_b.select(token_count("text").cast("double").alias("v")),
+        "v", kll)
+    ks_est = ks_from_states(kll, k_a, k_b)
+    ks_ok = abs(ks_est - ks_num / (ta * tb)) <= 2.0 * kll_eps(kll.k)
+    docs.unpersist()
+
+    return spark.createDataFrame(
+        [(int(urow["n_a"]), int(urow["n_b"]), int(urow["n_c"]),
+          str(mover["tok"]), int(mover["delta"]), int(ks_num),
+          bool(urls_ok), bool(delta_ok), bool(ks_ok))],
+        "n_urls_a long, n_urls_b long, n_urls_common long, "
+        "top_token string, top_delta long, ks_num long, "
+        "urls_within_bound boolean, delta_within_bound boolean, "
+        "ks_within_bound boolean")
+
+
 def _q_grouped_topk(spark, sf_dir):
     """Top-3 events by value per event_type (operators/topk.py): the
     map-side-pruned grouped top-k — only each partition's local top-k
@@ -2862,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position.
     return {
         # --- no driver-green row yet (r4 priority block) ---
+        "corpus_drift": _q_corpus_drift,
         "cuckoo_membership_remove": _q_cuckoo_membership_remove,
         "sliding_hll_suffix_distinct": _q_sliding_hll_suffix_distinct,
         "window_cms_trending": _q_window_cms_trending,
@@ -3012,6 +3121,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT user_id, count(*) AS n FROM events
                   WHERE event_type = 'purchase' GROUP BY user_id) p
             USING (user_id)
+        """,
+        "corpus_drift": f"""
+            WITH d AS (
+                SELECT doc_id, text,
+                       (doc_id % 10) < 7 AS in_a,
+                       (doc_id % 10) >= 3 AS in_b,
+                       {_URL_SQL} AS url
+                FROM documents
+            ),
+            u AS (SELECT url, max(CASE WHEN in_a THEN 1 ELSE 0 END) AS a,
+                         max(CASE WHEN in_b THEN 1 ELSE 0 END) AS b
+                  FROM d GROUP BY url),
+            urls AS (SELECT sum(a) AS n_a, sum(b) AS n_b,
+                            sum(a * b) AS n_c FROM u),
+            tok AS (SELECT unnest(string_split_regex(trim(text),
+                                                     '\\s+')) AS t,
+                           in_a, in_b FROM d),
+            tc AS (SELECT t,
+                          sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
+                          sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS cb
+                   FROM tok WHERE t <> '' GROUP BY t),
+            mover AS (SELECT t, (cb - ca) AS delta FROM tc
+                      ORDER BY abs(cb - ca) DESC, t ASC LIMIT 1),
+            lens AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                                 ELSE len(string_split_regex(trim(text),
+                                                             '\\s+'))
+                            END AS v, in_a, in_b FROM d),
+            tot AS (SELECT sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS ta,
+                           sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS tb
+                    FROM lens),
+            bylen AS (SELECT v,
+                             sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS na,
+                             sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS nb
+                      FROM lens GROUP BY v),
+            cum AS (SELECT v, sum(na) OVER (ORDER BY v) AS cna,
+                           sum(nb) OVER (ORDER BY v) AS cnb FROM bylen),
+            ks AS (SELECT max(abs(cna * tb - cnb * ta)) AS ks_num
+                   FROM cum, tot)
+            SELECT CAST(urls.n_a AS BIGINT) AS n_urls_a,
+                   CAST(urls.n_b AS BIGINT) AS n_urls_b,
+                   CAST(urls.n_c AS BIGINT) AS n_urls_common,
+                   (SELECT t FROM mover) AS top_token,
+                   CAST((SELECT delta FROM mover) AS BIGINT) AS top_delta,
+                   CAST(ks.ks_num AS BIGINT) AS ks_num,
+                   TRUE AS urls_within_bound,
+                   TRUE AS delta_within_bound,
+                   TRUE AS ks_within_bound
+            FROM urls, ks
         """,
         "grouped_topk": """
             SELECT event_type, rank, event_id, value_e2 FROM (

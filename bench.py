@@ -95,6 +95,9 @@ def main() -> None:
         "cuckoo_membership_remove", "sliding_hll_suffix_distinct",
         # round 4g: windowed CMS trailing-window frequencies
         "window_cms_trending", "ddsketch_window_quantiles",
+        # round 4i: sketch-only corpus snapshot drift (theta set algebra
+        # + CountSketch difference + KLL two-sample KS)
+        "corpus_drift",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",

@@ -106,6 +106,20 @@ class CountSketch:
         a["count"] += b["count"]
         return a
 
+    def subtract(self, a, b):
+        """a - b in place (linearity made explicit): the result sketches
+        the frequency DIFFERENCE of the two streams, so
+        ``estimate(subtract(A, B), x)`` is an unbiased estimate of
+        ``f_A(x) - f_B(x)`` and ``f2_estimate`` of the difference sketch
+        estimates ``sum_x (f_A(x) - f_B(x))^2`` — the drift-report
+        primitive (operators/drift.py).  Requires identical params (same
+        hash family/dims) or the cells don't align."""
+        if a["matrix"].shape != b["matrix"].shape:
+            raise ValueError("matrix depth/width must match")
+        a["matrix"] -= b["matrix"]
+        a["count"] -= b["count"]
+        return a
+
     # -- finalizers ---------------------------------------------------------
     def estimate(self, state, values) -> np.ndarray:
         """Unbiased point estimates, float64[n] (median over rows of

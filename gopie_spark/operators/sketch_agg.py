@@ -676,6 +676,46 @@ def countsketch_tokens_build(df: DataFrame, text_col: str = "text",
     return cs, state
 
 
+def tokens_sketch_build(df: DataFrame, sketch, text_col: str = "text",
+                        counts_dtype=np.uint64):
+    """Generic token-frequency sketch build behind the JVM wordcount
+    pre-aggregation (the :func:`cms_tokens_build` /
+    :func:`countsketch_tokens_build` plan, kernel-agnostic): Catalyst's
+    partial+final hash aggregate turns the raw text into a
+    vocabulary-bounded (token, count) stream entirely in whole-stage
+    codegen, one vectorized weighted kernel update runs per shuffle
+    partition, and the states merge associatively.  Works for any
+    kernel whose ``update(state, values, counts)`` accepts weights
+    (CMS, CountSketch, Misra-Gries, Theta ignores counts).  Returns
+    the merged driver-side state."""
+    import pyarrow as pa
+    counted = (df.select(F.explode(F.split(F.col(text_col), r"\s+"))
+                         .alias("tok"))
+               .filter(F.col("tok") != "")
+               .groupBy("tok").agg(F.count("*").alias("cnt")))
+
+    out_schema = StructType([StructField(STATE_COL, BinaryType(), False)])
+
+    def fn(batches):
+        st = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            if st is None:
+                st = sketch.zero()
+            sketch.update(st, rb.column(0),
+                          np.asarray(rb.column(1)).astype(counts_dtype))
+        if st is not None:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([sketch.serialize(st)], type=pa.binary())],
+                names=[STATE_COL])
+
+    partials = counted.mapInArrow(fn, out_schema)
+    row = merge_partials(partials, [], sketch).collect()
+    return (sketch.deserialize(bytes(row[0][STATE_COL])) if row
+            else sketch.zero())
+
+
 def cms_build(df: DataFrame, value_col: str, epsilon: float = 0.001,
               delta: float = 0.99, pre_aggregate: bool = True,
               tokenize: bool = False, coalesce_to: Optional[int] = None,

@@ -131,6 +131,14 @@ def main() -> None:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--url-col", default="url")
     ap.add_argument("--mirror-top", type=int, default=10)
+    ap.add_argument("--compare", default=None, metavar="PATH",
+                    help="previous corpus snapshot: adds a 'drift' "
+                         "section (operators/drift.py — sketch-only: "
+                         "theta URL-set algebra, CountSketch-difference "
+                         "token movers, KLL two-sample KS) comparing "
+                         "PATH (A, the old crawl) to --input (B)")
+    ap.add_argument("--compare-format", default=None,
+                    help="format of --compare (defaults to --format)")
     args = ap.parse_args()
 
     from gopie_spark.plans import get_spark
@@ -142,6 +150,14 @@ def main() -> None:
     card = corpus_card(spark, df,
                        text_col=args.text_col, url_col=args.url_col,
                        mirror_top=args.mirror_top)
+    if args.compare:
+        from gopie_spark.operators.drift import drift_report
+        prev = load_table(spark, args.compare,
+                          args.compare_format or args.format)
+        card["drift"] = drift_report(
+            prev, df, text_col=args.text_col,
+            url_col=(args.url_col if args.url_col in df.columns
+                     and args.url_col in prev.columns else None))
     card["wall_sec"] = round(time.perf_counter() - t0, 2)
     line = json.dumps(card)
     print(line)
