@@ -88,16 +88,22 @@ def url_set_drift_from_states(theta: Theta, st_a, st_b) -> Dict[str, float]:
     }
 
 
+def _url_theta_state(df: DataFrame, url_col: str, theta: Theta):
+    """The one canonical URL-set theta build (shared by the live drift
+    path and :func:`persist_drift_states`, so persisted states are
+    byte-identical to what the live report would have built)."""
+    return global_sketch(
+        df.select(F.col(url_col).cast("string").alias("v")), "v", theta)
+
+
 def url_set_drift(df_a: DataFrame, df_b: DataFrame, url_col: str = "url",
                   k: int = 4096) -> Dict[str, float]:
     """Distinct / overlap / new-mass / Jaccard drift of a key column
     between two snapshots: one theta build per side, algebra on the
     states.  Returns estimates plus the kernel's 4-sigma bounds."""
     theta = Theta(k=k)
-    st_a = global_sketch(
-        df_a.select(F.col(url_col).cast("string").alias("v")), "v", theta)
-    st_b = global_sketch(
-        df_b.select(F.col(url_col).cast("string").alias("v")), "v", theta)
+    st_a = _url_theta_state(df_a, url_col, theta)
+    st_b = _url_theta_state(df_b, url_col, theta)
     return url_set_drift_from_states(theta, st_a, st_b)
 
 
@@ -175,6 +181,34 @@ def ks_from_states(kll: KLL, st_a, st_b) -> float:
     return float(np.max(np.abs(ra - rb)))
 
 
+def _toklen_kll_state(df: DataFrame, text_col: str, kll: KLL):
+    """The one canonical token-count KLL build (shared by the live
+    drift path and :func:`persist_drift_states`)."""
+    return global_sketch(
+        df.select(token_count(text_col).cast("double").alias("v")),
+        "v", kll)
+
+
+def length_drift_from_states(kll: KLL, st_a, st_b,
+                             quantiles: Sequence[float] = (
+                                 0.25, 0.5, 0.75, 0.99),
+                             ) -> Dict[str, object]:
+    """Length-distribution drift from two KLL states (no data touched):
+    bounded-error two-sample KS statistic plus per-quantile
+    before/after values."""
+    qs = np.asarray(quantiles, dtype=np.float64)
+    qa = kll.quantile(st_a, qs)
+    qb = kll.quantile(st_b, qs)
+    return {
+        "ks_est": ks_from_states(kll, st_a, st_b),
+        "ks_band": 2.0 * kll_eps(kll.k),
+        "n_a": kll.count(st_a),
+        "n_b": kll.count(st_b),
+        "quantile_shift": {float(q): (float(a), float(b))
+                           for q, a, b in zip(qs, qa, qb)},
+    }
+
+
 def length_drift(df_a: DataFrame, df_b: DataFrame,
                  text_col: str = "text", k: int = 200,
                  quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.99),
@@ -183,37 +217,27 @@ def length_drift(df_a: DataFrame, df_b: DataFrame,
     build per side, then the KS statistic plus per-quantile before/after
     values — all from the two states."""
     kll = KLL(k=k)
-    va = df_a.select(token_count(text_col).cast("double").alias("v"))
-    vb = df_b.select(token_count(text_col).cast("double").alias("v"))
-    st_a = global_sketch(va, "v", kll)
-    st_b = global_sketch(vb, "v", kll)
-    qs = np.asarray(quantiles, dtype=np.float64)
-    qa = kll.quantile(st_a, qs)
-    qb = kll.quantile(st_b, qs)
-    return {
-        "ks_est": ks_from_states(kll, st_a, st_b),
-        "ks_band": 2.0 * kll_eps(k),
-        "n_a": kll.count(st_a),
-        "n_b": kll.count(st_b),
-        "quantile_shift": {float(q): (float(a), float(b))
-                           for q, a, b in zip(qs, qa, qb)},
-    }
+    st_a = _toklen_kll_state(df_a, text_col, kll)
+    st_b = _toklen_kll_state(df_b, text_col, kll)
+    return length_drift_from_states(kll, st_a, st_b, quantiles=quantiles)
 
 
 # --------------------------------------------------------------------------
 # Composed report
 # --------------------------------------------------------------------------
 
-def lang_share_drift(df_a: DataFrame, df_b: DataFrame,
-                     lang_col: str = "lang") -> Dict[str, object]:
-    """Exact language-composition shift: per-lang doc shares and their
-    L1 distance.  groupBy(lang).count() is partial-aggregable with a
-    language-bounded shuffle, so 'exact' is already the cheap plan at
-    any corpus size (no sketch needed)."""
-    ca = {r[lang_col]: r["n"] for r in
-          df_a.groupBy(lang_col).agg(F.count("*").alias("n")).collect()}
-    cb = {r[lang_col]: r["n"] for r in
-          df_b.groupBy(lang_col).agg(F.count("*").alias("n")).collect()}
+def lang_counts(df: DataFrame, lang_col: str = "lang") -> Dict[str, int]:
+    """Exact per-language doc counts (the language vocabulary is tiny,
+    so this is a partial-aggregable groupBy with a language-bounded
+    shuffle — 'exact' is already the cheap plan at any corpus size)."""
+    return {str(r[lang_col]): int(r["n"]) for r in
+            df.groupBy(lang_col).agg(F.count("*").alias("n")).collect()}
+
+
+def lang_share_drift_from_counts(ca: Dict[str, int],
+                                 cb: Dict[str, int]) -> Dict[str, object]:
+    """Language-composition shift from two per-lang count dicts (no
+    data touched): per-lang doc shares and their L1 distance."""
     ta = float(sum(ca.values())) or 1.0
     tb = float(sum(cb.values())) or 1.0
     langs = sorted(set(ca) | set(cb), key=str)
@@ -221,6 +245,42 @@ def lang_share_drift(df_a: DataFrame, df_b: DataFrame,
               for lg in langs}
     l1 = sum(abs(a - b) for a, b in shares.values())
     return {"shares": shares, "l1": l1}
+
+
+def lang_share_drift(df_a: DataFrame, df_b: DataFrame,
+                     lang_col: str = "lang") -> Dict[str, object]:
+    """Exact language-composition shift between two snapshots."""
+    return lang_share_drift_from_counts(lang_counts(df_a, lang_col),
+                                        lang_counts(df_b, lang_col))
+
+
+def _format_report(urls: Optional[dict], tokens: dict, length: dict,
+                   langs: Optional[dict]) -> dict:
+    """Shared JSON shaping for the live and from-states report paths —
+    one formatter so the two cannot drift apart."""
+    report: dict = {}
+    if urls is not None:
+        report["urls"] = {k: (round(v, 4) if isinstance(v, float) else v)
+                          for k, v in urls.items()}
+    report["tokens"] = {
+        "movers": [(tok, round(d, 1)) for tok, d in tokens["movers"]],
+        "delta_bound": round(float(tokens["delta_bound"]), 1),
+        "n_candidates": tokens["n_candidates"],
+    }
+    report["length"] = {
+        "ks_est": round(length["ks_est"], 4),
+        "ks_band": length["ks_band"],
+        "n_a": length["n_a"], "n_b": length["n_b"],
+        "quantile_shift": {str(q): (round(a, 1), round(b, 1))
+                           for q, (a, b) in length["quantile_shift"].items()},
+    }
+    if langs is not None:
+        report["languages"] = {
+            "l1": round(langs["l1"], 4),
+            "shares": {lg: (round(a, 4), round(b, 4))
+                       for lg, (a, b) in langs["shares"].items()},
+        }
+    return report
 
 
 def drift_report(df_a: DataFrame, df_b: DataFrame, *,
@@ -235,32 +295,140 @@ def drift_report(df_a: DataFrame, df_b: DataFrame, *,
     Each section degrades gracefully: URL drift only when ``url_col``
     is given, language shares only when ``lang_col`` exists in both
     frames."""
-    report: dict = {}
-    if url_col is not None:
-        u = url_set_drift(df_a, df_b, url_col=url_col, k=theta_k)
-        report["urls"] = {k: (round(v, 4) if isinstance(v, float) else v)
-                          for k, v in u.items()}
-    t = token_drift(df_a, df_b, text_col=text_col, mg_k=mg_k,
-                    width=cs_width, depth=cs_depth, top=top)
-    report["tokens"] = {
-        "movers": [(tok, round(d, 1)) for tok, d in t["movers"]],
-        "delta_bound": round(float(t["delta_bound"]), 1),
-        "n_candidates": t["n_candidates"],
-    }
-    ln = length_drift(df_a, df_b, text_col=text_col, k=kll_k)
-    report["length"] = {
-        "ks_est": round(ln["ks_est"], 4),
-        "ks_band": ln["ks_band"],
-        "n_a": ln["n_a"], "n_b": ln["n_b"],
-        "quantile_shift": {str(q): (round(a, 1), round(b, 1))
-                           for q, (a, b) in ln["quantile_shift"].items()},
-    }
-    if (lang_col is not None and lang_col in df_a.columns
-            and lang_col in df_b.columns):
-        ls = lang_share_drift(df_a, df_b, lang_col=lang_col)
-        report["languages"] = {
-            "l1": round(ls["l1"], 4),
-            "shares": {lg: (round(a, 4), round(b, 4))
-                       for lg, (a, b) in ls["shares"].items()},
-        }
-    return report
+    urls = (url_set_drift(df_a, df_b, url_col=url_col, k=theta_k)
+            if url_col is not None else None)
+    tokens = token_drift(df_a, df_b, text_col=text_col, mg_k=mg_k,
+                         width=cs_width, depth=cs_depth, top=top)
+    length = length_drift(df_a, df_b, text_col=text_col, k=kll_k)
+    langs = (lang_share_drift(df_a, df_b, lang_col=lang_col)
+             if (lang_col is not None and lang_col in df_a.columns
+                 and lang_col in df_b.columns) else None)
+    return _format_report(urls, tokens, length, langs)
+
+
+# --------------------------------------------------------------------------
+# Persisted drift states: build once per snapshot, diff forever after
+# --------------------------------------------------------------------------
+
+# file names inside a drift-state directory; every .bin is a
+# self-describing TLV blob (kernels.sketch_from_blob reopens it with
+# the right kernel and parameters, no out-of-band schema)
+_DRIFT_FILES = {
+    "theta": "theta_url.bin",
+    "cs": "cs_tokens.bin",
+    "mg": "mg_tokens.bin",
+    "kll": "kll_toklen.bin",
+}
+_LANG_FILE = "lang_counts.json"
+
+
+def persist_drift_states(df: DataFrame, out_dir: str, *,
+                         text_col: str = "text",
+                         url_col: Optional[str] = "url",
+                         lang_col: Optional[str] = "lang",
+                         theta_k: int = 4096, mg_k: int = 256,
+                         cs_width: int = 8192, cs_depth: int = 7,
+                         kll_k: int = 200) -> Dict[str, str]:
+    """Build and persist one snapshot's drift states (KB-sized blobs).
+
+    Two later snapshots persisted this way are compared by
+    ``jobs/snapshot_diff.py`` with ZERO Spark and ZERO corpus reads —
+    the whole report is NumPy algebra over these files.  The builds are
+    the exact same canonical builds the live :func:`drift_report` path
+    runs, so the persisted-states report is identical to the live one
+    (tested).  URL / language sections are skipped when their column is
+    absent, mirroring :func:`drift_report`'s graceful degradation.
+    """
+    import json as _json
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+    written: Dict[str, str] = {}
+
+    def _dump(name: str, kernel, state) -> None:
+        path = _os.path.join(out_dir, _DRIFT_FILES[name])
+        with open(path, "wb") as fh:
+            fh.write(kernel.serialize(state))
+        written[name] = path
+
+    if url_col is not None and url_col in df.columns:
+        theta = Theta(k=theta_k)
+        _dump("theta", theta, _url_theta_state(df, url_col, theta))
+    cs = CountSketch(width=cs_width, depth=cs_depth)
+    _dump("cs", cs, tokens_sketch_build(df, cs, text_col,
+                                        counts_dtype=np.int64))
+    mg = MisraGries(k=mg_k)
+    _dump("mg", mg, tokens_sketch_build(df, mg, text_col,
+                                        counts_dtype=np.int64))
+    kll = KLL(k=kll_k)
+    _dump("kll", kll, _toklen_kll_state(df, text_col, kll))
+    if lang_col is not None and lang_col in df.columns:
+        path = _os.path.join(out_dir, _LANG_FILE)
+        with open(path, "w") as fh:
+            # sorted keys: the persisted snapshot is byte-deterministic
+            # regardless of collect() row order
+            _json.dump(lang_counts(df, lang_col), fh, sort_keys=True)
+        written["lang"] = path
+    return written
+
+
+def load_drift_states(state_dir: str) -> Dict[str, object]:
+    """Reopen a :func:`persist_drift_states` directory — pure file IO
+    plus blob decode, no Spark session.  Returns
+    ``{"theta"/"cs"/"mg"/"kll": (kernel, state), "lang": counts}`` with
+    optional sections absent when their file is."""
+    import json as _json
+    import os as _os
+
+    from gopie_spark.kernels import sketch_from_blob
+
+    out: Dict[str, object] = {}
+    for name, fname in _DRIFT_FILES.items():
+        path = _os.path.join(state_dir, fname)
+        if name == "theta" and not _os.path.exists(path):
+            continue
+        with open(path, "rb") as fh:
+            blob = fh.read()
+        kernel = sketch_from_blob(blob)   # kind tag -> kernel + params
+        out[name] = (kernel, kernel.deserialize(blob))
+    lang_path = _os.path.join(state_dir, _LANG_FILE)
+    if _os.path.exists(lang_path):
+        with open(lang_path) as fh:
+            out["lang"] = _json.load(fh)
+    return out
+
+
+def drift_report_from_states(states_a: Dict[str, object],
+                             states_b: Dict[str, object], *,
+                             top: int = 20) -> dict:
+    """The :func:`drift_report` twin over two loaded state dicts — no
+    DataFrames, no Spark session, no corpus reads.  Raises on
+    incompatible kernel parameters (states built with different k /
+    width / depth do not align)."""
+    def _pair(name: str):
+        ka, sa = states_a[name]
+        kb, sb = states_b[name]
+        if type(ka) is not type(kb):
+            raise ValueError(f"{name}: kernel kind mismatch "
+                             f"({type(ka).__name__} vs {type(kb).__name__})")
+        return ka, sa, sb
+
+    urls = None
+    if "theta" in states_a and "theta" in states_b:
+        theta, st_a, st_b = _pair("theta")
+        if theta.k != states_b["theta"][0].k:
+            raise ValueError("theta k mismatch between snapshots")
+        urls = url_set_drift_from_states(theta, st_a, st_b)
+    cs, cs_a, cs_b = _pair("cs")
+    mg, mg_a, mg_b = _pair("mg")
+    tokens = token_drift_from_states(cs, cs_a, cs_b, mg, mg_a, mg_b,
+                                     top=top)
+    kll, kl_a, kl_b = _pair("kll")
+    if kll.k != states_b["kll"][0].k:
+        raise ValueError("kll k mismatch between snapshots")
+    length = length_drift_from_states(kll, kl_a, kl_b)
+    langs = None
+    if "lang" in states_a and "lang" in states_b:
+        langs = lang_share_drift_from_counts(states_a["lang"],
+                                             states_b["lang"])
+    return _format_report(urls, tokens, length, langs)

@@ -64,6 +64,13 @@ def main() -> None:
                     help="windowed-CMS tick width in seconds")
     ap.add_argument("--window-horizon", type=int, default=365,
                     help="windowed-CMS retention horizon in ticks")
+    ap.add_argument("--drift-states", action="store_true",
+                    help="also persist this snapshot's drift states "
+                         "(theta url set, CountSketch + Misra-Gries "
+                         "token frequencies, KLL token counts, exact "
+                         "lang counts) to <output>/drift — two such "
+                         "directories diff with jobs/snapshot_diff.py "
+                         "using ZERO Spark and ZERO corpus reads")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -136,6 +143,14 @@ def main() -> None:
         with open(f"{args.checkpoint}/window_cms_tokens.bin", "wb") as fh:
             fh.write(wc.serialize(wc_state))
         outputs += ["sliding_hll_url.bin", "window_cms_tokens.bin"]
+
+    if args.drift_states:
+        # snapshot-diff states: a later crawl persisted the same way is
+        # compared by jobs/snapshot_diff.py without re-reading either
+        # corpus (operators/drift.py)
+        from gopie_spark.operators.drift import persist_drift_states
+        persist_drift_states(pages, f"{args.output}/drift")
+        outputs.append("drift")
 
     summary = {
         "rows": n,
