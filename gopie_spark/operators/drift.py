@@ -405,27 +405,28 @@ def drift_report_from_states(states_a: Dict[str, object],
     DataFrames, no Spark session, no corpus reads.  Raises on
     incompatible kernel parameters (states built with different k /
     width / depth do not align)."""
-    def _pair(name: str):
+    def _pair(name: str, *params: str):
         ka, sa = states_a[name]
         kb, sb = states_b[name]
         if type(ka) is not type(kb):
             raise ValueError(f"{name}: kernel kind mismatch "
                              f"({type(ka).__name__} vs {type(kb).__name__})")
+        for p in params:
+            if getattr(ka, p) != getattr(kb, p):
+                raise ValueError(
+                    f"{name}: {p} mismatch between snapshots "
+                    f"({getattr(ka, p)} vs {getattr(kb, p)})")
         return ka, sa, sb
 
     urls = None
     if "theta" in states_a and "theta" in states_b:
-        theta, st_a, st_b = _pair("theta")
-        if theta.k != states_b["theta"][0].k:
-            raise ValueError("theta k mismatch between snapshots")
+        theta, st_a, st_b = _pair("theta", "k")
         urls = url_set_drift_from_states(theta, st_a, st_b)
-    cs, cs_a, cs_b = _pair("cs")
-    mg, mg_a, mg_b = _pair("mg")
+    cs, cs_a, cs_b = _pair("cs", "width", "depth")
+    mg, mg_a, mg_b = _pair("mg", "k")
     tokens = token_drift_from_states(cs, cs_a, cs_b, mg, mg_a, mg_b,
                                      top=top)
-    kll, kl_a, kl_b = _pair("kll")
-    if kll.k != states_b["kll"][0].k:
-        raise ValueError("kll k mismatch between snapshots")
+    kll, kl_a, kl_b = _pair("kll", "k")
     length = length_drift_from_states(kll, kl_a, kl_b)
     langs = None
     if "lang" in states_a and "lang" in states_b:

@@ -65,13 +65,23 @@ def test_persisted_states_url_section(spark, tmp_path):
 
 
 def test_param_mismatch_refused(spark, sf_dir, tmp_path):
+    """Snapshots persisted with different kernel parameters must be
+    refused with the offending section + parameter named — BEFORE any
+    algebra runs (misaligned cells would otherwise produce silently
+    wrong deltas for Misra-Gries, whose states merge at any k)."""
     df_a, df_b = _snapshots(spark, sf_dir)
     dir_a, dir_b = str(tmp_path / "a"), str(tmp_path / "b")
     persist_drift_states(df_a, dir_a, cs_width=4096)
     persist_drift_states(df_b, dir_b, cs_width=8192)
-    with pytest.raises(ValueError, match="width must match"):
+    with pytest.raises(ValueError, match="cs: width mismatch"):
         drift_report_from_states(load_drift_states(dir_a),
                                  load_drift_states(dir_b))
+    dir_c, dir_d = str(tmp_path / "c"), str(tmp_path / "d")
+    persist_drift_states(df_a, dir_c, mg_k=128)
+    persist_drift_states(df_b, dir_d, mg_k=256)
+    with pytest.raises(ValueError, match="mg: k mismatch"):
+        drift_report_from_states(load_drift_states(dir_c),
+                                 load_drift_states(dir_d))
 
 
 def test_snapshot_diff_job_is_spark_free(spark, sf_dir, tmp_path):
