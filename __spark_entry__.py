@@ -2374,7 +2374,7 @@ def _q_corpus_drift(spark, sf_dir):
                                              token_drift_from_states,
                                              url_set_drift_from_states)
     from gopie_spark.operators.sketch_agg import (global_sketch,
-                                                  tokens_sketch_build)
+                                                  tokens_sketch_build_multi)
     from gopie_spark.operators.textstats import token_count
 
     docs = _docs_with_url(_docs(spark, sf_dir)).withColumn(
@@ -2434,10 +2434,11 @@ def _q_corpus_drift(spark, sf_dir):
 
     cs = CountSketch(width=8192, depth=7)
     mg = MisraGries(k=256)
-    cs_a = tokens_sketch_build(df_a, cs, "text", counts_dtype=np.int64)
-    cs_b = tokens_sketch_build(df_b, cs, "text", counts_dtype=np.int64)
-    mg_a = tokens_sketch_build(df_a, mg, "text", counts_dtype=np.int64)
-    mg_b = tokens_sketch_build(df_b, mg, "text", counts_dtype=np.int64)
+    # one wordcount pass per side: CS + MG share the counted stream
+    cs_a, mg_a = tokens_sketch_build_multi(df_a, (cs, mg), "text",
+                                           counts_dtype=np.int64)
+    cs_b, mg_b = tokens_sketch_build_multi(df_b, (cs, mg), "text",
+                                           counts_dtype=np.int64)
     td = token_drift_from_states(cs, cs_a, cs_b, mg, mg_a, mg_b)
     est_delta = float(cs.estimate(td["diff_state"],
                                   np.array([mover["tok"]], dtype=object))[0])

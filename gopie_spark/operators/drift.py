@@ -34,11 +34,13 @@ Metrics and their kernels (all certified elsewhere in this repo):
   (eps ~ 0.02 at k=200 per this repo's envelope), so the estimate is
   within ``eps_a + eps_b`` of the true KS distance.
 
-Scale notes (100 TB / 1000 executors): the two build passes are the
+Scale notes (100 TB / 1000 executors): the build passes are the
 standard two-level ``sketch_agg`` plan — map-side partial states, blob
-shuffle, tree merge; the token builds ride the JVM wordcount pre-agg
-(vocabulary-bounded (token, count) rows cross the Python boundary,
-never text).  Everything after the builds is driver-side NumPy over
+shuffle, tree merge; the TWO token kernels (CountSketch + Misra-Gries)
+ride ONE JVM wordcount pre-agg per snapshot
+(``tokens_sketch_build_multi``: vocabulary-bounded (token, count) rows
+cross the Python boundary once, never text, never twice).  Everything
+after the builds is driver-side NumPy over
 KB-sized states.  The driver certificate ``corpus_drift``
 (``__spark_entry__.py``) anchors every estimate to the exact answer
 with the kernel's published bound at sf0.001/0.01/0.1.
@@ -53,7 +55,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from gopie_spark.kernels import KLL, CountSketch, MisraGries, Theta
 from gopie_spark.operators.sketch_agg import (global_sketch,
-                                              tokens_sketch_build)
+                                              tokens_sketch_build_multi)
 from gopie_spark.operators.textstats import token_count
 
 # the repo-wide KLL rank-error envelope (operators/split.py uses the
@@ -137,23 +139,34 @@ def token_drift_from_states(cs: CountSketch, cs_a, cs_b,
             "diff_state": diff}
 
 
+def _token_sketch_states(df: DataFrame, cs: CountSketch, mg: MisraGries,
+                         text_col: str):
+    """The one canonical token-frequency build (shared by the live drift
+    path and :func:`persist_drift_states`): CountSketch and Misra-Gries
+    ride ONE JVM wordcount stream — the corpus is tokenized and the
+    vocabulary-bounded (token, count) rows shuffled exactly once per
+    snapshot, not once per kernel.  Both kernels are pure functions of
+    the counted stream, so the states are the ones two separate builds
+    would produce, at half the scan + shuffle cost."""
+    return tokens_sketch_build_multi(df, (cs, mg), text_col,
+                                     counts_dtype=np.int64)
+
+
 def token_drift(df_a: DataFrame, df_b: DataFrame, text_col: str = "text",
                 mg_k: int = 256, width: int = 8192, depth: int = 7,
                 top: int = 20) -> Dict[str, object]:
     """Top token-frequency movers between two snapshots.
 
-    Two JVM-wordcount-pre-aggregated sketch builds per side (Misra-Gries
-    for candidates, CountSketch for unbiased deltas); the report is
-    driver-side algebra on the four states.  ``delta_bound`` is the
-    3-sigma two-sided band ``3 * sqrt(F2(B - A) / width)`` that every
-    reported delta carries.
+    ONE JVM-wordcount-pre-aggregated sketch build per side (Misra-Gries
+    for candidates and CountSketch for unbiased deltas share the counted
+    token stream); the report is driver-side algebra on the four states.
+    ``delta_bound`` is the 3-sigma two-sided band
+    ``3 * sqrt(F2(B - A) / width)`` that every reported delta carries.
     """
     cs = CountSketch(width=width, depth=depth)
     mg = MisraGries(k=mg_k)
-    cs_a = tokens_sketch_build(df_a, cs, text_col, counts_dtype=np.int64)
-    cs_b = tokens_sketch_build(df_b, cs, text_col, counts_dtype=np.int64)
-    mg_a = tokens_sketch_build(df_a, mg, text_col, counts_dtype=np.int64)
-    mg_b = tokens_sketch_build(df_b, mg, text_col, counts_dtype=np.int64)
+    cs_a, mg_a = _token_sketch_states(df_a, cs, mg, text_col)
+    cs_b, mg_b = _token_sketch_states(df_b, cs, mg, text_col)
     return token_drift_from_states(cs, cs_a, cs_b, mg, mg_a, mg_b, top=top)
 
 
@@ -355,11 +368,10 @@ def persist_drift_states(df: DataFrame, out_dir: str, *,
         theta = Theta(k=theta_k)
         _dump("theta", theta, _url_theta_state(df, url_col, theta))
     cs = CountSketch(width=cs_width, depth=cs_depth)
-    _dump("cs", cs, tokens_sketch_build(df, cs, text_col,
-                                        counts_dtype=np.int64))
     mg = MisraGries(k=mg_k)
-    _dump("mg", mg, tokens_sketch_build(df, mg, text_col,
-                                        counts_dtype=np.int64))
+    cs_st, mg_st = _token_sketch_states(df, cs, mg, text_col)
+    _dump("cs", cs, cs_st)
+    _dump("mg", mg, mg_st)
     kll = KLL(k=kll_k)
     _dump("kll", kll, _toklen_kll_state(df, text_col, kll))
     if lang_col is not None and lang_col in df.columns:

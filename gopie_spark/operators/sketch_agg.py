@@ -716,6 +716,100 @@ def tokens_sketch_build(df: DataFrame, sketch, text_col: str = "text",
             else sketch.zero())
 
 
+def tokens_sketch_build_multi(df: DataFrame, sketches: Sequence,
+                              text_col: str = "text",
+                              counts_dtype=np.uint64) -> List:
+    """N token-frequency kernels from ONE JVM wordcount stream.
+
+    Same plan as :func:`tokens_sketch_build`, but every kernel consumes
+    the SAME (token, count) Arrow batches: the corpus is tokenized and
+    the vocabulary-bounded wordcount shuffled exactly once no matter
+    how many sketches ride it.  The snapshot-drift path builds
+    CountSketch + Misra-Gries together this way — previously two full
+    wordcount passes per snapshot, which at 10^12 docs doubles the
+    dominant (tokenize + shuffle) cost for no information gain, since
+    both kernels are pure functions of the counted stream.
+
+    Partial states are tagged with the kernel index and merged per
+    kernel through a bucketed tree (fan-in bounded exactly like
+    :func:`merge_partials`'s global path), so no single merge task ever
+    folds more than ~sqrt(P) blobs of one kernel.  Returns the merged
+    driver-side states in input order.
+    """
+    import pyarrow as pa
+    sks = list(sketches)
+    counted = (df.select(F.explode(F.split(F.col(text_col), r"\s+"))
+                         .alias("tok"))
+               .filter(F.col("tok") != "")
+               .groupBy("tok").agg(F.count("*").alias("cnt")))
+
+    out_schema = StructType([StructField("_kid", LongType(), False),
+                             StructField(STATE_COL, BinaryType(), False)])
+
+    def fn(batches):
+        sts = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            if sts is None:
+                sts = [sk.zero() for sk in sks]
+            counts = np.asarray(rb.column(1)).astype(counts_dtype)
+            for sk, st in zip(sks, sts):
+                sk.update(st, rb.column(0), counts)
+        if sts is not None:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(list(range(len(sks))), type=pa.int64()),
+                 pa.array([sk.serialize(st) for sk, st in zip(sks, sts)],
+                          type=pa.binary())],
+                names=["_kid", STATE_COL])
+
+    def _multi_merge(table: "pa.Table") -> "pa.Table":
+        kid = table.column("_kid")[0].as_py()
+        sk = sks[kid]
+        st = None
+        for blob in table.column(STATE_COL):
+            s = sk.deserialize(blob.as_py())
+            st = s if st is None else sk.merge(st, s)
+        return pa.table({"_kid": pa.array([kid], type=pa.int64()),
+                         STATE_COL: pa.array([sk.serialize(st)],
+                                             type=pa.binary())})
+
+    partials = counted.mapInArrow(fn, out_schema)
+    p = max(1, partials.rdd.getNumPartitions())
+    if p > 64:
+        # bucketed pre-merge round: per-kernel fan-in stays ~sqrt(P)
+        fanin = int(min(256, max(8, math.isqrt(p))))
+        bucket_schema = StructType([StructField("_kid", LongType(), False),
+                                    StructField("_bucket", LongType(), False),
+                                    StructField(STATE_COL, BinaryType(),
+                                                False)])
+
+        def _bucket_merge(table: "pa.Table") -> "pa.Table":
+            kid = table.column("_kid")[0].as_py()
+            bucket = table.column("_bucket")[0].as_py()
+            sk = sks[kid]
+            st = None
+            for blob in table.column(STATE_COL):
+                s = sk.deserialize(blob.as_py())
+                st = s if st is None else sk.merge(st, s)
+            return pa.table({"_kid": pa.array([kid], type=pa.int64()),
+                             "_bucket": pa.array([bucket], type=pa.int64()),
+                             STATE_COL: pa.array([sk.serialize(st)],
+                                                 type=pa.binary())})
+
+        partials = (partials.withColumn(
+            "_bucket", F.pmod(F.monotonically_increasing_id(), F.lit(fanin)))
+            .groupBy("_kid", "_bucket")
+            .applyInArrow(_bucket_merge, bucket_schema)
+            .drop("_bucket"))
+    rows = partials.groupBy("_kid").applyInArrow(_multi_merge,
+                                                 out_schema).collect()
+    out = [sk.zero() for sk in sks]
+    for r in rows:
+        out[r["_kid"]] = sks[r["_kid"]].deserialize(bytes(r[STATE_COL]))
+    return out
+
+
 def cms_build(df: DataFrame, value_col: str, epsilon: float = 0.001,
               delta: float = 0.99, pre_aggregate: bool = True,
               tokenize: bool = False, coalesce_to: Optional[int] = None,

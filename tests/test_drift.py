@@ -13,7 +13,8 @@ from gopie_spark.operators.drift import (drift_report, kll_eps,
                                          url_set_drift,
                                          url_set_drift_from_states)
 from gopie_spark.operators.sketch_agg import (global_sketch,
-                                              tokens_sketch_build)
+                                              tokens_sketch_build,
+                                              tokens_sketch_build_multi)
 
 
 def _docs(spark, sf_dir):
@@ -134,6 +135,30 @@ def test_token_drift_from_states_twin(spark, sf_dir):
     full = token_drift(df_a, df_b, mg_k=64, width=2048, depth=5, top=10)
     assert full["movers"] == via_states["movers"]
     assert full["f2_diff_est"] == via_states["f2_diff_est"]
+
+
+def test_multi_build_matches_single_builds(spark, sf_dir):
+    """CS + MG from ONE wordcount stream == two separate builds.
+
+    CountSketch is a linear (order-insensitive) kernel so byte-equality
+    is exact by construction; Misra-Gries is compared on the drift
+    surface it feeds (retained keys and their estimates), which is what
+    token_drift_from_states consumes."""
+    df_a, _ = _snapshots(spark, sf_dir)
+    cs = CountSketch(width=2048, depth=5)
+    mg = MisraGries(k=64)
+    cs_multi, mg_multi = tokens_sketch_build_multi(
+        df_a, (cs, mg), "text", counts_dtype=np.int64)
+    cs_single = tokens_sketch_build(df_a, cs, "text", counts_dtype=np.int64)
+    mg_single = tokens_sketch_build(df_a, mg, "text", counts_dtype=np.int64)
+    assert cs.serialize(cs_multi) == cs.serialize(cs_single)
+    keys_m = set(mg_multi["keys"].astype(str))
+    keys_s = set(mg_single["keys"].astype(str))
+    assert keys_m == keys_s
+    cand = np.array(sorted(keys_m), dtype=object)
+    est_m = mg.estimate(mg_multi, cand)
+    est_s = mg.estimate(mg_single, cand)
+    np.testing.assert_array_equal(est_m, est_s)
 
 
 # --------------------------------------------------------------------------
