@@ -39,8 +39,10 @@ standard two-level ``sketch_agg`` plan — map-side partial states, blob
 shuffle, tree merge; the TWO token kernels (CountSketch + Misra-Gries)
 ride ONE JVM wordcount pre-agg per snapshot
 (``tokens_sketch_build_multi``: vocabulary-bounded (token, count) rows
-cross the Python boundary once, never text, never twice).  Everything
-after the builds is driver-side NumPy over
+cross the Python boundary once, never text, never twice), and the URL
+theta + token-length KLL co-build on ONE raw scan
+(``global_sketch_multi``) — a full snapshot's states cost exactly two
+corpus passes.  Everything after the builds is driver-side NumPy over
 KB-sized states.  The driver certificate ``corpus_drift``
 (``__spark_entry__.py``) anchors every estimate to the exact answer
 with the kernel's published bound at sf0.001/0.01/0.1.
@@ -55,6 +57,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from gopie_spark.kernels import KLL, CountSketch, MisraGries, Theta
 from gopie_spark.operators.sketch_agg import (global_sketch,
+                                              global_sketch_multi,
                                               tokens_sketch_build_multi)
 from gopie_spark.operators.textstats import token_count
 
@@ -91,9 +94,9 @@ def url_set_drift_from_states(theta: Theta, st_a, st_b) -> Dict[str, float]:
 
 
 def _url_theta_state(df: DataFrame, url_col: str, theta: Theta):
-    """The one canonical URL-set theta build (shared by the live drift
-    path and :func:`persist_drift_states`, so persisted states are
-    byte-identical to what the live report would have built)."""
+    """Standalone URL-set theta build (:func:`url_set_drift`'s path;
+    the composed report / persist paths co-build theta with the KLL in
+    one scan via :func:`_raw_sketch_states`)."""
     return global_sketch(
         df.select(F.col(url_col).cast("string").alias("v")), "v", theta)
 
@@ -137,6 +140,25 @@ def token_drift_from_states(cs: CountSketch, cs_a, cs_b,
     return {"movers": movers, "f2_diff_est": f2_diff,
             "delta_bound": bound, "n_candidates": int(cand.size),
             "diff_state": diff}
+
+
+def _raw_sketch_states(df: DataFrame, kll: KLL, text_col: str,
+                       theta: Optional[Theta] = None,
+                       url_col: Optional[str] = None):
+    """The one canonical raw-row build (shared by the live drift path
+    and :func:`persist_drift_states`): the token-length KLL and — when a
+    URL column exists — the URL-set theta ride ONE corpus scan via
+    :func:`global_sketch_multi`.  At 100 TB the scan is the cost, so
+    the two per-snapshot raw passes become one.  Returns
+    ``(theta_state_or_None, kll_state)``."""
+    proj = df.select(
+        *([F.col(url_col).cast("string").alias("_u")]
+          if url_col is not None else []),
+        token_count(text_col).cast("double").alias("_v"))
+    if url_col is None:
+        return None, global_sketch_multi(proj, [("_v", kll)])[0]
+    st_u, st_v = global_sketch_multi(proj, [("_u", theta), ("_v", kll)])
+    return st_u, st_v
 
 
 def _token_sketch_states(df: DataFrame, cs: CountSketch, mg: MisraGries,
@@ -195,8 +217,9 @@ def ks_from_states(kll: KLL, st_a, st_b) -> float:
 
 
 def _toklen_kll_state(df: DataFrame, text_col: str, kll: KLL):
-    """The one canonical token-count KLL build (shared by the live
-    drift path and :func:`persist_drift_states`)."""
+    """Standalone token-count KLL build (:func:`length_drift`'s path;
+    the composed report / persist paths co-build the KLL with theta in
+    one scan via :func:`_raw_sketch_states`)."""
     return global_sketch(
         df.select(token_count(text_col).cast("double").alias("v")),
         "v", kll)
@@ -307,12 +330,26 @@ def drift_report(df_a: DataFrame, df_b: DataFrame, *,
 
     Each section degrades gracefully: URL drift only when ``url_col``
     is given, language shares only when ``lang_col`` exists in both
-    frames."""
-    urls = (url_set_drift(df_a, df_b, url_col=url_col, k=theta_k)
+    frames.
+
+    The whole report costs TWO corpus scans per snapshot: one wordcount
+    pass co-building CountSketch + Misra-Gries, one raw pass co-building
+    the URL theta + the token-length KLL — the same canonical builds
+    :func:`persist_drift_states` persists, so the live report and the
+    from-states report are identical by construction."""
+    theta = Theta(k=theta_k) if url_col is not None else None
+    cs = CountSketch(width=cs_width, depth=cs_depth)
+    mg = MisraGries(k=mg_k)
+    kll = KLL(k=kll_k)
+    th_a, kl_a = _raw_sketch_states(df_a, kll, text_col, theta, url_col)
+    th_b, kl_b = _raw_sketch_states(df_b, kll, text_col, theta, url_col)
+    cs_a, mg_a = _token_sketch_states(df_a, cs, mg, text_col)
+    cs_b, mg_b = _token_sketch_states(df_b, cs, mg, text_col)
+    urls = (url_set_drift_from_states(theta, th_a, th_b)
             if url_col is not None else None)
-    tokens = token_drift(df_a, df_b, text_col=text_col, mg_k=mg_k,
-                         width=cs_width, depth=cs_depth, top=top)
-    length = length_drift(df_a, df_b, text_col=text_col, k=kll_k)
+    tokens = token_drift_from_states(cs, cs_a, cs_b, mg, mg_a, mg_b,
+                                     top=top)
+    length = length_drift_from_states(kll, kl_a, kl_b)
     langs = (lang_share_drift(df_a, df_b, lang_col=lang_col)
              if (lang_col is not None and lang_col in df_a.columns
                  and lang_col in df_b.columns) else None)
@@ -364,16 +401,19 @@ def persist_drift_states(df: DataFrame, out_dir: str, *,
             fh.write(kernel.serialize(state))
         written[name] = path
 
-    if url_col is not None and url_col in df.columns:
-        theta = Theta(k=theta_k)
-        _dump("theta", theta, _url_theta_state(df, url_col, theta))
+    have_url = url_col is not None and url_col in df.columns
+    theta = Theta(k=theta_k) if have_url else None
+    kll = KLL(k=kll_k)
+    th_st, kll_st = _raw_sketch_states(df, kll, text_col, theta,
+                                       url_col if have_url else None)
+    if have_url:
+        _dump("theta", theta, th_st)
     cs = CountSketch(width=cs_width, depth=cs_depth)
     mg = MisraGries(k=mg_k)
     cs_st, mg_st = _token_sketch_states(df, cs, mg, text_col)
     _dump("cs", cs, cs_st)
     _dump("mg", mg, mg_st)
-    kll = KLL(k=kll_k)
-    _dump("kll", kll, _toklen_kll_state(df, text_col, kll))
+    _dump("kll", kll, kll_st)
     if lang_col is not None and lang_col in df.columns:
         path = _os.path.join(out_dir, _LANG_FILE)
         with open(path, "w") as fh:

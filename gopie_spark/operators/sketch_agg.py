@@ -763,18 +763,40 @@ def tokens_sketch_build_multi(df: DataFrame, sketches: Sequence,
                           type=pa.binary())],
                 names=["_kid", STATE_COL])
 
-    def _multi_merge(table: "pa.Table") -> "pa.Table":
+    partials = counted.mapInArrow(fn, out_schema)
+    return _merge_kid_partials(partials, sks)
+
+
+def _merge_kid_partials(partials: DataFrame, sks: List) -> List:
+    """Merge kernel-index-tagged partial states (``_kid``, blob) — one
+    associative fold per kernel, fan-in bounded ~sqrt(P) by a bucketed
+    pre-merge round exactly like :func:`merge_partials`'s global path.
+    Returns the merged driver-side states in kernel-index order."""
+    import pyarrow as pa
+
+    out_schema = StructType([StructField("_kid", LongType(), False),
+                             StructField(STATE_COL, BinaryType(), False)])
+
+    def _fold_states(table, extra_cols):
         kid = table.column("_kid")[0].as_py()
         sk = sks[kid]
         st = None
         for blob in table.column(STATE_COL):
             s = sk.deserialize(blob.as_py())
             st = s if st is None else sk.merge(st, s)
-        return pa.table({"_kid": pa.array([kid], type=pa.int64()),
-                         STATE_COL: pa.array([sk.serialize(st)],
-                                             type=pa.binary())})
+        cols = {"_kid": pa.array([kid], type=pa.int64())}
+        for name in extra_cols:
+            cols[name] = pa.array([table.column(name)[0].as_py()],
+                                  type=pa.int64())
+        cols[STATE_COL] = pa.array([sk.serialize(st)], type=pa.binary())
+        return pa.table(cols)
 
-    partials = counted.mapInArrow(fn, out_schema)
+    def _fold(table: "pa.Table") -> "pa.Table":
+        return _fold_states(table, ())
+
+    def _fold_bucket(table: "pa.Table") -> "pa.Table":
+        return _fold_states(table, ("_bucket",))
+
     p = max(1, partials.rdd.getNumPartitions())
     if p > 64:
         # bucketed pre-merge round: per-kernel fan-in stays ~sqrt(P)
@@ -783,31 +805,71 @@ def tokens_sketch_build_multi(df: DataFrame, sketches: Sequence,
                                     StructField("_bucket", LongType(), False),
                                     StructField(STATE_COL, BinaryType(),
                                                 False)])
-
-        def _bucket_merge(table: "pa.Table") -> "pa.Table":
-            kid = table.column("_kid")[0].as_py()
-            bucket = table.column("_bucket")[0].as_py()
-            sk = sks[kid]
-            st = None
-            for blob in table.column(STATE_COL):
-                s = sk.deserialize(blob.as_py())
-                st = s if st is None else sk.merge(st, s)
-            return pa.table({"_kid": pa.array([kid], type=pa.int64()),
-                             "_bucket": pa.array([bucket], type=pa.int64()),
-                             STATE_COL: pa.array([sk.serialize(st)],
-                                                 type=pa.binary())})
-
         partials = (partials.withColumn(
             "_bucket", F.pmod(F.monotonically_increasing_id(), F.lit(fanin)))
             .groupBy("_kid", "_bucket")
-            .applyInArrow(_bucket_merge, bucket_schema)
+            .applyInArrow(_fold_bucket, bucket_schema)
             .drop("_bucket"))
-    rows = partials.groupBy("_kid").applyInArrow(_multi_merge,
-                                                 out_schema).collect()
+    rows = partials.groupBy("_kid").applyInArrow(_fold, out_schema).collect()
     out = [sk.zero() for sk in sks]
     for r in rows:
         out[r["_kid"]] = sks[r["_kid"]].deserialize(bytes(r[STATE_COL]))
     return out
+
+
+def global_sketch_multi(df: DataFrame, specs: Sequence) -> List:
+    """N global sketches over (possibly different) columns of ONE scan.
+
+    ``specs`` is a sequence of ``(value_col, kernel)``.  Where
+    :func:`global_sketch` scans the corpus once PER sketch, this
+    projects the union of the requested columns, walks the Arrow
+    batches once, and updates every kernel from its column in place —
+    at 100 TB the scan IS the cost, so co-building k global sketches
+    this way divides it by k.  The snapshot-drift path builds the
+    URL theta and the token-length KLL together this way.
+
+    Null handling and value adaptation match :func:`build_partials`
+    (hash kernels see null-dropped Arrow arrays zero-copy, numeric
+    kernels get float64 with nulls coerced), so each returned state is
+    the state the single-kernel build would have produced.  Merging is
+    the kid-tagged sqrt(P)-bounded tree of :func:`_merge_kid_partials`.
+    """
+    import pyarrow as pa
+
+    specs = [(c, sk) for c, sk in specs]
+    sks = [sk for _, sk in specs]
+    cols: List[str] = []
+    for c, _ in specs:
+        if c not in cols:
+            cols.append(c)
+    proj = df.select(*cols)
+
+    out_schema = StructType([StructField("_kid", LongType(), False),
+                             StructField(STATE_COL, BinaryType(), False)])
+
+    def fn(batches):
+        sts = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            if sts is None:
+                sts = [sk.zero() for sk in sks]
+            col = {name: rb.column(i)
+                   for i, name in enumerate(rb.schema.names)}
+            for i, (c, sk) in enumerate(specs):
+                vals = col[c]
+                if not _is_numeric_kernel(sk):
+                    vals = vals.drop_null()
+                if len(vals):
+                    sts[i] = sk.update(sts[i], _kernel_values(sk, vals))
+        if sts is not None:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(list(range(len(sks))), type=pa.int64()),
+                 pa.array([sk.serialize(st) for sk, st in zip(sks, sts)],
+                          type=pa.binary())],
+                names=["_kid", STATE_COL])
+
+    return _merge_kid_partials(proj.mapInArrow(fn, out_schema), sks)
 
 
 def cms_build(df: DataFrame, value_col: str, epsilon: float = 0.001,

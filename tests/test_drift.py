@@ -13,6 +13,7 @@ from gopie_spark.operators.drift import (drift_report, kll_eps,
                                          url_set_drift,
                                          url_set_drift_from_states)
 from gopie_spark.operators.sketch_agg import (global_sketch,
+                                              global_sketch_multi,
                                               tokens_sketch_build,
                                               tokens_sketch_build_multi)
 
@@ -159,6 +160,24 @@ def test_multi_build_matches_single_builds(spark, sf_dir):
     est_m = mg.estimate(mg_multi, cand)
     est_s = mg.estimate(mg_single, cand)
     np.testing.assert_array_equal(est_m, est_s)
+
+
+def test_global_sketch_multi_matches_single_builds(spark, sf_dir):
+    """Theta (string column) + KLL (numeric column) from ONE raw scan
+    == two separate global_sketch scans, byte-for-byte: theta is a KMV
+    union (order-insensitive) and both paths fold partials in the same
+    partition order, so the KLL compactions replay identically."""
+    from gopie_spark.operators.textstats import token_count
+    from gopie_spark.kernels import KLL, Theta
+    df, _ = _snapshots(spark, sf_dir)
+    proj = df.select(F.col("doc_id").cast("string").alias("_u"),
+                     token_count("text").cast("double").alias("_v"))
+    theta, kll = Theta(k=512), KLL(k=128)
+    st_u, st_v = global_sketch_multi(proj, [("_u", theta), ("_v", kll)])
+    st_u1 = global_sketch(proj.select("_u"), "_u", theta)
+    st_v1 = global_sketch(proj.select("_v"), "_v", kll)
+    assert theta.serialize(st_u) == theta.serialize(st_u1)
+    assert kll.serialize(st_v) == kll.serialize(st_v1)
 
 
 # --------------------------------------------------------------------------
