@@ -2373,7 +2373,7 @@ def _q_corpus_drift(spark, sf_dir):
     from gopie_spark.operators.drift import (kll_eps, ks_from_states,
                                              token_drift_from_states,
                                              url_set_drift_from_states)
-    from gopie_spark.operators.sketch_agg import (global_sketch,
+    from gopie_spark.operators.sketch_agg import (global_sketch_multi,
                                                   tokens_sketch_build_multi)
     from gopie_spark.operators.textstats import token_count
 
@@ -2420,9 +2420,19 @@ def _q_corpus_drift(spark, sf_dir):
         ks_num = max(ks_num, abs(cna * tb - cnb * ta))
 
     # --- sketch estimates (what actually runs at corpus scale) ------------
+    # the production drift_report plan: theta + KLL co-built on ONE raw
+    # scan per side (global_sketch_multi), CS + MG on one wordcount pass
     theta = Theta(k=64)
-    st_a = global_sketch(df_a.select(F.col("url").alias("v")), "v", theta)
-    st_b = global_sketch(df_b.select(F.col("url").alias("v")), "v", theta)
+    kll = KLL(k=200)
+
+    def _raw_states(d):
+        return global_sketch_multi(
+            d.select(F.col("url").cast("string").alias("_u"),
+                     token_count("text").cast("double").alias("_v")),
+            [("_u", theta), ("_v", kll)])
+
+    st_a, k_a = _raw_states(df_a)
+    st_b, k_b = _raw_states(df_b)
     u = url_set_drift_from_states(theta, st_a, st_b)
     band = 4.0 * theta.rel_err
     urls_ok = (abs(u["n_a_est"] - urow["n_a"]) <= band * urow["n_a"]
@@ -2445,13 +2455,6 @@ def _q_corpus_drift(spark, sf_dir):
     delta_ok = (abs(est_delta - mover["delta"])
                 <= cs.error_bound(f2_exact, f=float(mover["delta"])))
 
-    kll = KLL(k=200)
-    k_a = global_sketch(
-        df_a.select(token_count("text").cast("double").alias("v")),
-        "v", kll)
-    k_b = global_sketch(
-        df_b.select(token_count("text").cast("double").alias("v")),
-        "v", kll)
     ks_est = ks_from_states(kll, k_a, k_b)
     ks_ok = abs(ks_est - ks_num / (ta * tb)) <= 2.0 * kll_eps(kll.k)
     docs.unpersist()
