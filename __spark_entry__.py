@@ -2357,6 +2357,64 @@ def _q_ams_join_size_cross(spark, sf_dir):
         "n_exact long, within_bound boolean")
 
 
+def _q_join_plan_advice(spark, sf_dir):
+    """Sketch-driven join planning (plans/advisor.py): profile orders
+    and customer on custkey in ONE co-build scan per side (theta
+    distinct + Misra-Gries hot key + AMS join size + ExactStats rows/
+    bytes), then certify every input the broadcast/salt/width advice
+    uses against the exact answer: exact fields EQUAL (row count,
+    payload bytes), theta distinct within 4-sigma (exact below k), the
+    AMS join-size estimate within its 4-sigma inner-product bound, the
+    MG bracket est <= true-max-key-rows <= est+err, and the advice
+    itself picking broadcast_right for the dim side.  The DuckDB
+    oracle recomputes all exact anchors."""
+    from gopie_spark.plans.advisor import build_join_profile, join_advice
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    ob = (F.octet_length("o_orderstatus")
+          + F.octet_length("o_orderpriority") + F.lit(32))
+    cb = (F.octet_length("c_name")
+          + F.octet_length("c_mktsegment") + F.lit(24))
+    po = build_join_profile(orders, "o_custkey", bytes_expr=ob)
+    pc = build_join_profile(cust, "c_custkey", bytes_expr=cb)
+    adv = join_advice(po, pc)
+
+    # exact anchors (each one cheap aggregate; the oracle recomputes)
+    ex_do = orders.select("o_custkey").distinct().count()
+    ex_dc = cust.select("c_custkey").distinct().count()
+    ex_join = orders.join(
+        cust, orders.o_custkey == cust.c_custkey).count()
+    ex_max = int(orders.groupBy("o_custkey").count()
+                 .agg(F.max("count")).collect()[0][0] or 0)
+    ex_n = orders.filter(F.col("o_custkey").isNotNull()).count()
+    ex_bytes = int(cust.filter(F.col("c_custkey").isNotNull())
+                   .agg(F.sum(cb)).collect()[0][0] or 0)
+
+    sig = 4.0
+    _, hot_est, hot_upper = po.hot_key()
+    checks = [
+        ("advice_broadcast_right", 1,
+         adv["plan"]["strategy"] == "broadcast_right"
+         and adv["plan"]["salt"] == 1),
+        ("bytes_customer", ex_bytes, pc.total_bytes == ex_bytes),
+        ("distinct_customer_key", ex_dc,
+         abs(pc.distinct_est - ex_dc)
+         <= sig * pc.theta.rel_err * ex_dc + 1.0),
+        ("distinct_orders_key", ex_do,
+         abs(po.distinct_est - ex_do)
+         <= sig * po.theta.rel_err * ex_do + 1.0),
+        ("join_rows", ex_join,
+         abs(adv["join"]["join_rows_est"] - ex_join)
+         <= adv["join"]["join_rows_bound"]),
+        ("max_key_orders", ex_max, hot_est <= ex_max <= hot_upper),
+        ("n_rows_orders", ex_n, po.n_rows == ex_n),
+    ]
+    return spark.createDataFrame(
+        [(m, int(v), bool(ok)) for m, v, ok in sorted(checks)],
+        "measure string, exact long, within_bound boolean")
+
+
 def _q_corpus_drift(spark, sf_dir):
     """Snapshot drift report (operators/drift.py): crawl A (doc_id%10<7)
     vs crawl B (doc_id%10>=3) of documents, compared SKETCH-ONLY —
@@ -2974,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position.
     return {
         # --- no driver-green row yet (r4 priority block) ---
+        "join_plan_advice": _q_join_plan_advice,
         "corpus_drift": _q_corpus_drift,
         "cuckoo_membership_remove": _q_cuckoo_membership_remove,
         "sliding_hll_suffix_distinct": _q_sliding_hll_suffix_distinct,
@@ -3125,6 +3184,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT user_id, count(*) AS n FROM events
                   WHERE event_type = 'purchase' GROUP BY user_id) p
             USING (user_id)
+        """,
+        "join_plan_advice": """
+            WITH m AS (
+                SELECT 'advice_broadcast_right' AS measure,
+                       1::BIGINT AS exact
+                UNION ALL
+                SELECT 'bytes_customer',
+                       CAST(sum(strlen(c_name)
+                                + strlen(c_mktsegment) + 24)
+                            AS BIGINT)
+                FROM customer WHERE c_custkey IS NOT NULL
+                UNION ALL
+                SELECT 'distinct_customer_key',
+                       CAST(count(DISTINCT c_custkey) AS BIGINT)
+                FROM customer
+                UNION ALL
+                SELECT 'distinct_orders_key',
+                       CAST(count(DISTINCT o_custkey) AS BIGINT)
+                FROM orders
+                UNION ALL
+                SELECT 'join_rows', CAST(count(*) AS BIGINT)
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                UNION ALL
+                SELECT 'max_key_orders', CAST(max(n) AS BIGINT)
+                FROM (SELECT count(*) AS n FROM orders
+                      GROUP BY o_custkey)
+                UNION ALL
+                SELECT 'n_rows_orders', CAST(count(*) AS BIGINT)
+                FROM orders WHERE o_custkey IS NOT NULL
+            )
+            SELECT measure, exact, TRUE AS within_bound
+            FROM m ORDER BY measure
         """,
         "corpus_drift": f"""
             WITH d AS (

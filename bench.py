@@ -98,6 +98,9 @@ def main() -> None:
         # round 4i: sketch-only corpus snapshot drift (theta set algebra
         # + CountSketch difference + KLL two-sample KS)
         "corpus_drift",
+        # round 4i: sketch-driven join planning (one-scan key profiles,
+        # broadcast/salt/width advice anchored to exact answers)
+        "join_plan_advice",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",

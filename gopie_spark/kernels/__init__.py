@@ -26,12 +26,13 @@ from gopie_spark.kernels.ddsketch import DDSketch
 from gopie_spark.kernels.cuckoo import CuckooFilter
 from gopie_spark.kernels.slidinghll import SlidingHLL
 from gopie_spark.kernels.windowcms import WindowCMS
+from gopie_spark.kernels.exactstats import ExactStats
 
 __all__ = [
     "HLL", "CMS", "BloomBit", "BloomCounting", "BloomScalable",
     "TDigest", "KLL", "MinHash", "SimHash", "MisraGries", "AMS",
     "Theta", "FreqDir", "DDSketch", "WeightedMinHash", "CountSketch",
-    "CuckooFilter", "SlidingHLL", "WindowCMS",
+    "CuckooFilter", "SlidingHLL", "WindowCMS", "ExactStats",
     "sketch_from_blob",
 ]
 
@@ -64,6 +65,7 @@ def sketch_from_blob(blob: bytes):
         codec.KIND_CUCKOO: CuckooFilter,
         codec.KIND_SLIDING_HLL: SlidingHLL,
         codec.KIND_WINDOW_CMS: WindowCMS,
+        codec.KIND_EXACTSTATS: ExactStats,
     }
     if kind not in by_kind:
         raise ValueError(f"unknown sketch kind {kind}")

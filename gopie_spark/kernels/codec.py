@@ -43,6 +43,7 @@ KIND_COUNTSKETCH = 16
 KIND_CUCKOO = 17
 KIND_SLIDING_HLL = 18
 KIND_WINDOW_CMS = 19
+KIND_EXACTSTATS = 20
 
 
 def pack(kind: int, fields: List[Tuple[int, bytes]]) -> bytes:
