@@ -45,6 +45,27 @@ def test_exactstats_kernel_counts_and_merge():
     assert isinstance(sketch_from_blob(k.serialize(a)), ExactStats)
 
 
+def test_exactstats_split_merge_byte_equal_serial():
+    # the repo-wide merge gate, numeric edition: any split order ==
+    # serial, byte-equal (both fields are plain sums)
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 1000, size=5000).astype(np.int64)
+    k = ExactStats()
+    serial = k.serialize(k.update(k.zero(), vals))
+    for n_parts in (2, 3, 8, 32):
+        states = [k.update(k.zero(), c)
+                  for c in np.array_split(vals, n_parts)]
+        merged = states[0]
+        for s in states[1:]:
+            merged = k.merge(merged, s)
+        assert k.serialize(merged) == serial
+    a, b, c = (k.update(k.zero(), ch) for ch in np.array_split(vals, 3))
+    left = k.merge(k.merge(k.deserialize(k.serialize(a)),
+                           k.deserialize(k.serialize(b))),
+                   k.deserialize(k.serialize(c)))
+    assert k.serialize(left) == serial
+
+
 def test_exactstats_empty_batch_is_noop():
     k = ExactStats()
     st = k.zero()
