@@ -17,12 +17,20 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "gopie_spark",
               cores: Optional[int] = None,
               shuffle_partitions: Optional[int] = None,
-              extra: Optional[Dict[str, str]] = None) -> SparkSession:
-    if cores is None:
-        env = os.environ.get("SPARK_GRAFT_CPUS")
-        master = f"local[{env}]" if env else "local[*]"
-    else:
-        master = f"local[{cores}]"
+              extra: Optional[Dict[str, str]] = None,
+              master: Optional[str] = None) -> SparkSession:
+    # explicit master (arg or SPARK_GRAFT_MASTER) wins — lets the same
+    # job scripts run under spark-submit against a real cluster /
+    # local-cluster[N,c,mem] multi-executor harness instead of the
+    # in-process local[cores] default (BENCH/run_scaling_executors.py)
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        if cores is None:
+            env = os.environ.get("SPARK_GRAFT_CPUS")
+            master = f"local[{env}]" if env else "local[*]"
+        else:
+            master = f"local[{cores}]"
     builder = (
         SparkSession.builder.master(master).appName(app_name)
         .config("spark.sql.shuffle.partitions",
@@ -44,6 +52,11 @@ def get_spark(app_name: str = "gopie_spark",
         .config("spark.driver.extraJavaOptions",
                 "-Xms" + os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    # only meaningful off local[*] (separate executor JVMs); harmless
+    # otherwise — lets the multi-executor harness size its workers
+    if os.environ.get("SPARK_EXECUTOR_MEMORY"):
+        builder = builder.config("spark.executor.memory",
+                                 os.environ["SPARK_EXECUTOR_MEMORY"])
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -167,6 +167,40 @@ def test_planted_skew_drives_salt(spark):
     assert est <= n * 6 // 10 <= upper
 
 
+def test_advice_salt_dominates_exact_suggest_salt(spark):
+    # the advisor's bounded-load salt uses the MG UPPER bound, so it can
+    # only over-split relative to the exact-count rule (never under-salt
+    # a hot key), and by no more than the MG error term
+    from gopie_spark.operators.sketch_agg import suggest_salt
+    n = 4000
+    skewed = spark.range(n).select(
+        F.when(F.col("id") % 10 < 6, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 97).cast("string")))
+        .alias("k"))
+    prof = build_join_profile(skewed, "k")
+    adv_salt = join_advice(prof, prof, broadcast_bytes=0)["left"]["salt"]
+    exact_salt = suggest_salt(skewed, ["k"], factor=1.25)
+    assert adv_salt >= exact_salt
+    _, _, upper = prof.hot_key()
+    avg = prof.n_rows / prof.distinct_est
+    assert adv_salt <= math.ceil(upper / (avg * 1.25))
+
+
+def test_broadcast_advice_matches_physical_plan(spark, sf_dir):
+    # following the advice produces the plan it names: the dim side fits
+    # the threshold -> hinting it broadcasts (BroadcastHashJoin), and the
+    # advised shuffle width is what a shuffle plan would need
+    orders, cust = _orders(spark, sf_dir), _customer(spark, sf_dir)
+    adv = join_advice(build_join_profile(orders, "o_custkey"),
+                      build_join_profile(cust, "c_custkey"))
+    assert adv["plan"]["strategy"] == "broadcast_right"
+    joined = orders.join(F.broadcast(cust),
+                         orders.o_custkey == cust.c_custkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_agg_advice_reduction_and_partitions(spark, sf_dir):
     orders = _orders(spark, sf_dir)
     prof = build_join_profile(orders, "o_custkey")
