@@ -131,6 +131,11 @@ linear region and is the faithful executor-scaling proxy.)
 Reproduce: `python BENCH/run_scaling.py`
 (pages table auto-generated at `{PAGES_DIR}`; override with
 `SPARK_GRAFT_PAGES_ROWS` / `SPARK_GRAFT_PAGES_DIR`).
+
+See also `BENCH/BASELINE_EXECUTORS.md`: the same gate measured with N
+vs 4N REAL executor JVMs (`spark-submit --py-files` against
+`local-cluster[N,2,mem]` — the north rule's own deployment mode),
+via `python BENCH/run_scaling_executors.py`.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(md)
