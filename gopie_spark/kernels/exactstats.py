@@ -43,9 +43,15 @@ class ExactStats:
         numpy-coercible sequence); ``counts`` weights each value when
         given (the pre-aggregated path)."""
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         if isinstance(values, (pa.Array, pa.ChunkedArray)):
-            vals = np.asarray(values.cast(pa.int64()), dtype=I64)
+            arr = values.cast(pa.int64())
+            if arr.null_count:
+                # null values count as rows of 0 bytes (Arrow nulls
+                # would otherwise round-trip to NaN through NumPy)
+                arr = pc.fill_null(arr, 0)
+            vals = np.asarray(arr, dtype=I64)
         else:
             vals = np.asarray(values, dtype=I64)
         if vals.size == 0:

@@ -54,8 +54,8 @@ from dataclasses import dataclass
 from typing import Dict, Optional, Sequence
 
 from pyspark.sql import DataFrame, Column, functions as F
-from pyspark.sql.types import (BinaryType, NumericType, StringType,
-                               TimestampType)
+from pyspark.sql.types import (ArrayType, BinaryType, NumericType,
+                               StringType, TimestampType)
 
 from gopie_spark.kernels import AMS, ExactStats, MisraGries, Theta
 
@@ -68,7 +68,10 @@ _META_FILE = "profile.json"
 def default_row_bytes(df: DataFrame,
                       cols: Optional[Sequence[str]] = None) -> Column:
     """JVM-side per-row payload-byte estimate: ``octet_length`` of
-    string/binary columns plus 8 per numeric/timestamp column (nulls
+    string/binary columns, 8 per numeric/timestamp column, element
+    pricing for numeric/string arrays (the embeddings-table shape), and
+    a JSON-size proxy for any other nested type — so no column ever
+    silently prices at 0 bytes and flips a broadcast decision (nulls
     count 0).  Pass ``cols`` to size a projection instead of the full
     row — broadcast decisions should price what the join actually
     carries."""
@@ -76,11 +79,26 @@ def default_row_bytes(df: DataFrame,
               if cols is None or f.name in set(cols)]
     expr = F.lit(0)
     for f in fields:
+        c = F.col(f.name)
         if isinstance(f.dataType, (StringType, BinaryType)):
-            expr = expr + F.coalesce(F.octet_length(F.col(f.name)),
-                                     F.lit(0))
+            expr = expr + F.coalesce(F.octet_length(c), F.lit(0))
         elif isinstance(f.dataType, (NumericType, TimestampType)):
             expr = expr + F.lit(8)
+        elif (isinstance(f.dataType, ArrayType)
+              and isinstance(f.dataType.elementType, NumericType)):
+            expr = expr + F.coalesce(F.size(c) * 8, F.lit(0))
+        elif (isinstance(f.dataType, ArrayType)
+              and isinstance(f.dataType.elementType, StringType)):
+            expr = expr + F.coalesce(
+                F.aggregate(c, F.lit(0),
+                            lambda acc, s: acc + F.coalesce(
+                                F.octet_length(s), F.lit(0))),
+                F.lit(0))
+        else:
+            # struct / map / nested arrays: JSON length is a
+            # conservative (over-)estimate — safe for broadcast gating
+            expr = expr + F.coalesce(
+                F.octet_length(F.to_json(F.struct(c))), F.lit(0))
     return expr
 
 
@@ -155,9 +173,12 @@ def build_join_profile(df: DataFrame, key_col: str,
     mg = MisraGries(k=mg_k)
     ams = AMS(n_means=ams_means, n_medians=ams_medians)
     stats = ExactStats()
+    # null payload prices 0 — and must never reach the exact-sum kernel
+    # (Arrow nulls round-trip to NaN through NumPy and corrupt int sums)
     proj = (df.filter(F.col(key_col).isNotNull())
             .select(F.col(key_col).cast("string").alias("_k"),
-                    bytes_expr.cast("long").alias("_b")))
+                    F.coalesce(bytes_expr.cast("long"), F.lit(0))
+                    .alias("_b")))
     st_t, st_m, st_a, st_s = global_sketch_multi(
         proj, [("_k", theta), ("_k", mg), ("_k", ams), ("_b", stats)])
     return JoinProfile(key_col=key_col, theta=theta, theta_state=st_t,

@@ -238,6 +238,43 @@ def test_param_mismatch_refused(spark, sf_dir):
         join_advice(po2, pc2)
 
 
+def test_exactstats_null_values_price_zero():
+    import pyarrow as pa
+    k = ExactStats()
+    st = k.zero()
+    k.update(st, pa.array([5, None, 7], type=pa.int64()))
+    assert (k.count(st), k.total(st)) == (3, 12)
+
+
+def test_default_row_bytes_nested_types(spark, sf_dir):
+    # array<float> must price element-wise (embeddings-table shape);
+    # nothing may silently price at 0 and flip a broadcast decision
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(5)
+    got = emb.select(default_row_bytes(emb, ["embedding"]).alias("x")) \
+        .collect()
+    dims = emb.select(F.size("embedding").alias("d")).collect()
+    assert [r["x"] for r in got] == [8 * r["d"] for r in dims]
+    df = spark.createDataFrame(
+        [(["ab", "cde"], {"k": 1}), (None, None)],
+        "tags array<string>, m map<string,int>")
+    got2 = df.select(default_row_bytes(df).alias("x")).collect()
+    # strings price their bytes; the map prices its JSON length; null
+    # complex values price ~0 (a null map still pays the "{}" JSON
+    # scaffolding — overcounting is the safe direction for broadcast
+    # gating)
+    assert got2[0]["x"] >= 5
+    assert got2[1]["x"] <= 4
+
+
+def test_profile_null_payload_bytes_price_zero(spark):
+    df = spark.createDataFrame(
+        [("a", "xx"), ("b", None), ("c", "yyyy")], "k string, s string")
+    prof = build_join_profile(df, "k",
+                              bytes_expr=F.octet_length(F.col("s")))
+    assert prof.n_rows == 3          # null payload is NOT a dropped row
+    assert prof.total_bytes == 6     # 2 + 0 + 4
+
+
 def test_null_keys_excluded(spark):
     df = spark.createDataFrame(
         [("a", 1), (None, 2), ("b", 3), (None, 4)], "k string, v long")
