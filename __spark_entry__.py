@@ -2415,6 +2415,92 @@ def _q_join_plan_advice(spark, sf_dir):
         "measure string, exact long, within_bound boolean")
 
 
+def _q_lang_drift(spark, sf_dir):
+    """Per-language snapshot drift (drift.grouped_drift_states via the
+    one-scan keyed co-build sketch_agg.keyed_sketch_multi): crawl A
+    (doc_id%10<7) vs crawl B (doc_id%10>=3), per lang the URL-set theta
+    pair and the token-length KLL pair.  Certificate per lang: theta
+    distinct estimates for A, B, and the intersection each within their
+    4-sigma bounds of the exact per-lang URL counts (exact below k),
+    and the KLL median of each side within the eps=4/k rank band of its
+    exact per-lang distribution (the quantile_gate rank-bracket form).
+    The DuckDB oracle recomputes the exact per-lang URL counts."""
+    import numpy as np
+    from gopie_spark.kernels import KLL, Theta
+    from gopie_spark.operators.drift import grouped_drift_states
+
+    docs = _docs_with_url(_docs(spark, sf_dir)).withColumn(
+        "in_a", F.pmod(F.col("doc_id"), F.lit(10)) < 7).withColumn(
+        "in_b", F.pmod(F.col("doc_id"), F.lit(10)) >= 3).persist()
+    theta, kll = Theta(k=4096), KLL(k=200)
+    st_a = grouped_drift_states(docs.filter("in_a"), "lang",
+                                url_col="url", theta=theta, kll=kll)
+    st_b = grouped_drift_states(docs.filter("in_b"), "lang",
+                                url_col="url", theta=theta, kll=kll)
+
+    # exact per-lang anchors in ONE conditional-aggregate pass
+    exact = {r["lang"]: r for r in
+             (docs.groupBy("lang")
+              .agg(F.countDistinct(F.when(F.col("in_a"),
+                                          F.col("url"))).alias("na"),
+                   F.countDistinct(F.when(F.col("in_b"),
+                                          F.col("url"))).alias("nb"),
+                   F.countDistinct(F.when(F.col("in_a") & F.col("in_b"),
+                                          F.col("url"))).alias("nc"))
+              .collect())}
+
+    # exact median-rank brackets per (lang, side) in one more pass
+    from gopie_spark.operators.textstats import token_count
+    toks = docs.select("lang", "in_a", "in_b",
+                       token_count("text").cast("double").alias("_t"))
+    med = {(lg, side): float(kll.quantile(
+        (st_a if side == "a" else st_b)[lg][1], np.array([0.5]))[0])
+        for lg in exact for side in ("a", "b")}
+    ma = F.create_map(*[x for lg in exact
+                        for x in (F.lit(lg), F.lit(med[(lg, "a")]))])
+    mb = F.create_map(*[x for lg in exact
+                        for x in (F.lit(lg), F.lit(med[(lg, "b")]))])
+    ranks = {r["lang"]: r for r in
+             (toks.withColumn("_ma", ma[F.col("lang")])
+              .withColumn("_mb", mb[F.col("lang")])
+              .groupBy("lang")
+              .agg(*[F.sum(F.when(F.col(f"in_{s}")
+                                  & (F.col("_t") < F.col(f"_m{s}")), 1)
+                           .otherwise(0)).alias(f"lt_{s}")
+                     for s in ("a", "b")],
+                   *[F.sum(F.when(F.col(f"in_{s}")
+                                  & (F.col("_t") <= F.col(f"_m{s}")), 1)
+                           .otherwise(0)).alias(f"le_{s}")
+                     for s in ("a", "b")],
+                   *[F.sum(F.col(f"in_{s}").cast("long")).alias(f"n_{s}")
+                     for s in ("a", "b")])
+              .collect())}
+
+    sig, eps = 4.0, 4.0 / kll.k
+    rows = []
+    for lg in sorted(exact):
+        ex = exact[lg]
+        th_a, th_b = st_a[lg][0], st_b[lg][0]
+        ok = (abs(theta.estimate(th_a) - ex["na"])
+              <= sig * theta.rel_err * ex["na"] + 1.0)
+        ok = ok and (abs(theta.estimate(th_b) - ex["nb"])
+                     <= sig * theta.rel_err * ex["nb"] + 1.0)
+        ok = ok and (abs(theta.intersect_estimate(th_a, th_b) - ex["nc"])
+                     <= theta.intersect_bound(th_a, th_b) + 1.0)
+        rk = ranks[lg]
+        for s in ("a", "b"):
+            n = max(int(rk[f"n_{s}"]), 1)
+            ok = ok and ((rk[f"lt_{s}"] / n - eps) <= 0.5
+                         <= (rk[f"le_{s}"] / n + eps))
+        rows.append((lg, int(ex["na"]), int(ex["nb"]), int(ex["nc"]),
+                     bool(ok)))
+    docs.unpersist()
+    return spark.createDataFrame(
+        rows, "lang string, n_urls_a long, n_urls_b long, "
+              "n_urls_common long, within_bound boolean") \
+        .orderBy("lang")
+
+
 def _q_corpus_drift(spark, sf_dir):
     """Snapshot drift report (operators/drift.py): crawl A (doc_id%10<7)
     vs crawl B (doc_id%10>=3) of documents, compared SKETCH-ONLY —
@@ -3033,6 +3119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- no driver-green row yet (r4 priority block) ---
         "join_plan_advice": _q_join_plan_advice,
+        "lang_drift": _q_lang_drift,
         "corpus_drift": _q_corpus_drift,
         "cuckoo_membership_remove": _q_cuckoo_membership_remove,
         "sliding_hll_suffix_distinct": _q_sliding_hll_suffix_distinct,
@@ -3216,6 +3303,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT measure, exact, TRUE AS within_bound
             FROM m ORDER BY measure
+        """,
+        "lang_drift": f"""
+            SELECT lang,
+                   CAST(count(DISTINCT CASE WHEN in_a THEN url END)
+                        AS BIGINT) AS n_urls_a,
+                   CAST(count(DISTINCT CASE WHEN in_b THEN url END)
+                        AS BIGINT) AS n_urls_b,
+                   CAST(count(DISTINCT CASE WHEN in_a AND in_b THEN url
+                              END) AS BIGINT) AS n_urls_common,
+                   TRUE AS within_bound
+            FROM (SELECT lang, {_URL_SQL} AS url,
+                         (doc_id % 10) < 7 AS in_a,
+                         (doc_id % 10) >= 3 AS in_b
+                  FROM documents)
+            GROUP BY lang ORDER BY lang
         """,
         "corpus_drift": f"""
             WITH d AS (

@@ -101,6 +101,8 @@ def main() -> None:
         # round 4i: sketch-driven join planning (one-scan key profiles,
         # broadcast/salt/width advice anchored to exact answers)
         "join_plan_advice",
+        # round 4i: per-language drift via the one-scan keyed co-build
+        "lang_drift",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",

@@ -206,6 +206,11 @@ def ks_from_states(kll: KLL, st_a, st_b) -> float:
     ``eps_a + eps_b`` of the true statistic (both states here share one
     kernel, so the band is ``2 * kll_eps(k)``).
     """
+    if kll.count(st_a) == 0 or kll.count(st_b) == 0:
+        # two-sample KS against an empty sample: no mass to compare
+        # when both are empty; the full mass moved when only one is
+        # (the grouped report's appeared/vanished-group convention)
+        return 0.0 if kll.count(st_a) == kll.count(st_b) else 1.0
     items_a, _ = kll._items_weights(st_a)
     items_b, _ = kll._items_weights(st_b)
     grid = np.union1d(items_a, items_b)
@@ -354,6 +359,99 @@ def drift_report(df_a: DataFrame, df_b: DataFrame, *,
              if (lang_col is not None and lang_col in df_a.columns
                  and lang_col in df_b.columns) else None)
     return _format_report(urls, tokens, length, langs)
+
+
+# --------------------------------------------------------------------------
+# Grouped drift: the per-language report
+# --------------------------------------------------------------------------
+
+def grouped_drift_states(df: DataFrame, group_col: str, *,
+                         text_col: str = "text",
+                         url_col: Optional[str] = None,
+                         theta: Optional[Theta] = None,
+                         kll: Optional[KLL] = None) -> Dict:
+    """Per-group drift states in ONE corpus scan: for every value of
+    ``group_col`` (bounded cardinality — lang, source, split), the
+    URL-set theta (when ``url_col`` given) and the token-length KLL
+    co-build via ``sketch_agg.keyed_sketch_multi``, the grouped twin of
+    the global co-build.  Returns ``{group: (theta_state_or_None,
+    kll_state)}``; per-group states are byte-identical to running the
+    global build on that group's slice (tested)."""
+    from gopie_spark.operators.sketch_agg import keyed_sketch_multi
+
+    kll = kll or KLL(k=200)
+    proj = df.select(
+        F.col(group_col).alias("_g"),
+        *([F.col(url_col).cast("string").alias("_u")]
+          if url_col is not None else []),
+        token_count(text_col).cast("double").alias("_v"))
+    if url_col is None:
+        grouped = keyed_sketch_multi(proj, "_g", [("_v", kll)])
+        return {g: (None, sts[0]) for g, sts in grouped.items()}
+    grouped = keyed_sketch_multi(proj, "_g",
+                                 [("_u", theta or Theta()), ("_v", kll)])
+    return {g: (sts[0], sts[1]) for g, sts in grouped.items()}
+
+
+def grouped_drift_report(df_a: DataFrame, df_b: DataFrame, *,
+                         group_col: str = "lang",
+                         text_col: str = "text",
+                         url_col: Optional[str] = None,
+                         theta_k: int = 4096, kll_k: int = 200,
+                         quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+                         ) -> dict:
+    """Per-group snapshot drift: for every group present in EITHER
+    snapshot, the URL-set drift (theta algebra with bounds, when
+    ``url_col`` given) and the length-distribution drift (two-sample KS
+    + quantile shift) — "which languages actually moved", the question
+    the global :func:`drift_report` averages away.
+
+    Cost: ONE raw scan per snapshot (keyed co-build), then driver-side
+    algebra over ``n_groups`` KB-sized state pairs.  A group absent
+    from one side compares against the empty state (distinct 0, KS vs
+    an empty CDF = that side's full mass).  Token movers stay global —
+    per-group CountSketch matrices would multiply state size by the
+    group count for a question :func:`token_drift` answers better on
+    the group's slice when it matters.
+    """
+    theta = Theta(k=theta_k) if url_col is not None else None
+    kll = KLL(k=kll_k)
+    st_a = grouped_drift_states(df_a, group_col, text_col=text_col,
+                                url_col=url_col, theta=theta, kll=kll)
+    st_b = grouped_drift_states(df_b, group_col, text_col=text_col,
+                                url_col=url_col, theta=theta, kll=kll)
+    report: dict = {}
+    for g in sorted(set(st_a) | set(st_b), key=lambda x: (x is None,
+                                                          str(x))):
+        th_a, kl_a = st_a.get(g, (None if theta is None else theta.zero(),
+                                  kll.zero()))
+        th_b, kl_b = st_b.get(g, (None if theta is None else theta.zero(),
+                                  kll.zero()))
+        entry: dict = {}
+        if theta is not None:
+            entry["urls"] = {
+                k: (round(v, 4) if isinstance(v, float) else v)
+                for k, v in
+                url_set_drift_from_states(theta, th_a, th_b).items()}
+        length = length_drift_from_states(kll, kl_a, kl_b,
+                                          quantiles=quantiles)
+
+        def _q(v, n):
+            # an empty side has no quantiles — None, not NaN (keeps the
+            # report strict-JSON serializable)
+            return None if n == 0 else round(v, 1)
+
+        entry["length"] = {
+            "ks_est": round(length["ks_est"], 4),
+            "ks_band": length["ks_band"],
+            "n_a": length["n_a"], "n_b": length["n_b"],
+            "quantile_shift": {str(q): (_q(a, length["n_a"]),
+                                        _q(b, length["n_b"]))
+                               for q, (a, b)
+                               in length["quantile_shift"].items()},
+        }
+        report[str(g)] = entry
+    return report
 
 
 # --------------------------------------------------------------------------

@@ -27,7 +27,7 @@ memory per task = keys_in_partition x state_size, independent of rows.
 from __future__ import annotations
 
 import math
-from typing import Iterable, Iterator, List, Optional, Sequence
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -870,6 +870,113 @@ def global_sketch_multi(df: DataFrame, specs: Sequence) -> List:
                 names=["_kid", STATE_COL])
 
     return _merge_kid_partials(proj.mapInArrow(fn, out_schema), sks)
+
+
+def keyed_sketch_multi(df: DataFrame, key: str, specs: Sequence,
+                       ) -> Dict:
+    """N sketches PER GROUP from ONE corpus scan.
+
+    The grouped twin of :func:`global_sketch_multi`: ``specs`` is a
+    sequence of ``(value_col, kernel)``; the scan walks each Arrow
+    batch once, slices it per group (the same stable dictionary-sort
+    grouping as :func:`build_partials`), and updates every kernel from
+    its own column slice — so k per-group sketches cost one scan, not
+    k.  The per-(group, kernel) partial blobs merge through one
+    ``applyInArrow`` fold with the kernel dispatched per row group.
+
+    Intended for group columns with BOUNDED cardinality (lang, source,
+    split — the per-lang drift / heavy-hitter shape); the result is
+    collected: ``{group_value: [state, ...in spec order]}``.  Groups
+    whose key is null are keyed as Python ``None``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    specs = [(c, sk) for c, sk in specs]
+    sks = [sk for _, sk in specs]
+    cols: List[str] = [key]
+    for c, _ in specs:
+        if c not in cols:
+            cols.append(c)
+    proj = df.select(*cols)
+    key_field = _key_fields(proj, [key])
+    out_schema = StructType(key_field +
+                            [StructField("_kid", LongType(), False),
+                             StructField(STATE_COL, BinaryType(), False)])
+    from pyspark.sql.pandas.types import to_arrow_schema
+    arrow_out = to_arrow_schema(out_schema)
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        acc = {}
+
+        def upd(key_val, kid, values):
+            sk = sks[kid]
+            if not _is_numeric_kernel(sk):
+                values = values.drop_null()
+            st = acc.get((key_val, kid))
+            if st is None:
+                st = sk.zero()
+            if len(values):
+                st = sk.update(st, _kernel_values(sk, values))
+            acc[(key_val, kid)] = st
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            col = {name: rb.column(i)
+                   for i, name in enumerate(rb.schema.names)}
+            dic = col[key].dictionary_encode()
+            codes = np.asarray(pc.fill_null(dic.indices, -1))
+            order = np.argsort(codes, kind="stable")
+            sorted_codes = codes[order]
+            take = pa.array(order)
+            sorted_vals = {c: col[c].take(take) for c, _ in specs}
+            present, starts_ = np.unique(sorted_codes, return_index=True)
+            bounds = np.append(starts_, len(sorted_codes))
+            for gi, code in enumerate(present):
+                kv = (None if code < 0
+                      else dic.dictionary[int(code)].as_py())
+                lo = int(bounds[gi])
+                ln = int(bounds[gi + 1]) - lo
+                for kid, (c, _sk) in enumerate(specs):
+                    upd(kv, kid, sorted_vals[c].slice(lo, ln))
+
+        if acc:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([kv for kv, _ in acc],
+                          type=arrow_out.field(key).type),
+                 pa.array([kid for _, kid in acc], type=pa.int64()),
+                 pa.array([sks[kid].serialize(st)
+                           for (_, kid), st in acc.items()],
+                          type=pa.binary())],
+                schema=arrow_out)
+
+    partials = proj.mapInArrow(fn, out_schema)
+
+    def fold(table: "pa.Table") -> "pa.Table":
+        kid = table.column("_kid")[0].as_py()
+        sk = sks[kid]
+        st = None
+        for blob in table.column(STATE_COL):
+            s = sk.deserialize(blob.as_py())
+            st = s if st is None else sk.merge(st, s)
+        return pa.table({key: table.column(key)[:1],
+                         "_kid": pa.array([kid], type=pa.int64()),
+                         STATE_COL: pa.array([sk.serialize(st)],
+                                             type=pa.binary())})
+
+    rows = (partials.groupBy(key, "_kid")
+            .applyInArrow(fold, out_schema).collect())
+    out: Dict = {}
+    for r in rows:
+        states = out.setdefault(r[key], [None] * len(sks))
+        kid = r["_kid"]
+        states[kid] = sks[kid].deserialize(bytes(r[STATE_COL]))
+    for states in out.values():
+        for kid, st in enumerate(states):
+            if st is None:
+                states[kid] = sks[kid].zero()
+    return out
 
 
 def cms_build(df: DataFrame, value_col: str, epsilon: float = 0.001,

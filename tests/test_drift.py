@@ -282,3 +282,74 @@ def test_lang_share_drift_exact(spark):
     assert ls["shares"]["de"] == (0.25, 0.0)
     assert ls["shares"]["fr"] == (0.0, 0.5)
     assert ls["l1"] == pytest.approx(1.0)
+
+
+# --------------------------------------------------------------------------
+# Grouped (per-lang) drift
+# --------------------------------------------------------------------------
+
+def test_grouped_states_equal_per_slice_global_builds(spark, sf_dir):
+    # the one-scan keyed co-build must produce, per group, byte-identical
+    # states to running the global co-build on that group's slice
+    from pyspark.sql import functions as F
+    from gopie_spark.kernels import KLL, Theta
+    from gopie_spark.operators.drift import (_raw_sketch_states,
+                                             grouped_drift_states)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "url", F.concat(F.lit("u"), F.col("doc_id").cast("string")))
+    theta, kll = Theta(k=512), KLL(k=200)
+    grouped = grouped_drift_states(docs, "lang", url_col="url",
+                                   theta=theta, kll=kll)
+    for lg in grouped:
+        st_u, st_v = _raw_sketch_states(
+            docs.filter(F.col("lang") == lg), KLL(k=200), "text",
+            Theta(k=512), "url")
+        assert theta.serialize(grouped[lg][0]) == theta.serialize(st_u)
+        assert kll.serialize(grouped[lg][1]) == kll.serialize(st_v)
+
+
+def test_grouped_report_missing_group_conventions(spark, sf_dir):
+    # a group present in only one snapshot: KS = 1.0 (full mass moved),
+    # the empty side's quantiles are None, distinct estimate 0
+    from pyspark.sql import functions as F
+    from gopie_spark.operators.drift import grouped_drift_report
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "url", F.concat(F.lit("u"), F.col("doc_id").cast("string")))
+    a = docs
+    b = docs.filter(F.col("lang") != "zh")
+    rep = grouped_drift_report(a, b, group_col="lang", url_col="url")
+    zh = rep["zh"]
+    assert zh["length"]["ks_est"] == 1.0
+    assert zh["length"]["n_b"] == 0
+    assert all(pair[1] is None
+               for pair in zh["length"]["quantile_shift"].values())
+    assert zh["urls"]["n_b_est"] == 0.0
+    # strict JSON (no NaN) round-trips
+    import json
+    json.loads(json.dumps(rep, allow_nan=False))
+
+
+def test_ks_empty_state_conventions():
+    from gopie_spark.kernels import KLL
+    from gopie_spark.operators.drift import ks_from_states
+    import numpy as np
+    kll = KLL(k=200)
+    empty = kll.zero()
+    full = kll.update(kll.zero(), np.arange(100, dtype=np.float64))
+    assert ks_from_states(kll, empty, kll.zero()) == 0.0
+    assert ks_from_states(kll, empty, full) == 1.0
+    assert ks_from_states(kll, full, empty) == 1.0
+
+
+def test_keyed_sketch_multi_null_group_key(spark):
+    from pyspark.sql import functions as F
+    from gopie_spark.kernels import Theta
+    from gopie_spark.operators.sketch_agg import keyed_sketch_multi
+    df = spark.createDataFrame(
+        [("en", "u1"), (None, "u2"), (None, "u3"), ("en", "u4")],
+        "g string, v string")
+    out = keyed_sketch_multi(df, "g", [("v", Theta(k=64))])
+    assert set(out) == {"en", None}
+    t = Theta(k=64)
+    assert t.estimate(out[None][0]) == 2.0
+    assert t.estimate(out["en"][0]) == 2.0
