@@ -420,6 +420,41 @@ def grouped_drift_report(df_a: DataFrame, df_b: DataFrame, *,
                                 url_col=url_col, theta=theta, kll=kll)
     st_b = grouped_drift_states(df_b, group_col, text_col=text_col,
                                 url_col=url_col, theta=theta, kll=kll)
+    return _grouped_report(theta, kll, st_a, st_b, quantiles)
+
+
+def _grouped_entry(theta: Optional[Theta], kll: KLL, th_a, kl_a, th_b,
+                   kl_b, quantiles: Sequence[float]) -> dict:
+    """One group's report entry — shared by the live and from-states
+    grouped paths so the two cannot drift apart."""
+    entry: dict = {}
+    if theta is not None:
+        entry["urls"] = {
+            k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in
+            url_set_drift_from_states(theta, th_a, th_b).items()}
+    length = length_drift_from_states(kll, kl_a, kl_b,
+                                      quantiles=quantiles)
+
+    def _q(v, n):
+        # an empty side has no quantiles — None, not NaN (keeps the
+        # report strict-JSON serializable)
+        return None if n == 0 else round(v, 1)
+
+    entry["length"] = {
+        "ks_est": round(length["ks_est"], 4),
+        "ks_band": length["ks_band"],
+        "n_a": length["n_a"], "n_b": length["n_b"],
+        "quantile_shift": {str(q): (_q(a, length["n_a"]),
+                                    _q(b, length["n_b"]))
+                           for q, (a, b)
+                           in length["quantile_shift"].items()},
+    }
+    return entry
+
+
+def _grouped_report(theta: Optional[Theta], kll: KLL, st_a: Dict,
+                    st_b: Dict, quantiles: Sequence[float]) -> dict:
     report: dict = {}
     for g in sorted(set(st_a) | set(st_b), key=lambda x: (x is None,
                                                           str(x))):
@@ -427,30 +462,8 @@ def grouped_drift_report(df_a: DataFrame, df_b: DataFrame, *,
                                   kll.zero()))
         th_b, kl_b = st_b.get(g, (None if theta is None else theta.zero(),
                                   kll.zero()))
-        entry: dict = {}
-        if theta is not None:
-            entry["urls"] = {
-                k: (round(v, 4) if isinstance(v, float) else v)
-                for k, v in
-                url_set_drift_from_states(theta, th_a, th_b).items()}
-        length = length_drift_from_states(kll, kl_a, kl_b,
-                                          quantiles=quantiles)
-
-        def _q(v, n):
-            # an empty side has no quantiles — None, not NaN (keeps the
-            # report strict-JSON serializable)
-            return None if n == 0 else round(v, 1)
-
-        entry["length"] = {
-            "ks_est": round(length["ks_est"], 4),
-            "ks_band": length["ks_band"],
-            "n_a": length["n_a"], "n_b": length["n_b"],
-            "quantile_shift": {str(q): (_q(a, length["n_a"]),
-                                        _q(b, length["n_b"]))
-                               for q, (a, b)
-                               in length["quantile_shift"].items()},
-        }
-        report[str(g)] = entry
+        report[str(g)] = _grouped_entry(theta, kll, th_a, kl_a, th_b,
+                                        kl_b, quantiles)
     return report
 
 
@@ -468,12 +481,18 @@ _DRIFT_FILES = {
     "kll": "kll_toklen.bin",
 }
 _LANG_FILE = "lang_counts.json"
+# grouped tier: <dir>/grouped/gNNNN.{theta,kll}.bin + a manifest mapping
+# file stems back to group values (index-named files sidestep every
+# group-value-in-filename encoding issue, nulls included)
+_GROUPED_DIR = "grouped"
+_GROUPED_MANIFEST = "groups.json"
 
 
 def persist_drift_states(df: DataFrame, out_dir: str, *,
                          text_col: str = "text",
                          url_col: Optional[str] = "url",
                          lang_col: Optional[str] = "lang",
+                         group_col: Optional[str] = None,
                          theta_k: int = 4096, mg_k: int = 256,
                          cs_width: int = 8192, cs_depth: int = 7,
                          kll_k: int = 200) -> Dict[str, str]:
@@ -486,6 +505,11 @@ def persist_drift_states(df: DataFrame, out_dir: str, *,
     runs, so the persisted-states report is identical to the live one
     (tested).  URL / language sections are skipped when their column is
     absent, mirroring :func:`drift_report`'s graceful degradation.
+
+    ``group_col`` additionally persists the per-group tier (one theta +
+    KLL pair per group value, built in ONE extra keyed co-build scan —
+    :func:`grouped_drift_states`), so the zero-Spark diff also answers
+    "which languages moved".
     """
     import json as _json
     import os as _os
@@ -519,6 +543,32 @@ def persist_drift_states(df: DataFrame, out_dir: str, *,
             # regardless of collect() row order
             _json.dump(lang_counts(df, lang_col), fh, sort_keys=True)
         written["lang"] = path
+    if group_col is not None and group_col in df.columns:
+        gdir = _os.path.join(out_dir, _GROUPED_DIR)
+        _os.makedirs(gdir, exist_ok=True)
+        grouped = grouped_drift_states(
+            df, group_col, text_col=text_col,
+            url_col=url_col if have_url else None,
+            theta=theta, kll=kll)
+        manifest = []
+        for i, g in enumerate(sorted(grouped,
+                                     key=lambda x: (x is None, str(x)))):
+            th_st_g, kll_st_g = grouped[g]
+            stem = f"g{i:04d}"
+            entry = {"group": g, "kll": f"{stem}.kll.bin"}
+            with open(_os.path.join(gdir, entry["kll"]), "wb") as fh:
+                fh.write(kll.serialize(kll_st_g))
+            if have_url:
+                entry["theta"] = f"{stem}.theta.bin"
+                with open(_os.path.join(gdir, entry["theta"]),
+                          "wb") as fh:
+                    fh.write(theta.serialize(th_st_g))
+            manifest.append(entry)
+        mpath = _os.path.join(gdir, _GROUPED_MANIFEST)
+        with open(mpath, "w") as fh:
+            _json.dump({"group_col": group_col, "groups": manifest},
+                       fh, sort_keys=True)
+        written["grouped"] = gdir
     return written
 
 
@@ -545,6 +595,27 @@ def load_drift_states(state_dir: str) -> Dict[str, object]:
     if _os.path.exists(lang_path):
         with open(lang_path) as fh:
             out["lang"] = _json.load(fh)
+    mpath = _os.path.join(state_dir, _GROUPED_DIR, _GROUPED_MANIFEST)
+    if _os.path.exists(mpath):
+        with open(mpath) as fh:
+            manifest = _json.load(fh)
+
+        def _open(fname):
+            with open(_os.path.join(state_dir, _GROUPED_DIR,
+                                    fname), "rb") as fh:
+                blob = fh.read()
+            kernel = sketch_from_blob(blob)
+            return kernel, kernel.deserialize(blob)
+
+        grouped = {}
+        for entry in manifest["groups"]:
+            grouped[entry["group"]] = {
+                "kll": _open(entry["kll"]),
+                **({"theta": _open(entry["theta"])}
+                   if "theta" in entry else {}),
+            }
+        out["grouped"] = grouped
+        out["group_col"] = manifest["group_col"]
     return out
 
 
@@ -582,4 +653,46 @@ def drift_report_from_states(states_a: Dict[str, object],
     if "lang" in states_a and "lang" in states_b:
         langs = lang_share_drift_from_counts(states_a["lang"],
                                              states_b["lang"])
-    return _format_report(urls, tokens, length, langs)
+    report = _format_report(urls, tokens, length, langs)
+    if "grouped" in states_a and "grouped" in states_b:
+        report["groups"] = grouped_drift_report_from_states(
+            states_a["grouped"], states_b["grouped"])
+    return report
+
+
+def grouped_drift_report_from_states(grouped_a: Dict, grouped_b: Dict, *,
+                                     quantiles: Sequence[float] = (
+                                         0.25, 0.5, 0.75)) -> dict:
+    """Per-group drift from two loaded ``grouped`` sections (see
+    :func:`load_drift_states`) — no Spark, no corpus reads; the same
+    :func:`_grouped_entry` shaping as the live grouped report.  Raises
+    on kernel-parameter mismatches, like the global from-states path."""
+    theta = kll = None
+    for side in (grouped_a, grouped_b):
+        for entry in side.values():
+            k = entry["kll"][0]
+            if kll is None:
+                kll = k
+            elif k.k != kll.k:
+                raise ValueError("grouped kll k mismatch "
+                                 f"({k.k} vs {kll.k})")
+            if "theta" in entry:
+                t = entry["theta"][0]
+                if theta is None:
+                    theta = t
+                elif t.k != theta.k:
+                    raise ValueError("grouped theta k mismatch "
+                                     f"({t.k} vs {theta.k})")
+    if kll is None:
+        return {}
+
+    def _states(side):
+        out = {}
+        for g, entry in side.items():
+            th = (entry["theta"][1] if "theta" in entry
+                  else (None if theta is None else theta.zero()))
+            out[g] = (th, entry["kll"][1])
+        return out
+
+    return _grouped_report(theta, kll, _states(grouped_a),
+                           _states(grouped_b), quantiles)

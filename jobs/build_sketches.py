@@ -71,6 +71,11 @@ def main() -> None:
                          "lang counts) to <output>/drift — two such "
                          "directories diff with jobs/snapshot_diff.py "
                          "using ZERO Spark and ZERO corpus reads")
+    ap.add_argument("--drift-group-col", default=None,
+                    help="with --drift-states: also persist per-group "
+                         "theta/KLL drift states keyed by this column "
+                         "(e.g. lang) — one extra keyed co-build scan; "
+                         "snapshot_diff then reports per-group drift")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -149,7 +154,8 @@ def main() -> None:
         # compared by jobs/snapshot_diff.py without re-reading either
         # corpus (operators/drift.py)
         from gopie_spark.operators.drift import persist_drift_states
-        persist_drift_states(pages, f"{args.output}/drift")
+        persist_drift_states(pages, f"{args.output}/drift",
+                             group_col=args.drift_group_col)
         outputs.append("drift")
 
     summary = {

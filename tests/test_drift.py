@@ -353,3 +353,45 @@ def test_keyed_sketch_multi_null_group_key(spark):
     t = Theta(k=64)
     assert t.estimate(out[None][0]) == 2.0
     assert t.estimate(out["en"][0]) == 2.0
+
+
+def test_grouped_persist_load_diff_equals_live(spark, sf_dir, tmp_path):
+    # persist two snapshots with the grouped tier, diff with zero Spark,
+    # and the "groups" section must equal the live grouped report
+    from pyspark.sql import functions as F
+    from gopie_spark.operators.drift import (drift_report_from_states,
+                                             grouped_drift_report,
+                                             load_drift_states,
+                                             persist_drift_states)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "url", F.concat(F.lit("u"), F.col("doc_id").cast("string")))
+    a = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 7)
+    b = docs.filter((F.pmod(F.col("doc_id"), F.lit(10)) >= 3)
+                    & (F.col("lang") != "zh"))
+    wa = persist_drift_states(a, str(tmp_path / "a"), group_col="lang")
+    wb = persist_drift_states(b, str(tmp_path / "b"), group_col="lang")
+    assert "grouped" in wa and "grouped" in wb
+    rep = drift_report_from_states(load_drift_states(str(tmp_path / "a")),
+                                   load_drift_states(str(tmp_path / "b")))
+    live = grouped_drift_report(a, b, group_col="lang", url_col="url")
+    assert rep["groups"] == live
+    assert rep["groups"]["zh"]["length"]["ks_est"] == 1.0
+
+
+def test_grouped_from_states_param_mismatch_refused(spark, sf_dir,
+                                                    tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from gopie_spark.operators.drift import (
+        grouped_drift_report_from_states, load_drift_states,
+        persist_drift_states)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "url", F.concat(F.lit("u"), F.col("doc_id").cast("string")))
+    persist_drift_states(docs, str(tmp_path / "a"), group_col="lang",
+                         kll_k=200)
+    persist_drift_states(docs, str(tmp_path / "b"), group_col="lang",
+                         kll_k=100)
+    ga = load_drift_states(str(tmp_path / "a"))["grouped"]
+    gb = load_drift_states(str(tmp_path / "b"))["grouped"]
+    with _pytest.raises(ValueError, match="kll k mismatch"):
+        grouped_drift_report_from_states(ga, gb)
