@@ -2415,6 +2415,48 @@ def _q_join_plan_advice(spark, sf_dir):
         "measure string, exact long, within_bound boolean")
 
 
+def _q_advised_join_orders(spark, sf_dir):
+    """Advised join EXECUTION (plans/joiner.py): profile a planted-skew
+    fact (orders keyed on sk = 7 for even orderkeys, else o_custkey —
+    one viral key carrying half the rows) and a 10%-selective dim
+    (customers with c_custkey % 10 = 7), force the shuffle path with
+    broadcast_bytes=1, and run advised_join.  BOTH scale levers must
+    engage — the Bloom semi-join prefilter (theta set algebra puts the
+    fact side's matching-key fraction ~0.1, under the 0.5 threshold)
+    and bounded-load salting (the Misra-Gries bracket sees the viral
+    key; salt capped at max_salt) — and the body hard-asserts they
+    did.  Both levers are exact rewrites (Bloom has no false
+    negatives; salting replicates partners per salt), so the DuckDB
+    oracle is the PLAIN join aggregated per mktsegment: a hash match
+    proves the advised plan changed the execution, never the answer.
+    Sums are per-row integer cents, so both engines add exactly."""
+    from gopie_spark.plans.advisor import build_join_profile, join_advice
+    from gopie_spark.plans.joiner import advised_join
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    fact = orders.select(
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(7))
+        .otherwise(F.col("o_custkey")).cast("long").alias("sk"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long").alias("cents"))
+    dim = (cust.filter(F.col("c_custkey") % 10 == 7)
+           .select(F.col("c_custkey").cast("long").alias("dk"),
+                   "c_mktsegment"))
+    adv = join_advice(build_join_profile(fact, "sk"),
+                      build_join_profile(dim, "dk"),
+                      broadcast_bytes=1)
+    rep: dict = {}
+    out = advised_join(fact, dim, ("sk", "dk"), adv, report=rep)
+    assert rep["path"] == "shuffle", rep
+    assert rep["prefilter_side"] == "left", rep
+    assert rep["salt"] > 1 and rep["salt_side"] == "left", rep
+    return (out.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("sum_cents"))
+            .orderBy("c_mktsegment"))
+
+
 def _q_lang_drift(spark, sf_dir):
     """Per-language snapshot drift (drift.grouped_drift_states via the
     one-scan keyed co-build sketch_agg.keyed_sketch_multi): crawl A
@@ -3118,6 +3160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position.
     return {
         # --- no driver-green row yet (r4 priority block) ---
+        "advised_join_orders": _q_advised_join_orders,
         "join_plan_advice": _q_join_plan_advice,
         "lang_drift": _q_lang_drift,
         "corpus_drift": _q_corpus_drift,
@@ -3271,6 +3314,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT user_id, count(*) AS n FROM events
                   WHERE event_type = 'purchase' GROUP BY user_id) p
             USING (user_id)
+        """,
+        "advised_join_orders": """
+            SELECT d.c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(f.cents) AS BIGINT) AS sum_cents
+            FROM (SELECT CASE WHEN o_orderkey % 2 = 0 THEN 7
+                              ELSE o_custkey END AS sk,
+                         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                             AS cents
+                  FROM orders) f
+            JOIN (SELECT c_custkey AS dk, c_mktsegment FROM customer
+                  WHERE c_custkey % 10 = 7) d ON f.sk = d.dk
+            GROUP BY d.c_mktsegment ORDER BY d.c_mktsegment
         """,
         "join_plan_advice": """
             WITH m AS (

@@ -103,6 +103,9 @@ def main() -> None:
         "join_plan_advice",
         # round 4i: per-language drift via the one-scan keyed co-build
         "lang_drift",
+        # round 4l: advised join execution (Bloom semi-join prefilter +
+        # bounded-load salting, hash-equal to the plain join)
+        "advised_join_orders",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",
