@@ -18,6 +18,18 @@ Advise (pure NumPy over two persisted profiles — laptop-fast):
     python jobs/plan_advice.py agg --profile /indexes/profiles/orders \\
         [--target-rows-per-task 4000000]
 
+Execute (Spark again — run the join the advice planned, via
+plans/joiner.py: broadcast hint, or Bloom semi-join prefilter below
+the shuffle + capped bounded-load salting; output multiset-equal to
+the plain join):
+
+    spark-submit --py-files /tmp/gopie_spark.zip jobs/plan_advice.py \\
+        execute --left-table /data/orders.parquet --left-key o_custkey \\
+        --right-table /data/customer.parquet --right-key c_custkey \\
+        --out /data/joined [--how inner|left_semi] \\
+        [--left-profile /indexes/profiles/orders] [--right-profile ...] \\
+        [--max-salt 64]
+
 The advice JSON carries the physical knobs a 1000-executor run must
 set before touching the data: broadcast vs shuffle (from EXACT payload
 bytes), the bounded-load salt for the hottest key (Misra-Gries upper
@@ -79,6 +91,44 @@ def _cmd_advise(args) -> None:
     print(out)
 
 
+def _cmd_execute(args) -> None:
+    """Run the advised join end-to-end: load (or build) the two
+    profiles, advise, execute with :func:`plans.joiner.advised_join`,
+    write the result, and print one JSON line with the advice plan,
+    the execution report (prefilter side, Bloom bytes, salt actually
+    used), and the output row count — the same accounting shape as
+    ``dedup_corpus``'s preflight blocks."""
+    from gopie_spark.plans import get_spark
+    from gopie_spark.plans.advisor import (build_join_profile,
+                                           join_advice, load_join_profile)
+    from gopie_spark.plans.joiner import advised_join
+    from gopie_spark.sources.catalog import load_table
+
+    spark = get_spark("plan-advice-execute")
+    try:
+        left = load_table(spark, args.left_table, fmt=args.format)
+        right = load_table(spark, args.right_table, fmt=args.format)
+        pl = (load_join_profile(args.left_profile) if args.left_profile
+              else build_join_profile(left, args.left_key))
+        pr = (load_join_profile(args.right_profile) if args.right_profile
+              else build_join_profile(right, args.right_key))
+        advice = join_advice(
+            pl, pr, broadcast_bytes=args.broadcast_mb << 20,
+            target_partition_bytes=args.target_partition_mb << 20,
+            load_factor=args.load_factor)
+        report: dict = {}
+        joined = advised_join(left, right,
+                              (args.left_key, args.right_key), advice,
+                              how=args.how, max_salt=args.max_salt,
+                              report=report)
+        joined.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"out": args.out, "rows": n, "how": args.how,
+                          "plan": advice["plan"], "execution": report}))
+    finally:
+        spark.stop()
+
+
 def _cmd_agg(args) -> None:
     from gopie_spark.plans.advisor import agg_advice, load_join_profile
 
@@ -117,6 +167,25 @@ def main() -> None:
     a.add_argument("--load-factor", type=float, default=1.25)
     a.add_argument("--out", default=None)
     a.set_defaults(fn=_cmd_advise)
+
+    e = sub.add_parser("execute", help="run the advised join "
+                                       "(Spark; plans/joiner.py)")
+    e.add_argument("--left-table", required=True)
+    e.add_argument("--left-key", required=True)
+    e.add_argument("--right-table", required=True)
+    e.add_argument("--right-key", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--how", default="inner",
+                   choices=["inner", "left_semi"])
+    e.add_argument("--format", default="parquet")
+    e.add_argument("--left-profile", default=None,
+                   help="persisted profile dir (default: build inline)")
+    e.add_argument("--right-profile", default=None)
+    e.add_argument("--broadcast-mb", type=int, default=10)
+    e.add_argument("--target-partition-mb", type=int, default=128)
+    e.add_argument("--load-factor", type=float, default=1.25)
+    e.add_argument("--max-salt", type=int, default=64)
+    e.set_defaults(fn=_cmd_execute)
 
     g = sub.add_parser("agg", help="groupBy advice from one profile "
                                    "(no Spark)")

@@ -175,3 +175,48 @@ def test_advised_join_rejects_outer(spark, sides):
     adv = _advice(fact, dim)
     with pytest.raises(ValueError):
         advised_join(fact, dim, ("k", "dk"), adv, how="left")
+
+
+# --------------------------------------------------------------------------
+# CLI: profile -> advise (zero Spark) -> execute, one job surface
+# --------------------------------------------------------------------------
+
+def test_plan_advice_execute_cli(spark, tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    fact_p = str(tmp_path / "fact")
+    dim_p = str(tmp_path / "dim")
+    (spark.range(6_000)
+     .select(F.when(F.col("id") % 2 == 0, 3)
+             .otherwise(F.col("id") % 300).cast("long").alias("k"),
+             F.col("id").alias("v"))
+     .write.parquet(fact_p))
+    (spark.range(300).filter(F.col("id") % 10 == 3)
+     .select(F.col("id").cast("long").alias("dk"),
+             (F.col("id") * 2).alias("w"))
+     .write.parquet(dim_p))
+    out = str(tmp_path / "joined")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "jobs/plan_advice.py", "execute",
+         "--left-table", fact_p, "--left-key", "k",
+         "--right-table", dim_p, "--right-key", "dk",
+         "--out", out, "--broadcast-mb", "0", "--max-salt", "16"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=500)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    # viral key 3 matches the dim (3 % 10 == 3): both levers engage
+    assert rep["execution"]["prefilter_side"] == "left"
+    assert 1 < rep["execution"]["salt"] <= 16
+    # the written result equals the plain join
+    fact = spark.read.parquet(fact_p)
+    dim = spark.read.parquet(dim_p)
+    plain = fact.join(dim, fact.k == dim.dk)
+    got = spark.read.parquet(out)
+    cols = ["k", "v", "dk", "w"]
+    assert rep["rows"] == plain.count()
+    assert _rows(got, cols) == _rows(plain, cols)
