@@ -230,6 +230,134 @@ def siphash24_values(values) -> np.ndarray:
     return siphash24(data, offsets)
 
 
+# ---------------------------------------------------------------------------
+# XXH64 — parity target: Spark's `xxhash64` SQL expression (XXH64.java in
+# Catalyst is a faithful implementation of Cyan4973/xxHash XXH64, verified
+# there against the upstream test vectors; default seed 42).  Having the
+# SAME hash locally lets driver-side code reproduce any routing decision a
+# Spark plan made with `F.xxhash64` — e.g. which bloom shard holds a url
+# (operators/membership._shard_expr) — so a persisted shard table can be
+# point-probed with row-group pruning and ZERO Spark (operators/store.py).
+# ---------------------------------------------------------------------------
+XXH64_SPARK_SEED = 42
+
+_XXP1 = np.uint64(0x9E3779B185EBCA87)
+_XXP2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XXP3 = np.uint64(0x165667B19E3779F9)
+_XXP4 = np.uint64(0x85EBCA77C2B2AE63)
+_XXP5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _xx_round(acc: np.ndarray, lane: np.ndarray) -> np.ndarray:
+    return _rotl(acc + lane * _XXP2, 31) * _XXP1
+
+
+def _xx_u64_lanes(data: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Gather one little-endian uint64 lane per element at ``starts``."""
+    chunk = data[starts[:, None] + np.arange(8)].astype(U64)
+    return (chunk << _BYTE_SHIFTS).sum(axis=1, dtype=U64)
+
+
+def xxh64(data: np.ndarray, offsets: np.ndarray,
+          seed: int = XXH64_SPARK_SEED) -> np.ndarray:
+    """XXH64 over each element; returns uint64[n] (reinterpret as int64
+    for Spark's signed `xxhash64` value).
+
+    Vectorized like :func:`siphash24`: stripe/word/byte loops run over
+    the maximum element length with active-row masks.  Byte-exact parity
+    with `F.xxhash64(col)` on string columns is pinned in
+    tests/test_hashes parity suites (seed 42 = Spark's fixed seed).
+    """
+    n = len(offsets) - 1
+    out = np.empty(n, dtype=U64)
+    if n == 0:
+        return out
+    mask = (1 << 64) - 1
+    s_int = seed & mask
+    lens = _lengths(offsets).astype(np.int64)
+    starts = offsets[:-1]
+
+    h = np.full(n, np.uint64((s_int + int(_XXP5)) & mask), dtype=U64)
+    long_sel = np.nonzero(lens >= 32)[0]
+    if long_sel.size:
+        a1 = np.full(long_sel.size,
+                     np.uint64((s_int + int(_XXP1) + int(_XXP2)) & mask),
+                     dtype=U64)
+        a2 = np.full(long_sel.size,
+                     np.uint64((s_int + int(_XXP2)) & mask), dtype=U64)
+        a3 = np.full(long_sel.size, np.uint64(s_int), dtype=U64)
+        a4 = np.full(long_sel.size,
+                     np.uint64((s_int - int(_XXP1)) & mask), dtype=U64)
+        nstripes = lens[long_sel] // 32
+        for stripe in range(int(nstripes.max())):
+            act = np.nonzero(nstripes > stripe)[0]
+            base = starts[long_sel[act]] + 32 * stripe
+            a1[act] = _xx_round(a1[act], _xx_u64_lanes(data, base))
+            a2[act] = _xx_round(a2[act], _xx_u64_lanes(data, base + 8))
+            a3[act] = _xx_round(a3[act], _xx_u64_lanes(data, base + 16))
+            a4[act] = _xx_round(a4[act], _xx_u64_lanes(data, base + 24))
+        hl = _rotl(a1, 1) + _rotl(a2, 7) + _rotl(a3, 12) + _rotl(a4, 18)
+        for acc in (a1, a2, a3, a4):
+            hl = (hl ^ _xx_round(np.zeros_like(acc), acc)) * _XXP1 + _XXP4
+        h[long_sel] = hl
+
+    h += lens.astype(U64)
+
+    # tail: whole 8-byte words after the 32-byte stripes
+    done = np.where(lens >= 32, (lens // 32) * 32, 0)
+    nwords = (lens - done) // 8
+    for w in range(int(nwords.max()) if n else 0):
+        act = np.nonzero(nwords > w)[0]
+        if act.size == 0:
+            break
+        lane = _xx_u64_lanes(data, starts[act] + done[act] + 8 * w)
+        h[act] = _rotl(h[act] ^ _xx_round(np.zeros_like(lane), lane),
+                       27) * _XXP1 + _XXP4
+    done = done + nwords * 8
+
+    # one 4-byte word
+    sel4 = np.nonzero(lens - done >= 4)[0]
+    if sel4.size:
+        chunk = data[(starts[sel4] + done[sel4])[:, None]
+                     + np.arange(4)].astype(U64)
+        lane = (chunk << _BYTE_SHIFTS[:4]).sum(axis=1, dtype=U64)
+        h[sel4] = _rotl(h[sel4] ^ (lane * _XXP1), 23) * _XXP2 + _XXP3
+        done[sel4] += 4
+
+    # remaining single bytes (at most 3)
+    rem = lens - done
+    for i in range(3):
+        sel = np.nonzero(rem > i)[0]
+        if sel.size == 0:
+            break
+        b = data[starts[sel] + done[sel] + i].astype(U64)
+        h[sel] = _rotl(h[sel] ^ (b * _XXP5), 11) * _XXP1
+
+    h ^= h >> np.uint64(33)
+    h *= _XXP2
+    h ^= h >> np.uint64(29)
+    h *= _XXP3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def xxh64_values(values, seed: int = XXH64_SPARK_SEED) -> np.ndarray:
+    """XXH64 of a batch of strings/bytes (nulls hash as empty string —
+    callers that must mirror Spark's null semantics filter nulls first,
+    since `F.xxhash64(NULL)` passes the seed through unchanged)."""
+    data, offsets = to_buffer(values)
+    return xxh64(data, offsets, seed=seed)
+
+
+def spark_shard_of(values, shards: int) -> np.ndarray:
+    """The shard each value routes to under membership._shard_expr —
+    ``pmod(xxhash64(v), shards)`` reproduced locally.  NumPy's int64
+    ``%`` is floor-mod, which equals Spark's `pmod` for positive
+    divisors, so the signed reinterpretation is the only subtlety."""
+    return (xxh64_values(values).view(np.int64) % np.int64(shards)) \
+        .astype(np.int64)
+
+
 def mix64(x: np.ndarray) -> np.ndarray:
     """Cheap stateless uint64 mixer (splitmix64 finalizer) for derived
     hash families (MinHash permutations, salting, jump-hash string keys)."""

@@ -1,0 +1,382 @@
+"""SketchStore — serve analytics from persisted sketch states with ZERO
+Spark and ZERO corpus reads.
+
+The build side of this library scans a 100 TB pages table ONCE and
+persists KB-sized mergeable states (jobs/build_sketches.py writes
+per-lang HLL parquet, sharded Bloom parquet, CMS / sliding-HLL /
+windowed-CMS blobs; operators/drift.py persists Theta + CountSketch +
+Misra-Gries + KLL + exact lang counts).  This module is the QUERY side:
+open that directory and answer the north-star question set —
+
+- distinct urls (global, or any lang subset)   -> HLL register-max merge
+- distinct urls since any cutoff               -> sliding-HLL suffix
+- token frequency (all time / trailing window) -> CMS / windowed CMS
+- heavy-hitter tokens                          -> Misra-Gries topk
+- membership "have we crawled these urls?"     -> sharded Bloom probe
+- token-length quantiles                       -> KLL
+- language histogram                           -> exact persisted counts
+
+Every answer carries its published error bound and read provenance
+(which artifact, how many bytes) so a caller can audit that the corpus
+was never touched.  All estimate paths are pure file IO + NumPy — the
+states are self-describing TLV blobs (kernels.sketch_from_blob), the
+keyed tables are read with pyarrow.  The one path that touches a
+potentially-large artifact — the sharded Bloom probe (1.25 TB of filter
+bits at 10^12 keys / p=0.001) — routes each probed url to its shard with
+the LOCAL Spark-parity xxhash64 (kernels/hashes.py:xxh64, pinned
+byte-equal to `F.xxhash64`) and reads ONLY the row groups whose shard-id
+statistics intersect the probed shards: a point lookup into a TB-scale
+filter costs a few MB of IO, no cluster.
+
+The reference has no serving layer (its sketches live in process
+memory); this is the production shape the north rule's "answering
+distinct-url cardinality, per-lang heavy-hitter token frequencies,
+membership tests, text-length quantiles" workload implies once states
+are built at 10^12-doc scale: build once on the cluster, answer forever
+from the store.
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from gopie_spark.kernels import sketch_from_blob
+from gopie_spark.kernels.hashes import spark_shard_of
+
+META_FILE = "_store_meta.json"
+STATE_COL = "sketch_state"
+
+# canonical artifact names (the build_sketches.py output contract)
+ART_HLL_LANG = "hll_lang_url"
+ART_BLOOM_SHARDS = "bloom_url_shards"
+ART_CMS = "cms_tokens.bin"
+ART_SLIDING_HLL = "sliding_hll_url.bin"
+ART_WINDOW_CMS = "window_cms_tokens.bin"
+ART_DRIFT = "drift"
+
+
+class StoreMiss(KeyError):
+    """The store holds no state that can answer this question.  Carries
+    the build-side remedy so the caller knows which flag/artifact would
+    cover it next build."""
+
+    def __init__(self, what: str, remedy: str):
+        super().__init__(what)
+        self.what = what
+        self.remedy = remedy
+
+    def __str__(self) -> str:  # pragma: no cover - cosmetic
+        return f"{self.what} (build with {self.remedy})"
+
+
+@dataclass
+class Answer:
+    """One served answer: the estimate, its published bound, and read
+    provenance (artifact + bytes) for a zero-corpus-access audit."""
+
+    value: object
+    kind: str
+    source: str
+    bytes_read: int
+    bound: Optional[float] = None
+    bound_kind: Optional[str] = None
+    states_merged: int = 1
+    detail: Dict = field(default_factory=dict)
+
+    def to_json(self) -> Dict:
+        v = self.value
+        if isinstance(v, np.generic):
+            v = v.item()
+        elif isinstance(v, np.ndarray):
+            v = v.tolist()
+        return {
+            "value": v, "kind": self.kind, "source": self.source,
+            "bytes_read": int(self.bytes_read), "bound": self.bound,
+            "bound_kind": self.bound_kind,
+            "states_merged": int(self.states_merged),
+            **({"detail": self.detail} if self.detail else {}),
+        }
+
+
+def write_store_bin(store_dir: str, name: str, kernel, state) -> str:
+    """Persist one global sketch state as a self-describing blob under
+    the store directory; returns the artifact's relative name."""
+    os.makedirs(store_dir, exist_ok=True)
+    path = os.path.join(store_dir, name)
+    with open(path, "wb") as fh:
+        fh.write(kernel.serialize(state))
+    return name
+
+
+def update_store_meta(store_dir: str, **fields) -> Dict:
+    """Merge ``fields`` into the store's ``_store_meta.json`` (created
+    if absent); atomic replace so a killed build never leaves a torn
+    meta file.  Returns the merged meta."""
+    os.makedirs(store_dir, exist_ok=True)
+    path = os.path.join(store_dir, META_FILE)
+    meta: Dict = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            meta = json.load(fh)
+    meta.update(fields)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    os.replace(tmp, path)
+    return meta
+
+
+class SketchStore:
+    """Read-only view over a persisted sketch directory.
+
+    Artifacts are opened lazily and cached; missing artifacts raise
+    :class:`StoreMiss` naming the build flag that would produce them.
+    No method here creates a SparkSession or reads the corpus.
+    """
+
+    def __init__(self, path: str):
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"no sketch store at {path}")
+        self.path = path
+        meta_path = os.path.join(path, META_FILE)
+        self.meta: Dict = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                self.meta = json.load(fh)
+        self._bin_cache: Dict[str, tuple] = {}
+        self._hll_cache: Optional[Dict[str, bytes]] = None
+
+    # -- artifact access ---------------------------------------------------
+
+    def _art(self, name: str) -> str:
+        return os.path.join(self.path, name)
+
+    def has(self, name: str) -> bool:
+        return os.path.exists(self._art(name))
+
+    def coverage(self) -> Dict[str, Dict]:
+        """What the store can answer: artifact -> {present, bytes}."""
+        out = {}
+        for name in (ART_HLL_LANG, ART_BLOOM_SHARDS, ART_CMS,
+                     ART_SLIDING_HLL, ART_WINDOW_CMS, ART_DRIFT):
+            p = self._art(name)
+            if os.path.isdir(p):
+                size = sum(os.path.getsize(os.path.join(dp, f))
+                           for dp, _, fs in os.walk(p) for f in fs)
+            elif os.path.exists(p):
+                size = os.path.getsize(p)
+            else:
+                out[name] = {"present": False}
+                continue
+            out[name] = {"present": True, "bytes": int(size)}
+        return out
+
+    def _bin(self, name: str, remedy: str):
+        """(kernel, state, nbytes) for a blob artifact."""
+        if name in self._bin_cache:
+            return self._bin_cache[name]
+        p = self._art(name)
+        if not os.path.exists(p):
+            raise StoreMiss(name, remedy)
+        with open(p, "rb") as fh:
+            blob = fh.read()
+        kernel = sketch_from_blob(blob)
+        got = (kernel, kernel.deserialize(blob), len(blob))
+        self._bin_cache[name] = got
+        return got
+
+    def _hll_states(self) -> Dict[str, bytes]:
+        """lang -> serialized HLL state, from the per-lang parquet."""
+        if self._hll_cache is None:
+            p = self._art(ART_HLL_LANG)
+            if not os.path.isdir(p):
+                raise StoreMiss(ART_HLL_LANG, "jobs/build_sketches.py")
+            t = pq.read_table(p)
+            key_col = self.meta.get("hll_key_col", "lang")
+            keys = t.column(key_col).to_pylist()
+            blobs = t.column(STATE_COL).to_pylist()
+            self._hll_cache = dict(zip(keys, (bytes(b) for b in blobs)))
+        return self._hll_cache
+
+    # -- distinct counts ---------------------------------------------------
+
+    def langs(self) -> List[str]:
+        return sorted(self._hll_states())
+
+    def distinct_urls(self, langs: Optional[Sequence[str]] = None) -> Answer:
+        """Approximate distinct urls over all langs (default) or any
+        lang subset — a register-max merge of the persisted per-lang
+        states; relative error within 3 * 1.04/sqrt(m) (3-sigma).
+
+        This is the mergeable-sketch payoff: ANY subset rollup from the
+        same one-scan build, no second corpus pass."""
+        states = self._hll_states()
+        if langs is None:
+            langs = sorted(states)
+        unknown = [l for l in langs if l not in states]
+        if unknown:
+            raise KeyError(f"langs not in store: {unknown}; "
+                           f"have {sorted(states)}")
+        if not langs:
+            raise ValueError("empty lang subset")
+        kernel = sketch_from_blob(states[langs[0]])
+        merged = kernel.deserialize(states[langs[0]])
+        nbytes = len(states[langs[0]])
+        for lang in langs[1:]:
+            merged = kernel.merge(merged, kernel.deserialize(states[lang]))
+            nbytes += len(states[lang])
+        return Answer(value=int(kernel.count(merged)), kind="hll",
+                      source=ART_HLL_LANG, bytes_read=nbytes,
+                      bound=3 * kernel.std_err, bound_kind="relative_3sigma",
+                      states_merged=len(langs),
+                      detail={"langs": list(langs)})
+
+    def distinct_urls_since(self, cutoff_epoch: float) -> Answer:
+        """Approximate distinct urls with event time >= cutoff — the
+        sliding-HLL suffix query (any cutoff, one persisted state)."""
+        kernel, state, nbytes = self._bin(
+            ART_SLIDING_HLL, "jobs/build_sketches.py --time-windows")
+        return Answer(value=int(kernel.count(state, cutoff=cutoff_epoch)),
+                      kind="sliding_hll", source=ART_SLIDING_HLL,
+                      bytes_read=nbytes, bound=3 * kernel.std_err,
+                      bound_kind="relative_3sigma",
+                      detail={"cutoff_epoch": float(cutoff_epoch)})
+
+    # -- token frequencies -------------------------------------------------
+
+    def token_freq(self, tokens: Sequence[str],
+                   window_ticks: Optional[int] = None,
+                   now_tick: Optional[int] = None) -> Answer:
+        """Token frequency estimates.  All-time (CMS: overcount <=
+        eps*N at confidence delta) or over a trailing tick window
+        (windowed CMS: same bound with N = that window's mass)."""
+        tokens = list(tokens)
+        if window_ticks is None:
+            kernel, state, nbytes = self._bin(
+                ART_CMS, "jobs/build_sketches.py")
+            est = kernel.estimate(state, tokens)
+            n = kernel.count(state)
+            src = ART_CMS
+            kind = "cms"
+            detail = {}
+        else:
+            kernel, state, nbytes = self._bin(
+                ART_WINDOW_CMS, "jobs/build_sketches.py --time-windows")
+            est = kernel.estimate(state, tokens, window_ticks=window_ticks,
+                                  now_tick=now_tick)
+            n = kernel.window_total(state, window_ticks=window_ticks,
+                                    now_tick=now_tick)
+            src = ART_WINDOW_CMS
+            kind = "window_cms"
+            detail = {"window_ticks": int(window_ticks)}
+        return Answer(value={t: int(e) for t, e in zip(tokens, est)},
+                      kind=kind, source=src, bytes_read=nbytes,
+                      bound=float(kernel.epsilon) * float(n),
+                      bound_kind="additive_overcount",
+                      detail={"total_mass": int(n),
+                              "delta": float(kernel.delta), **detail})
+
+    def top_tokens(self, k: Optional[int] = None) -> Answer:
+        """Heavy-hitter tokens from the drift Misra-Gries state, with
+        its deterministic undercount bound."""
+        kernel, state, nbytes = self._bin(
+            os.path.join(ART_DRIFT, "mg_tokens.bin"),
+            "jobs/build_sketches.py --drift-states")
+        items, counts = kernel.topk(state, n=k)
+        return Answer(value={str(t): int(c)
+                             for t, c in zip(items, counts)},
+                      kind="misra_gries",
+                      source=f"{ART_DRIFT}/mg_tokens.bin",
+                      bytes_read=nbytes,
+                      bound=float(kernel.error_bound(state)),
+                      bound_kind="additive_undercount")
+
+    # -- quantiles / histograms ---------------------------------------------
+
+    def token_length_quantiles(self, qs: Sequence[float]) -> Answer:
+        """Doc token-length quantiles from the drift KLL state (rank
+        error <= eps_k at each q)."""
+        kernel, state, nbytes = self._bin(
+            os.path.join(ART_DRIFT, "kll_toklen.bin"),
+            "jobs/build_sketches.py --drift-states")
+        vals = kernel.quantile(state, list(qs))
+        return Answer(value={float(q): float(v)
+                             for q, v in zip(qs, np.atleast_1d(vals))},
+                      kind="kll", source=f"{ART_DRIFT}/kll_toklen.bin",
+                      bytes_read=nbytes,
+                      bound=_kll_rank_eps(kernel), bound_kind="rank_error")
+
+    def lang_histogram(self) -> Answer:
+        """Exact per-lang doc counts (persisted by the drift tier)."""
+        p = self._art(os.path.join(ART_DRIFT, "lang_counts.json"))
+        if not os.path.exists(p):
+            raise StoreMiss("drift/lang_counts.json",
+                            "jobs/build_sketches.py --drift-states")
+        with open(p) as fh:
+            counts = json.load(fh)
+        return Answer(value=counts, kind="exact",
+                      source=f"{ART_DRIFT}/lang_counts.json",
+                      bytes_read=os.path.getsize(p), bound=0.0,
+                      bound_kind="exact")
+
+    # -- membership ----------------------------------------------------------
+
+    def maybe_contains_urls(self, urls: Sequence[str]) -> Answer:
+        """Probe the sharded Bloom filters: False is definitive ("never
+        crawled"), True is "maybe" at the per-shard FPR.
+
+        Scale path: each url routes to its shard with the LOCAL
+        Spark-parity xxhash64 — the exact rule `bloom_shards_build`
+        shuffled on — and only row groups whose `bloom_shard` statistics
+        intersect the probed shard ids are read (pyarrow predicate
+        pushdown over parquet min/max).  At 10^12 keys the full shard
+        table is ~TB; a point probe reads the few shard states it needs.
+        """
+        p = self._art(ART_BLOOM_SHARDS)
+        if not os.path.isdir(p):
+            raise StoreMiss(ART_BLOOM_SHARDS, "jobs/build_sketches.py")
+        shards = self.meta.get("bloom_shards")
+        if shards is None:
+            raise ValueError(
+                f"store has no 'bloom_shards' in {META_FILE}; the shard "
+                "count is required to route probes (rebuild with "
+                "jobs/build_sketches.py, which records it)")
+        urls = list(urls)
+        sid = spark_shard_of(urls, int(shards))
+        want = sorted(set(sid.tolist()))
+        t = pq.read_table(p, filters=[("bloom_shard", "in", want)])
+        got_ids = np.asarray(t.column("bloom_shard"))
+        blobs = t.column(STATE_COL).to_pylist()
+        by_shard = {int(s): bytes(b) for s, b in zip(got_ids, blobs)}
+        out = np.zeros(len(urls), dtype=bool)
+        fpr = 0.0
+        for s in want:
+            blob = by_shard.get(int(s))
+            if blob is None:
+                continue  # shard never saw a key -> all probes absent
+            kernel = sketch_from_blob(blob)
+            state = kernel.deserialize(blob)
+            mask = sid == s
+            vals = [urls[i] for i in np.nonzero(mask)[0]]
+            out[mask] = kernel.exist(state, vals)
+            if hasattr(kernel, "false_positive"):
+                fpr = max(fpr, float(kernel.false_positive(state)))
+        return Answer(value={u: bool(b) for u, b in zip(urls, out)},
+                      kind="bloom_shards", source=ART_BLOOM_SHARDS,
+                      bytes_read=int(t.nbytes),
+                      bound=fpr, bound_kind="false_positive_rate",
+                      states_merged=len(by_shard),
+                      detail={"shards_probed": len(want),
+                              "shards_total": int(shards)})
+
+
+def _kll_rank_eps(kernel) -> float:
+    """KLL's rank-error constant for k (Karnin-Lang-Liberty 2016:
+    eps ~ 2.296/k at 99% confidence for the k-compactor variant)."""
+    return 2.296 / float(getattr(kernel, "k", 200))

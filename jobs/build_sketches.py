@@ -123,13 +123,19 @@ def main() -> None:
     # Arrow-side tokenize: no token row ever shuffles (measured 1.8x
     # faster than the JVM wordcount-shuffle variant, same sketch)
     cms, cms_state = cms_build(pages.select("text"), "text", tokenize=True)
-    with open(f"{args.checkpoint}/cms_tokens.bin", "wb") as fh:
+    with open(f"{args.output}/cms_tokens.bin", "wb") as fh:
         fh.write(cms.serialize(cms_state))
 
     shard_states = bloom_shards_build(pages.select("url"), "url",
                                       n=n, p=0.001, shards=256)
     shard_states.write.mode("overwrite") \
         .parquet(f"{args.output}/bloom_url_shards")
+
+    # the output directory is a SketchStore (operators/store.py): record
+    # what a zero-Spark reader needs to route probes and name keyed cols
+    from gopie_spark.operators.store import update_store_meta
+    update_store_meta(args.output, bloom_shards=256, bloom_n=n,
+                      bloom_p=0.001, hll_key_col="lang", rows=n)
 
     outputs = ["hll_lang_url", "bloom_url_shards", "cms_tokens.bin"]
     if args.time_windows:
@@ -139,13 +145,13 @@ def main() -> None:
                                            window_cms_tokens_build)
         sh, sh_state = sliding_hll_build(pages, "url", "warc_ts",
                                          p=args.hll_p)
-        with open(f"{args.checkpoint}/sliding_hll_url.bin", "wb") as fh:
+        with open(f"{args.output}/sliding_hll_url.bin", "wb") as fh:
             fh.write(sh.serialize(sh_state))
         wc, wc_state = window_cms_tokens_build(
             pages, text_col="text", ts_col="warc_ts",
             resolution=args.window_resolution,
             n_ticks=args.window_horizon)
-        with open(f"{args.checkpoint}/window_cms_tokens.bin", "wb") as fh:
+        with open(f"{args.output}/window_cms_tokens.bin", "wb") as fh:
             fh.write(wc.serialize(wc_state))
         outputs += ["sliding_hll_url.bin", "window_cms_tokens.bin"]
 

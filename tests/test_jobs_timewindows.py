@@ -31,14 +31,14 @@ def test_build_sketches_time_windows(spark, tmp_path):
     assert "window_cms_tokens.bin" in rep["outputs"]
 
     pages = spark.read.parquet(src)
-    with open(f"{ckpt}/sliding_hll_url.bin", "rb") as fh:
+    with open(f"{out}/sliding_hll_url.bin", "rb") as fh:
         blob = fh.read()
     sh = SlidingHLL.from_blob(blob)
     assert sh.p == 11
     _, direct = sliding_hll_build(pages, "url", "warc_ts", p=11)
     assert blob == sh.serialize(direct)
 
-    with open(f"{ckpt}/window_cms_tokens.bin", "rb") as fh:
+    with open(f"{out}/window_cms_tokens.bin", "rb") as fh:
         blob = fh.read()
     wc = WindowCMS.from_blob(blob)
     assert (wc.resolution, wc.n_ticks) == (21600.0, 64)

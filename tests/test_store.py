@@ -1,0 +1,254 @@
+"""SketchStore serving layer: build once with Spark, answer with ZERO
+Spark and ZERO corpus access (operators/store.py), plus the local
+Spark-parity xxhash64 that makes shard-routed point probes possible."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gopie_spark.kernels import HLL
+from gopie_spark.kernels.hashes import spark_shard_of, xxh64_values
+from gopie_spark.operators import (SketchStore, StoreMiss, bloom_shards_build,
+                                   update_store_meta, write_store_bin)
+from gopie_spark.operators.sketch_agg import sketch_agg
+
+
+# --------------------------------------------------------------------------
+# local xxhash64 parity — the hash that routes probes to shards
+# --------------------------------------------------------------------------
+
+def test_xxh64_spark_parity(spark):
+    import random
+    import string
+    random.seed(11)
+    vals = [""]
+    for length in list(range(1, 40)) + [63, 64, 65, 96, 97, 255, 1000]:
+        vals.append("".join(random.choice(string.printable)
+                            for _ in range(length)))
+    vals += ["héllo wörld ☃ 中文テスト" * 3, "a" * 31, "b" * 32, "c" * 33,
+             "日本語", "https://example.com/path?q=1"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    want = [r[0] for r in df.select(F.xxhash64("v")).collect()]
+    got = xxh64_values(vals).view(np.int64).tolist()
+    assert got == want
+
+    sh_want = [r[0] for r in df.select(
+        F.pmod(F.xxhash64(F.col("v").cast("string")), F.lit(64))).collect()]
+    assert spark_shard_of(vals, 64).tolist() == sh_want
+
+
+def test_xxh64_empty_batch():
+    assert xxh64_values([]).shape == (0,)
+
+
+# --------------------------------------------------------------------------
+# store build + zero-Spark answers
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def built_store(spark, sf_dir, tmp_path_factory):
+    """A store persisted from the documents table, with exact anchors
+    captured at build time.  The corpus parquet is COPIED and then
+    DELETED after the build, so any answer that touched it would fail —
+    the strongest zero-corpus-access proof available in-process."""
+    out = str(tmp_path_factory.mktemp("store"))
+    corpus = str(tmp_path_factory.mktemp("corpus_copy")) + "/docs"
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select(F.col("doc_id").cast("string").alias("url"),
+                    "lang", "text"))
+    docs.write.mode("overwrite").parquet(corpus)
+    docs = spark.read.parquet(corpus)
+
+    hll = HLL(p=13)
+    sketch_agg(docs.select("lang", F.col("url").alias("v")),
+               ["lang"], "v", hll) \
+        .write.mode("overwrite").parquet(f"{out}/hll_lang_url")
+    from gopie_spark.operators import cms_tokens_build
+    cms, cms_state = cms_tokens_build(docs.select("text"), "text")
+    write_store_bin(out, "cms_tokens.bin", cms, cms_state)
+    n = docs.count()
+    shards = 16
+    bloom_shards_build(docs.select("url"), "url", n=n, p=0.001,
+                       shards=shards) \
+        .write.mode("overwrite").parquet(f"{out}/bloom_url_shards")
+    from gopie_spark.operators.drift import persist_drift_states
+    persist_drift_states(docs, f"{out}/drift")
+    update_store_meta(out, bloom_shards=shards, bloom_n=n, bloom_p=0.001,
+                      hll_key_col="lang", rows=n)
+
+    exact = {
+        "distinct": docs.select("url").distinct().count(),
+        "per_lang": {r["lang"]: r["n"] for r in
+                     docs.groupBy("lang")
+                     .agg(F.countDistinct("url").alias("n")).collect()},
+        "tokens": {r["tok"]: r["c"] for r in
+                   docs.select(F.explode(F.split("text", r"\s+"))
+                               .alias("tok"))
+                   .filter(F.col("tok") != "")
+                   .groupBy("tok").agg(F.count("*").alias("c"))
+                   .orderBy(F.desc("c"), "tok").limit(10).collect()},
+        "urls_present": [r["url"] for r in docs.select("url")
+                         .orderBy("url").limit(8).collect()],
+    }
+    shutil.rmtree(corpus)  # corpus gone: answers below CANNOT re-scan it
+    return out, exact
+
+
+def test_store_distinct_urls_all_and_subset(built_store):
+    out, exact = built_store
+    store = SketchStore(out)
+    ans = store.distinct_urls()
+    assert ans.kind == "hll" and ans.bytes_read > 0
+    assert abs(ans.value - exact["distinct"]) <= ans.bound * exact["distinct"]
+    assert ans.states_merged == len(exact["per_lang"])
+
+    langs = sorted(exact["per_lang"])[:2]
+    sub = store.distinct_urls(langs)
+    sub_exact = sum(exact["per_lang"][l] for l in langs)
+    assert abs(sub.value - sub_exact) <= sub.bound * sub_exact
+    with pytest.raises(KeyError):
+        store.distinct_urls(["no-such-lang"])
+
+
+def test_store_token_freq_within_bound(built_store):
+    out, exact = built_store
+    store = SketchStore(out)
+    toks = list(exact["tokens"])
+    ans = store.token_freq(toks)
+    assert ans.bound_kind == "additive_overcount"
+    for t in toks:
+        got, want = ans.value[t], exact["tokens"][t]
+        assert want <= got <= want + ans.bound  # CMS one-sided overcount
+
+
+def test_store_membership_probe_prunes(built_store):
+    out, exact = built_store
+    store = SketchStore(out)
+    present = exact["urls_present"]
+    absent = [f"never-crawled-{i}" for i in range(8)]
+    ans = store.maybe_contains_urls(present + absent)
+    # zero false negatives: every present url answers True
+    assert all(ans.value[u] for u in present)
+    # FPR 0.001 over 8 probes: all absent answer False w.p. ~0.992
+    assert sum(ans.value[u] for u in absent) <= 1
+    # pruning: only the probed shards' states were read
+    assert ans.detail["shards_probed"] < ans.detail["shards_total"]
+    assert ans.states_merged <= ans.detail["shards_probed"]
+
+
+def test_store_drift_tier_answers(built_store):
+    out, exact = built_store
+    store = SketchStore(out)
+    top = store.top_tokens(5)
+    # MG undercount bound: estimates within [exact - err, exact]
+    inter = set(top.value) & set(exact["tokens"])
+    assert inter, "MG top-5 should intersect the exact top-10"
+    for t in inter:
+        assert exact["tokens"][t] - top.bound <= top.value[t] \
+            <= exact["tokens"][t]
+    q = store.token_length_quantiles([0.5])
+    assert q.value[0.5] > 0 and q.bound_kind == "rank_error"
+    hist = store.lang_histogram()
+    assert hist.bound == 0.0
+    assert sum(hist.value.values()) == store.meta["rows"]
+
+
+def test_store_miss_names_remedy(built_store):
+    out, _ = built_store
+    store = SketchStore(out)
+    with pytest.raises(StoreMiss) as ei:
+        store.distinct_urls_since(0.0)
+    assert "--time-windows" in ei.value.remedy
+    with pytest.raises(StoreMiss):
+        store.token_freq(["x"], window_ticks=3)
+
+
+def test_store_requires_meta_for_probe(built_store, tmp_path):
+    out, exact = built_store
+    # a store without meta cannot route probes and must say why
+    alt = tmp_path / "nometa"
+    alt.mkdir()
+    os.symlink(f"{out}/bloom_url_shards", alt / "bloom_url_shards")
+    with pytest.raises(ValueError, match="bloom_shards"):
+        SketchStore(str(alt)).maybe_contains_urls(["u"])
+
+
+def test_store_module_never_imports_spark():
+    """The serving layer must stay runnable on a box without a JVM:
+    operators/store.py may not import pyspark at any level."""
+    import gopie_spark.operators.store as mod
+    src = open(mod.__file__).read()
+    assert "pyspark" not in src
+
+
+def test_query_sketches_cli(built_store):
+    out, exact = built_store
+    env = dict(os.environ)
+    r = subprocess.run(
+        [sys.executable, "jobs/query_sketches.py", "--store", out,
+         "distinct-urls"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    est = rep["answer"]["value"]
+    bound = rep["answer"]["bound"]
+    assert abs(est - exact["distinct"]) <= bound * exact["distinct"]
+
+    r = subprocess.run(
+        [sys.executable, "jobs/query_sketches.py", "--store", out,
+         "coverage"], capture_output=True, text=True, cwd="/root/repo",
+        env=env, timeout=120)
+    cov = json.loads(r.stdout)["answer"]
+    assert cov["hll_lang_url"]["present"]
+    assert not cov["sliding_hll_url.bin"]["present"]
+
+    # a miss exits 3 and names the build flag
+    r = subprocess.run(
+        [sys.executable, "jobs/query_sketches.py", "--store", out,
+         "distinct-urls", "--since", "2026-01-01"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=120)
+    assert r.returncode == 3
+    assert "--time-windows" in json.loads(r.stdout)["remedy"]
+
+
+def test_build_sketches_output_is_a_store(spark, sf_dir, tmp_path):
+    """jobs/build_sketches.py --output IS a SketchStore: run the real
+    job end-to-end at tiny scale, then serve from it with no Spark."""
+    src = str(tmp_path / "pages")
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select(F.col("doc_id").cast("string").alias("url"),
+                    F.current_timestamp().alias("warc_ts"),
+                    F.lit(b"").alias("html"), "text", "lang").limit(400))
+    docs.write.mode("overwrite").parquet(src)
+    written = spark.read.parquet(src)
+    exact_distinct = written.select("url").distinct().count()
+    two_urls = [r["url"] for r in
+                written.select("url").orderBy("url").limit(2).collect()]
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    env = dict(os.environ)
+    r = subprocess.run(
+        [sys.executable, "jobs/build_sketches.py", "--input", src,
+         "--checkpoint", ckpt, "--output", out, "--hll-p", "11",
+         "--n-buckets", "4", "--salt", "0", "--time-windows",
+         "--window-resolution", "86400", "--window-horizon", "32"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    store = SketchStore(out)
+    assert store.meta["bloom_shards"] == 256
+    ans = store.distinct_urls()
+    assert abs(ans.value - exact_distinct) <= ans.bound * exact_distinct
+    since = store.distinct_urls_since(0.0)  # all rows are after epoch 0
+    assert abs(since.value - exact_distinct) \
+        <= since.bound * exact_distinct
+    probe = store.maybe_contains_urls(two_urls + ["definitely-absent-url"])
+    assert all(probe.value[u] for u in two_urls)
