@@ -2411,6 +2411,93 @@ def _q_join_plan_advice(spark, sf_dir):
         "measure string, exact long, within_bound boolean")
 
 
+def _q_sketch_store_answers(spark, sf_dir):
+    """SketchStore serving certificate (operators/store.py): Spark scans
+    the corpus ONCE to persist the store's states (per-lang HLL parquet,
+    token CMS, sharded Bloom, drift MG/KLL/lang-counts + meta), then
+    EVERY answer below is served by the zero-Spark store — pure file IO
+    + NumPy, membership routed by the local Spark-parity xxhash64 to a
+    row-group-pruned shard read.  Certificates per question:
+    distinct (all langs / 2-lang subset merge) within the HLL 3-sigma
+    band; top-5 token frequencies inside the CMS one-sided overcount
+    band; all 8 probed crawled urls answer True (Bloom zero false
+    negatives); the KLL median's exact rank within its rank-error band;
+    the served lang histogram EQUAL to the exact counts."""
+    import tempfile
+    from gopie_spark.kernels import HLL
+    from gopie_spark.operators import (SketchStore, bloom_shards_build,
+                                       cms_tokens_build, update_store_meta,
+                                       write_store_bin)
+    from gopie_spark.operators.drift import persist_drift_states
+    from gopie_spark.operators.sketch_agg import sketch_agg
+    from gopie_spark.operators.textstats import token_count
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "lang", "text")
+    rows = []
+    with tempfile.TemporaryDirectory() as d:
+        hll = HLL(p=14)
+        sketch_agg(docs.select("lang", F.col("url").alias("v")),
+                   ["lang"], "v", hll) \
+            .write.mode("overwrite").parquet(f"{d}/hll_lang_url")
+        cms, cms_state = cms_tokens_build(docs.select("text"), "text")
+        write_store_bin(d, "cms_tokens.bin", cms, cms_state)
+        n = docs.count()
+        bloom_shards_build(docs.select("url"), "url", n=n, p=0.001,
+                           shards=16) \
+            .write.mode("overwrite").parquet(f"{d}/bloom_url_shards")
+        persist_drift_states(docs, f"{d}/drift")
+        update_store_meta(d, bloom_shards=16, bloom_n=n, bloom_p=0.001,
+                          hll_key_col="lang", rows=n)
+
+        # exact anchors (the only other corpus reads in this query)
+        exact_all = docs.select("url").distinct().count()
+        langs2 = [r["lang"] for r in docs.select("lang").distinct()
+                  .orderBy("lang").limit(2).collect()]
+        exact_sub = (docs.filter(F.col("lang").isin(langs2))
+                     .select("url").distinct().count())
+        top5 = [(r["tok"], r["cnt"]) for r in
+                docs.select(F.explode(F.split("text", r"\s+")).alias("tok"))
+                .filter(F.col("tok") != "")
+                .groupBy("tok").agg(F.count("*").alias("cnt"))
+                .orderBy(F.desc("cnt"), "tok").limit(5).collect()]
+        present8 = [r["url"] for r in docs.select("url").distinct()
+                    .orderBy("url").limit(8).collect()]
+        lang_counts = {r["lang"]: r["c"] for r in
+                       docs.groupBy("lang")
+                       .agg(F.count("*").alias("c")).collect()}
+        tl = docs.select(token_count("text").alias("tl"))
+
+        store = SketchStore(d)
+        a = store.distinct_urls()
+        rows.append(("distinct_all", exact_all,
+                     abs(a.value - exact_all) <= a.bound * exact_all))
+        s = store.distinct_urls(langs2)
+        rows.append(("distinct_sub2", exact_sub,
+                     abs(s.value - exact_sub) <= s.bound * exact_sub))
+        tf = store.token_freq([t for t, _ in top5])
+        for t, c in top5:
+            rows.append((f"tokfreq:{t}", c,
+                         c <= tf.value[t] <= c + tf.bound))
+        m = store.maybe_contains_urls(present8)
+        rows.append(("member_present", len(present8),
+                     all(m.value.values())))
+        q = store.token_length_quantiles([0.5])
+        med, eps = q.value[0.5], q.bound
+        le = tl.filter(F.col("tl") <= med).count()
+        lt = tl.filter(F.col("tl") < med).count()
+        rows.append(("toklen_median_rank", n,
+                     le / n >= 0.5 - eps and lt / n <= 0.5 + eps))
+        hist = store.lang_histogram()
+        for lang in sorted(lang_counts)[:3]:
+            rows.append((f"lang_hist:{lang}", lang_counts[lang],
+                         hist.value.get(lang) == lang_counts[lang]))
+    return spark.createDataFrame(
+        sorted((str(qn), int(anchor), bool(ok))
+               for qn, anchor, ok in rows),
+        "question string, anchor long, within_bound boolean")
+
+
 def _q_advised_join_orders(spark, sf_dir):
     """Advised join EXECUTION (plans/joiner.py): profile a planted-skew
     fact (orders keyed on sk = 7 for even orderkeys, else o_custkey —
@@ -3156,6 +3243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position.
     return {
         # --- no driver-green row yet (r4 priority block) ---
+        "sketch_store_answers": _q_sketch_store_answers,
         "advised_join_orders": _q_advised_join_orders,
         "join_plan_advice": _q_join_plan_advice,
         "lang_drift": _q_lang_drift,
@@ -3310,6 +3398,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT user_id, count(*) AS n FROM events
                   WHERE event_type = 'purchase' GROUP BY user_id) p
             USING (user_id)
+        """,
+        "sketch_store_answers": """
+            WITH langs2 AS (SELECT DISTINCT lang FROM documents
+                            ORDER BY lang LIMIT 2),
+                 langs3 AS (SELECT lang, count(*) AS c FROM documents
+                            GROUP BY lang ORDER BY lang LIMIT 3),
+                 top5 AS (
+                    SELECT tok, count(*) AS cnt
+                    FROM (SELECT unnest(string_split_regex(text, '\\s+'))
+                              AS tok
+                          FROM documents)
+                    WHERE tok != ''
+                    GROUP BY tok ORDER BY cnt DESC, tok LIMIT 5),
+                 present8 AS (SELECT count(*) AS c FROM (
+                    SELECT DISTINCT CAST(doc_id AS VARCHAR) AS u
+                    FROM documents ORDER BY u LIMIT 8))
+            SELECT * FROM (
+                SELECT 'distinct_all' AS question,
+                       count(DISTINCT doc_id) AS anchor,
+                       TRUE AS within_bound FROM documents
+                UNION ALL
+                SELECT 'distinct_sub2', count(DISTINCT doc_id), TRUE
+                FROM documents WHERE lang IN (SELECT lang FROM langs2)
+                UNION ALL
+                SELECT 'lang_hist:' || lang, c, TRUE FROM langs3
+                UNION ALL
+                SELECT 'member_present', c, TRUE FROM present8
+                UNION ALL
+                SELECT 'tokfreq:' || tok, cnt, TRUE FROM top5
+                UNION ALL
+                SELECT 'toklen_median_rank', count(*), TRUE FROM documents
+            ) ORDER BY question
         """,
         "advised_join_orders": """
             SELECT d.c_mktsegment,

@@ -106,6 +106,9 @@ def main() -> None:
         # round 4l: advised join execution (Bloom semi-join prefilter +
         # bounded-load salting, hash-equal to the plain join)
         "advised_join_orders",
+        # round 4l: SketchStore serving layer (persist once, answer the
+        # whole north-star question set with zero Spark + bounds)
+        "sketch_store_answers",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",
