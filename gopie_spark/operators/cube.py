@@ -119,6 +119,46 @@ def merge_cubes(a: DataFrame, b: DataFrame, dims: Sequence[str],
                           dims, sketch, salt=salt)
 
 
+def local_rollup(path: str, keep_dims: Sequence[str], filters=None):
+    """Serve a rollup from a persisted cube with ZERO Spark.
+
+    The scale asymmetry the cube exists for: the corpus is ~100 TB but
+    the cells table is |cells| KB-sized states — a few MB — so once the
+    cube is built on the cluster, ANY dim-subset rollup is a laptop-size
+    merge.  This is the serving twin of :func:`rollup` (same semantics,
+    byte-identical states by merge order-independence): pyarrow reads
+    the cells — ``filters`` in pyarrow DNF form prune hive-partitioned
+    ``partition_dim`` directories before any IO — and the states merge
+    in NumPy.  Returns ``(kernel, {keep_dims_tuple: merged_state})``
+    (the key is ``()`` when ``keep_dims`` is empty).
+
+    Complements operators/store.py's SketchStore: that serves the fixed
+    build_sketches artifact set; this serves any persisted cube.
+    """
+    import pyarrow.parquet as pq
+    from gopie_spark.kernels import sketch_from_blob
+
+    with open(os.path.join(path, _META)) as f:
+        meta = json.load(f)
+    kernel = sketch_from_blob(bytes.fromhex(meta["zero_blob_hex"]))
+    keep = list(keep_dims)
+    missing = [d for d in keep if d not in meta["dims"]]
+    if missing:
+        raise ValueError(f"keep_dims not in cube: {missing}")
+    t = pq.read_table(os.path.join(path, _CELLS),
+                      columns=keep + [STATE_COL], filters=filters)
+    blobs = t.column(STATE_COL).to_pylist()
+    if keep:
+        keys = list(zip(*(t.column(d).to_pylist() for d in keep)))
+    else:
+        keys = [()] * len(blobs)
+    out: dict = {}
+    for k, b in zip(keys, blobs):
+        st = kernel.deserialize(bytes(b))
+        out[k] = st if k not in out else kernel.merge(out[k], st)
+    return kernel, out
+
+
 def rollup_estimates(cells: DataFrame, keep_dims: Sequence[str], sketch,
                      where=None, out_col: str = "estimate") -> DataFrame:
     """rollup + the kernel's scalar finalizer as a column (estimate()

@@ -277,3 +277,40 @@ def test_sketch_from_blob_dispatch():
                     (kern, attr)
     with pytest.raises(ValueError):
         sketch_from_blob(b"\x00junk")
+
+
+def test_local_rollup_zero_spark_byte_equal(spark, sf_dir, tmp_path):
+    """The serving path: local_rollup (pyarrow + NumPy, no Spark) must
+    reproduce the Spark rollup BYTE-equal — global, per-dim, and with a
+    partition-dim filter (file-level pruning on the hive layout)."""
+    from gopie_spark.operators.cube import local_rollup
+
+    hll = HLL(p=11)
+    ev = _events_with_day(spark, sf_dir)
+    path = str(tmp_path / "cube")
+    build_sketch_cube(ev, ["event_type", "day"], "user_id", hll,
+                      path=path, partition_dim="day")
+    cells, kern, _dims = load_sketch_cube(spark, path)
+
+    # global
+    want = _states(rollup(cells, [], kern), [])
+    lk, got = local_rollup(path, [])
+    assert type(lk).__name__ == "HLL" and lk.p == 11
+    assert {(): lk.serialize(got[()])} == want
+
+    # per event_type
+    want = _states(rollup(cells, ["event_type"], kern), ["event_type"])
+    _, got = local_rollup(path, ["event_type"])
+    assert {k: lk.serialize(v) for k, v in got.items()} == want
+
+    # day-filtered (partition pruning in the pyarrow read)
+    day0 = ev.agg(F.min("day")).collect()[0][0]
+    want = _states(rollup(cells, ["event_type"], kern,
+                          where=F.col("day") == day0), ["event_type"])
+    _, got = local_rollup(path, ["event_type"],
+                          filters=[("day", "=", str(day0))])
+    assert {(str(k[0]),): lk.serialize(v) for k, v in got.items()} \
+        == {(str(k[0]),): v for k, v in want.items()}
+
+    with pytest.raises(ValueError, match="keep_dims"):
+        local_rollup(path, ["nope"])
