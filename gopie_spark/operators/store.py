@@ -376,6 +376,151 @@ class SketchStore:
                               "shards_total": int(shards)})
 
 
+def _merge_blobs(blob_a: bytes, blob_b: bytes) -> bytes:
+    """Merge two self-describing state blobs (kind + params must match —
+    the kernels refuse mismatched geometries with ValueError)."""
+    kernel = sketch_from_blob(blob_a)
+    merged = kernel.merge(kernel.deserialize(blob_a),
+                          kernel.deserialize(blob_b))
+    return kernel.serialize(merged)
+
+
+def merge_stores(a_dir: str, b_dir: str, out_dir: str) -> Dict:
+    """Merge two sketch stores into one — ZERO Spark, ZERO corpus reads.
+
+    The incremental-crawl shape at the artifact level: build day-2's
+    store from day-2's pages only, then fold it into the serving store
+    here; day-1 data is never rescanned.  Merge semantics per artifact:
+
+    - per-lang HLL cells: register-max per lang; a lang present on one
+      side only passes through (zero state is the identity)
+    - sharded Bloom: bit-OR per shard; one-sided shards pass through
+      (each blob is self-describing, so mixed fills probe correctly);
+      the meta shard COUNT must match or the routing would be wrong
+      (refused), and same-shard geometry mismatches are refused by the
+      kernel — build both stores with the same sizing to merge
+    - CMS / windowed-CMS: counter add — LINEAR, so the merged sketch is
+      byte-identical to one built over the union corpus
+    - sliding HLL: frontier union (idempotent lattice, byte-identical)
+    - drift Theta / CountSketch: min-k union / counter add
+    - drift Misra-Gries / KLL: valid merged states with the published
+      bounds, but NOT byte-equal to a from-scratch union build (their
+      compaction points depend on the split) — documented, tested
+    - lang counts: exact integer add
+
+    An artifact present on only ONE side is DROPPED from the merged
+    store (a one-sided state is not a truthful state of the union) and
+    reported; `rows`/`bloom_n` in the merged meta are the sums.
+
+    Returns a report dict: {artifact: "merged"|"dropped_one_sided"|
+    "absent"}.
+    """
+    sa, sb = SketchStore(a_dir), SketchStore(b_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    report: Dict[str, str] = {}
+
+    # keyed HLL cells ------------------------------------------------------
+    if sa.has(ART_HLL_LANG) and sb.has(ART_HLL_LANG):
+        av, bv = sa._hll_states(), sb._hll_states()
+        merged = {}
+        for lang in sorted(set(av) | set(bv)):
+            if lang in av and lang in bv:
+                merged[lang] = _merge_blobs(av[lang], bv[lang])
+            else:
+                merged[lang] = av.get(lang) or bv[lang]
+        import pyarrow as pa
+        key_col = sa.meta.get("hll_key_col", "lang")
+        t = pa.table({key_col: list(merged),
+                      STATE_COL: list(merged.values())})
+        os.makedirs(os.path.join(out_dir, ART_HLL_LANG), exist_ok=True)
+        pq.write_table(t, os.path.join(out_dir, ART_HLL_LANG,
+                                       "part-00000.parquet"))
+        report[ART_HLL_LANG] = "merged"
+    else:
+        report[ART_HLL_LANG] = ("absent" if not (sa.has(ART_HLL_LANG)
+                                                 or sb.has(ART_HLL_LANG))
+                                else "dropped_one_sided")
+
+    # sharded Bloom --------------------------------------------------------
+    if sa.has(ART_BLOOM_SHARDS) and sb.has(ART_BLOOM_SHARDS):
+        na = sa.meta.get("bloom_shards")
+        nb = sb.meta.get("bloom_shards")
+        if na != nb:
+            raise ValueError(
+                f"bloom shard counts differ ({na} vs {nb}); probes would "
+                "route wrong — rebuild with matching sizing to merge")
+        ta = pq.read_table(sa._art(ART_BLOOM_SHARDS))
+        tb = pq.read_table(sb._art(ART_BLOOM_SHARDS))
+        av = {int(s): bytes(b) for s, b in
+              zip(ta.column("bloom_shard").to_pylist(),
+                  ta.column(STATE_COL).to_pylist())}
+        bv = {int(s): bytes(b) for s, b in
+              zip(tb.column("bloom_shard").to_pylist(),
+                  tb.column(STATE_COL).to_pylist())}
+        merged = {}
+        for shard in sorted(set(av) | set(bv)):
+            if shard in av and shard in bv:
+                merged[shard] = _merge_blobs(av[shard], bv[shard])
+            else:
+                merged[shard] = av.get(shard) or bv[shard]
+        import pyarrow as pa
+        t = pa.table({"bloom_shard": list(merged),
+                      STATE_COL: list(merged.values())})
+        os.makedirs(os.path.join(out_dir, ART_BLOOM_SHARDS), exist_ok=True)
+        pq.write_table(t, os.path.join(out_dir, ART_BLOOM_SHARDS,
+                                       "part-00000.parquet"))
+        report[ART_BLOOM_SHARDS] = "merged"
+    else:
+        report[ART_BLOOM_SHARDS] = (
+            "absent" if not (sa.has(ART_BLOOM_SHARDS)
+                             or sb.has(ART_BLOOM_SHARDS))
+            else "dropped_one_sided")
+
+    # global blob artifacts --------------------------------------------------
+    drift_bins = [os.path.join(ART_DRIFT, f) for f in
+                  ("theta_url.bin", "cs_tokens.bin", "mg_tokens.bin",
+                   "kll_toklen.bin")]
+    for name in [ART_CMS, ART_SLIDING_HLL, ART_WINDOW_CMS] + drift_bins:
+        ina, inb = sa.has(name), sb.has(name)
+        if ina and inb:
+            with open(sa._art(name), "rb") as fh:
+                blob_a = fh.read()
+            with open(sb._art(name), "rb") as fh:
+                blob_b = fh.read()
+            path = os.path.join(out_dir, name)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "wb") as fh:
+                fh.write(_merge_blobs(blob_a, blob_b))
+            report[name] = "merged"
+        else:
+            report[name] = ("absent" if not (ina or inb)
+                            else "dropped_one_sided")
+
+    # exact lang counts -------------------------------------------------------
+    lc = os.path.join(ART_DRIFT, "lang_counts.json")
+    if sa.has(lc) and sb.has(lc):
+        with open(sa._art(lc)) as fh:
+            ca = json.load(fh)
+        with open(sb._art(lc)) as fh:
+            cb = json.load(fh)
+        merged_counts = {k: ca.get(k, 0) + cb.get(k, 0)
+                         for k in sorted(set(ca) | set(cb))}
+        os.makedirs(os.path.join(out_dir, ART_DRIFT), exist_ok=True)
+        with open(os.path.join(out_dir, lc), "w") as fh:
+            json.dump(merged_counts, fh, sort_keys=True)
+        report[lc] = "merged"
+    else:
+        report[lc] = ("absent" if not (sa.has(lc) or sb.has(lc))
+                      else "dropped_one_sided")
+
+    meta = dict(sa.meta)
+    for key in ("rows", "bloom_n"):
+        if key in sa.meta and key in sb.meta:
+            meta[key] = sa.meta[key] + sb.meta[key]
+    update_store_meta(out_dir, **meta)
+    return report
+
+
 def _kll_rank_eps(kernel) -> float:
     """KLL's rank-error constant for k (Karnin-Lang-Liberty 2016:
     eps ~ 2.296/k at 99% confidence for the k-compactor variant)."""

@@ -252,3 +252,141 @@ def test_build_sketches_output_is_a_store(spark, sf_dir, tmp_path):
         <= since.bound * exact_distinct
     probe = store.maybe_contains_urls(two_urls + ["definitely-absent-url"])
     assert all(probe.value[u] for u in two_urls)
+
+
+# --------------------------------------------------------------------------
+# store merge: the incremental-crawl shape at the artifact level
+# --------------------------------------------------------------------------
+
+def _mini_store(spark, docs, out, n_total, shards=8):
+    """Persist the standard artifact set for a corpus slice.  n_total is
+    the UNION size so both slices get identical Bloom geometry (the
+    merge contract)."""
+    from gopie_spark.operators import cms_tokens_build, sliding_hll_build
+    from gopie_spark.operators.drift import persist_drift_states
+    hll = HLL(p=12)
+    sketch_agg(docs.select("lang", F.col("url").alias("v")),
+               ["lang"], "v", hll) \
+        .write.mode("overwrite").parquet(f"{out}/hll_lang_url")
+    cms, st = cms_tokens_build(docs.select("text"), "text")
+    write_store_bin(out, "cms_tokens.bin", cms, st)
+    bloom_shards_build(docs.select("url"), "url", n=n_total, p=0.001,
+                       shards=shards) \
+        .write.mode("overwrite").parquet(f"{out}/bloom_url_shards")
+    sh, sh_state = sliding_hll_build(
+        docs.withColumn("ts", (F.crc32("url") % 100000).cast("double")),
+        "url", "ts", p=12)
+    write_store_bin(out, "sliding_hll_url.bin", sh, sh_state)
+    persist_drift_states(docs, f"{out}/drift")
+    update_store_meta(out, bloom_shards=shards, bloom_n=n_total,
+                      bloom_p=0.001, hll_key_col="lang",
+                      rows=docs.count())
+
+
+@pytest.fixture(scope="module")
+def split_stores(spark, sf_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("merge")
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select(F.col("doc_id").cast("string").alias("url"),
+                    "lang", "text"))
+    n = docs.count()
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    for name, d in (("a", half_a), ("b", half_b), ("full", docs)):
+        _mini_store(spark, d, str(base / name), n_total=n)
+    present = [r["url"] for r in docs.select("url")
+               .orderBy("url").limit(6).collect()]
+    return base, present
+
+
+def test_merge_stores_byte_equal_on_linear_artifacts(split_stores):
+    from gopie_spark.operators.store import merge_stores
+    base, present = split_stores
+    report = merge_stores(str(base / "a"), str(base / "b"),
+                          str(base / "m"))
+    assert report["hll_lang_url"] == "merged"
+
+    full, merged = SketchStore(str(base / "full")), \
+        SketchStore(str(base / "m"))
+    # lattice/linear artifacts: byte-identical to the from-scratch build
+    assert merged._hll_states() == full._hll_states()
+    for name in ("cms_tokens.bin", "sliding_hll_url.bin",
+                 "drift/theta_url.bin", "drift/cs_tokens.bin",
+                 "drift/lang_counts.json"):
+        with open(os.path.join(str(base / "m"), name), "rb") as fh:
+            got = fh.read()
+        with open(os.path.join(str(base / "full"), name), "rb") as fh:
+            want = fh.read()
+        assert got == want, name
+    # Bloom shards: bit-OR of halves == full build (probe-for-probe AND
+    # byte-for-byte via the answers)
+    pm = merged.maybe_contains_urls(present + ["zz-nope"])
+    pf = full.maybe_contains_urls(present + ["zz-nope"])
+    assert pm.value == pf.value
+    # meta sums
+    assert merged.meta["rows"] == full.meta["rows"]
+
+
+def test_merge_stores_bounds_hold_on_nonlinear(split_stores, spark,
+                                               sf_dir):
+    """MG/KLL merge to valid (not byte-equal) states: served answers
+    still satisfy their published bounds vs the union-corpus exact."""
+    from gopie_spark.operators.textstats import token_count
+    base, _ = split_stores
+    merged = SketchStore(str(base / "m"))
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("text"))
+    exact_top = {r["tok"]: r["c"] for r in
+                 docs.select(F.explode(F.split("text", r"\s+"))
+                             .alias("tok"))
+                 .filter(F.col("tok") != "")
+                 .groupBy("tok").agg(F.count("*").alias("c"))
+                 .orderBy(F.desc("c"), "tok").limit(10).collect()}
+    top = merged.top_tokens(5)
+    inter = set(top.value) & set(exact_top)
+    assert inter
+    for t in inter:
+        assert exact_top[t] - top.bound <= top.value[t] <= exact_top[t]
+
+    q = merged.token_length_quantiles([0.5])
+    med, eps = q.value[0.5], q.bound
+    tl = docs.select(token_count("text").alias("tl"))
+    n = tl.count()
+    assert tl.filter(F.col("tl") <= med).count() / n >= 0.5 - eps
+    assert tl.filter(F.col("tl") < med).count() / n <= 0.5 + eps
+
+
+def test_merge_stores_refusals_and_drops(split_stores, tmp_path):
+    from gopie_spark.operators.store import merge_stores
+    base, _ = split_stores
+    # one-sided artifact: dropped from the merge, reported, and the
+    # merged store refuses to answer from it
+    import shutil as sh
+    b2 = tmp_path / "b2"
+    sh.copytree(str(base / "b"), b2)
+    os.remove(b2 / "cms_tokens.bin")
+    report = merge_stores(str(base / "a"), str(b2), str(tmp_path / "m2"))
+    assert report["cms_tokens.bin"] == "dropped_one_sided"
+    with pytest.raises(StoreMiss):
+        SketchStore(str(tmp_path / "m2")).token_freq(["x"])
+
+    # mismatched shard routing: refused
+    b3 = tmp_path / "b3"
+    sh.copytree(str(base / "b"), b3)
+    update_store_meta(str(b3), bloom_shards=32)
+    with pytest.raises(ValueError, match="shard counts differ"):
+        merge_stores(str(base / "a"), str(b3), str(tmp_path / "m3"))
+
+
+def test_merge_stores_cli(split_stores, tmp_path):
+    base, present = split_stores
+    out = str(tmp_path / "cli_merged")
+    r = subprocess.run(
+        [sys.executable, "jobs/merge_stores.py", "--a", str(base / "a"),
+         "--b", str(base / "b"), "--out", out],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout)
+    assert rep["artifacts"]["hll_lang_url"] == "merged"
+    ans = SketchStore(out).maybe_contains_urls(present)
+    assert all(ans.value.values())
