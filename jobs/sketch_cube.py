@@ -171,6 +171,11 @@ def main() -> None:
                     help="query mode: comma-separated dims to keep "
                          "(requires --cube; '' for the global state)")
     ap.add_argument("--cube", help="query mode: persisted cube dir")
+    ap.add_argument("--local", action="store_true",
+                    help="query mode: serve the rollup with ZERO Spark "
+                         "(pyarrow + NumPy; --where limited to one "
+                         "dim='value' equality, which file-prunes the "
+                         "hive partition layout)")
     ap.add_argument("--where", default=None,
                     help="query mode: SQL predicate over cube cells "
                          "(partition-dim predicates prune files)")
@@ -192,6 +197,33 @@ def main() -> None:
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
+    if args.rollup is not None and args.local:
+        # serve mode: NO SparkSession — pyarrow + NumPy only
+        # (operators/cube.py:local_rollup; the cells table is KB-sized
+        # states regardless of corpus scale)
+        if not args.cube:
+            raise SystemExit("--rollup requires --cube")
+        import re
+        from gopie_spark.operators.cube import local_rollup
+        keep = [d for d in args.rollup.split(",") if d]
+        filters = None
+        if args.where:
+            m = re.fullmatch(r"\s*(\w+)\s*=\s*'?([^']*)'?\s*", args.where)
+            if not m:
+                raise SystemExit("--local supports only a single "
+                                 "\"dim = 'value'\" --where predicate")
+            filters = [(m.group(1), "=", m.group(2))]
+        kernel, states = local_rollup(args.cube, keep, filters=filters)
+        final = getattr(kernel, "estimate", None) or kernel.count
+        rows = [{**dict(zip(keep, (str(v) for v in k))),
+                 "estimate": float(final(st))}
+                for k, st in sorted(states.items(),
+                                    key=lambda kv: tuple(map(str, kv[0])))]
+        print(json.dumps({"cube": args.cube, "rollup": keep,
+                          "where": args.where, "local": True,
+                          "cells": rows}))
+        return
+
     from gopie_spark.plans import get_spark
     from gopie_spark.sources.catalog import load_table
 

@@ -314,3 +314,44 @@ def test_local_rollup_zero_spark_byte_equal(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="keep_dims"):
         local_rollup(path, ["nope"])
+
+
+def test_sketch_cube_local_rollup_cli(spark, sf_dir, tmp_path):
+    """--rollup --local serves the same estimates as the Spark rollup
+    path, without creating a SparkSession (spark-submit not needed to
+    QUERY a cube)."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    hll = HLL(p=11)
+    ev = _events_with_day(spark, sf_dir)
+    path = str(tmp_path / "cube")
+    build_sketch_cube(ev, ["event_type", "day"], "user_id", hll,
+                      path=path, partition_dim="day")
+    day0 = str(ev.agg(F.min("day")).collect()[0][0])
+
+    def cli(*extra):
+        r = subprocess.run(
+            [_sys.executable, "jobs/sketch_cube.py", "--cube", path,
+             "--rollup", "event_type", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return _json.loads(r.stdout.strip().splitlines()[-1])
+
+    spark_rows = {c["event_type"]: c["estimate"]
+                  for c in cli()["cells"]}
+    local = cli("--local")
+    assert local["local"] is True
+    local_rows = {c["event_type"]: c["estimate"]
+                  for c in local["cells"]}
+    assert local_rows == spark_rows
+
+    filt = cli("--local", "--where", f"day = '{day0}'")
+    cells, kern, _ = load_sketch_cube(spark, path)
+    want = {r["event_type"]: float(kern.count(
+        kern.deserialize(bytes(r[STATE_COL])))) for r in
+        rollup(cells, ["event_type"], kern,
+               where=F.col("day") == day0).collect()}
+    got = {c["event_type"]: c["estimate"] for c in filt["cells"]}
+    assert got == want
