@@ -252,10 +252,11 @@ class SketchStore:
 
     def token_freq(self, tokens: Sequence[str],
                    window_ticks: Optional[int] = None,
-                   now_tick: Optional[int] = None) -> Answer:
+                   at_tick: Optional[int] = None) -> Answer:
         """Token frequency estimates.  All-time (CMS: overcount <=
         eps*N at confidence delta) or over a trailing tick window
-        (windowed CMS: same bound with N = that window's mass)."""
+        ``(at_tick - window_ticks, at_tick]`` (windowed CMS: same bound
+        with N = that window's mass; ``at_tick`` None = newest tick)."""
         tokens = list(tokens)
         if window_ticks is None:
             kernel, state, nbytes = self._bin(
@@ -269,9 +270,9 @@ class SketchStore:
             kernel, state, nbytes = self._bin(
                 ART_WINDOW_CMS, "jobs/build_sketches.py --time-windows")
             est = kernel.estimate(state, tokens, window_ticks=window_ticks,
-                                  now_tick=now_tick)
+                                  at_tick=at_tick)
             n = kernel.window_total(state, window_ticks=window_ticks,
-                                    now_tick=now_tick)
+                                    at_tick=at_tick)
             src = ART_WINDOW_CMS
             kind = "window_cms"
             detail = {"window_ticks": int(window_ticks)}
@@ -449,26 +450,39 @@ def merge_stores(a_dir: str, b_dir: str, out_dir: str) -> Dict:
             raise ValueError(
                 f"bloom shard counts differ ({na} vs {nb}); probes would "
                 "route wrong — rebuild with matching sizing to merge")
-        ta = pq.read_table(sa._art(ART_BLOOM_SHARDS))
-        tb = pq.read_table(sb._art(ART_BLOOM_SHARDS))
-        av = {int(s): bytes(b) for s, b in
-              zip(ta.column("bloom_shard").to_pylist(),
-                  ta.column(STATE_COL).to_pylist())}
-        bv = {int(s): bytes(b) for s, b in
-              zip(tb.column("bloom_shard").to_pylist(),
-                  tb.column(STATE_COL).to_pylist())}
-        merged = {}
-        for shard in sorted(set(av) | set(bv)):
-            if shard in av and shard in bv:
-                merged[shard] = _merge_blobs(av[shard], bv[shard])
-            else:
-                merged[shard] = av.get(shard) or bv[shard]
         import pyarrow as pa
-        t = pa.table({"bloom_shard": list(merged),
-                      STATE_COL: list(merged.values())})
+        pa_a, pa_b = sa._art(ART_BLOOM_SHARDS), sb._art(ART_BLOOM_SHARDS)
+        ids_a = set(pq.read_table(pa_a, columns=["bloom_shard"])
+                    .column(0).to_pylist())
+        ids_b = set(pq.read_table(pa_b, columns=["bloom_shard"])
+                    .column(0).to_pylist())
+
+        def _shard_blob(path, shard):
+            t = pq.read_table(path,
+                              filters=[("bloom_shard", "=", shard)])
+            return bytes(t.column(STATE_COL)[0].as_py())
+
+        # shard-by-shard: memory stays O(one shard state) — at 10^12
+        # keys a shard blob is GBs, the full table is TBs — and each
+        # write_table call emits ONE ROW GROUP PER SHARD, so the point
+        # probe's row-group pruning survives the merge
         os.makedirs(os.path.join(out_dir, ART_BLOOM_SHARDS), exist_ok=True)
-        pq.write_table(t, os.path.join(out_dir, ART_BLOOM_SHARDS,
-                                       "part-00000.parquet"))
+        schema = pa.schema([("bloom_shard", pa.int64()),
+                            (STATE_COL, pa.binary())])
+        dest = os.path.join(out_dir, ART_BLOOM_SHARDS,
+                            "part-00000.parquet")
+        with pq.ParquetWriter(dest, schema) as writer:
+            for shard in sorted(ids_a | ids_b):
+                if shard in ids_a and shard in ids_b:
+                    blob = _merge_blobs(_shard_blob(pa_a, shard),
+                                        _shard_blob(pa_b, shard))
+                elif shard in ids_a:
+                    blob = _shard_blob(pa_a, shard)
+                else:
+                    blob = _shard_blob(pa_b, shard)
+                writer.write_table(pa.table(
+                    {"bloom_shard": [int(shard)], STATE_COL: [blob]},
+                    schema=schema))
         report[ART_BLOOM_SHARDS] = "merged"
     else:
         report[ART_BLOOM_SHARDS] = (
@@ -513,10 +527,65 @@ def merge_stores(a_dir: str, b_dir: str, out_dir: str) -> Dict:
         report[lc] = ("absent" if not (sa.has(lc) or sb.has(lc))
                       else "dropped_one_sided")
 
+    # grouped drift tier (per-group theta/KLL + manifest) -------------------
+    gdir = os.path.join(ART_DRIFT, "grouped")
+    gman = os.path.join(gdir, "groups.json")
+    if sa.has(gman) and sb.has(gman):
+        with open(sa._art(gman)) as fh:
+            ma = json.load(fh)
+        with open(sb._art(gman)) as fh:
+            mb = json.load(fh)
+        if ma["group_col"] != mb["group_col"]:
+            raise ValueError(
+                f"grouped drift group_col differs ({ma['group_col']} vs "
+                f"{mb['group_col']}); cannot merge")
+        ga = {e["group"]: e for e in ma["groups"]}
+        gb = {e["group"]: e for e in mb["groups"]}
+
+        def _gblob(store, entry, kind):
+            if entry is None or kind not in entry:
+                return None
+            with open(store._art(os.path.join(gdir, entry[kind])),
+                      "rb") as fh:
+                return fh.read()
+
+        os.makedirs(os.path.join(out_dir, gdir), exist_ok=True)
+        manifest = []
+        for i, g in enumerate(sorted(set(ga) | set(gb),
+                                     key=lambda x: (x is None, str(x)))):
+            stem = f"g{i:04d}"
+            entry = {"group": g}
+            for kind in ("kll", "theta"):
+                blob_a = _gblob(sa, ga.get(g), kind)
+                blob_b = _gblob(sb, gb.get(g), kind)
+                if blob_a is None and blob_b is None:
+                    continue
+                # a group on one side only IS the truthful union state
+                # for that group (the other side had no such rows)
+                blob = (_merge_blobs(blob_a, blob_b)
+                        if blob_a and blob_b else (blob_a or blob_b))
+                entry[kind] = f"{stem}.{kind}.bin"
+                with open(os.path.join(out_dir, gdir, entry[kind]),
+                          "wb") as fh:
+                    fh.write(blob)
+            manifest.append(entry)
+        with open(os.path.join(out_dir, gman), "w") as fh:
+            json.dump({"group_col": ma["group_col"], "groups": manifest},
+                      fh, sort_keys=True)
+        report[gman] = "merged"
+    else:
+        report[gman] = ("absent" if not (sa.has(gman) or sb.has(gman))
+                        else "dropped_one_sided")
+
     meta = dict(sa.meta)
     for key in ("rows", "bloom_n"):
-        if key in sa.meta and key in sb.meta:
+        ina, inb = key in sa.meta, key in sb.meta
+        if ina and inb:
             meta[key] = sa.meta[key] + sb.meta[key]
+        elif ina or inb:
+            # a one-sided count would misdescribe the union — drop it
+            meta.pop(key, None)
+            report[f"meta:{key}"] = "dropped_one_sided"
     update_store_meta(out_dir, **meta)
     return report
 

@@ -126,16 +126,20 @@ def main() -> None:
     with open(f"{args.output}/cms_tokens.bin", "wb") as fh:
         fh.write(cms.serialize(cms_state))
 
+    # ONE set of routing parameters shared by the build and the store
+    # meta — a mismatch would silently route every later probe to the
+    # wrong shard (false negatives), so they must not be two literals
+    bloom_shards, bloom_p = 256, 0.001
     shard_states = bloom_shards_build(pages.select("url"), "url",
-                                      n=n, p=0.001, shards=256)
+                                      n=n, p=bloom_p, shards=bloom_shards)
     shard_states.write.mode("overwrite") \
         .parquet(f"{args.output}/bloom_url_shards")
 
     # the output directory is a SketchStore (operators/store.py): record
     # what a zero-Spark reader needs to route probes and name keyed cols
     from gopie_spark.operators.store import update_store_meta
-    update_store_meta(args.output, bloom_shards=256, bloom_n=n,
-                      bloom_p=0.001, hll_key_col="lang", rows=n)
+    update_store_meta(args.output, bloom_shards=bloom_shards, bloom_n=n,
+                      bloom_p=bloom_p, hll_key_col="lang", rows=n)
 
     outputs = ["hll_lang_url", "bloom_url_shards", "cms_tokens.bin"]
     if args.time_windows:

@@ -77,6 +77,13 @@ def main(argv=None) -> int:
             return 0
         if args.question == "distinct-urls":
             if args.since is not None:
+                if args.langs:
+                    # the suffix state is global; answering --langs from
+                    # it would silently return an all-language count
+                    ap.error("--since cannot be combined with --langs "
+                             "(the sliding-HLL suffix state is global; "
+                             "build per-lang windowed states to slice "
+                             "both ways)")
                 ans = store.distinct_urls_since(_parse_since(args.since))
             else:
                 langs = (args.langs.split(",") if args.langs else None)
@@ -102,6 +109,11 @@ def main(argv=None) -> int:
                           "error": "store_miss", "missing": miss.what,
                           "remedy": miss.remedy}))
         return 3
+    except (KeyError, ValueError) as e:
+        # bad request (unknown lang, malformed value, unroutable probe)
+        print(json.dumps({"question": args.question,
+                          "error": "bad_request", "reason": str(e)}))
+        return 4
     print(json.dumps({"question": args.question,
                       "answer": ans.to_json()}, sort_keys=True))
     return 0

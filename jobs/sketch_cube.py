@@ -212,7 +212,20 @@ def main() -> None:
             if not m:
                 raise SystemExit("--local supports only a single "
                                  "\"dim = 'value'\" --where predicate")
-            filters = [(m.group(1), "=", m.group(2))]
+            dim, raw = m.group(1), m.group(2)
+            # coerce to the dim's actual (hive-inferred) type — pyarrow
+            # filter kernels refuse e.g. (int32, string) comparisons
+            import pyarrow.dataset as pads
+            field = pads.dataset(os.path.join(args.cube, "cells"),
+                                 partitioning="hive").schema.field(dim)
+            import pyarrow as pa
+            try:
+                value = pa.scalar(raw).cast(field.type).as_py()
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+                raise SystemExit(
+                    f"--where value {raw!r} does not parse as {dim}'s "
+                    f"type {field.type}: {e}")
+            filters = [(dim, "=", value)]
         kernel, states = local_rollup(args.cube, keep, filters=filters)
         final = getattr(kernel, "estimate", None) or kernel.count
         rows = [{**dict(zip(keep, (str(v) for v in k))),

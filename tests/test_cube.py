@@ -355,3 +355,34 @@ def test_sketch_cube_local_rollup_cli(spark, sf_dir, tmp_path):
                where=F.col("day") == day0).collect()}
     got = {c["event_type"]: c["estimate"] for c in filt["cells"]}
     assert got == want
+
+
+def test_sketch_cube_local_rollup_int_partition_dim(spark, sf_dir,
+                                                    tmp_path):
+    """--local --where must coerce the predicate value to the dim's
+    hive-inferred type (int partition dirs like hour=13)."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    hll = HLL(p=11)
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("hour", F.hour("ts")))
+    path = str(tmp_path / "cube")
+    build_sketch_cube(ev, ["event_type", "hour"], "user_id", hll,
+                      path=path, partition_dim="hour")
+    h0 = int(ev.agg(F.min("hour")).collect()[0][0])
+    r = subprocess.run(
+        [_sys.executable, "jobs/sketch_cube.py", "--cube", path,
+         "--rollup", "event_type", "--local",
+         "--where", f"hour = {h0}"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = {c["event_type"]: c["estimate"] for c in
+           _json.loads(r.stdout.strip().splitlines()[-1])["cells"]}
+    cells, kern, _ = load_sketch_cube(spark, path)
+    want = {r2["event_type"]: float(kern.count(
+        kern.deserialize(bytes(r2[STATE_COL])))) for r2 in
+        rollup(cells, ["event_type"], kern,
+               where=F.col("hour") == h0).collect()}
+    assert got == want

@@ -390,3 +390,137 @@ def test_merge_stores_cli(split_stores, tmp_path):
     assert rep["artifacts"]["hll_lang_url"] == "merged"
     ans = SketchStore(out).maybe_contains_urls(present)
     assert all(ans.value.values())
+
+
+# --------------------------------------------------------------------------
+# review-hardening regressions (round-4l code review findings)
+# --------------------------------------------------------------------------
+
+def test_windowed_token_freq_serves(spark, sf_dir, tmp_path):
+    """A successful trailing-window answer (not just the miss path):
+    bound holds vs the exact window substream count."""
+    from gopie_spark.operators import window_cms_tokens_build
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("text")
+            .withColumn("ts", (F.monotonically_increasing_id() % 100
+                               * 86400).cast("double")))
+    wc, st = window_cms_tokens_build(docs, text_col="text", ts_col="ts",
+                                     resolution=86400.0, n_ticks=128)
+    out = str(tmp_path / "wstore")
+    write_store_bin(out, "window_cms_tokens.bin", wc, st)
+    store = SketchStore(out)
+    newest = int(docs.agg(F.max(F.floor(F.col("ts") / 86400.0)))
+                 .collect()[0][0])
+    w = 10
+    exact = {r["tok"]: r["c"] for r in
+             docs.filter((F.floor(F.col("ts") / 86400.0) > newest - w)
+                         & (F.floor(F.col("ts") / 86400.0) <= newest))
+             .select(F.explode(F.split("text", r"\s+")).alias("tok"))
+             .filter(F.col("tok") != "")
+             .groupBy("tok").agg(F.count("*").alias("c"))
+             .orderBy(F.desc("c"), "tok").limit(5).collect()}
+    ans = store.token_freq(list(exact), window_ticks=w, at_tick=newest)
+    for t, c in exact.items():
+        assert c <= ans.value[t] <= c + ans.bound, (t, c, ans.value[t])
+    assert ans.detail["window_ticks"] == w
+
+
+def test_merged_bloom_preserves_row_group_pruning(split_stores):
+    """After a merge the shard table must keep one row group per shard
+    (a single spanning row group would turn every point probe into a
+    full-table read)."""
+    import glob
+    base, _ = split_stores
+    import pyarrow.parquet as pq
+    files = glob.glob(os.path.join(str(base / "m"),
+                                   "bloom_url_shards", "*.parquet"))
+    assert files
+    n_groups = sum(pq.ParquetFile(f).num_row_groups for f in files)
+    n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert n_groups == n_rows  # one shard state per row group
+
+
+def test_merge_stores_grouped_drift_tier(spark, sf_dir, tmp_path):
+    """Grouped drift states merge per group (one-sided groups pass
+    through — they ARE the union state for that group); mismatched
+    group_col refuses."""
+    import shutil as sh
+    from gopie_spark.kernels import sketch_from_blob
+    from gopie_spark.operators.drift import persist_drift_states
+    from gopie_spark.operators.store import merge_stores
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select(F.col("doc_id").cast("string").alias("url"),
+                    "lang", "text"))
+    langs = sorted(r["lang"] for r in docs.select("lang")
+                   .distinct().collect())
+    # side A: all langs; side B: all but the first (one-sided group)
+    a, b, full = (str(tmp_path / x) for x in ("a", "b", "full"))
+    ha = docs.filter(F.col("doc_id") % 2 == 0)
+    hb = docs.filter((F.col("doc_id") % 2 == 1)
+                     & (F.col("lang") != langs[0]))
+    persist_drift_states(ha, f"{a}/drift", group_col="lang")
+    persist_drift_states(hb, f"{b}/drift", group_col="lang")
+    persist_drift_states(ha.unionByName(hb), f"{full}/drift",
+                         group_col="lang")
+    report = merge_stores(a, b, str(tmp_path / "m"))
+    assert report["drift/grouped/groups.json"] == "merged"
+    # theta per group: byte-equal to the union build (min-k lattice)
+    mdir = str(tmp_path / "m")
+    with open(os.path.join(mdir, "drift/grouped/groups.json")) as fh:
+        man = json.load(fh)
+    with open(os.path.join(full, "drift/grouped/groups.json")) as fh:
+        man_full = json.load(fh)
+    by_g = {e["group"]: e for e in man["groups"]}
+    assert set(by_g) == {e["group"] for e in man_full["groups"]}
+    for ef in man_full["groups"]:
+        with open(os.path.join(mdir, "drift/grouped",
+                               by_g[ef["group"]]["theta"]), "rb") as fh:
+            got = fh.read()
+        with open(os.path.join(full, "drift/grouped",
+                               ef["theta"]), "rb") as fh:
+            want = fh.read()
+        assert got == want, ef["group"]
+
+    # mismatched group_col refuses
+    b2 = str(tmp_path / "b2")
+    sh.copytree(b, b2)
+    with open(os.path.join(b2, "drift/grouped/groups.json")) as fh:
+        m2 = json.load(fh)
+    m2["group_col"] = "host"
+    with open(os.path.join(b2, "drift/grouped/groups.json"), "w") as fh:
+        json.dump(m2, fh)
+    with pytest.raises(ValueError, match="group_col"):
+        merge_stores(a, b2, str(tmp_path / "m2"))
+
+
+def test_merge_stores_one_sided_meta_dropped(split_stores, tmp_path):
+    import shutil as sh
+    from gopie_spark.operators.store import merge_stores
+    base, _ = split_stores
+    b4 = tmp_path / "b4"
+    sh.copytree(str(base / "b"), b4)
+    meta_path = b4 / "_store_meta.json"
+    meta = json.loads(meta_path.read_text())
+    del meta["rows"]
+    meta_path.write_text(json.dumps(meta))
+    report = merge_stores(str(base / "a"), str(b4), str(tmp_path / "m4"))
+    assert report["meta:rows"] == "dropped_one_sided"
+    assert "rows" not in SketchStore(str(tmp_path / "m4")).meta
+
+
+def test_query_sketches_cli_bad_requests(built_store):
+    out, _ = built_store
+    # --since + --langs is an argparse usage error (exit 2)
+    r = subprocess.run(
+        [sys.executable, "jobs/query_sketches.py", "--store", out,
+         "distinct-urls", "--langs", "en", "--since", "0"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120)
+    assert r.returncode == 2
+    assert "--since" in r.stderr
+    # unknown lang: JSON bad_request, exit 4 (not a traceback)
+    r = subprocess.run(
+        [sys.executable, "jobs/query_sketches.py", "--store", out,
+         "distinct-urls", "--langs", "no-such-lang"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120)
+    assert r.returncode == 4, (r.returncode, r.stderr[-500:])
+    assert json.loads(r.stdout)["error"] == "bad_request"
