@@ -283,20 +283,48 @@ class SketchStore:
                       detail={"total_mass": int(n),
                               "delta": float(kernel.delta), **detail})
 
-    def top_tokens(self, k: Optional[int] = None) -> Answer:
+    def top_tokens(self, k: Optional[int] = None,
+                   refine: bool = False) -> Answer:
         """Heavy-hitter tokens from the drift Misra-Gries state, with
-        its deterministic undercount bound."""
+        its deterministic undercount bound.
+
+        ``refine=True`` composes the two persisted frequency states the
+        way the drift tier does: Misra-Gries supplies the CANDIDATE set
+        (any token above n/k is guaranteed retained), the linear
+        CountSketch supplies UNBIASED estimates for those candidates
+        (MG's counts undercount by up to its error bound; CS is
+        two-sided ±3·sqrt(F2/w)).  Candidates are re-ranked by the CS
+        estimate."""
         kernel, state, nbytes = self._bin(
             os.path.join(ART_DRIFT, "mg_tokens.bin"),
             "jobs/build_sketches.py --drift-states")
-        items, counts = kernel.topk(state, n=k)
-        return Answer(value={str(t): int(c)
-                             for t, c in zip(items, counts)},
-                      kind="misra_gries",
-                      source=f"{ART_DRIFT}/mg_tokens.bin",
-                      bytes_read=nbytes,
-                      bound=float(kernel.error_bound(state)),
-                      bound_kind="additive_undercount")
+        items, counts = kernel.topk(state, n=None if refine else k)
+        if not refine:
+            return Answer(value={str(t): int(c)
+                                 for t, c in zip(items, counts)},
+                          kind="misra_gries",
+                          source=f"{ART_DRIFT}/mg_tokens.bin",
+                          bytes_read=nbytes,
+                          bound=float(kernel.error_bound(state)),
+                          bound_kind="additive_undercount")
+        cs, cs_state, cs_bytes = self._bin(
+            os.path.join(ART_DRIFT, "cs_tokens.bin"),
+            "jobs/build_sketches.py --drift-states")
+        cand = [str(t) for t in items]
+        if cand:
+            est = cs.estimate(cs_state, cand)
+            order = np.lexsort((np.asarray(cand), -est))
+            if k is not None:
+                order = order[:k]
+            value = {cand[i]: float(est[i]) for i in order}
+        else:
+            value = {}
+        return Answer(value=value, kind="mg_candidates+countsketch",
+                      source=f"{ART_DRIFT}/mg_tokens.bin"
+                             f"+{ART_DRIFT}/cs_tokens.bin",
+                      bytes_read=nbytes + cs_bytes, states_merged=2,
+                      bound=float(cs.error_bound(cs.f2_estimate(cs_state))),
+                      bound_kind="two_sided_3sigma")
 
     # -- quantiles / histograms ---------------------------------------------
 

@@ -61,6 +61,10 @@ def main(argv=None) -> int:
     ap.add_argument("--tokens", default=None)
     ap.add_argument("--window-ticks", type=int, default=None)
     ap.add_argument("--k", type=int, default=20)
+    ap.add_argument("--refine", action="store_true",
+                    help="top-tokens: re-rank Misra-Gries candidates "
+                         "with unbiased CountSketch estimates "
+                         "(two-sided 3-sigma bound)")
     ap.add_argument("--urls", default=None)
     ap.add_argument("--q", default="0.5",
                     help="comma-separated quantiles for toklen-quantiles")
@@ -94,7 +98,7 @@ def main(argv=None) -> int:
             ans = store.token_freq(args.tokens.split(","),
                                    window_ticks=args.window_ticks)
         elif args.question == "top-tokens":
-            ans = store.top_tokens(args.k)
+            ans = store.top_tokens(args.k, refine=args.refine)
         elif args.question == "member":
             if not args.urls:
                 ap.error("member requires --urls")

@@ -524,3 +524,16 @@ def test_query_sketches_cli_bad_requests(built_store):
         capture_output=True, text=True, cwd="/root/repo", timeout=120)
     assert r.returncode == 4, (r.returncode, r.stderr[-500:])
     assert json.loads(r.stdout)["error"] == "bad_request"
+
+
+def test_top_tokens_refined_unbiased(built_store):
+    """MG candidates re-ranked by CountSketch: estimates inside the
+    two-sided 3-sigma band around the exact counts."""
+    out, exact = built_store
+    store = SketchStore(out)
+    top = store.top_tokens(5, refine=True)
+    assert top.bound_kind == "two_sided_3sigma" and top.states_merged == 2
+    inter = set(top.value) & set(exact["tokens"])
+    assert inter
+    for t in inter:
+        assert abs(top.value[t] - exact["tokens"][t]) <= top.bound, t
