@@ -3198,6 +3198,61 @@ def _q_weighted_minhash_pairs(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def _q_bbit_minhash_pairs(spark, sf_dir):
+    """b-bit minwise certificate (Li & Koenig, CACM 2011; kernel
+    kernels/minhash.py pack_bbit, Catalyst twins operators/dedup.py),
+    anchored on the exact 3-gram Jaccard pairs (DuckDB recomputes them
+    independently):
+
+    - rows = the exact 3-shingle Jaccard >= 0.8 pairs among docs with
+      doc_id < 300 (id_a, id_b, jaccard_e4 — all oracle-verified);
+    - ``b1_found`` / ``b2_found``: the 1-bit (2 words, 64x smaller than
+      the k=128 signature) and 2-bit (4 words) packed estimates clear
+      0.8 minus 4-sigma slack, where sigma folds BOTH noise sources:
+      the minhash slot sampling sqrt(J(1-J)/k) and the b-bit lane
+      collisions sqrt(p(1-p)/k)/(1-2^-b).  Deterministic per input
+      under the fixed hash family.
+
+    This is the verification-join diet for 10^12-doc LSH dedup: band
+    blocking is unchanged, but each surviving candidate shuffles 16 B
+    (b=1) instead of 1 KiB of signature per side."""
+    import math as _math
+    from gopie_spark.operators.dedup import (add_minhash_signatures,
+                                             bbit_est_jaccard,
+                                             ngram_jaccard_pairs,
+                                             pack_bbit_column)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    exact = ngram_jaccard_pairs(docs, width=3, threshold=0.8) \
+        .select("id_a", "id_b", "jaccard").localCheckpoint(eager=False)
+    sigs = add_minhash_signatures(docs.select("doc_id", "text"), k=128) \
+        .select("doc_id", "minhash").localCheckpoint(eager=False)
+    packed = pack_bbit_column(pack_bbit_column(
+        sigs, "minhash", k=128, b=1, out_col="_p1"),
+        "minhash", k=128, b=2, out_col="_p2")
+    pa = packed.select(F.col("doc_id").alias("id_a"),
+                       F.col("_p1").alias("_p1a"), F.col("_p2").alias("_p2a"))
+    pb = packed.select(F.col("doc_id").alias("id_b"),
+                       F.col("_p1").alias("_p1b"), F.col("_p2").alias("_p2b"))
+
+    def gate(b):
+        # both noise sources at J=0.8, k=128 (see docstring)
+        c = 2.0 ** -b
+        p = c + (1 - c) * 0.8
+        sig = (_math.sqrt(p * (1 - p) / 128) / (1 - c)
+               + _math.sqrt(0.8 * 0.2 / 128))
+        return 0.8 - 4 * sig
+
+    e1 = bbit_est_jaccard(F.col("_p1a"), F.col("_p1b"), k=128, b=1)
+    e2 = bbit_est_jaccard(F.col("_p2a"), F.col("_p2b"), k=128, b=2)
+    return (exact.join(pa, "id_a").join(pb, "id_b")
+            .select("id_a", "id_b",
+                    F.floor(F.col("jaccard") * 10000 + F.lit(0.5))
+                    .cast("long").alias("jaccard_e4"),
+                    (e1 >= F.lit(gate(1))).alias("b1_found"),
+                    (e2 >= F.lit(gate(2))).alias("b2_found"))
+            .orderBy("id_a", "id_b"))
+
+
 def _q_countsketch_token_counts(spark, sf_dir):
     """CountSketch (kernels/countsketch.py, Charikar et al. 2002)
     bound certificate: for the exact top-20 tokens, the UNBIASED
@@ -3303,6 +3358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_overlap_pairs": _q_session_overlap_pairs,
         "range_shard_balance": _q_range_shard_balance,
         "weighted_minhash_pairs": _q_weighted_minhash_pairs,
+        "bbit_minhash_pairs": _q_bbit_minhash_pairs,
         "countsketch_token_counts": _q_countsketch_token_counts,
         # --- driver-green in r01-r03 windows (rotated: reverse of the
         # r03 ordering, so the window's remaining ~17 slots re-certify the
@@ -4707,6 +4763,37 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
             SELECT tok, CAST(cnt AS BIGINT) AS cnt, true AS within_bound
             FROM c ORDER BY cnt DESC, tok ASC LIMIT 20
+        """,
+        "bbit_minhash_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(text), '\\s+') AS t
+                FROM documents WHERE doc_id < 300
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(t) >= 3
+                            THEN array_to_string(t[i:i+2], ' ')
+                            ELSE array_to_string(t, ' ') END AS shingle
+                FROM toks,
+                     LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2)))
+                              AS i) g
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(floor(shared * 10000.0 / (sa.n + sb.n - shared) + 0.5)
+                        AS BIGINT) AS jaccard_e4,
+                   true AS b1_found, true AS b2_found
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8
+            ORDER BY id_a, id_b
         """,
         "weighted_minhash_pairs": r"""
             WITH toks AS (

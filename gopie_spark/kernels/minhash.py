@@ -275,3 +275,94 @@ class SimHash:
     def from_blob(cls, blob: bytes) -> "SimHash":
         codec.expect_kind(blob, codec.KIND_SIMHASH)
         return cls()
+
+
+# ---------------------------------------------------------------------------
+# b-bit minwise hashing (Li & Koenig, CACM 2011 / WWW 2010): keep only the
+# lowest b bits of each of the k signature minima, packed 64/b lanes per
+# uint64 word.  At k=128, b=1 a signature shrinks from 1 KiB to 16 B (64x)
+# while the Jaccard estimate keeps the same 1/sqrt(k) error shape — for
+# sparse sets (shingle universe 2^64, |doc| << 2^32) the lane-match
+# probability is p = C + (1 - C) * J with C = 2^-b, so
+# J^ = (p^ - C) / (1 - C), Var(J^) = p(1-p) / (k (1-C)^2).
+#
+# Scale role: banded LSH still uses the full minima (band hashes), but the
+# candidate-pair VERIFICATION join — the stage that shuffles a signature per
+# surviving candidate, twice — only needs the packed words.  At 10^12 docs
+# that is the difference between shuffling ~2 KiB and ~32 B per pair.
+# ---------------------------------------------------------------------------
+
+def _bbit_check(k: int, b: int) -> int:
+    if b not in (1, 2, 4, 8):
+        raise ValueError("b must be one of 1, 2, 4, 8")
+    if (k * b) % 64:
+        raise ValueError("k*b must be a multiple of 64")
+    return (k * b) // 64
+
+
+def pack_bbit(sigs: np.ndarray, b: int = 1) -> np.ndarray:
+    """Pack the low ``b`` bits of each signature slot into uint64 words.
+
+    ``sigs``: uint64[n, k] (or uint64[k]) full MinHash signatures.
+    Returns uint64[n, k*b/64]: slot ``j`` of a word occupies bits
+    ``[j*b, (j+1)*b)`` — lane order is fixed so packs from different
+    machines/batches compare bit-for-bit.
+    """
+    one = sigs.ndim == 1
+    s = np.ascontiguousarray(sigs, dtype=U64).reshape(
+        1 if one else sigs.shape[0], -1)
+    k = s.shape[1]
+    words = _bbit_check(k, b)
+    lanes = 64 // b
+    low = (s & U64((1 << b) - 1)).reshape(s.shape[0], words, lanes)
+    shifts = (np.arange(lanes, dtype=U64) * U64(b))
+    packed = (low << shifts[None, None, :]).sum(axis=2, dtype=U64)
+    return packed[0] if one else packed
+
+
+def _popcount_u64(x: np.ndarray) -> np.ndarray:
+    # SWAR popcount (same ladder as SimHash.hamming)
+    x = x - ((x >> U64(1)) & U64(0x5555555555555555))
+    x = (x & U64(0x3333333333333333)) + ((x >> U64(2)) & U64(0x3333333333333333))
+    x = (x + (x >> U64(4))) & U64(0x0F0F0F0F0F0F0F0F)
+    return ((x * U64(0x0101010101010101)) >> U64(56)).astype(np.int64)
+
+
+def bbit_match_counts(pa: np.ndarray, pb: np.ndarray, b: int = 1) -> np.ndarray:
+    """Number of matching b-bit lanes between packed signatures.
+
+    ``pa``/``pb``: uint64[..., words] from :func:`pack_bbit` (same k, b).
+    A lane matches iff all ``b`` of its bits are equal: fold the XOR's
+    bits onto each lane's LSB (OR of ``b`` in-lane right-shifts), mask to
+    the LSB positions, popcount = mismatching lanes.
+    """
+    pa = np.asarray(pa, dtype=U64)
+    pb = np.asarray(pb, dtype=U64)
+    if pa.shape != pb.shape:
+        raise ValueError("packed signature shapes must match")
+    lanes = 64 // b
+    k = pa.shape[-1] * lanes
+    x = pa ^ pb
+    fold = x
+    for i in range(1, b):
+        fold = fold | (x >> U64(i))
+    lane_mask = U64(sum(1 << (j * b) for j in range(lanes)))
+    mism = _popcount_u64(fold & lane_mask).sum(axis=-1)
+    return k - mism
+
+
+def bbit_jaccard(match_fraction, b: int = 1):
+    """Unbiased (sparse-universe) Jaccard estimate from the matched-lane
+    fraction: ``(p^ - 2^-b) / (1 - 2^-b)``.  Works on scalars or arrays;
+    can go slightly negative for dissimilar pairs (the estimator is
+    unbiased, not clamped)."""
+    c = 2.0 ** -b
+    return (np.asarray(match_fraction, dtype=np.float64) - c) / (1.0 - c)
+
+
+def bbit_sigma(j: float, k: int, b: int = 1) -> float:
+    """Estimator standard deviation at true Jaccard ``j``:
+    sqrt(p(1-p)/k) / (1-C) with p = C + (1-C) j, C = 2^-b."""
+    c = 2.0 ** -b
+    p = c + (1.0 - c) * j
+    return float(np.sqrt(p * (1.0 - p) / k) / (1.0 - c))

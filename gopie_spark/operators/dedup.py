@@ -306,12 +306,23 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            max_bucket: int = 64,
                            sig_col: str = "minhash",
                            sig_path: Optional[str] = None,
-                           sigs: Optional[DataFrame] = None) -> DataFrame:
+                           sigs: Optional[DataFrame] = None,
+                           bbit: Optional[int] = None) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     Returns DataFrame[id_a, id_b, est_jaccard] with id_a < id_b.
     Two docs collide if any of ``bands`` bands (k/bands rows each) matches
     exactly; est_jaccard = matching-slot fraction of the full signatures.
+
+    ``bbit`` (1/2/4/8): verify candidates from b-bit packed signatures
+    instead of the full ones — the verification join then shuffles
+    ``k*b/64`` words per side instead of ``k`` (64x less at b=1), at
+    the cost of estimator noise sqrt(p(1-p)/k)/(1-2^-b) instead of
+    sqrt(J(1-J)/k); ``est_jaccard`` becomes the unbiased b-bit estimate
+    (slightly negative possible for dissimilar pairs).  Thresholds on
+    it should widen their slack accordingly (see kernels.minhash
+    ``bbit_sigma``).  Blocking (bands) is unchanged — recall of the
+    candidate stage is identical; only verification precision differs.
 
     The signature table is consumed three times (band explode + both
     sides of the verification join).  By default it is persisted with
@@ -333,6 +344,20 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
 
     exploded = _band_explode(sigs, sig_col, k, bands)
     pairs = _bucket_pairs(exploded, ["band", "bh"], max_bucket)
+    if bbit is not None:
+        # b-bit verification: shuffle k*b/64 packed words per side
+        # instead of k full slots (64x smaller at b=1, k=128).
+        packed = pack_bbit_column(sigs, sig_col=sig_col, k=k, b=bbit,
+                                  out_col="_pk")
+        sa = packed.select(F.col("_id").alias("id_a"),
+                           F.col("_pk").alias("_pk_a"))
+        sb = packed.select(F.col("_id").alias("id_b"),
+                           F.col("_pk").alias("_pk_b"))
+        est = bbit_est_jaccard(F.col("_pk_a"), F.col("_pk_b"),
+                               k=k, b=bbit)
+        return (pairs.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("est_jaccard", est)
+                .drop("_pk_a", "_pk_b"))
     sa = sigs.select(F.col("_id").alias("id_a"),
                      F.col(sig_col).alias("_sig_a"))
     sb = sigs.select(F.col("_id").alias("id_b"),
@@ -344,6 +369,88 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     return (pairs.join(sa, "id_a").join(sb, "id_b")
             .withColumn("est_jaccard", est.cast("double"))
             .drop("_sig_a", "_sig_b"))
+
+
+# --------------------------------------------------------------------------
+# b-bit minwise hashing (Li & Koenig, CACM 2011): the verification join
+# is the stage that shuffles a signature per surviving candidate, twice.
+# Packing the low b bits of each of the k minima into k*b/64 uint64 words
+# cuts that shuffle 64/b-fold (k=128, b=1: 1 KiB -> 16 B per side) while
+# keeping an unbiased Jaccard estimator J^ = (p^ - 2^-b)/(1 - 2^-b) with
+# sigma = sqrt(p(1-p)/k)/(1-2^-b).  Everything below is pure Catalyst
+# (element_at / shiftleft / xor / bit_count in whole-stage codegen) —
+# no Python in the pack or the match path.  NumPy twins with the same
+# bit layout live in kernels/minhash.py (pack_bbit / bbit_match_counts)
+# and are parity-tested word-for-word against these expressions.
+# --------------------------------------------------------------------------
+
+def _bbit_words(k: int, b: int) -> int:
+    if b not in (1, 2, 4, 8):
+        raise ValueError("b must be one of 1, 2, 4, 8")
+    if (k * b) % 64:
+        raise ValueError("k*b must be a multiple of 64")
+    return (k * b) // 64
+
+
+def pack_bbit_column(sigs: DataFrame, sig_col: str = "minhash",
+                     k: int = 128, b: int = 1,
+                     out_col: str = "minhash_bbit") -> DataFrame:
+    """Add an ``array<bigint>`` of ``k*b/64`` packed words holding the
+    low ``b`` bits of each signature slot (slot ``j`` occupies bits
+    ``[j*b, (j+1)*b)`` of word ``j // (64/b)`` — identical layout to
+    :func:`gopie_spark.kernels.minhash.pack_bbit`).  JVM-side: one
+    ``element_at & mask << shift`` chain per word, folded with OR —
+    runs in whole-stage codegen next to the scan, so packing costs no
+    extra stage and the packed table can be written beside the
+    signature store for reuse."""
+    words = _bbit_words(k, b)
+    lanes = 64 // b
+    mask = (1 << b) - 1
+
+    def word(w: int):
+        acc = None
+        for lane in range(lanes):
+            t = F.shiftleft(
+                F.element_at(F.col(sig_col), w * lanes + lane + 1)
+                .bitwiseAND(F.lit(mask)), lane * b)
+            acc = t if acc is None else acc.bitwiseOR(t)
+        return acc
+
+    return sigs.withColumn(out_col, F.array(*[word(w) for w in range(words)]))
+
+
+def bbit_match_count(col_a, col_b, k: int = 128, b: int = 1):
+    """Catalyst expression: number of matching b-bit lanes between two
+    packed-signature columns (``array<bigint>`` from
+    :func:`pack_bbit_column`).  ``xor`` per word, fold each lane's b
+    bits onto its LSB, mask, ``bit_count`` = mismatching lanes."""
+    words = _bbit_words(k, b)  # validates (k, b)
+    del words
+    lanes = 64 // b
+
+    def lane_mism(x, y):
+        v = x.bitwiseXOR(y)
+        if b == 1:
+            return F.bit_count(v)
+        fold = v
+        for i in range(1, b):
+            fold = fold.bitwiseOR(F.shiftrightunsigned(v, i))
+        lane_mask = sum(1 << (j * b) for j in range(lanes))
+        return F.bit_count(fold.bitwiseAND(F.lit(lane_mask)))
+
+    mism = F.aggregate(F.zip_with(col_a, col_b, lane_mism),
+                       F.lit(0), lambda acc, v: acc + v)
+    return F.lit(k) - mism
+
+
+def bbit_est_jaccard(col_a, col_b, k: int = 128, b: int = 1):
+    """Unbiased sparse-universe Jaccard estimate from packed columns:
+    ``(match_fraction - 2^-b) / (1 - 2^-b)`` (can go slightly negative
+    for dissimilar pairs — unbiased, not clamped)."""
+    c = 2.0 ** -b
+    frac = bbit_match_count(col_a, col_b, k=k, b=b).cast("double") \
+        / F.lit(float(k))
+    return (frac - F.lit(c)) / F.lit(1.0 - c)
 
 
 def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
