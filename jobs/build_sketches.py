@@ -22,6 +22,12 @@ uninterrupted run (see plans/checkpoint.py).
 Skew: the per-lang aggregation salts hot keys (--salt) — en is ~45% of a
 Common-Crawl-style corpus; salting bounds any single merge task's fan-in
 and cannot change results (merge associativity).
+
+Dirty input: a real crawl always has contract-violating rows (null/empty
+url or text, decoded-binary oversize pages).  --quarantine excludes them
+from every build and persists them with reasons to <output>/quarantine
+(sources/quality.py); the summary always reports single-pass quality
+counters for the raw input either way.
 """
 
 from __future__ import annotations
@@ -76,6 +82,19 @@ def main() -> None:
                          "theta/KLL drift states keyed by this column "
                          "(e.g. lang) — one extra keyed co-build scan; "
                          "snapshot_diff then reports per-group drift")
+    ap.add_argument("--quarantine", action="store_true",
+                    help="exclude contract-violating rows (null/empty "
+                         "url, null/empty text, oversize text with "
+                         "--max-text-len) from EVERY sketch build and "
+                         "persist them with reasons to "
+                         "<output>/quarantine; per-reason counts land "
+                         "in the summary.  Must be passed consistently "
+                         "across resumes of one --checkpoint dir: it "
+                         "changes what the bucket partials contain")
+    ap.add_argument("--max-text-len", type=int, default=None,
+                    help="with --quarantine: also quarantine rows whose "
+                         "text exceeds this many characters (decoded-"
+                         "binary garbage pages)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -101,14 +120,43 @@ def main() -> None:
             f"column(s) {sorted(missing)}; expected the schema from "
             "sources/pages.py (url, warc_ts, html, text, lang)")
 
+    from gopie_spark.sources.quality import (input_quality_aggs,
+                                             split_quarantine)
+    clean_transform = None
+    if args.quarantine:
+        def clean_transform(df):
+            return split_quarantine(df, max_text_len=args.max_text_len)[0]
+
     hll = HLL(p=args.hll_p)
     ckpt = SketchCheckpoint(args.checkpoint, hll, ["lang"], "url",
-                            n_buckets=args.n_buckets)
+                            n_buckets=args.n_buckets,
+                            transform=clean_transform)
     if not args.resume_only:
         # iceberg: buckets are planned from the <table>.files metadata
         # table (sources/catalog.py), same resumability guarantees
         ckpt.run_until_complete(spark, args.input, fmt=args.format)
     pages = load_table(spark, args.input, args.format)
+
+    # quality counters describe the RAW input and ride its row-count
+    # scan — one pass, no extras (null url/text/lang/ts, empty text)
+    qrow = pages.agg(F.count("*").alias("rows"),
+                     *input_quality_aggs(
+                         max_text_len=args.max_text_len)).collect()[0]
+    n = int(qrow["rows"])
+    input_quality = {k: int(qrow[k] or 0)
+                     for k in qrow.asDict() if k != "rows"}
+
+    quarantined = None
+    if args.quarantine:
+        # every downstream build sees only contract-honouring rows;
+        # the offenders are persisted once, with reasons, for triage
+        pages, bad = split_quarantine(pages, max_text_len=args.max_text_len)
+        bad.write.mode("overwrite").parquet(f"{args.output}/quarantine")
+        quarantined = {
+            r["_reason"]: r["n"]
+            for r in spark.read.parquet(f"{args.output}/quarantine")
+            .groupBy("_reason").agg(F.count("*").alias("n")).collect()}
+        n -= sum(quarantined.values())  # rows the builds actually see
     salt = args.salt
     if salt < 0:
         # bounded-load rule made batch: no merge task's key above
@@ -117,8 +165,6 @@ def main() -> None:
         salt = suggest_salt(pages, ["lang"], sample_fraction=0.01)
     states = ckpt.finalize(spark, salt=salt)
     states.write.mode("overwrite").parquet(f"{args.output}/hll_lang_url")
-
-    n = pages.count()
 
     # Arrow-side tokenize: no token row ever shuffles (measured 1.8x
     # faster than the JVM wordcount-shuffle variant, same sketch)
@@ -168,11 +214,16 @@ def main() -> None:
                              group_col=args.drift_group_col)
         outputs.append("drift")
 
+    if quarantined is not None:
+        outputs.append("quarantine")
     summary = {
         "rows": n,
         "seconds": round(time.perf_counter() - t0, 3),
         "outputs": outputs,
+        "input_quality": input_quality,
     }
+    if quarantined is not None:
+        summary["quarantined"] = quarantined
     print(json.dumps(summary))
     spark.stop()
 
