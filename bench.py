@@ -90,6 +90,8 @@ def main() -> None:
         # round 4f: ICWS weighted-MinHash over token multisets,
         # unbiased CountSketch point estimates
         "weighted_minhash_pairs", "countsketch_token_counts",
+        # round 4m: b-bit minwise LSH verification (64x smaller shuffle)
+        "bbit_minhash_pairs",
         # round 4g: deletable cuckoo-filter membership (strict subtract),
         # sliding-HLL suffix-window distinct (query-time windows)
         "cuckoo_membership_remove", "sliding_hll_suffix_distinct",

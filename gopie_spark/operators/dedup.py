@@ -64,8 +64,17 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     duplicates before the shuffle, so at 10^12 docs the shuffle carries
     ~one row per distinct digest per partition instead of every row plus
     a per-partition sort.  Digests are uniform so no skew handling
-    needed."""
+    needed.
+
+    Null safety: a null ``text_col`` yields a null digest, and a plain
+    groupBy would collapse EVERY null-text row into one group — silently
+    deleting all but one of them on a dirty crawl.  Null-text rows are
+    given a per-id sentinel digest instead (single pass, no extra scan),
+    so each survives as its own group; quarantine them upstream
+    (sources/quality.py) if they should not reach dedup at all."""
     fp = content_digest(text_col, normalize)
+    fp = F.coalesce(fp, F.concat(F.lit("\x00null:"),
+                                 F.col(id_col).cast("string")))
     cols = df.columns
     others = [c for c in cols if c != id_col]
     rep = F.struct(F.col(id_col), *[F.col(c) for c in others])

@@ -33,15 +33,21 @@ from pyspark.sql import DataFrame, functions as F
 REASONS = ("null_url", "null_text", "empty_text", "oversize_text")
 
 
-def quarantine_reason(url_col: str = "url", text_col: str = "text",
+def quarantine_reason(url_col: Optional[str] = "url",
+                      text_col: str = "text",
                       max_text_len: Optional[int] = None):
     """Column expression: the quarantine reason, or NULL for rows that
     honour the input contract.  ``max_text_len`` (characters) adds the
     oversize tier — decoded-binary garbage pages otherwise dominate
-    tokenizer and shingle costs by orders of magnitude."""
-    r = F.when(F.col(url_col).isNull() | (F.length(url_col) == 0),
-               F.lit("null_url"))
-    r = r.when(F.col(text_col).isNull(), F.lit("null_text"))
+    tokenizer and shingle costs by orders of magnitude.  Pass
+    ``url_col=None`` for tables without a url column (text rules
+    only)."""
+    if url_col is not None:
+        r = F.when(F.col(url_col).isNull() | (F.length(url_col) == 0),
+                   F.lit("null_url"))
+        r = r.when(F.col(text_col).isNull(), F.lit("null_text"))
+    else:
+        r = F.when(F.col(text_col).isNull(), F.lit("null_text"))
     r = r.when(F.length(text_col) == 0, F.lit("empty_text"))
     if max_text_len is not None:
         r = r.when(F.length(text_col) > max_text_len,
@@ -49,7 +55,7 @@ def quarantine_reason(url_col: str = "url", text_col: str = "text",
     return r.otherwise(F.lit(None).cast("string"))
 
 
-def split_quarantine(df: DataFrame, url_col: str = "url",
+def split_quarantine(df: DataFrame, url_col: Optional[str] = "url",
                      text_col: str = "text",
                      max_text_len: Optional[int] = None,
                      reason_col: str = "_reason"

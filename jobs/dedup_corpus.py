@@ -117,6 +117,15 @@ def main() -> None:
                          "this paragraph-key parquet store FIRST (text "
                          "replaced by surviving paragraphs, emptied "
                          "docs dropped, new keys appended)")
+    ap.add_argument("--quarantine", action="store_true",
+                    help="split rows with null --text-col (or oversize "
+                         "with --max-text-len) off before any dedup "
+                         "stage, persist them with reasons to "
+                         "<output>.quarantine, and report per-reason "
+                         "counts (sources/quality.py)")
+    ap.add_argument("--max-text-len", type=int, default=None,
+                    help="with --quarantine: also quarantine rows whose "
+                         "text exceeds this many characters")
     args = ap.parse_args()
     if args.incremental and not args.sig_dir:
         raise SystemExit("--incremental requires --sig-dir")
@@ -139,6 +148,22 @@ def main() -> None:
                          f"(columns: {pages.columns})")
     if "doc_id" not in pages.columns:
         pages = pages.withColumn("doc_id", F.monotonically_increasing_id())
+    quarantined = None
+    if args.quarantine:
+        # contract violators never reach a digest or signature: a null
+        # text would otherwise tokenize to nothing and (pre null-safe
+        # exact_dedup) every null row shared one null digest group
+        from gopie_spark.sources.quality import split_quarantine
+        qurl = "url" if "url" in pages.columns else None
+        pages, bad = split_quarantine(pages, url_col=qurl,
+                                      text_col=args.text_col,
+                                      max_text_len=args.max_text_len)
+        qdir = args.output.rstrip("/") + ".quarantine"
+        bad.write.mode("overwrite").parquet(qdir)
+        quarantined = {
+            r["_reason"]: r["n"]
+            for r in spark.read.parquet(qdir).groupBy("_reason")
+            .agg(F.count("*").alias("n")).collect()}
     n_input = pages.count()
 
     # stage 0 (optional): paragraph-level keep-first dedup vs the
@@ -207,6 +232,7 @@ def main() -> None:
         "incremental": args.incremental,
         "lsh_preflight": preflight,
         "novelty_preflight": novelty,
+        "quarantined": quarantined,
     }
     print(json.dumps(report))
     spark.stop()

@@ -12,6 +12,7 @@ from the library's scale-shaped operators:
         [--length-band 0.02,0.98] [--decontam-max-frac 0.1] \\
         [--url-rules] [--split-fractions train=0.9,val=0.05,test=0.05] \\
         [--sentence-dedup] [--mirror-report 20] \\
+        [--quarantine] [--max-text-len N] \\
         [--report /path/report.json]
 
 Stage order is chosen so the cheapest filters run first and every
@@ -344,6 +345,17 @@ def main() -> None:
     ap.add_argument("--card", default=None,
                     help="also write the survivors' corpus card "
                          "(jobs/corpus_report.py) to this JSON path")
+    ap.add_argument("--quarantine", action="store_true",
+                    help="split contract-violating rows (null/empty "
+                         "url, null text, oversize text with "
+                         "--max-text-len) off BEFORE any stage, persist "
+                         "them with reasons to <output>.quarantine, and "
+                         "report per-reason counts — a dirty crawl "
+                         "otherwise feeds null digests and null hosts "
+                         "into the stages (sources/quality.py)")
+    ap.add_argument("--max-text-len", type=int, default=None,
+                    help="with --quarantine: also quarantine rows whose "
+                         "text exceeds this many characters")
     args = ap.parse_args()
 
     from gopie_spark.plans import get_spark
@@ -352,6 +364,25 @@ def main() -> None:
     spark = get_spark("gopie-filter-corpus")
     t0 = time.perf_counter()
     pages = load_table(spark, args.input, args.format)
+    quarantined = None
+    if args.quarantine:
+        # stage -1: contract violators never reach the stages — a null
+        # text would otherwise ride the quality filter's null flags and
+        # a null url would hash to a null host.  Persisted once with
+        # reasons; survivors proceed.  (exact_dedup is additionally
+        # null-safe on its own — defense in depth, not a substitute.)
+        from pyspark.sql import functions as F
+        from gopie_spark.sources.quality import split_quarantine
+        qurl = args.url_col if args.url_col in pages.columns else None
+        pages, bad = split_quarantine(pages, url_col=qurl,
+                                      text_col=args.text_col,
+                                      max_text_len=args.max_text_len)
+        qdir = args.output.rstrip("/") + ".quarantine"
+        bad.write.mode("overwrite").parquet(qdir)
+        quarantined = {
+            r["_reason"]: r["n"]
+            for r in spark.read.parquet(qdir).groupBy("_reason")
+            .agg(F.count("*").alias("n")).collect()}
     eval_df = load_table(spark, args.eval, args.format) if args.eval \
         else None
     band = None
@@ -386,6 +417,8 @@ def main() -> None:
                            url_col=args.url_col)
         with open(args.card, "w") as fh:
             fh.write(json.dumps(card) + "\n")
+    if quarantined is not None:
+        report["quarantined"] = quarantined
     report["wall_sec"] = round(time.perf_counter() - t0, 2)
     line = json.dumps(report)
     print(line)

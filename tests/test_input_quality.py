@@ -147,3 +147,66 @@ def test_job_quarantine_equals_clean_run(spark, tmp_path):
         states("out_c", "hll_lang_url", "lang")
     assert states("out_q", "bloom_url_shards", "bloom_shard") == \
         states("out_c", "bloom_url_shards", "bloom_shard")
+
+
+def test_quarantine_reason_without_url_col(spark):
+    """url_col=None: text rules only — tables without a url column."""
+    df = spark.createDataFrame(
+        [("a", "fine"), ("b", None), ("c", "")], "doc_id string, text string")
+    clean, bad = split_quarantine(df, url_col=None)
+    assert clean.count() == 1  # null AND empty text both quarantined
+    assert {r["_reason"] for r in bad.collect()} == {"null_text",
+                                                     "empty_text"}
+
+
+def test_exact_dedup_null_text_rows_survive(spark):
+    """Null-text rows must NOT collapse into one null-digest group:
+    each keeps its own sentinel digest and survives exact_dedup."""
+    from gopie_spark.operators.dedup import exact_dedup
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None),
+         (5, None), (6, "other")],
+        "doc_id long, text string")
+    out = exact_dedup(df)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # one survivor of the real dup pair; ALL null rows survive
+    assert ids == [1, 3, 4, 5, 6]
+
+
+def test_filter_corpus_job_quarantine(spark, tmp_path):
+    """filter_corpus --quarantine: violators split off before stage 0,
+    persisted with reasons next to the output, counted in the report;
+    survivors match the clean-source run exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from gopie_spark.sources.pages import generate_pages
+
+    dirty = str(tmp_path / "dirty")
+    generate_pages(dirty, 300, n_files=2, seed=31)
+    schema = pq.read_schema(os.path.join(dirty, "part-00000.parquet"))
+    bad_rows = {
+        "url": [None, "http://x.com/nulltext"],
+        "warc_ts": [None, None], "html": [None, None],
+        "text": ["orphan text with enough tokens to pass quality " * 3,
+                 None],
+        "lang": ["en", "en"],
+    }
+    pq.write_table(pa.Table.from_pydict(bad_rows).cast(schema),
+                   os.path.join(dirty, "part-00055.parquet"))
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8", PYTHONPATH="/root/repo")
+    out = str(tmp_path / "curated")
+    r = subprocess.run(
+        [sys.executable, "jobs/filter_corpus.py", "--input", dirty,
+         "--output", out, "--no-dedup", "--min-tokens", "5",
+         "--quarantine"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=500)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["quarantined"] == {"null_url": 1, "null_text": 1}
+    assert rep["input_rows"] == 300  # stages saw only clean rows
+
+    q = spark.read.parquet(out + ".quarantine")
+    assert {(r["url"], r["_reason"]) for r in q.collect()} == {
+        (None, "null_url"), ("http://x.com/nulltext", "null_text")}
