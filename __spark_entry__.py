@@ -2965,6 +2965,50 @@ def _q_sketch_cube_rollup(spark, sf_dir):
               "within_bound boolean").orderBy("event_type")
 
 
+def _q_sql_sketch_rollup(spark, sf_dir):
+    """Pure-SQL sketch rollup via the ``gopie_sketch_merge`` AGGREGATE
+    (functions/sql.py): fine-grain per-(lang, bucket) HLL cells are
+    built ONCE by the standard two-level operator path, then a plain
+    ``spark.sql`` GROUP BY merges the KB-sized state blobs — per-lang
+    AND whole-corpus distinct doc_id answered from the same persisted
+    relation with no corpus rescan (the sketch-cube question expressed
+    in SQL).  Certificate: every SQL-side estimate within the 4-sigma
+    HLL band (1.04/sqrt(m), hyperloglog.go:23-27) of the exact
+    distinct; the rollup itself is byte-equal to the operator merge
+    (register-max is order-independent, gated in test_sql_surface)."""
+    from gopie_spark.functions.sql import register_sql_functions
+    from gopie_spark.kernels import HLL
+    from gopie_spark.operators.sketch_agg import sketch_agg
+    register_sql_functions(spark)
+    docs = _docs(spark, sf_dir)
+    hll = HLL(p=13)
+    src = docs.selectExpr("lang",
+                          "pmod(xxhash64(doc_id), 16) AS bucket",
+                          "cast(doc_id AS string) AS v")
+    sketch_agg(src, ["lang", "bucket"], "v", hll) \
+        .createOrReplaceTempView("gopie_rollup_cells")
+    ests = spark.sql("""
+        SELECT lang AS scope,
+               gopie_hll_estimate(gopie_sketch_merge(sketch_state)) AS est
+        FROM gopie_rollup_cells GROUP BY lang
+        UNION ALL
+        SELECT '*', gopie_hll_estimate(gopie_sketch_merge(sketch_state))
+        FROM gopie_rollup_cells
+    """)
+    exact = (docs.groupBy(F.col("lang").alias("scope"))
+             .agg(F.countDistinct("doc_id").alias("n_exact"))
+             .unionAll(docs.agg(
+                 F.lit("*").alias("scope"),
+                 F.countDistinct("doc_id").alias("n_exact"))))
+    band = 4 * 1.04 / (2 ** (13 / 2))
+    return (exact.join(ests, "scope")
+            .select("scope", "n_exact",
+                    (F.abs(F.col("est") - F.col("n_exact"))
+                     <= band * F.col("n_exact") + F.lit(5))
+                    .alias("within_bound"))
+            .orderBy("scope"))
+
+
 def _q_theta_distinct_events(spark, sf_dir):
     """Theta/KMV distinct (kernels/theta.py, Beyer et al. 2007): the
     event_id row exercises the theta tier (distinct >> k=512; estimate
@@ -3298,6 +3342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position.
     return {
         # --- no driver-green row yet (r4 priority block) ---
+        "sql_sketch_rollup": _q_sql_sketch_rollup,
         "sketch_store_answers": _q_sketch_store_answers,
         "advised_join_orders": _q_advised_join_orders,
         "join_plan_advice": _q_join_plan_advice,
@@ -3661,6 +3706,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "sql_sketch_rollup": """
+            SELECT * FROM (
+                SELECT lang AS scope,
+                       count(DISTINCT doc_id) AS n_exact,
+                       TRUE AS within_bound
+                FROM documents GROUP BY lang
+                UNION ALL
+                SELECT '*', count(DISTINCT doc_id), TRUE
+                FROM documents
+            ) ORDER BY scope
         """,
         "theta_distinct_events": """
             SELECT * FROM (

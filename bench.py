@@ -111,6 +111,9 @@ def main() -> None:
         # round 4l: SketchStore serving layer (persist once, answer the
         # whole north-star question set with zero Spark + bounds)
         "sketch_store_answers",
+        # round 4n: pure-SQL sketch rollup via the gopie_sketch_merge
+        # grouped aggregate (merge KB blobs in spark.sql, never raw rows)
+        "sql_sketch_rollup",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",

@@ -37,6 +37,26 @@ Registered names (idempotent to re-register):
 - ``gopie_theta_intersect(a, b) -> double``        (|A ∩ B| estimate)
 - ``gopie_theta_jaccard(a, b) -> double``
 - ``gopie_ams_join(a, b) -> double``            (equi-join size est.)
+
+One AGGREGATE is registered alongside the scalar probes —
+
+- ``gopie_sketch_merge(state) -> binary`` (grouped-agg pandas UDF):
+  merge the group's state blobs into one blob, so ANY persisted
+  partial-state relation (a sketch cube's cells, a store's per-lang
+  rows, per-shard partials) rolls up in plain SQL::
+
+      SELECT lang, gopie_hll_estimate(gopie_sketch_merge(state))
+      FROM cells GROUP BY lang
+
+  The blob is self-describing, so one function serves every kernel;
+  mixed kinds inside a group are refused, geometry mismatches are
+  refused by the kernel's own merge.  Scale note: inputs to this
+  aggregate are O(cells) KB-sized blobs — the raw corpus never flows
+  through it (the build side stays on the two-level
+  ``operators/sketch_agg`` path); grouped-agg pandas UDFs run in
+  complete mode, which is exactly right for a blob relation and wrong
+  for raw rows.  Merge-order independence comes from each kernel's
+  commutative/associative merge (gated in test_merge_associativity).
 """
 
 from __future__ import annotations
@@ -293,6 +313,32 @@ def register_sql_functions(spark: SparkSession,
                                   (sb["feat"], sb["t"]))
         return pd.Series(out)
 
+    def _sketch_merge(blobs: pd.Series) -> bytes:
+        from gopie_spark.kernels import codec, sketch_from_blob
+        kernel = None
+        acc = None
+        acc_kind = None
+        for b in blobs:
+            if b is None:
+                continue
+            b = bytes(b)
+            kind, _ = codec.unpack(b)
+            if acc is None:
+                kernel = sketch_from_blob(b)
+                acc = kernel.deserialize(b)
+                acc_kind = kind
+            else:
+                if kind != acc_kind:
+                    raise ValueError(
+                        f"gopie_sketch_merge: mixed sketch kinds in one "
+                        f"group ({acc_kind} vs {kind})")
+                acc = kernel.merge(acc, kernel.deserialize(b))
+        if acc is None:
+            return None
+        return bytes(kernel.serialize(acc))
+
+    spark.udf.register(f"{prefix}sketch_merge",
+                       pandas_udf(_sketch_merge, "binary"))
     spark.udf.register(f"{prefix}mg_estimate",
                        pandas_udf(_mg_estimate, "long"))
     spark.udf.register(f"{prefix}hll_estimate",

@@ -89,6 +89,28 @@ def load_sketch_cube(spark: SparkSession, path: str) \
     return cells, sketch, list(meta["dims"])
 
 
+def register_cube_view(spark: SparkSession, path: str,
+                       view_name: str) -> Tuple[object, List[str]]:
+    """Expose a persisted cube to plain SQL: the cells relation becomes
+    a temp view and the sketch SQL surface (incl. the
+    ``gopie_sketch_merge`` grouped aggregate) is registered, so any
+    dim-subset / cell-range rollup is one SQL statement::
+
+        SELECT lang, gopie_hll_estimate(gopie_sketch_merge(sketch_state))
+        FROM cube_v WHERE day >= '2026-01-01' GROUP BY lang
+
+    A predicate on the cube's partition dim prunes files exactly as in
+    :func:`rollup` (the view is the hive-partitioned parquet scan), and
+    the GROUP BY shuffles only KB-sized cell blobs — never raw rows.
+    Returns (kernel, dims) for callers that also want the operator path.
+    """
+    from gopie_spark.functions.sql import register_sql_functions
+    cells, sketch, dims = load_sketch_cube(spark, path)
+    register_sql_functions(spark)
+    cells.createOrReplaceTempView(view_name)
+    return sketch, dims
+
+
 def rollup(cells: DataFrame, keep_dims: Sequence[str], sketch,
            where=None, salt: int = 0) -> DataFrame:
     """Merge cube cells up to ``keep_dims`` (any subset of the cube's

@@ -386,3 +386,43 @@ def test_sketch_cube_local_rollup_int_partition_dim(spark, sf_dir,
         rollup(cells, ["event_type"], kern,
                where=F.col("hour") == h0).collect()}
     assert got == want
+
+
+def test_register_cube_view_sql_rollup(spark, sf_dir, tmp_path):
+    """A persisted cube queried through plain SQL (register_cube_view +
+    gopie_sketch_merge) gives states byte-equal to the operator rollup,
+    and a partition-dim predicate prunes the scan to the matching
+    hive partitions."""
+    from gopie_spark.operators.cube import register_cube_view
+    hll = HLL(p=12)
+    ev = _events_with_day(spark, sf_dir)
+    path = str(tmp_path / "cube")
+    build_sketch_cube(ev, ["event_type", "day"], "user_id", hll,
+                      path=path, partition_dim="day")
+    sketch, dims = register_cube_view(spark, path, "cube_v")
+    assert dims == ["event_type", "day"]
+    assert type(sketch).__name__ == "HLL"
+
+    got = {r["event_type"]: bytes(r["state"]) for r in spark.sql(
+        "SELECT event_type, gopie_sketch_merge(sketch_state) AS state "
+        "FROM cube_v GROUP BY event_type").collect()}
+    cells, k, _ = load_sketch_cube(spark, path)
+    want = _states(rollup(cells, ["event_type"], k), ["event_type"])
+    assert got == {k2[0]: v for k2, v in want.items()}
+
+    # range rollup with estimate, vs exact over the same slice
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    cut = days[len(days) // 2]
+    est = spark.sql(
+        "SELECT gopie_hll_estimate(gopie_sketch_merge(sketch_state)) AS n"
+        f" FROM cube_v WHERE day >= '{cut}'").collect()[0]["n"]
+    exact = (ev.where(F.col("day") >= F.lit(cut))
+             .agg(F.countDistinct("user_id")).collect()[0][0])
+    assert abs(est - exact) <= 4 * 1.04 / (2 ** 6) * exact + 5
+
+    # the partition-dim predicate reaches the scan as partition filters
+    plan = spark.sql(
+        f"SELECT sketch_state FROM cube_v WHERE day >= '{cut}'"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "day" in plan.split(
+        "PartitionFilters:")[1][:200]

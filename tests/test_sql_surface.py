@@ -297,3 +297,105 @@ def test_window_cms_estimate_from_sql(registered, spark):
     assert 350 <= row["a_all"] <= 350 + 3 * wc.epsilon * 450
     assert 50 <= row["a_new"] <= 50 + 3 * wc.epsilon * 50
     assert row["b_new"] <= 3 * wc.epsilon * 50  # b absent from tick 1
+
+
+# --------------------------------------------------------------------------
+# gopie_sketch_merge: the SQL AGGREGATE (grouped-agg pandas UDF) that rolls
+# up persisted partial-state relations in plain SQL
+# --------------------------------------------------------------------------
+
+def test_sketch_merge_rollup_equals_operator_merge(registered, spark):
+    """SQL GROUP-BY merge of fine-grain HLL cells is BYTE-EQUAL to the
+    operator path's coarse build (register-max is order-independent), so
+    the SQL surface and operators/sketch_agg cannot drift."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hll = HLL(p=12)
+    src = docs.selectExpr("lang", "pmod(xxhash64(doc_id), 8) AS bucket",
+                          "cast(doc_id as string) v")
+    fine = sketch_agg(src, ["lang", "bucket"], "v", hll)
+    fine.createOrReplaceTempView("hll_cells")
+    rolled = {r["lang"]: bytes(r["state"]) for r in spark.sql(
+        "SELECT lang, gopie_sketch_merge(sketch_state) AS state "
+        "FROM hll_cells GROUP BY lang").collect()}
+    coarse = {r["lang"]: bytes(r[STATE_COL]) for r in sketch_agg(
+        src, ["lang"], "v", hll).collect()}
+    assert rolled == coarse
+
+
+def test_sketch_merge_composes_with_probes_one_statement(registered, spark):
+    """Merge + finalize in ONE SQL statement; estimate within the HLL
+    band of the exact per-group distinct."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hll = HLL(p=13)
+    src = docs.selectExpr("lang", "pmod(xxhash64(doc_id), 16) AS bucket",
+                          "cast(doc_id as string) v")
+    sketch_agg(src, ["lang", "bucket"], "v", hll) \
+        .createOrReplaceTempView("hll_cells13")
+    got = {r["lang"]: r["est"] for r in spark.sql(
+        "SELECT lang, gopie_hll_estimate(gopie_sketch_merge(sketch_state))"
+        " AS est FROM hll_cells13 GROUP BY lang").collect()}
+    exact = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(
+                 F.countDistinct("doc_id").alias("n")).collect()}
+    band = 4 * 1.04 / (2 ** 6.5)  # 4 sigma at m=2^13
+    for lang, n in exact.items():
+        assert abs(got[lang] - n) <= band * n + 5
+
+
+def test_sketch_merge_global_aggregate_cms_linear(registered, spark):
+    """Global (no GROUP BY) merge; CMS merge is counter-ADD so the SQL
+    rollup of per-bucket states is byte-equal to one direct build."""
+    from gopie_spark.kernels import CMS
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    cms = CMS(width=2048, depth=5)
+    src = events.selectExpr("pmod(xxhash64(user_id), 8) AS bucket",
+                            "event_type v")
+    sketch_agg(src, ["bucket"], "v", cms) \
+        .createOrReplaceTempView("cms_cells")
+    rolled = bytes(spark.sql(
+        "SELECT gopie_sketch_merge(sketch_state) AS state FROM cms_cells"
+    ).collect()[0]["state"])
+    direct = bytes(sketch_agg(src, [], "v", cms).collect()[0][STATE_COL])
+    assert rolled == direct
+    # and the merged state probes correctly from SQL too
+    spark.createDataFrame([(bytearray(rolled),)], "state binary") \
+        .createOrReplaceTempView("cms_rolled")
+    est = spark.sql("SELECT gopie_cms_estimate(state, 'click') AS n "
+                    "FROM cms_rolled").collect()[0]["n"]
+    exact = events.where("event_type = 'click'").count()
+    assert exact <= est <= exact + 3 * cms.epsilon * events.count()
+
+
+def test_sketch_merge_skips_nulls_and_all_null_is_null(registered, spark):
+    hll = HLL(p=10)
+    st = hll.zero()
+    hll.update(st, [str(i) for i in range(500)])
+    blob = bytearray(hll.serialize(st))
+    df = spark.createDataFrame(
+        [("a", blob), ("a", None), ("b", None)],
+        "g string, sketch_state binary")
+    df.createOrReplaceTempView("nullish_cells")
+    rows = {r["g"]: r for r in spark.sql(
+        "SELECT g, gopie_sketch_merge(sketch_state) AS state, "
+        "gopie_hll_estimate(gopie_sketch_merge(sketch_state)) AS est "
+        "FROM nullish_cells GROUP BY g").collect()}
+    assert bytes(rows["a"]["state"]) == bytes(blob)
+    assert abs(rows["a"]["est"] - 500) <= 0.1 * 500
+    assert rows["b"]["state"] is None
+
+
+def test_sketch_merge_mixed_kinds_refused(registered, spark):
+    from gopie_spark.kernels import CMS
+    hll = HLL(p=10)
+    hst = hll.zero()
+    hll.update(hst, ["x"])
+    cms = CMS(width=64, depth=3)
+    cst = cms.zero()
+    cms.update(cst, ["x"])
+    df = spark.createDataFrame(
+        [(bytearray(hll.serialize(hst)),), (bytearray(cms.serialize(cst)),)],
+        "sketch_state binary")
+    df.createOrReplaceTempView("mixed_kind_cells")
+    with pytest.raises(Exception, match="mixed sketch kinds"):
+        spark.sql("SELECT gopie_sketch_merge(sketch_state) AS s "
+                  "FROM mixed_kind_cells").collect()
