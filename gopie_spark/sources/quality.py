@@ -72,12 +72,15 @@ def split_quarantine(df: DataFrame, url_col: Optional[str] = "url",
 
 
 def input_quality_aggs(url_col: str = "url", text_col: str = "text",
-                       lang_col: str = "lang", ts_col: str = "warc_ts",
+                       lang_col: str = "lang",
+                       ts_col: Optional[str] = "warc_ts",
                        max_text_len: Optional[int] = None):
     """Aggregate expressions for the quality report — append them to an
     agg that already scans the table.  Returns a list of aliased
     columns: rows_{null_url, null_text, empty_text, oversize_text,
-    null_lang, null_ts}."""
+    null_lang, null_ts}.  ``ts_col=None`` omits the timestamp counter —
+    ``warc_ts`` is optional in the pages contract (callers pass
+    ``"warc_ts" if "warc_ts" in df.columns else None``)."""
 
     def cnt(cond, name):
         return F.sum(cond.cast("long")).alias(name)
@@ -88,8 +91,9 @@ def input_quality_aggs(url_col: str = "url", text_col: str = "text",
         cnt(text.isNull(), "rows_null_text"),
         cnt(text.isNotNull() & (F.length(text) == 0), "rows_empty_text"),
         cnt(F.col(lang_col).isNull(), "rows_null_lang"),
-        cnt(F.col(ts_col).isNull(), "rows_null_ts"),
     ]
+    if ts_col is not None:
+        out.append(cnt(F.col(ts_col).isNull(), "rows_null_ts"))
     if max_text_len is not None:
         out.insert(3, cnt(text.isNotNull() & (F.length(text) > max_text_len),
                           "rows_oversize_text"))

@@ -91,22 +91,37 @@ def main() -> None:
                          "in the summary.  Must be passed consistently "
                          "across resumes of one --checkpoint dir: it "
                          "changes what the bucket partials contain")
+    ap.add_argument("--bloom-n", type=int, default=None,
+                    help="size the sharded Bloom filters for this "
+                         "PLANNED key capacity instead of the input's "
+                         "row count — required consistent across "
+                         "stores that will be merge-folded "
+                         "(jobs/daily_update.py / merge_stores)")
     ap.add_argument("--max-text-len", type=int, default=None,
                     help="with --quarantine: also quarantine rows whose "
                          "text exceeds this many characters (decoded-"
                          "binary garbage pages)")
     args = ap.parse_args()
 
-    from pyspark.sql import functions as F
     from gopie_spark.plans import get_spark
+    spark = get_spark("gopie-build-sketches")
+    summary = run_build(spark, args)
+    print(json.dumps(summary))
+    spark.stop()
+
+
+def run_build(spark, args) -> dict:
+    """The whole build as a library call (``args`` is any object with
+    the CLI's attributes — argparse.Namespace or types.SimpleNamespace)
+    so orchestrators (jobs/daily_update.py) and tests compose it
+    in-process on one SparkSession; ``main`` is the CLI twin."""
+    from pyspark.sql import functions as F
     from gopie_spark.plans.checkpoint import SketchCheckpoint
-    from gopie_spark.kernels import HLL, KLL
+    from gopie_spark.kernels import HLL
     from gopie_spark.operators import cms_build
     from gopie_spark.operators.membership import bloom_shards_build
-    from gopie_spark.operators.sketch_agg import STATE_COL
     from gopie_spark.sources.catalog import load_table
 
-    spark = get_spark("gopie-build-sketches")
     t0 = time.perf_counter()
 
     # fail fast with a clear message if --input is not a pages table
@@ -141,6 +156,8 @@ def main() -> None:
     # scan — one pass, no extras (null url/text/lang/ts, empty text)
     qrow = pages.agg(F.count("*").alias("rows"),
                      *input_quality_aggs(
+                         ts_col=("warc_ts" if "warc_ts" in pages.columns
+                                 else None),
                          max_text_len=args.max_text_len)).collect()[0]
     n = int(qrow["rows"])
     input_quality = {k: int(qrow[k] or 0)
@@ -174,18 +191,25 @@ def main() -> None:
 
     # ONE set of routing parameters shared by the build and the store
     # meta — a mismatch would silently route every later probe to the
-    # wrong shard (false negatives), so they must not be two literals
+    # wrong shard (false negatives), so they must not be two literals.
+    # bloom_n (optional attr / --bloom-n) sizes the filters for a PLANNED
+    # capacity instead of this input's row count — stores that will be
+    # folded together (jobs/daily_update.py) must share one sizing or
+    # the per-shard geometries cannot merge (operators/store.py).
     bloom_shards, bloom_p = 256, 0.001
+    bloom_n = getattr(args, "bloom_n", None) or n
     shard_states = bloom_shards_build(pages.select("url"), "url",
-                                      n=n, p=bloom_p, shards=bloom_shards)
+                                      n=bloom_n, p=bloom_p,
+                                      shards=bloom_shards)
     shard_states.write.mode("overwrite") \
         .parquet(f"{args.output}/bloom_url_shards")
 
     # the output directory is a SketchStore (operators/store.py): record
     # what a zero-Spark reader needs to route probes and name keyed cols
     from gopie_spark.operators.store import update_store_meta
-    update_store_meta(args.output, bloom_shards=bloom_shards, bloom_n=n,
-                      bloom_p=bloom_p, hll_key_col="lang", rows=n)
+    update_store_meta(args.output, bloom_shards=bloom_shards,
+                      bloom_n=bloom_n, bloom_p=bloom_p,
+                      hll_key_col="lang", rows=n)
 
     outputs = ["hll_lang_url", "bloom_url_shards", "cms_tokens.bin"]
     if args.time_windows:
@@ -224,8 +248,7 @@ def main() -> None:
     }
     if quarantined is not None:
         summary["quarantined"] = quarantined
-    print(json.dumps(summary))
-    spark.stop()
+    return summary
 
 
 if __name__ == "__main__":

@@ -1,0 +1,255 @@
+#!/usr/bin/env python
+"""Daily incremental crawl update — ONE entrypoint for the day-N loop.
+
+A production corpus is not built once; a new crawl lands every day and
+must flow through curation, history-aware dedup, and into the serving
+artifacts WITHOUT rescanning history.  This job composes the library's
+incremental paths end to end:
+
+    cd /root/repo && zip -qr /tmp/gopie_spark.zip gopie_spark
+    spark-submit --py-files /tmp/gopie_spark.zip jobs/daily_update.py \\
+        --input /path/to/day_pages --state /path/to/state \\
+        --date 2026-01-02 [--format parquet|warc] [--quarantine] \\
+        [--max-text-len N] [--min-tokens 20] [--blocklist h1,h2] \\
+        [--per-host-cap N] [--bloom-n N] [--hll-p 14] [--force]
+
+Stages, in order (each one is the already-tested library path):
+
+1. **Curate** the day's pages (jobs/filter_corpus.curate: quality rules,
+   PII scrub, host blocklist/budget, exact within-day dedup; optional
+   input-contract quarantine first, sources/quality.py).
+2. **Incremental near-dup dedup vs history** (operators/dedup.
+   incremental_minhash_dedup): the day's survivors are compared against
+   the corpus's signature store only — history text is never re-read,
+   history pairs never re-expanded; survivors' signatures fold back in.
+3. **Write the day's documents** to ``<state>/curated/day=<date>/``.
+4. **Build the day's sketch store** over those survivors
+   (jobs/build_sketches.run_build: per-lang HLL, sharded Bloom, CMS;
+   resumable via its own checkpoint dir).  ``--bloom-n`` (default 10^9
+   here) sizes membership filters for the PLANNED corpus capacity so
+   every day's shards share one geometry and can merge.
+5. **Fold into the serving store** (operators/store.merge_stores —
+   ZERO Spark, KB-to-MB file IO): register-max / bit-OR / counter-add
+   per artifact; day 1 simply becomes the store.
+6. **Extend the (lang, day) HLL url cube** (jobs/sketch_cube.run_cube
+   ``merge_into``) — any lang x day-range rollup stays a merge-only
+   read.
+7. **Persist the day's drift states and diff against the previous
+   day** (operators/drift): the crawl-over-crawl report (url overlap,
+   token movers, length KS, lang share) from KB-sized states.
+8. **Write the accounting JSON** to ``<state>/accounting/<date>.json``.
+
+State directory layout::
+
+    <state>/curated/day=<date>/   surviving documents per day
+    <state>/sig_store/            MinHash signatures of the corpus
+    <state>/store/                serving SketchStore (query_sketches.py)
+    <state>/cube/                 (lang, day) url cube (sketch_cube.py)
+    <state>/drift/<date>/         per-day drift states (snapshot_diff.py)
+    <state>/accounting/<date>.json
+    <state>/_applied/<date>       commit marker (see below)
+
+Re-run safety: the serving-store fold adds LINEAR states (CMS counters),
+so applying one day twice would double-count token frequencies.  A
+commit marker is written only after the fold+swap succeeds; re-running
+an applied date is refused (``--force`` overrides for a state dir you
+are rebuilding).  A run killed BEFORE the fold re-runs cleanly: every
+earlier stage overwrites its own day-keyed outputs, and the sketch
+build resumes from its checkpoint buckets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+from types import SimpleNamespace
+
+_JOBS_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_JOBS_DIR))
+sys.path.insert(0, _JOBS_DIR)  # sibling jobs (filter_corpus, ...)
+
+
+def _swap_dir(new_dir: str, live_dir: str) -> None:
+    """Replace ``live_dir`` with ``new_dir`` (rename-aside, then rename
+    in, then drop the old copy — the window without a live dir is two
+    renames, and the old copy survives any crash before the final rm)."""
+    old = live_dir + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(live_dir):
+        os.rename(live_dir, old)
+    os.rename(new_dir, live_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def run_daily(spark, input_path: str, state: str, date: str, *,
+              fmt: str = "parquet", quarantine: bool = False,
+              max_text_len=None, min_tokens: int = 20, blocklist=None,
+              per_host_cap=None, bloom_n: int = 1_000_000_000,
+              hll_p: int = 14, threshold: float = 0.8,
+              force: bool = False) -> dict:
+    """The whole daily update as a library call; ``main`` is the CLI
+    twin.  Returns the accounting dict."""
+    from pyspark.sql import functions as F
+    from gopie_spark.kernels import HLL
+    from gopie_spark.operators.dedup import incremental_minhash_dedup
+    from gopie_spark.operators.drift import (drift_report_from_states,
+                                             load_drift_states,
+                                             persist_drift_states)
+    from gopie_spark.operators.store import merge_stores
+    from gopie_spark.sources.catalog import load_table
+    from filter_corpus import curate  # noqa: E402 (jobs/ sibling)
+    from build_sketches import run_build  # noqa: E402
+    from sketch_cube import run_cube  # noqa: E402
+
+    t0 = time.perf_counter()
+    marker = os.path.join(state, "_applied", date)
+    if os.path.exists(marker) and not force:
+        raise SystemExit(
+            f"date {date} already applied to {state} (the store fold is "
+            "not idempotent for linear states); use a fresh --state or "
+            "--force if you are deliberately rebuilding")
+    for sub in ("curated", "accounting", "_applied", "drift"):
+        os.makedirs(os.path.join(state, sub), exist_ok=True)
+
+    pages = load_table(spark, input_path, fmt)
+    missing = {"url", "text", "lang"} - set(pages.columns)
+    if missing:
+        raise SystemExit(f"--input is not a pages table: missing "
+                         f"{sorted(missing)}")
+    acct: dict = {"date": date, "input_rows": pages.count()}
+
+    # -- 1. curate (quality -> PII -> host -> exact within-day dedup).
+    # Near-dup runs in stage 2 against history instead, so within-day
+    # AND cross-day near-dups are handled by ONE signature pass.
+    if quarantine:
+        from gopie_spark.sources.quality import split_quarantine
+        pages, bad = split_quarantine(pages, max_text_len=max_text_len)
+        bad.write.mode("overwrite").parquet(
+            os.path.join(state, "curated", f"_quarantine_{date}"))
+        acct["quarantined"] = {
+            r["_reason"]: r["n"] for r in
+            spark.read.parquet(
+                os.path.join(state, "curated", f"_quarantine_{date}"))
+            .groupBy("_reason").agg(F.count("*").alias("n")).collect()}
+    kept, curate_report = curate(
+        spark, pages, min_tokens=min_tokens, blocklist=blocklist,
+        per_host_cap=per_host_cap, dedup=True, near_dedup=False,
+        id_col="url")
+    acct["curate"] = curate_report
+
+    # -- 2. incremental near-dup dedup vs the history signature store
+    sig_store = os.path.join(state, "sig_store")
+    survivors = incremental_minhash_dedup(
+        kept, sig_store, id_col="url", threshold=threshold,
+        update_store=True)
+    day_dir = os.path.join(state, "curated", f"day={date}")
+    survivors.write.mode("overwrite").parquet(day_dir)
+    n_day = spark.read.parquet(day_dir).count()
+    acct["near_dup_dropped"] = curate_report["output_rows"] - n_day
+    acct["day_docs"] = n_day
+
+    # -- 3. the day's sketch store (resumable; planned-capacity blooms)
+    day_store = os.path.join(state, f"store_day_{date}")
+    build_summary = run_build(spark, SimpleNamespace(
+        input=day_dir, format="parquet",
+        checkpoint=os.path.join(state, f"ckpt_{date}"),
+        output=day_store, hll_p=hll_p, salt=-1, n_buckets=32,
+        resume_only=False, time_windows=False,
+        window_resolution=86400.0, window_horizon=365,
+        drift_states=False, drift_group_col=None, quarantine=False,
+        max_text_len=None, bloom_n=bloom_n))
+    acct["day_store"] = build_summary
+
+    # -- 4. drift states over the day's input as crawled (pre-curation,
+    # post-quarantine: drift should see what the crawler saw, minus
+    # contract-violating rows) + diff vs the previous day
+    drift_dir = os.path.join(state, "drift", date)
+    persist_drift_states(pages, drift_dir)
+    prev = sorted(d for d in os.listdir(os.path.join(state, "drift"))
+                  if d < date)
+    if prev:
+        acct["drift_vs"] = prev[-1]
+        acct["drift"] = drift_report_from_states(
+            load_drift_states(os.path.join(state, "drift", prev[-1])),
+            load_drift_states(drift_dir))
+
+    # -- 5. (lang, day) url cube, merge-only extension
+    cube_dir = os.path.join(state, "cube")
+    day_cells = (spark.read.parquet(day_dir)
+                 .select("lang", F.lit(date).alias("day"), "url"))
+    if os.path.exists(os.path.join(cube_dir, "_cube_meta.json")):
+        cube_next = cube_dir + ".next"
+        acct["cube"] = run_cube(spark, day_cells, ["lang", "day"], "url",
+                                HLL(p=hll_p), cube_next,
+                                partition_dim="day", merge_into=cube_dir)
+        _swap_dir(cube_next, cube_dir)
+    else:
+        acct["cube"] = run_cube(spark, day_cells, ["lang", "day"], "url",
+                                HLL(p=hll_p), cube_dir,
+                                partition_dim="day")
+
+    # -- 6. fold the day store into the serving store (zero Spark),
+    # then commit the date marker — the ONLY non-idempotent mutation
+    # happens here, last
+    serving = os.path.join(state, "store")
+    if os.path.exists(os.path.join(serving, "_store_meta.json")):
+        merged = serving + ".next"
+        if os.path.exists(merged):
+            shutil.rmtree(merged)
+        acct["store_merge"] = merge_stores(day_store, serving, merged)
+        _swap_dir(merged, serving)
+        shutil.rmtree(day_store)
+    else:
+        os.rename(day_store, serving)
+    with open(marker, "w") as fh:
+        fh.write(json.dumps({"applied_at_s": round(time.perf_counter()
+                                                   - t0, 3)}))
+
+    acct["seconds"] = round(time.perf_counter() - t0, 3)
+    out = os.path.join(state, "accounting", f"{date}.json")
+    with open(out + ".tmp", "w") as fh:
+        json.dump(acct, fh)
+    os.replace(out + ".tmp", out)
+    return acct
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--state", required=True)
+    ap.add_argument("--date", required=True,
+                    help="day label, lexicographically ordered "
+                         "(e.g. 2026-01-02)")
+    ap.add_argument("--format", default="parquet")
+    ap.add_argument("--quarantine", action="store_true")
+    ap.add_argument("--max-text-len", type=int, default=None)
+    ap.add_argument("--min-tokens", type=int, default=20)
+    ap.add_argument("--blocklist", default=None)
+    ap.add_argument("--per-host-cap", type=int, default=None)
+    ap.add_argument("--bloom-n", type=int, default=1_000_000_000)
+    ap.add_argument("--hll-p", type=int, default=14)
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args()
+
+    from gopie_spark.plans import get_spark
+    spark = get_spark("gopie-daily-update")
+    acct = run_daily(
+        spark, args.input, args.state, args.date, fmt=args.format,
+        quarantine=args.quarantine, max_text_len=args.max_text_len,
+        min_tokens=args.min_tokens,
+        blocklist=args.blocklist.split(",") if args.blocklist else None,
+        per_host_cap=args.per_host_cap, bloom_n=args.bloom_n,
+        hll_p=args.hll_p, threshold=args.threshold, force=args.force)
+    print(json.dumps(acct))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
