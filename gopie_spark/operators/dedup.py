@@ -504,7 +504,9 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
                               bands: int = 32, shingle_width: int = 3,
                               max_bucket: int = 64,
                               strategy: str = "cc",
-                              update_store: bool = True) -> DataFrame:
+                              update_store: bool = True,
+                              store_partition: Optional[str] = None
+                              ) -> DataFrame:
     """Near-dup-dedup a batch of NEW documents against an existing
     corpus represented ONLY by its MinHash signature store — the
     daily-crawl-vs-history workflow: the historical corpus's text is
@@ -517,6 +519,17 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
     function appends the survivors' signatures back (``update_store``)
     so the store stays the signature set of the deduped corpus.
     First call on a missing/empty store is a plain self-dedup.
+
+    ``store_partition`` (e.g. the crawl date) makes the store update
+    IDEMPOTENT: survivors' signatures are written with ``overwrite``
+    to ``<sig_store>/batch=<store_partition>/`` instead of appended to
+    the root, so re-running a crashed batch replaces its own partition
+    instead of duplicating rows (duplicates would burn ``max_bucket``
+    slots on every later batch).  The survivor set itself is already
+    re-run-stable: a doc's own stored signature is excluded by id, and
+    stored cluster winners beat their losers again.  All updates to
+    one store must consistently use partitions or consistently not —
+    parquet partition discovery cannot mix the two layouts.
 
     Work shape at scale: new signatures build k-linearly over the new
     batch only; the store side is one band-explode + the two-level
@@ -548,7 +561,9 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
         .select(F.col(id_col).alias("_id"), sig_col)
     new_sigs.cache()
     try:
-        stored = spark.read.parquet(sig_store)
+        # select normalizes away the batch=… partition-discovery column
+        # when the store is written with store_partition
+        stored = spark.read.parquet(sig_store).select("_id", sig_col)
         have_store = True
     except Exception:
         stored = None
@@ -616,8 +631,12 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
     if update_store:
         keep_sigs = new_sigs.join(
             losers.select(F.col(id_col).alias("_id")), "_id", "left_anti")
-        keep_sigs.write.mode("append" if have_store else "overwrite") \
-            .parquet(sig_store)
+        if store_partition is not None:
+            keep_sigs.write.mode("overwrite").parquet(
+                f"{sig_store}/batch={store_partition}")
+        else:
+            keep_sigs.write.mode("append" if have_store else "overwrite") \
+                .parquet(sig_store)
     new_sigs.unpersist()
     return survivors
 

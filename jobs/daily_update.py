@@ -50,12 +50,17 @@ State directory layout::
     <state>/_applied/<date>       commit marker (see below)
 
 Re-run safety: the serving-store fold adds LINEAR states (CMS counters),
-so applying one day twice would double-count token frequencies.  A
-commit marker is written only after the fold+swap succeeds; re-running
-an applied date is refused (``--force`` overrides for a state dir you
-are rebuilding).  A run killed BEFORE the fold re-runs cleanly: every
-earlier stage overwrites its own day-keyed outputs, and the sketch
-build resumes from its checkpoint buckets.
+so applying one day twice would double-count token frequencies.  The
+commit marker therefore travels WITH the fold: it is placed inside the
+merged store before the atomic swap (and mirrored to
+``<state>/_applied/`` after), and startup checks both locations — a
+crash anywhere around the swap leaves either no fold or a fold plus
+its marker, never a folded-but-unmarked store.  Re-running an applied
+date is refused (``--force`` overrides for a state dir you are
+rebuilding).  A run killed BEFORE the fold re-runs cleanly: every
+earlier stage overwrites its own day-keyed outputs (the signature
+store is day-partitioned, so its update is overwrite-idempotent), and
+the sketch build resumes from its checkpoint buckets.
 """
 
 from __future__ import annotations
@@ -109,7 +114,11 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
 
     t0 = time.perf_counter()
     marker = os.path.join(state, "_applied", date)
-    if os.path.exists(marker) and not force:
+    # the in-store marker commits atomically with the fold's swap — it
+    # is the authority; the state-level mirror is a convenience copy
+    store_marker = os.path.join(state, "store", "_applied", date)
+    if (os.path.exists(marker) or os.path.exists(store_marker)) \
+            and not force:
         raise SystemExit(
             f"date {date} already applied to {state} (the store fold is "
             "not idempotent for linear states); use a fresh --state or "
@@ -147,7 +156,7 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
     sig_store = os.path.join(state, "sig_store")
     survivors = incremental_minhash_dedup(
         kept, sig_store, id_col="url", threshold=threshold,
-        update_store=True)
+        update_store=True, store_partition=date)
     day_dir = os.path.join(state, "curated", f"day={date}")
     survivors.write.mode("overwrite").parquet(day_dir)
     n_day = spark.read.parquet(day_dir).count()
@@ -198,15 +207,31 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
     # then commit the date marker — the ONLY non-idempotent mutation
     # happens here, last
     serving = os.path.join(state, "store")
+
+    def _mark_applied(store_dir):
+        # carry every previously-applied date forward, then this one —
+        # the swap below commits fold AND marker in the same rename
+        applied = os.path.join(store_dir, "_applied")
+        prev_applied = os.path.join(serving, "_applied")
+        if store_dir != serving and os.path.isdir(prev_applied):
+            shutil.copytree(prev_applied, applied, dirs_exist_ok=True)
+        os.makedirs(applied, exist_ok=True)
+        with open(os.path.join(applied, date), "w") as fh:
+            fh.write(json.dumps(
+                {"applied_at_s": round(time.perf_counter() - t0, 3)}))
+
     if os.path.exists(os.path.join(serving, "_store_meta.json")):
         merged = serving + ".next"
         if os.path.exists(merged):
             shutil.rmtree(merged)
         acct["store_merge"] = merge_stores(day_store, serving, merged)
+        _mark_applied(merged)
         _swap_dir(merged, serving)
         shutil.rmtree(day_store)
     else:
+        _mark_applied(day_store)
         os.rename(day_store, serving)
+    # state-level mirror (convenience; the in-store marker is authority)
     with open(marker, "w") as fh:
         fh.write(json.dumps({"applied_at_s": round(time.perf_counter()
                                                    - t0, 3)}))

@@ -82,6 +82,15 @@ def test_daily_update_two_day_scenario(spark, tmp_path, two_days):
     with pytest.raises(SystemExit, match="already applied"):
         run_daily(spark, d1, state, "2026-01-01",
                   bloom_n=100_000, hll_p=12, min_tokens=3)
+    # ... even when a crash lost the state-level mirror marker: the
+    # in-store marker committed atomically with the fold's swap
+    mirror = os.path.join(state, "_applied", "2026-01-01")
+    os.remove(mirror)
+    with pytest.raises(SystemExit, match="already applied"):
+        run_daily(spark, d1, state, "2026-01-01",
+                  bloom_n=100_000, hll_p=12, min_tokens=3)
+    with open(mirror, "w") as fh:
+        fh.write("{}")
 
     # ---- day 2 with planted re-crawls of day-1 survivors ----
     d2 = _plant_day2(spark, state, root, fresh2)
@@ -146,3 +155,40 @@ def test_daily_update_two_day_scenario(spark, tmp_path, two_days):
     # accounting JSON on disk matches the returned dict
     with open(os.path.join(state, "accounting", "2026-01-02.json")) as fh:
         assert json.load(fh)["day_docs"] == acct2["day_docs"]
+
+
+def test_incremental_sig_store_partition_rerun_idempotent(spark, tmp_path):
+    """A crashed-then-re-run batch must not duplicate signature rows:
+    with ``store_partition`` the update overwrites its own partition,
+    and the survivor set is identical across the re-run."""
+    from gopie_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .orderBy("doc_id").limit(60)
+            .select(F.col("doc_id").cast("string").alias("url"), "text"))
+    store = str(tmp_path / "sigs")
+
+    s1 = incremental_minhash_dedup(docs, store, id_col="url",
+                                   store_partition="d1")
+    ids1 = sorted(r["url"] for r in s1.select("url").collect())
+    rows1 = spark.read.parquet(store).count()
+
+    # re-run of the SAME batch (crash-after-store-update scenario)
+    s1b = incremental_minhash_dedup(docs, store, id_col="url",
+                                    store_partition="d1")
+    assert sorted(r["url"] for r in s1b.select("url").collect()) == ids1
+    assert spark.read.parquet(store).count() == rows1
+
+    # a later batch lands in its own partition; history stays intact
+    day2 = (spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet")
+        .orderBy(F.desc("doc_id")).limit(40)
+        .select((F.concat(F.lit("b:"), F.col("doc_id").cast("string")))
+                .alias("url"), "text"))
+    incremental_minhash_dedup(day2, store, id_col="url",
+                              store_partition="d2")
+    batches = {str(r["batch"]) for r in
+               spark.read.parquet(store).select("batch").distinct()
+               .collect()}
+    assert batches == {"d1", "d2"}
+    assert spark.read.parquet(f"{store}/batch=d1").count() == rows1
