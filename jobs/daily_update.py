@@ -11,7 +11,8 @@ incremental paths end to end:
         --input /path/to/day_pages --state /path/to/state \\
         --date 2026-01-02 [--format parquet|warc] [--quarantine] \\
         [--max-text-len N] [--min-tokens 20] [--blocklist h1,h2] \\
-        [--per-host-cap N] [--bloom-n N] [--hll-p 14] [--force]
+        [--per-host-cap N] [--bloom-n N] [--hll-p 14] [--force] \\
+        [--time-windows [--window-resolution SECS] [--window-horizon N]]
 
 Stages, in order (each one is the already-tested library path):
 
@@ -25,9 +26,14 @@ Stages, in order (each one is the already-tested library path):
 3. **Write the day's documents** to ``<state>/curated/day=<date>/``.
 4. **Build the day's sketch store** over those survivors
    (jobs/build_sketches.run_build: per-lang HLL, sharded Bloom, CMS;
-   resumable via its own checkpoint dir).  ``--bloom-n`` (default 10^9
-   here) sizes membership filters for the PLANNED corpus capacity so
-   every day's shards share one geometry and can merge.
+   with ``--time-windows`` also the query-time window sketches —
+   sliding HLL for any-suffix distinct urls, windowed CMS for
+   trailing-window token frequencies; survivors gain a ``warc_ts``
+   of the day label when the input has none, so ts-less crawls still
+   window at daily resolution; resumable via its own checkpoint dir).
+   ``--bloom-n`` (default 10^9 here) sizes membership filters for the
+   PLANNED corpus capacity so every day's shards share one geometry
+   and can merge.
 5. **Fold into the serving store** (operators/store.merge_stores —
    ZERO Spark, KB-to-MB file IO): register-max / bit-OR / counter-add
    per artifact; day 1 simply becomes the store.
@@ -97,6 +103,9 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
               max_text_len=None, min_tokens: int = 20, blocklist=None,
               per_host_cap=None, bloom_n: int = 1_000_000_000,
               hll_p: int = 14, threshold: float = 0.8,
+              time_windows: bool = False,
+              window_resolution: float = 86400.0,
+              window_horizon: int = 365,
               force: bool = False) -> dict:
     """The whole daily update as a library call; ``main`` is the CLI
     twin.  Returns the accounting dict."""
@@ -158,6 +167,12 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
         kept, sig_store, id_col="url", threshold=threshold,
         update_store=True, store_partition=date)
     day_dir = os.path.join(state, "curated", f"day={date}")
+    if "warc_ts" not in survivors.columns:
+        # the crawl day IS the event time at daily resolution — gives
+        # the query-time window sketches (and any downstream temporal
+        # consumer) a timestamp even for ts-less inputs
+        survivors = survivors.withColumn(
+            "warc_ts", F.lit(date).cast("timestamp"))
     survivors.write.mode("overwrite").parquet(day_dir)
     n_day = spark.read.parquet(day_dir).count()
     acct["near_dup_dropped"] = curate_report["output_rows"] - n_day
@@ -169,8 +184,9 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
         input=day_dir, format="parquet",
         checkpoint=os.path.join(state, f"ckpt_{date}"),
         output=day_store, hll_p=hll_p, salt=-1, n_buckets=32,
-        resume_only=False, time_windows=False,
-        window_resolution=86400.0, window_horizon=365,
+        resume_only=False, time_windows=time_windows,
+        window_resolution=window_resolution,
+        window_horizon=window_horizon,
         drift_states=False, drift_group_col=None, quarantine=False,
         max_text_len=None, bloom_n=bloom_n))
     acct["day_store"] = build_summary
@@ -260,6 +276,14 @@ def main() -> None:
     ap.add_argument("--bloom-n", type=int, default=1_000_000_000)
     ap.add_argument("--hll-p", type=int, default=14)
     ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--time-windows", action="store_true",
+                    help="also build+fold the query-time window "
+                         "sketches (sliding HLL / windowed CMS) so the "
+                         "serving store answers trailing-window "
+                         "questions; must be on from day 1 or the "
+                         "fold drops them as one-sided")
+    ap.add_argument("--window-resolution", type=float, default=86400.0)
+    ap.add_argument("--window-horizon", type=int, default=365)
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
 
@@ -271,7 +295,10 @@ def main() -> None:
         min_tokens=args.min_tokens,
         blocklist=args.blocklist.split(",") if args.blocklist else None,
         per_host_cap=args.per_host_cap, bloom_n=args.bloom_n,
-        hll_p=args.hll_p, threshold=args.threshold, force=args.force)
+        hll_p=args.hll_p, threshold=args.threshold,
+        time_windows=args.time_windows,
+        window_resolution=args.window_resolution,
+        window_horizon=args.window_horizon, force=args.force)
     print(json.dumps(acct))
     spark.stop()
 

@@ -66,7 +66,8 @@ def test_daily_update_two_day_scenario(spark, tmp_path, two_days):
     state = str(tmp_path / "state")
 
     acct1 = run_daily(spark, d1, state, "2026-01-01",
-                      bloom_n=100_000, hll_p=12, min_tokens=3)
+                      bloom_n=100_000, hll_p=12, min_tokens=3,
+                      time_windows=True, window_horizon=30)
     assert acct1["input_rows"] == 300
     assert acct1["day_docs"] > 0
     assert os.path.exists(os.path.join(state, "_applied", "2026-01-01"))
@@ -95,7 +96,8 @@ def test_daily_update_two_day_scenario(spark, tmp_path, two_days):
     # ---- day 2 with planted re-crawls of day-1 survivors ----
     d2 = _plant_day2(spark, state, root, fresh2)
     acct2 = run_daily(spark, d2, state, "2026-01-02",
-                      bloom_n=100_000, hll_p=12, min_tokens=3)
+                      bloom_n=100_000, hll_p=12, min_tokens=3,
+                      time_windows=True, window_horizon=30)
 
     # every planted re-crawl is an exact near-dup of a STORED doc ->
     # identical MinHash signatures -> all dropped against history
@@ -125,6 +127,25 @@ def test_daily_update_two_day_scenario(spark, tmp_path, two_days):
     probe = [r["url"] for r in union.orderBy("url").limit(50).collect()]
     ans = store.maybe_contains_urls(probe)
     assert all(ans.value[u] for u in probe)
+
+    # the folded window sketches answer TIME questions: distinct urls
+    # crawled since a cutoff between the two days == day-2 docs (the
+    # ts-less input got warc_ts = the day label)
+    assert acct2["store_merge"]["sliding_hll_url.bin"] == "merged"
+    assert acct2["store_merge"]["window_cms_tokens.bin"] == "merged"
+    import datetime as _dt
+    cutoff = _dt.datetime(2026, 1, 1, 12).timestamp()
+    n_day2 = day2_docs.count()
+    since = store.distinct_urls_since(cutoff)
+    assert abs(since.value - n_day2) <= since.bound * n_day2 + 5
+    # trailing-1-tick token frequency: within the window-CMS overcount
+    # band of the exact day-2 count (never under)
+    tok2 = (day2_docs.select(F.explode(F.split(F.lower("text"),
+                                               r"\s+")).alias("t"))
+            .where("t != ''").groupBy("t").count()
+            .orderBy(F.desc("count"), "t").first())
+    wf = store.token_freq([tok2["t"]], window_ticks=1)
+    assert tok2["count"] <= wf.value[tok2["t"]] <= tok2["count"] + wf.bound
 
     # CMS token frequency >= exact count over the union (never under)
     tok = (union.select(F.explode(F.split(F.lower("text"),
