@@ -32,6 +32,7 @@ from typing import Iterator, List, Optional
 import numpy as np
 import pandas as pd
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
@@ -529,7 +530,9 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
     re-run-stable: a doc's own stored signature is excluded by id, and
     stored cluster winners beat their losers again.  All updates to
     one store must consistently use partitions or consistently not —
-    parquet partition discovery cannot mix the two layouts.
+    a mixed layout would make partition discovery silently drop the
+    root-level history, so the mismatching update is refused
+    (ValueError) before anything is written.
 
     Work shape at scale: new signatures build k-linearly over the new
     batch only; the store side is one band-explode + the two-level
@@ -561,13 +564,36 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
         .select(F.col(id_col).alias("_id"), sig_col)
     new_sigs.cache()
     try:
-        # select normalizes away the batch=… partition-discovery column
-        # when the store is written with store_partition
-        stored = spark.read.parquet(sig_store).select("_id", sig_col)
+        raw = spark.read.parquet(sig_store)
+        # partition discovery surfaces a batch=… layout as this column
+        store_is_partitioned = "batch" in raw.columns
+        stored = raw.select("_id", sig_col)
         have_store = True
-    except Exception:
+    except AnalysisException as e:
+        # ONLY a missing or empty store means "first batch" (callers
+        # may mkdir the sig dir in advance) — any other read failure
+        # must surface: treating it as empty would silently skip all
+        # history dedup and, in append mode, OVERWRITE the historical
+        # signature store.  Corrupt parquet raises a non-Analysis error
+        # (footer parse) and propagates past this handler.
+        if ("PATH_NOT_FOUND" not in str(e)
+                and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
+            raise
         stored = None
         have_store = False
+        store_is_partitioned = store_partition is not None
+    # refuse BEFORE writing: mixing the two layouts does not even fail
+    # loudly — Spark's partition discovery silently DROPS the root-level
+    # files, i.e. the store's history, on every later read
+    if have_store and store_is_partitioned != (store_partition is not None):
+        raise ValueError(
+            f"signature store {sig_store} is "
+            f"{'day-partitioned' if store_is_partitioned else 'plain'} "
+            f"but this update is "
+            f"{'plain' if store_partition is None else 'partitioned'} "
+            "(store_partition) — mixing the layouts silently drops the "
+            "root-level history on later reads; use one layout "
+            "consistently per store")
 
     new_expl = _band_explode(new_sigs, sig_col, k, bands)
     combined_expl = new_expl if stored is None else \

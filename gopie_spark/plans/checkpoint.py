@@ -88,6 +88,37 @@ class SketchCheckpoint:
                 done.update(int(b) for b in json.load(fh)["buckets"])
         return done
 
+    def _manifested_files(self) -> set:
+        files = set()
+        for run_id in self._manifested_runs():
+            lineage = os.path.join(self.dir, "lineage", f"run={run_id}.json")
+            with open(lineage) as fh:
+                files.update(json.load(fh)["files"])
+        return files
+
+    def _validate_input(self, files: Sequence[str],
+                        fb: Dict[str, int], done: set) -> None:
+        """Refuse to resume over an input that changed under the
+        checkpoint.  Bucket identity is file-name based, so a rewritten
+        input directory (new part-file names) would land new files on
+        'done' bucket ids — their rows silently skipped — while the
+        committed partials still carry the old files' rows (double
+        count at finalize).  Both directions are detected from the
+        lineage records and refused with the remedy."""
+        if not done:
+            return
+        seen = self._manifested_files()
+        gone = seen - set(files)
+        skipped = [f for f, b in fb.items() if b in done and f not in seen]
+        if gone or skipped:
+            raise ValueError(
+                f"checkpoint {self.dir} was built over a different input "
+                f"listing ({len(gone)} manifested file(s) no longer "
+                f"present, {len(skipped)} new file(s) hashing to already-"
+                "done buckets); resuming would double-count/skip rows — "
+                "use a fresh --checkpoint dir (or delete this one) after "
+                "rewriting the input")
+
     # -- stage A --------------------------------------------------------------
     def run_partials(self, spark: SparkSession, input_dir: str,
                      max_buckets: Optional[int] = None,
@@ -106,6 +137,7 @@ class SketchCheckpoint:
             raise ValueError(f"no data files under {input_dir}")
         fb = self.bucket_of_files(files)
         done = self.done_buckets(spark)
+        self._validate_input(files, fb, done)
         pending = sorted({b for b in fb.values() if b not in done})
         if max_buckets is not None:
             pending = pending[:max_buckets]

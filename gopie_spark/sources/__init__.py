@@ -6,6 +6,7 @@ from gopie_spark.sources.pages import (extract_text, extract_text_series,
                                        with_extracted_text)
 from gopie_spark.sources.quality import (input_quality_aggs,
                                          quarantine_reason,
+                                         quarantine_to_dir,
                                          split_quarantine)
 from gopie_spark.sources.warc import (parse_warc, read_warc,
                                       stream_warc, warc_schema,
@@ -13,6 +14,7 @@ from gopie_spark.sources.warc import (parse_warc, read_warc,
 
 __all__ = ["extract_text", "extract_text_series", "generate_pages",
            "pages_schema", "with_extracted_text",
-           "input_quality_aggs", "quarantine_reason", "split_quarantine",
+           "input_quality_aggs", "quarantine_reason", "quarantine_to_dir",
+           "split_quarantine",
            "parse_warc", "read_warc", "stream_warc", "warc_schema",
            "write_warc_file"]

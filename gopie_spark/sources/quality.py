@@ -98,3 +98,21 @@ def input_quality_aggs(url_col: str = "url", text_col: str = "text",
         out.insert(3, cnt(text.isNotNull() & (F.length(text) > max_text_len),
                           "rows_oversize_text"))
     return out
+
+
+def quarantine_to_dir(df: DataFrame, out_dir: str,
+                      max_text_len: Optional[int] = None
+                      ) -> Tuple[DataFrame, dict]:
+    """Split off contract-violating rows, persist them WITH reasons to
+    ``out_dir`` (parquet, overwritten — re-run idempotent), and return
+    ``(clean, per_reason_counts)``.  The counts are read back from the
+    persisted parquet so the quarantine side is scanned exactly once;
+    the clean side stays a lazy filter for the caller's builds.  One
+    tested implementation for every job that quarantines
+    (jobs/build_sketches.py, jobs/daily_update.py)."""
+    clean, bad = split_quarantine(df, max_text_len=max_text_len)
+    bad.write.mode("overwrite").parquet(out_dir)
+    counts = {r["_reason"]: int(r["n"]) for r in
+              df.sparkSession.read.parquet(out_dir)
+              .groupBy("_reason").agg(F.count("*").alias("n")).collect()}
+    return clean, counts

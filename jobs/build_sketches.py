@@ -136,6 +136,7 @@ def run_build(spark, args) -> dict:
             "sources/pages.py (url, warc_ts, html, text, lang)")
 
     from gopie_spark.sources.quality import (input_quality_aggs,
+                                             quarantine_to_dir,
                                              split_quarantine)
     clean_transform = None
     if args.quarantine:
@@ -167,12 +168,9 @@ def run_build(spark, args) -> dict:
     if args.quarantine:
         # every downstream build sees only contract-honouring rows;
         # the offenders are persisted once, with reasons, for triage
-        pages, bad = split_quarantine(pages, max_text_len=args.max_text_len)
-        bad.write.mode("overwrite").parquet(f"{args.output}/quarantine")
-        quarantined = {
-            r["_reason"]: r["n"]
-            for r in spark.read.parquet(f"{args.output}/quarantine")
-            .groupBy("_reason").agg(F.count("*").alias("n")).collect()}
+        pages, quarantined = quarantine_to_dir(
+            pages, f"{args.output}/quarantine",
+            max_text_len=args.max_text_len)
         n -= sum(quarantined.values())  # rows the builds actually see
     salt = args.salt
     if salt < 0:

@@ -87,7 +87,9 @@ sys.path.insert(0, _JOBS_DIR)  # sibling jobs (filter_corpus, ...)
 def _swap_dir(new_dir: str, live_dir: str) -> None:
     """Replace ``live_dir`` with ``new_dir`` (rename-aside, then rename
     in, then drop the old copy — the window without a live dir is two
-    renames, and the old copy survives any crash before the final rm)."""
+    renames, and the old copy survives any crash before the final rm).
+    A crash inside that window is healed by :func:`_recover_swaps` on
+    the next run."""
     old = live_dir + ".old"
     if os.path.exists(old):
         shutil.rmtree(old)
@@ -96,6 +98,26 @@ def _swap_dir(new_dir: str, live_dir: str) -> None:
     os.rename(new_dir, live_dir)
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+def _recover_swaps(state: str) -> list:
+    """Heal any swap a previous run crashed inside: a ``<live>.old``
+    with no live dir means the crash hit between _swap_dir's two
+    renames — restore the old copy (the fold simply re-runs); a
+    leftover ``.old`` NEXT TO a live dir means the swap finished but
+    the cleanup didn't — drop it.  Without this, a re-run would find
+    no serving store/cube and silently reinitialize it as day 1,
+    losing all prior days."""
+    healed = []
+    for live in (os.path.join(state, "store"), os.path.join(state, "cube")):
+        old = live + ".old"
+        if os.path.exists(old) and not os.path.exists(live):
+            os.rename(old, live)
+            healed.append({"restored": live})
+        elif os.path.exists(old):
+            shutil.rmtree(old)
+            healed.append({"dropped_stale": old})
+    return healed
 
 
 def run_daily(spark, input_path: str, state: str, date: str, *,
@@ -134,32 +156,34 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
             "--force if you are deliberately rebuilding")
     for sub in ("curated", "accounting", "_applied", "drift"):
         os.makedirs(os.path.join(state, sub), exist_ok=True)
+    healed = _recover_swaps(state)
 
     pages = load_table(spark, input_path, fmt)
     missing = {"url", "text", "lang"} - set(pages.columns)
     if missing:
         raise SystemExit(f"--input is not a pages table: missing "
                          f"{sorted(missing)}")
-    acct: dict = {"date": date, "input_rows": pages.count()}
+    acct: dict = {"date": date}
+    if healed:
+        acct["recovered_swaps"] = healed
 
     # -- 1. curate (quality -> PII -> host -> exact within-day dedup).
     # Near-dup runs in stage 2 against history instead, so within-day
     # AND cross-day near-dups are handled by ONE signature pass.
     if quarantine:
-        from gopie_spark.sources.quality import split_quarantine
-        pages, bad = split_quarantine(pages, max_text_len=max_text_len)
-        bad.write.mode("overwrite").parquet(
-            os.path.join(state, "curated", f"_quarantine_{date}"))
-        acct["quarantined"] = {
-            r["_reason"]: r["n"] for r in
-            spark.read.parquet(
-                os.path.join(state, "curated", f"_quarantine_{date}"))
-            .groupBy("_reason").agg(F.count("*").alias("n")).collect()}
+        from gopie_spark.sources.quality import quarantine_to_dir
+        pages, acct["quarantined"] = quarantine_to_dir(
+            pages, os.path.join(state, "curated", f"_quarantine_{date}"),
+            max_text_len=max_text_len)
     kept, curate_report = curate(
         spark, pages, min_tokens=min_tokens, blocklist=blocklist,
         per_host_cap=per_host_cap, dedup=True, near_dedup=False,
         id_col="url")
     acct["curate"] = curate_report
+    # curate already counted its input — no extra scan (for WARC input
+    # a count() is a full decode pass); quarantined rows add back in
+    acct["input_rows"] = curate_report["input_rows"] + \
+        sum(acct.get("quarantined", {}).values())
 
     # -- 2. incremental near-dup dedup vs the history signature store
     sig_store = os.path.join(state, "sig_store")
@@ -178,26 +202,47 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
     acct["near_dup_dropped"] = curate_report["output_rows"] - n_day
     acct["day_docs"] = n_day
 
-    # -- 3. the day's sketch store (resumable; planned-capacity blooms)
+    # -- 3. the day's sketch store (planned-capacity blooms).  The
+    # checkpoint buckets the build WITHIN this attempt, but cannot span
+    # a re-run: stage 2 just rewrote day_dir with fresh part-file
+    # names, so a crashed attempt's partials describe files that no
+    # longer exist (SketchCheckpoint refuses that resume) — start clean
+    ckpt = os.path.join(state, f"ckpt_{date}")
+    if os.path.exists(ckpt):
+        shutil.rmtree(ckpt)
     day_store = os.path.join(state, f"store_day_{date}")
     build_summary = run_build(spark, SimpleNamespace(
         input=day_dir, format="parquet",
-        checkpoint=os.path.join(state, f"ckpt_{date}"),
+        checkpoint=ckpt,
         output=day_store, hll_p=hll_p, salt=-1, n_buckets=32,
         resume_only=False, time_windows=time_windows,
         window_resolution=window_resolution,
         window_horizon=window_horizon,
         drift_states=False, drift_group_col=None, quarantine=False,
-        max_text_len=None, bloom_n=bloom_n))
+        max_text_len=max_text_len, bloom_n=bloom_n))
     acct["day_store"] = build_summary
 
     # -- 4. drift states over the day's input as crawled (pre-curation,
     # post-quarantine: drift should see what the crawler saw, minus
-    # contract-violating rows) + diff vs the previous day
+    # contract-violating rows) + diff vs the previous APPLIED day.
+    # Written to a tmp dir + renamed so a kill mid-persist never leaves
+    # a partial state dir that would crash every later day's diff; the
+    # diff partner is the newest APPLIED earlier date (a crashed-and-
+    # abandoned day's drift dir must not be diffed against — that crawl
+    # never entered the corpus)
     drift_dir = os.path.join(state, "drift", date)
-    persist_drift_states(pages, drift_dir)
+    tmp_drift = drift_dir + ".tmp"
+    if os.path.exists(tmp_drift):
+        shutil.rmtree(tmp_drift)
+    persist_drift_states(pages, tmp_drift)
+    if os.path.exists(drift_dir):
+        shutil.rmtree(drift_dir)
+    os.rename(tmp_drift, drift_dir)
+    applied = set(os.listdir(os.path.join(state, "_applied")))
+    applied |= set(os.listdir(os.path.join(state, "store", "_applied"))) \
+        if os.path.isdir(os.path.join(state, "store", "_applied")) else set()
     prev = sorted(d for d in os.listdir(os.path.join(state, "drift"))
-                  if d < date)
+                  if d < date and d in applied)
     if prev:
         acct["drift_vs"] = prev[-1]
         acct["drift"] = drift_report_from_states(
@@ -241,6 +286,20 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
         if os.path.exists(merged):
             shutil.rmtree(merged)
         acct["store_merge"] = merge_stores(day_store, serving, merged)
+        dropped = sorted(a for a, v in acct["store_merge"].items()
+                         if v == "dropped_one_sided")
+        if dropped:
+            # committing would silently strip accumulated state (e.g.
+            # --time-windows forgotten for one day drops every prior
+            # day's window sketches, unrecoverable without a rebuild)
+            shutil.rmtree(merged)
+            raise SystemExit(
+                f"refusing to fold day {date}: artifact(s) {dropped} "
+                "exist on only one side, so the merged store would "
+                "drop them permanently — re-run this day with the "
+                "same build flags as the serving store (e.g. "
+                "--time-windows), or rebuild the store from scratch "
+                "if the flags are meant to change")
         _mark_applied(merged)
         _swap_dir(merged, serving)
         shutil.rmtree(day_store)
@@ -251,6 +310,9 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
     with open(marker, "w") as fh:
         fh.write(json.dumps({"applied_at_s": round(time.perf_counter()
                                                    - t0, 3)}))
+    # the per-day checkpoint cannot outlive its day_dir contents (see
+    # stage 3) — drop it now that the day is committed
+    shutil.rmtree(ckpt, ignore_errors=True)
 
     acct["seconds"] = round(time.perf_counter() - t0, 3)
     out = os.path.join(state, "accounting", f"{date}.json")

@@ -73,3 +73,33 @@ def test_bucket_assignment_stable(spark, pages_dir, tmp_path):
     import glob
     files = sorted(glob.glob(f"{pages_dir}/*.parquet"))
     assert a.bucket_of_files(files) == b.bucket_of_files(files)
+
+
+def test_resume_over_rewritten_input_refused(spark, tmp_path):
+    """Resuming a checkpoint after the input dir was REWRITTEN (fresh
+    part-file names) must be refused: new files can hash to 'done'
+    bucket ids (rows silently skipped) while committed partials still
+    carry the old files' rows (double count at finalize)."""
+    from pyspark.sql import functions as F
+    hll = HLL(p=12)
+    src = str(tmp_path / "in")
+    df = (spark.range(2000)
+          .select(F.concat(F.lit("u"), "id").alias("url"),
+                  (F.col("id") % 3).cast("string").alias("lang")))
+    df.repartition(6).write.mode("overwrite").parquet(src)
+
+    ckpt = SketchCheckpoint(str(tmp_path / "ck"), hll, ["lang"], "url",
+                            n_buckets=4)
+    assert ckpt.run_partials(spark, src, max_buckets=2) > 0
+
+    # same rows, rewritten dir -> new part-file basenames
+    df.repartition(6).write.mode("overwrite").parquet(src)
+    with pytest.raises(ValueError, match="different input listing"):
+        ckpt.run_partials(spark, src)
+
+    # an UNCHANGED listing still resumes (control)
+    ck2 = SketchCheckpoint(str(tmp_path / "ck2"), hll, ["lang"], "url",
+                           n_buckets=4)
+    assert ck2.run_partials(spark, src, max_buckets=2) > 0
+    ck2.run_until_complete(spark, src)
+    assert ck2.run_partials(spark, src) == 0

@@ -95,9 +95,22 @@ def test_daily_update_two_day_scenario(spark, tmp_path, two_days):
 
     # ---- day 2 with planted re-crawls of day-1 survivors ----
     d2 = _plant_day2(spark, state, root, fresh2)
+
+    # simulate a crash INSIDE _swap_dir's two-rename window (live store
+    # gone, only .old left) — day 2 must heal it, not reinit as day 1
+    import shutil as _sh
+    os.rename(os.path.join(state, "store"),
+              os.path.join(state, "store.old"))
+    # and a drift dir for a date that was never applied (crashed and
+    # abandoned run) — day 2 must NOT diff against it
+    _sh.copytree(os.path.join(state, "drift", "2026-01-01"),
+                 os.path.join(state, "drift", "2026-01-01x"))
+
     acct2 = run_daily(spark, d2, state, "2026-01-02",
                       bloom_n=100_000, hll_p=12, min_tokens=3,
                       time_windows=True, window_horizon=30)
+    assert acct2["recovered_swaps"] == [
+        {"restored": os.path.join(state, "store")}]
 
     # every planted re-crawl is an exact near-dup of a STORED doc ->
     # identical MinHash signatures -> all dropped against history
@@ -168,10 +181,28 @@ def test_daily_update_two_day_scenario(spark, tmp_path, two_days):
     est_cube = kern.count(kern.deserialize(bytes(st)))
     assert abs(est_cube - n_union) <= band * n_union + 5
 
-    # drift: day 2 diffed against day 1, with the report's sections
+    # drift: day 2 diffed against day 1 — the newest APPLIED date, not
+    # the planted never-applied 2026-01-01x dir
     assert acct2["drift_vs"] == "2026-01-01"
     for key in ("urls", "tokens", "length"):
         assert key in acct2["drift"], acct2["drift"].keys()
+
+    # a day run WITHOUT --time-windows must refuse to fold (the merge
+    # would silently drop both accumulated window states) and leave the
+    # serving store + markers untouched
+    meta_before = open(os.path.join(state, "store",
+                                    "_store_meta.json")).read()
+    with pytest.raises(SystemExit, match="refusing to fold"):
+        run_daily(spark, fresh2, state, "2026-01-03",
+                  bloom_n=100_000, hll_p=12, min_tokens=3,
+                  time_windows=False)
+    assert open(os.path.join(state, "store",
+                             "_store_meta.json")).read() == meta_before
+    assert not os.path.exists(os.path.join(state, "_applied",
+                                           "2026-01-03"))
+    assert not os.path.exists(os.path.join(state, "store", "_applied",
+                                           "2026-01-03"))
+    assert not os.path.exists(os.path.join(state, "store.next"))
 
     # accounting JSON on disk matches the returned dict
     with open(os.path.join(state, "accounting", "2026-01-02.json")) as fh:
@@ -213,3 +244,38 @@ def test_incremental_sig_store_partition_rerun_idempotent(spark, tmp_path):
                .collect()}
     assert batches == {"d1", "d2"}
     assert spark.read.parquet(f"{store}/batch=d1").count() == rows1
+
+
+def test_incremental_sig_store_read_failures_surface(spark, tmp_path):
+    """Only a MISSING signature store means 'first batch'; a store that
+    exists but cannot be read (mixed partitioned/plain layout, corrupt
+    file) must raise — treating it as empty would skip all history
+    dedup and overwrite the store in append mode."""
+    from gopie_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .orderBy("doc_id").limit(30)
+            .select(F.col("doc_id").cast("string").alias("url"), "text"))
+    store = str(tmp_path / "sigs")
+
+    # plain (root-append) layout first; a partitioned update against
+    # the same store is refused BEFORE writing (the mix would not even
+    # fail loudly later — partition discovery silently drops the
+    # root-level history), and so is the reverse direction
+    incremental_minhash_dedup(docs, store, id_col="url")
+    with pytest.raises(ValueError, match="mixing the layouts"):
+        incremental_minhash_dedup(docs, store, id_col="url",
+                                  store_partition="d2")
+    pstore = str(tmp_path / "psigs")
+    incremental_minhash_dedup(docs, pstore, id_col="url",
+                              store_partition="d1")
+    with pytest.raises(ValueError, match="mixing the layouts"):
+        incremental_minhash_dedup(docs, pstore, id_col="url")
+
+    # a corrupt store file must surface too
+    bad = str(tmp_path / "bad_store")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"not parquet at all")
+    with pytest.raises(Exception):
+        incremental_minhash_dedup(docs, bad, id_col="url")
