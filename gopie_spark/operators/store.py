@@ -439,7 +439,9 @@ def merge_stores(a_dir: str, b_dir: str, out_dir: str) -> Dict:
 
     An artifact present on only ONE side is DROPPED from the merged
     store (a one-sided state is not a truthful state of the union) and
-    reported; `rows`/`bloom_n` in the merged meta are the sums.
+    reported; `rows` in the merged meta is the sum, while `bloom_n`
+    keeps the shared shard sizing (geometry is unchanged by a bit-OR
+    merge, and mismatched geometries are refused per shard).
 
     Returns a report dict: {artifact: "merged"|"dropped_one_sided"|
     "absent"}.
@@ -609,7 +611,16 @@ def merge_stores(a_dir: str, b_dir: str, out_dir: str) -> Dict:
     for key in ("rows", "bloom_n"):
         ina, inb = key in sa.meta, key in sb.meta
         if ina and inb:
-            meta[key] = sa.meta[key] + sb.meta[key]
+            if key == "bloom_n":
+                # bloom_n describes the shard GEOMETRY (from_guess
+                # sizing), which a bit-OR merge leaves unchanged — and
+                # mismatched-geometry shard blobs are refused by the
+                # kernel above, so both sides necessarily share one
+                # sizing.  Summing here would make the meta derive the
+                # wrong per-shard filter on the next probe.
+                meta[key] = max(sa.meta[key], sb.meta[key])
+            else:
+                meta[key] = sa.meta[key] + sb.meta[key]
         elif ina or inb:
             # a one-sided count would misdescribe the union — drop it
             meta.pop(key, None)

@@ -137,7 +137,18 @@ def list_data_files(spark: SparkSession, ref: str,
     import os
     if os.path.isfile(ref):
         return [ref]
-    return sorted(glob.glob(os.path.join(ref, "*.parquet")))
+    files = [f for f in glob.glob(os.path.join(ref, "*.parquet"))
+             if not os.path.basename(f).startswith(("_", "."))]
+    # one level of hive partition dirs (day=.../part.parquet) so
+    # partitioned tables stay checkpoint-resumable; mirror Spark's rule
+    # of hiding any path component that starts with '_' or '.'
+    # (e.g. curated/_quarantine_<date>/ next to curated/day=<date>/)
+    for sub in glob.glob(os.path.join(ref, "*", "*.parquet")):
+        rel = os.path.relpath(sub, ref)
+        if not any(p.startswith(("_", "."))
+                   for p in rel.split(os.sep)):
+            files.append(sub)
+    return sorted(files)
 
 
 def snapshot_identity(spark: SparkSession, ref: str,

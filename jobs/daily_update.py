@@ -18,11 +18,17 @@ Stages, in order (each one is the already-tested library path):
 
 1. **Curate** the day's pages (jobs/filter_corpus.curate: quality rules,
    PII scrub, host blocklist/budget, exact within-day dedup; optional
-   input-contract quarantine first, sources/quality.py).
+   input-contract quarantine first, sources/quality.py), then
+   **keep-first url conflation**: rows whose url the corpus already
+   holds are dropped via a sharded-Bloom probe of the serving store
+   (O(day) probe work, no history shuffle; ``--keep-known-urls``
+   disables).
 2. **Incremental near-dup dedup vs history** (operators/dedup.
    incremental_minhash_dedup): the day's survivors are compared against
    the corpus's signature store only — history text is never re-read,
    history pairs never re-expanded; survivors' signatures fold back in.
+   A day left EMPTY by these stages just commits its applied marker +
+   drift and touches no serving artifact.
 3. **Write the day's documents** to ``<state>/curated/day=<date>/``.
 4. **Build the day's sketch store** over those survivors
    (jobs/build_sketches.run_build: per-lang HLL, sharded Bloom, CMS;
@@ -128,6 +134,7 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
               time_windows: bool = False,
               window_resolution: float = 86400.0,
               window_horizon: int = 365,
+              keep_known_urls: bool = False,
               force: bool = False) -> dict:
     """The whole daily update as a library call; ``main`` is the CLI
     twin.  Returns the accounting dict."""
@@ -185,6 +192,29 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
     acct["input_rows"] = curate_report["input_rows"] + \
         sum(acct.get("quarantined", {}).values())
 
+    # -- 1b. keep-first url conflation: drop day rows whose url is
+    # already IN the corpus (a daily re-crawl of an unchanged page must
+    # not re-enter the corpus; the near-dup stage cannot catch it —
+    # identical url means identical id, which it excludes for re-run
+    # idempotence).  Sharded-Bloom probe against the serving store:
+    # O(day) probe work, no history shuffle; its false-positive rate
+    # (store meta p, default 1e-3) wrongly drops that fraction of
+    # genuinely-new urls — the standard membership tradeoff, disable
+    # with keep_known_urls for a keep-every-crawl corpus.
+    serving_meta = os.path.join(state, "store", "_store_meta.json")
+    if not keep_known_urls and os.path.exists(serving_meta):
+        from gopie_spark.operators.membership import bloom_shards_filter
+        with open(serving_meta) as fh:
+            smeta = json.load(fh)
+        shard_states = spark.read.parquet(
+            os.path.join(state, "store", "bloom_url_shards"))
+        kept = bloom_shards_filter(
+            spark, shard_states, kept, "url", n=smeta["bloom_n"],
+            p=smeta["bloom_p"], shards=smeta["bloom_shards"], keep=False)
+        n_new_urls = kept.count()
+        acct["known_url_dropped"] = \
+            curate_report["output_rows"] - n_new_urls
+
     # -- 2. incremental near-dup dedup vs the history signature store
     sig_store = os.path.join(state, "sig_store")
     survivors = incremental_minhash_dedup(
@@ -199,28 +229,32 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
             "warc_ts", F.lit(date).cast("timestamp"))
     survivors.write.mode("overwrite").parquet(day_dir)
     n_day = spark.read.parquet(day_dir).count()
-    acct["near_dup_dropped"] = curate_report["output_rows"] - n_day
+    acct["near_dup_dropped"] = (curate_report["output_rows"]
+                                - acct.get("known_url_dropped", 0) - n_day)
     acct["day_docs"] = n_day
 
     # -- 3. the day's sketch store (planned-capacity blooms).  The
     # checkpoint buckets the build WITHIN this attempt, but cannot span
     # a re-run: stage 2 just rewrote day_dir with fresh part-file
     # names, so a crashed attempt's partials describe files that no
-    # longer exist (SketchCheckpoint refuses that resume) — start clean
+    # longer exist (SketchCheckpoint refuses that resume) — start clean.
+    # A day that contributed NO new docs (every url already crawled,
+    # every text a near-dup) skips the store/cube stages entirely and
+    # just commits its marker + drift below.
     ckpt = os.path.join(state, f"ckpt_{date}")
     if os.path.exists(ckpt):
         shutil.rmtree(ckpt)
     day_store = os.path.join(state, f"store_day_{date}")
-    build_summary = run_build(spark, SimpleNamespace(
-        input=day_dir, format="parquet",
-        checkpoint=ckpt,
-        output=day_store, hll_p=hll_p, salt=-1, n_buckets=32,
-        resume_only=False, time_windows=time_windows,
-        window_resolution=window_resolution,
-        window_horizon=window_horizon,
-        drift_states=False, drift_group_col=None, quarantine=False,
-        max_text_len=max_text_len, bloom_n=bloom_n))
-    acct["day_store"] = build_summary
+    if n_day > 0:
+        acct["day_store"] = run_build(spark, SimpleNamespace(
+            input=day_dir, format="parquet",
+            checkpoint=ckpt,
+            output=day_store, hll_p=hll_p, salt=-1, n_buckets=32,
+            resume_only=False, time_windows=time_windows,
+            window_resolution=window_resolution,
+            window_horizon=window_horizon,
+            drift_states=False, drift_group_col=None, quarantine=False,
+            max_text_len=max_text_len, bloom_n=bloom_n))
 
     # -- 4. drift states over the day's input as crawled (pre-curation,
     # post-quarantine: drift should see what the crawler saw, minus
@@ -251,18 +285,20 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
 
     # -- 5. (lang, day) url cube, merge-only extension
     cube_dir = os.path.join(state, "cube")
-    day_cells = (spark.read.parquet(day_dir)
-                 .select("lang", F.lit(date).alias("day"), "url"))
-    if os.path.exists(os.path.join(cube_dir, "_cube_meta.json")):
-        cube_next = cube_dir + ".next"
-        acct["cube"] = run_cube(spark, day_cells, ["lang", "day"], "url",
-                                HLL(p=hll_p), cube_next,
-                                partition_dim="day", merge_into=cube_dir)
-        _swap_dir(cube_next, cube_dir)
-    else:
-        acct["cube"] = run_cube(spark, day_cells, ["lang", "day"], "url",
-                                HLL(p=hll_p), cube_dir,
-                                partition_dim="day")
+    if n_day > 0:
+        day_cells = (spark.read.parquet(day_dir)
+                     .select("lang", F.lit(date).alias("day"), "url"))
+        if os.path.exists(os.path.join(cube_dir, "_cube_meta.json")):
+            cube_next = cube_dir + ".next"
+            acct["cube"] = run_cube(spark, day_cells, ["lang", "day"],
+                                    "url", HLL(p=hll_p), cube_next,
+                                    partition_dim="day",
+                                    merge_into=cube_dir)
+            _swap_dir(cube_next, cube_dir)
+        else:
+            acct["cube"] = run_cube(spark, day_cells, ["lang", "day"],
+                                    "url", HLL(p=hll_p), cube_dir,
+                                    partition_dim="day")
 
     # -- 6. fold the day store into the serving store (zero Spark),
     # then commit the date marker — the ONLY non-idempotent mutation
@@ -281,7 +317,14 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
             fh.write(json.dumps(
                 {"applied_at_s": round(time.perf_counter() - t0, 3)}))
 
-    if os.path.exists(os.path.join(serving, "_store_meta.json")):
+    if n_day == 0:
+        # nothing to fold: the day is recorded as applied (its marker
+        # blocks accidental re-runs) but the serving artifacts are
+        # untouched
+        acct["empty_day"] = True
+        if os.path.exists(os.path.join(serving, "_store_meta.json")):
+            _mark_applied(serving)
+    elif os.path.exists(os.path.join(serving, "_store_meta.json")):
         merged = serving + ".next"
         if os.path.exists(merged):
             shutil.rmtree(merged)
@@ -346,6 +389,12 @@ def main() -> None:
                          "fold drops them as one-sided")
     ap.add_argument("--window-resolution", type=float, default=86400.0)
     ap.add_argument("--window-horizon", type=int, default=365)
+    ap.add_argument("--keep-known-urls", action="store_true",
+                    help="keep day rows whose url is already in the "
+                         "corpus (default: keep-first conflation — a "
+                         "re-crawled url is dropped via a sharded-"
+                         "Bloom probe of the serving store, wrongly "
+                         "dropping ~p of genuinely-new urls)")
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
 
@@ -360,7 +409,8 @@ def main() -> None:
         hll_p=args.hll_p, threshold=args.threshold,
         time_windows=args.time_windows,
         window_resolution=args.window_resolution,
-        window_horizon=args.window_horizon, force=args.force)
+        window_horizon=args.window_horizon,
+        keep_known_urls=args.keep_known_urls, force=args.force)
     print(json.dumps(acct))
     spark.stop()
 

@@ -189,11 +189,21 @@ def test_daily_update_two_day_scenario(spark, tmp_path, two_days):
 
     # a day run WITHOUT --time-windows must refuse to fold (the merge
     # would silently drop both accumulated window states) and leave the
-    # serving store + markers untouched
+    # serving store + markers untouched.  The day needs genuinely NEW
+    # docs (keep-first url conflation empties a re-crawl-only day, and
+    # an empty day never reaches the fold): reversed-word texts under
+    # fresh urls defeat both the url probe and the shingle signatures
+    d3 = str(tmp_path / "day3_new")
+    (spark.read.parquet(d1).limit(100)
+     .withColumn("url", F.concat(F.lit("http://new3.example/"),
+                                 F.xxhash64("url").cast("string")))
+     .withColumn("text", F.array_join(F.reverse(F.split("text", " ")),
+                                      " "))
+     .write.mode("overwrite").parquet(d3))
     meta_before = open(os.path.join(state, "store",
                                     "_store_meta.json")).read()
     with pytest.raises(SystemExit, match="refusing to fold"):
-        run_daily(spark, fresh2, state, "2026-01-03",
+        run_daily(spark, d3, state, "2026-01-03",
                   bloom_n=100_000, hll_p=12, min_tokens=3,
                   time_windows=False)
     assert open(os.path.join(state, "store",
@@ -207,6 +217,54 @@ def test_daily_update_two_day_scenario(spark, tmp_path, two_days):
     # accounting JSON on disk matches the returned dict
     with open(os.path.join(state, "accounting", "2026-01-02.json")) as fh:
         assert json.load(fh)["day_docs"] == acct2["day_docs"]
+
+    # ---- disaster recovery: rebuild every serving artifact from the
+    # curated days (the remedy the fold refusal names).  The refused
+    # day 3 left its curated docs behind — curated days are the source
+    # of truth, so the rebuild REPAIRS the aborted day into the store
+    from rebuild_store import run_rebuild
+    racct = run_rebuild(spark, state, bloom_n=100_000, hll_p=12,
+                        time_windows=True, window_horizon=30)
+    assert racct["days"] == ["2026-01-01", "2026-01-02", "2026-01-03"]
+
+    all_days = (spark.read.parquet(os.path.join(state, "curated"))
+                .select("url", "text", "lang"))
+    n_all = all_days.count()
+    store = SketchStore(os.path.join(state, "store"))
+    got = store.distinct_urls()
+    assert abs(got.value - n_all) <= band * n_all + 5
+    ans = store.maybe_contains_urls(probe)
+    assert all(ans.value[u] for u in probe)
+    n_since = n_all - acct1["day_docs"]  # days 2 and 3 are past cutoff
+    since = store.distinct_urls_since(cutoff)
+    assert abs(since.value - n_since) <= since.bound * n_since + 5
+
+    # applied markers restored -> re-running an applied day still
+    # refused, INCLUDING the repaired day 3
+    for day in ("2026-01-01", "2026-01-03"):
+        with pytest.raises(SystemExit, match="already applied"):
+            run_daily(spark, d1, state, day,
+                      bloom_n=100_000, hll_p=12, min_tokens=3,
+                      time_windows=True, window_horizon=30)
+
+    # the rebuilt signature store still kills re-crawls of history:
+    # day 4 = re-crawls of day-1 survivors under fresh urls
+    survivors = spark.read.parquet(
+        os.path.join(state, "curated", "day=2026-01-01"))
+    d4 = str(tmp_path / "day4")
+    (survivors.orderBy("url").limit(40)
+     .withColumn("url", F.concat(F.lit("http://again.example/"),
+                                 F.xxhash64("url").cast("string")))
+     .select("url", "text", "lang")
+     .write.mode("overwrite").parquet(d4))
+    acct4 = run_daily(spark, d4, state, "2026-01-04",
+                      bloom_n=100_000, hll_p=12, min_tokens=3,
+                      time_windows=True, window_horizon=30)
+    day4_docs = spark.read.parquet(
+        os.path.join(state, "curated", "day=2026-01-04"))
+    assert day4_docs.where(
+        F.col("url").startswith("http://again.example/")).count() == 0
+    assert acct4["day_docs"] == 0 or acct4["near_dup_dropped"] >= 40
 
 
 def test_incremental_sig_store_partition_rerun_idempotent(spark, tmp_path):
