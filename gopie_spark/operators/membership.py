@@ -80,14 +80,22 @@ def bloom_shards_build(df: DataFrame, value_col: str, n: int, p: float,
 
 
 def bloom_shards_filter(spark: SparkSession, shard_states: DataFrame,
-                        df: DataFrame, value_col: str, n: int, p: float,
+                        df: DataFrame, value_col: str,
+                        n: Optional[int] = None,
+                        p: Optional[float] = None,
                         shards: int = 64,
                         out_col: Optional[str] = None,
                         keep: bool = True,
                         filter_cls=BloomBit) -> DataFrame:
     """Membership-test ``df[value_col]`` against sharded filters via a
-    cogrouped join — the filter never concentrates on one node."""
-    per_shard = filter_cls.from_guess(max(n // shards, 64), p)
+    cogrouped join — the filter never concentrates on one node.
+
+    ``n``/``p`` re-derive the builder's per-shard geometry; pass
+    ``n=None`` to decode each shard blob self-describingly instead
+    (kernels.sketch_from_blob) — robust when the caller only has the
+    states, not the sizing they were built with."""
+    per_shard = None if n is None else \
+        filter_cls.from_guess(max(n // shards, 64), p)
     probe = df.withColumn(SHARD_COL, _shard_expr(value_col, shards))
     out_schema = StructType(probe.schema.fields +
                             [StructField("_maybe_member", BooleanType(), False)])
@@ -97,9 +105,15 @@ def bloom_shards_filter(spark: SparkSession, shard_states: DataFrame,
             return left.assign(_maybe_member=pd.Series([], dtype=bool))
         if right.empty:
             return left.assign(_maybe_member=False)
-        st = per_shard.deserialize(bytes(right[STATE_COL].iloc[0]))
+        blob = bytes(right[STATE_COL].iloc[0])
+        if per_shard is None:
+            from gopie_spark.kernels import sketch_from_blob
+            kern = sketch_from_blob(blob)
+        else:
+            kern = per_shard
+        st = kern.deserialize(blob)
         vals = left[value_col].fillna("").astype(str)
-        return left.assign(_maybe_member=per_shard.exist(st, vals))
+        return left.assign(_maybe_member=kern.exist(st, vals))
 
     flagged = (probe.groupBy(SHARD_COL)
                .cogroup(shard_states.groupBy(SHARD_COL))

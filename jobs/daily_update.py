@@ -71,8 +71,10 @@ its marker, never a folded-but-unmarked store.  Re-running an applied
 date is refused (``--force`` overrides for a state dir you are
 rebuilding).  A run killed BEFORE the fold re-runs cleanly: every
 earlier stage overwrites its own day-keyed outputs (the signature
-store is day-partitioned, so its update is overwrite-idempotent), and
-the sketch build resumes from its checkpoint buckets.
+store is day-partitioned, so its update is overwrite-idempotent; the
+day store and its checkpoint start clean each attempt, because stage 2
+rewrites the day dir with fresh part-file names and SketchCheckpoint
+refuses to resume over a changed listing).
 """
 
 from __future__ import annotations
@@ -115,7 +117,8 @@ def _recover_swaps(state: str) -> list:
     no serving store/cube and silently reinitialize it as day 1,
     losing all prior days."""
     healed = []
-    for live in (os.path.join(state, "store"), os.path.join(state, "cube")):
+    for live in (os.path.join(state, "store"), os.path.join(state, "cube"),
+                 os.path.join(state, "sig_store")):
         old = live + ".old"
         if os.path.exists(old) and not os.path.exists(live):
             os.rename(old, live)
@@ -174,6 +177,23 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
     if healed:
         acct["recovered_swaps"] = healed
 
+    # pre-flight: refuse a flag mismatch BEFORE any state mutation —
+    # the stage-6 fold would refuse it anyway (one-sided artifacts),
+    # but by then the cube and signature store have already committed
+    # the day, leaving serving artifacts advertising an unapplied day
+    serving = os.path.join(state, "store")
+    if os.path.exists(os.path.join(serving, "_store_meta.json")):
+        has_windows = os.path.exists(
+            os.path.join(serving, "sliding_hll_url.bin"))
+        if has_windows != time_windows:
+            raise SystemExit(
+                f"serving store was built "
+                f"{'WITH' if has_windows else 'WITHOUT'} --time-windows "
+                f"but this run is the opposite — folding would drop "
+                "one-sided artifacts permanently; keep the flag "
+                "consistent, or rebuild with jobs/rebuild_store.py to "
+                "change it")
+
     # -- 1. curate (quality -> PII -> host -> exact within-day dedup).
     # Near-dup runs in stage 2 against history instead, so within-day
     # AND cross-day near-dups are handled by ONE signature pass.
@@ -201,19 +221,24 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
     # (store meta p, default 1e-3) wrongly drops that fraction of
     # genuinely-new urls — the standard membership tradeoff, disable
     # with keep_known_urls for a keep-every-crawl corpus.
-    serving_meta = os.path.join(state, "store", "_store_meta.json")
+    serving_meta = os.path.join(serving, "_store_meta.json")
     if not keep_known_urls and os.path.exists(serving_meta):
         from gopie_spark.operators.membership import bloom_shards_filter
         with open(serving_meta) as fh:
             smeta = json.load(fh)
         shard_states = spark.read.parquet(
-            os.path.join(state, "store", "bloom_url_shards"))
+            os.path.join(serving, "bloom_url_shards"))
+        # n=None decodes each shard blob self-describingly — immune to
+        # a meta bloom_n that no longer matches the blob geometry
         kept = bloom_shards_filter(
-            spark, shard_states, kept, "url", n=smeta["bloom_n"],
-            p=smeta["bloom_p"], shards=smeta["bloom_shards"], keep=False)
-        n_new_urls = kept.count()
+            spark, shard_states, kept, "url", n=None,
+            shards=smeta["bloom_shards"], keep=False)
+    # one materialization of the (curated, conflated) day feeds the
+    # count, the signature build, and the survivors write below
+    kept = kept.persist()
+    if not keep_known_urls and os.path.exists(serving_meta):
         acct["known_url_dropped"] = \
-            curate_report["output_rows"] - n_new_urls
+            curate_report["output_rows"] - kept.count()
 
     # -- 2. incremental near-dup dedup vs the history signature store
     sig_store = os.path.join(state, "sig_store")
@@ -228,6 +253,7 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
         survivors = survivors.withColumn(
             "warc_ts", F.lit(date).cast("timestamp"))
     survivors.write.mode("overwrite").parquet(day_dir)
+    kept.unpersist()
     n_day = spark.read.parquet(day_dir).count()
     acct["near_dup_dropped"] = (curate_report["output_rows"]
                                 - acct.get("known_url_dropped", 0) - n_day)
@@ -245,6 +271,11 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
     if os.path.exists(ckpt):
         shutil.rmtree(ckpt)
     day_store = os.path.join(state, f"store_day_{date}")
+    if os.path.exists(day_store):
+        # a refused/crashed attempt's store may carry artifacts the
+        # current flags would not rebuild — stale blobs would then
+        # re-trigger the fold's one-sided refusal forever
+        shutil.rmtree(day_store)
     if n_day > 0:
         acct["day_store"] = run_build(spark, SimpleNamespace(
             input=day_dir, format="parquet",
@@ -303,7 +334,6 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
     # -- 6. fold the day store into the serving store (zero Spark),
     # then commit the date marker — the ONLY non-idempotent mutation
     # happens here, last
-    serving = os.path.join(state, "store")
 
     def _mark_applied(store_dir):
         # carry every previously-applied date forward, then this one —

@@ -78,21 +78,31 @@ def run_rebuild(spark, state: str, *, bloom_n: int = 1_000_000_000,
     _recover_swaps(state)
     acct: dict = {"days": days}
 
-    # -- 1. serving store: one build over every curated day ------------
+    # -- 1. serving store: one build over every curated day.  A crashed
+    # rebuild RESUMES its checkpoint buckets (the whole point of the
+    # checkpoint on an N-day corpus scan); only when the curated
+    # listing changed since the crash (another daily ran) is the
+    # checkpoint reset — SketchCheckpoint detects that itself.
     ckpt = os.path.join(state, "ckpt_rebuild")
-    if os.path.exists(ckpt):
-        shutil.rmtree(ckpt)
     new_store = os.path.join(state, "store.rebuild")
     if os.path.exists(new_store):
         shutil.rmtree(new_store)
-    acct["store_build"] = run_build(spark, SimpleNamespace(
+    build_args = SimpleNamespace(
         input=curated, format="parquet", checkpoint=ckpt,
         output=new_store, hll_p=hll_p, salt=-1, n_buckets=32,
         resume_only=False, time_windows=time_windows,
         window_resolution=window_resolution,
         window_horizon=window_horizon,
         drift_states=False, drift_group_col=None, quarantine=False,
-        max_text_len=None, bloom_n=bloom_n))
+        max_text_len=None, bloom_n=bloom_n)
+    try:
+        acct["store_build"] = run_build(spark, build_args)
+    except ValueError as e:
+        if "different input listing" not in str(e):
+            raise
+        shutil.rmtree(ckpt)
+        acct["ckpt_reset"] = True
+        acct["store_build"] = run_build(spark, build_args)
     applied = os.path.join(new_store, "_applied")
     os.makedirs(applied, exist_ok=True)
     for d in days:

@@ -202,7 +202,7 @@ def test_daily_update_two_day_scenario(spark, tmp_path, two_days):
      .write.mode("overwrite").parquet(d3))
     meta_before = open(os.path.join(state, "store",
                                     "_store_meta.json")).read()
-    with pytest.raises(SystemExit, match="refusing to fold"):
+    with pytest.raises(SystemExit, match="time-windows"):
         run_daily(spark, d3, state, "2026-01-03",
                   bloom_n=100_000, hll_p=12, min_tokens=3,
                   time_windows=False)
@@ -213,15 +213,26 @@ def test_daily_update_two_day_scenario(spark, tmp_path, two_days):
     assert not os.path.exists(os.path.join(state, "store", "_applied",
                                            "2026-01-03"))
     assert not os.path.exists(os.path.join(state, "store.next"))
+    # the pre-flight refusal fires before ANY mutation: no curated day,
+    # no sig-store batch, no cube cells for the refused day
+    assert not os.path.exists(os.path.join(state, "curated",
+                                           "day=2026-01-03"))
+    assert not os.path.exists(os.path.join(state, "sig_store",
+                                           "batch=2026-01-03"))
 
     # accounting JSON on disk matches the returned dict
     with open(os.path.join(state, "accounting", "2026-01-02.json")) as fh:
         assert json.load(fh)["day_docs"] == acct2["day_docs"]
 
     # ---- disaster recovery: rebuild every serving artifact from the
-    # curated days (the remedy the fold refusal names).  The refused
-    # day 3 left its curated docs behind — curated days are the source
-    # of truth, so the rebuild REPAIRS the aborted day into the store
+    # curated days (the remedy the fold refusal names).  Plant a
+    # curated-but-unapplied day 3 (what a run crashed AFTER stage 2
+    # leaves behind) — curated days are the source of truth, so the
+    # rebuild REPAIRS the aborted day into the store
+    (spark.read.parquet(d3)
+     .withColumn("warc_ts", F.lit("2026-01-03").cast("timestamp"))
+     .write.mode("overwrite").parquet(
+         os.path.join(state, "curated", "day=2026-01-03")))
     from rebuild_store import run_rebuild
     racct = run_rebuild(spark, state, bloom_n=100_000, hll_p=12,
                         time_windows=True, window_horizon=30)
