@@ -59,7 +59,8 @@ def run_rebuild(spark, state: str, *, bloom_n: int = 1_000_000_000,
                 window_resolution: float = 86400.0,
                 window_horizon: int = 365, k: int = 128,
                 shingle_width: int = 3, skip_sigs: bool = False,
-                skip_cube: bool = False) -> dict:
+                skip_cube: bool = False,
+                compact_sigs: bool = False) -> dict:
     """The whole rebuild as a library call; ``main`` is the CLI twin."""
     from pyspark.sql import functions as F
     from gopie_spark.kernels import HLL
@@ -111,23 +112,37 @@ def run_rebuild(spark, state: str, *, bloom_n: int = 1_000_000_000,
     _swap_dir(new_store, os.path.join(state, "store"))
     shutil.rmtree(ckpt, ignore_errors=True)
 
-    # -- 2. signature store: per-day partitions, daily layout ----------
+    # -- 2. signature store: day-partitioned, or compacted into ONE
+    # base partition (--compact-sigs) — after years of daily batches
+    # the per-day layout costs a file listing per partition on every
+    # incremental probe; compaction keeps the partitioned layout
+    # contract (future days still overwrite their own batch=<date>)
     if not skip_sigs:
         sig_new = os.path.join(state, "sig_store.rebuild")
         if os.path.exists(sig_new):
             shutil.rmtree(sig_new)
-        for d in days:
-            day_df = spark.read.parquet(
-                os.path.join(curated, f"day={d}"))
-            add_minhash_signatures(day_df, "text", k=k,
-                                   shingle_width=shingle_width,
-                                   out_col="minhash") \
-                .select(F.col("url").alias("_id"), "minhash") \
+
+        def _sigs(df):
+            return add_minhash_signatures(
+                df, "text", k=k, shingle_width=shingle_width,
+                out_col="minhash") \
+                .select(F.col("url").alias("_id"), "minhash")
+
+        if compact_sigs:
+            _sigs(spark.read.parquet(curated)) \
                 .write.mode("overwrite") \
-                .parquet(os.path.join(sig_new, f"batch={d}"))
+                .parquet(os.path.join(sig_new, "batch=base"))
+            acct["sig_store"] = {"batches": 1, "compacted": True,
+                                 "k": k, "shingle_width": shingle_width}
+        else:
+            for d in days:
+                _sigs(spark.read.parquet(
+                    os.path.join(curated, f"day={d}"))) \
+                    .write.mode("overwrite") \
+                    .parquet(os.path.join(sig_new, f"batch={d}"))
+            acct["sig_store"] = {"batches": len(days), "k": k,
+                                 "shingle_width": shingle_width}
         _swap_dir(sig_new, os.path.join(state, "sig_store"))
-        acct["sig_store"] = {"batches": len(days), "k": k,
-                             "shingle_width": shingle_width}
 
     # -- 3. (lang, day) url cube ---------------------------------------
     if not skip_cube:
@@ -175,6 +190,9 @@ def main() -> None:
                     help="must match the daily job")
     ap.add_argument("--skip-sigs", action="store_true")
     ap.add_argument("--skip-cube", action="store_true")
+    ap.add_argument("--compact-sigs", action="store_true",
+                    help="rebuild the signature store as ONE base "
+                         "partition instead of per-day batches")
     args = ap.parse_args()
 
     from gopie_spark.plans import get_spark
@@ -185,7 +203,7 @@ def main() -> None:
         window_resolution=args.window_resolution,
         window_horizon=args.window_horizon, k=args.k,
         shingle_width=args.shingle_width, skip_sigs=args.skip_sigs,
-        skip_cube=args.skip_cube)
+        skip_cube=args.skip_cube, compact_sigs=args.compact_sigs)
     print(json.dumps(acct))
     spark.stop()
 
