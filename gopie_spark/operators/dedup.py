@@ -498,6 +498,84 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
     return df.join(losers, id_col, "left_anti")
 
 
+def build_band_index(spark, sig_store: str, index_dir: str, *,
+                     k: int = 128, bands: int = 32,
+                     max_bucket: int = 64,
+                     index_buckets: int = 64) -> dict:
+    """Compact the signature store's LSH blocking structure into a
+    PERSISTED, bucketed member index — the base of the LSM shape that
+    keeps daily incremental dedup from re-shuffling all of history.
+
+    Without an index, every :func:`incremental_minhash_dedup` call
+    band-explodes the WHOLE store and re-aggregates its buckets: at a
+    10^12-doc corpus that is an O(corpus x bands) shuffle per day.
+    The index persists the finished ``(band, bh) -> capped member ids``
+    relation ONCE, written bucketed+sorted on the probe's join key
+    (sources/bucketed.py), so a daily probe joins against it with ZERO
+    index-side Exchange — the day's only O(history) cost is a bucketed
+    columnar scan, no shuffle, no aggregation.
+
+    Days folded into the store AFTER the index build are handled as
+    DELTAS at probe time (their partitions are exploded fresh and
+    merged bucket-wise under the same cap — associative, so the merged
+    members equal a from-scratch build).  Rebuild the index
+    periodically (``jobs/rebuild_store.py --band-index``) to re-absorb
+    the deltas — classic base+delta compaction.
+
+    Requires the day-partitioned store layout (``store_partition=``),
+    which is what makes deltas identifiable.  Returns the meta dict
+    (also written to ``<index_dir>/_index_meta.json``).
+    """
+    import hashlib
+    import json as _json
+    import os as _os
+    from gopie_spark.sources.bucketed import write_bucketed
+
+    raw = spark.read.parquet(sig_store)
+    if "batch" not in raw.columns:
+        raise ValueError(
+            "band index requires the day-partitioned signature store "
+            "layout (batch=<date> partitions, store_partition=...): a "
+            "plain store gives deltas no identity")
+    covered = sorted(str(r["batch"]) for r in
+                     raw.select("batch").distinct().collect())
+    sig_col = "minhash"
+    expl = _band_explode(raw.select("_id", sig_col), sig_col, k, bands)
+    members = _bucket_members(expl, ["band", "bh"], max_bucket)
+    data_path = _os.path.join(index_dir, "data")
+    table = "gopie_band_index_" + hashlib.md5(
+        _os.path.abspath(index_dir).encode()).hexdigest()[:10]
+    write_bucketed(members, table, ["band", "bh"],
+                   n_buckets=index_buckets, path=data_path)
+    meta = {"k": k, "bands": bands, "max_bucket": max_bucket,
+            "index_buckets": index_buckets, "table": table,
+            "data_path": data_path, "covered_batches": covered}
+    _os.makedirs(index_dir, exist_ok=True)
+    tmp = _os.path.join(index_dir, "_index_meta.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(meta, fh, sort_keys=True)
+    _os.replace(tmp, _os.path.join(index_dir, "_index_meta.json"))
+    return meta
+
+
+def load_band_index(spark, index_dir: str):
+    """(members DataFrame, meta) for a persisted band index,
+    re-registering the bucketed catalog entry when this session does
+    not have it (the files carry the layout; the catalog entry is what
+    lets Spark trust it — sources/bucketed.py)."""
+    import json as _json
+    import os as _os
+    from gopie_spark.sources.bucketed import (read_bucketed,
+                                              register_bucketed)
+
+    with open(_os.path.join(index_dir, "_index_meta.json")) as fh:
+        meta = _json.load(fh)
+    if not spark.catalog.tableExists(meta["table"]):
+        register_bucketed(spark, meta["table"], meta["data_path"],
+                          ["band", "bh"], meta["index_buckets"])
+    return read_bucketed(spark, meta["table"]), meta
+
+
 def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
                               id_col: str = "doc_id",
                               text_col: str = "text",
@@ -506,7 +584,8 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
                               max_bucket: int = 64,
                               strategy: str = "cc",
                               update_store: bool = True,
-                              store_partition: Optional[str] = None
+                              store_partition: Optional[str] = None,
+                              band_index: Optional[str] = None
                               ) -> DataFrame:
     """Near-dup-dedup a batch of NEW documents against an existing
     corpus represented ONLY by its MinHash signature store — the
@@ -533,6 +612,14 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
     a mixed layout would make partition discovery silently drop the
     root-level history, so the mismatching update is refused
     (ValueError) before anything is written.
+
+    ``band_index`` (a :func:`build_band_index` directory) replaces the
+    per-call explode+aggregate of the WHOLE store with a zero-shuffle
+    bucketed scan of the persisted member index; store partitions
+    newer than the index's ``covered_batches`` are exploded fresh and
+    merged bucket-wise under the same cap, so the result is identical
+    to the index-free path (tested).  Index k/bands/max_bucket must
+    match this call's.
 
     Work shape at scale: new signatures build k-linearly over the new
     batch only; the store side is one band-explode + the two-level
@@ -584,8 +671,10 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
         store_is_partitioned = store_partition is not None
     # refuse BEFORE writing: mixing the two layouts does not even fail
     # loudly — Spark's partition discovery silently DROPS the root-level
-    # files, i.e. the store's history, on every later read
-    if have_store and store_is_partitioned != (store_partition is not None):
+    # files, i.e. the store's history, on every later read.  (Read-only
+    # probes — update_store=False — work against either layout.)
+    if update_store and have_store and \
+            store_is_partitioned != (store_partition is not None):
         raise ValueError(
             f"signature store {sig_store} is "
             f"{'day-partitioned' if store_is_partitioned else 'plain'} "
@@ -596,9 +685,56 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
             "consistently per store")
 
     new_expl = _band_explode(new_sigs, sig_col, k, bands)
-    combined_expl = new_expl if stored is None else \
-        new_expl.unionByName(_band_explode(stored, sig_col, k, bands))
-    members = _bucket_members(combined_expl, ["band", "bh"], max_bucket)
+    if band_index is not None and stored is not None:
+        if not store_is_partitioned:
+            raise ValueError(
+                "band_index requires the day-partitioned store layout "
+                "(store_partition=...) so post-index deltas are "
+                "identifiable")
+        base, imeta = load_band_index(spark, band_index)
+        if (imeta["k"], imeta["bands"], imeta["max_bucket"]) != \
+                (k, bands, max_bucket):
+            raise ValueError(
+                f"band index {band_index} was built with "
+                f"k={imeta['k']} bands={imeta['bands']} "
+                f"max_bucket={imeta['max_bucket']} but this call uses "
+                f"k={k} bands={bands} max_bucket={max_bucket} — "
+                "rebuild the index or match its parameters")
+        covered = set(imeta["covered_batches"])
+        batches = [str(r["batch"]) for r in
+                   raw.select("batch").distinct().collect()]
+        delta = [b for b in batches if b not in covered]
+        # fresh side: the new batch + any store partitions folded after
+        # the index build (partition-pruned read)
+        fresh_expl = new_expl
+        if delta:
+            delta_sigs = raw.filter(F.col("batch").isin(delta)) \
+                .select("_id", sig_col)  # partition-pruned read
+            fresh_expl = fresh_expl.unionByName(
+                _band_explode(delta_sigs, sig_col, k, bands))
+        fresh_members = _bucket_members(fresh_expl, ["band", "bh"],
+                                        max_bucket)
+        # only buckets the new batch probes matter; the semi-join is
+        # the zero-index-side-Exchange bucketed join — the index is
+        # SCANNED (columnar, no shuffle, no aggregation), never
+        # re-exploded or re-aggregated
+        base_hit = base.join(new_expl.select("band", "bh").distinct(),
+                             ["band", "bh"], "left_semi")
+        empty = F.array().cast(base.schema["_ids"].dataType)
+        cap_merge = F.slice(
+            F.array_sort(F.array_distinct(F.concat(
+                F.coalesce(F.col("b._ids"), empty),
+                F.coalesce(F.col("f._ids"), empty)))),
+            1, max_bucket).alias("_ids")
+        members = (base_hit.alias("b")
+                   .join(fresh_members.alias("f"), ["band", "bh"],
+                         "full_outer")
+                   .select("band", "bh", cap_merge))
+    else:
+        combined_expl = new_expl if stored is None else \
+            new_expl.unionByName(_band_explode(stored, sig_col, k, bands))
+        members = _bucket_members(combined_expl, ["band", "bh"],
+                                  max_bucket)
     cand = (new_expl.join(members, ["band", "bh"])
             .select(F.col("_id").alias("id_new"),
                     F.explode("_ids").alias("id_other"))

@@ -67,3 +67,23 @@ def co_located_join(spark: SparkSession, left_table: str,
     """
     return read_bucketed(spark, left_table).join(
         read_bucketed(spark, right_table), list(on), how)
+
+
+def register_bucketed(spark: SparkSession, table: str, path: str,
+                      bucket_cols: Sequence[str], n_buckets: int) -> None:
+    """(Re)register an existing bucketed-parquet path in the session
+    catalog — the step that makes a bucketed layout durable across
+    sessions when only the default in-memory catalog is available: the
+    files carry the bucket layout, but Spark trusts it only through a
+    catalog entry (``CREATE TABLE ... CLUSTERED BY``).  The schema is
+    read from the parquet footers; the table is external, so dropping
+    it never touches the data."""
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in spark.read.parquet(path).schema.fields)
+    bc = ", ".join(f"`{c}`" for c in bucket_cols)
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    spark.sql(
+        f"CREATE TABLE `{table}` ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({bc}) SORTED BY ({bc}) "
+        f"INTO {int(n_buckets)} BUCKETS LOCATION '{path}'")

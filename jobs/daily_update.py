@@ -240,11 +240,20 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
         acct["known_url_dropped"] = \
             curate_report["output_rows"] - kept.count()
 
-    # -- 2. incremental near-dup dedup vs the history signature store
+    # -- 2. incremental near-dup dedup vs the history signature store.
+    # When a persisted band index exists (rebuild_store --band-index),
+    # history is probed with a zero-shuffle bucketed scan + fresh
+    # explode of only the post-index delta partitions, instead of
+    # re-aggregating the whole store — the at-scale daily shape
+    band_index = os.path.join(state, "band_index")
+    if not os.path.exists(os.path.join(band_index, "_index_meta.json")):
+        band_index = None
+    else:
+        acct["band_index"] = True
     sig_store = os.path.join(state, "sig_store")
     survivors = incremental_minhash_dedup(
         kept, sig_store, id_col="url", threshold=threshold,
-        update_store=True, store_partition=date)
+        update_store=True, store_partition=date, band_index=band_index)
     day_dir = os.path.join(state, "curated", f"day={date}")
     if "warc_ts" not in survivors.columns:
         # the crawl day IS the event time at daily resolution — gives

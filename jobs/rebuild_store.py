@@ -60,7 +60,8 @@ def run_rebuild(spark, state: str, *, bloom_n: int = 1_000_000_000,
                 window_horizon: int = 365, k: int = 128,
                 shingle_width: int = 3, skip_sigs: bool = False,
                 skip_cube: bool = False,
-                compact_sigs: bool = False) -> dict:
+                compact_sigs: bool = False,
+                band_index: bool = False) -> dict:
     """The whole rebuild as a library call; ``main`` is the CLI twin."""
     from pyspark.sql import functions as F
     from gopie_spark.kernels import HLL
@@ -143,6 +144,15 @@ def run_rebuild(spark, state: str, *, bloom_n: int = 1_000_000_000,
             acct["sig_store"] = {"batches": len(days), "k": k,
                                  "shingle_width": shingle_width}
         _swap_dir(sig_new, os.path.join(state, "sig_store"))
+        if band_index:
+            # base+delta compaction: the fresh index covers every batch
+            # just written, so the daily probe's delta set resets to
+            # empty until the next fold
+            from gopie_spark.operators.dedup import build_band_index
+            acct["band_index"] = build_band_index(
+                spark, os.path.join(state, "sig_store"),
+                os.path.join(state, "band_index"), k=k, bands=32,
+                max_bucket=64)
 
     # -- 3. (lang, day) url cube ---------------------------------------
     if not skip_cube:
@@ -193,6 +203,12 @@ def main() -> None:
     ap.add_argument("--compact-sigs", action="store_true",
                     help="rebuild the signature store as ONE base "
                          "partition instead of per-day batches")
+    ap.add_argument("--band-index", action="store_true",
+                    help="also (re)build the persisted LSH band-bucket "
+                         "member index (operators/dedup."
+                         "build_band_index) — the daily loop then "
+                         "probes history with a zero-shuffle bucketed "
+                         "scan instead of re-aggregating the store")
     args = ap.parse_args()
 
     from gopie_spark.plans import get_spark
@@ -203,7 +219,8 @@ def main() -> None:
         window_resolution=args.window_resolution,
         window_horizon=args.window_horizon, k=args.k,
         shingle_width=args.shingle_width, skip_sigs=args.skip_sigs,
-        skip_cube=args.skip_cube, compact_sigs=args.compact_sigs)
+        skip_cube=args.skip_cube, compact_sigs=args.compact_sigs,
+        band_index=args.band_index)
     print(json.dumps(acct))
     spark.stop()
 

@@ -1,0 +1,147 @@
+"""Persisted band-bucket index (operators/dedup.build_band_index) — the
+LSM base+delta shape that keeps daily incremental dedup from
+re-shuffling the whole signature store:
+
+- probe WITH the index == probe WITHOUT it, both when the index covers
+  the whole store and when store partitions were folded AFTER the
+  index build (deltas merged bucket-wise under the same cap);
+- the index side of the probe join is a bucketed scan with ZERO
+  Exchange (plan-pinned) — the at-scale point of the structure;
+- the catalog entry survives loss (re-registered from the files);
+- parameter / layout mismatches are refused.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gopie_spark.operators.dedup import (build_band_index,
+                                         incremental_minhash_dedup,
+                                         load_band_index)
+
+
+def _docs(spark, lo, n, prefix="d"):
+    return (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .orderBy("doc_id").offset(lo).limit(n)
+            .select(F.concat(F.lit(f"http://{prefix}.example/"),
+                             F.col("doc_id").cast("string")).alias("url"),
+                    "text"))
+
+
+@pytest.fixture(scope="module")
+def indexed_store(tmp_path_factory, spark):
+    root = tmp_path_factory.mktemp("bandidx")
+    store = str(root / "sigs")
+    incremental_minhash_dedup(_docs(spark, 0, 60), store, id_col="url",
+                              store_partition="d1")
+    idx = str(root / "index")
+    meta = build_band_index(spark, store, idx, k=128, bands=32,
+                            max_bucket=64, index_buckets=8)
+    assert meta["covered_batches"] == ["d1"]
+    return store, idx
+
+
+def _ids(df):
+    return sorted(r["url"] for r in df.select("url").collect())
+
+
+def test_index_probe_equals_plain_probe(spark, indexed_store):
+    store, idx = indexed_store
+    # day 2 = 40 fresh docs + 15 re-crawls of stored day-1 docs under
+    # new urls (must die against the INDEXED history)
+    stored_texts = _docs(spark, 0, 15).select(
+        F.concat(F.lit("http://re.example/"),
+                 F.xxhash64("url").cast("string")).alias("url"), "text")
+    day2 = _docs(spark, 60, 40).unionByName(stored_texts)
+    with_idx = incremental_minhash_dedup(
+        day2, store, id_col="url", update_store=False, band_index=idx)
+    without = incremental_minhash_dedup(
+        day2, store, id_col="url", update_store=False)
+    got = _ids(with_idx)
+    assert got == _ids(without)
+    assert not any(u.startswith("http://re.example/") for u in got)
+
+
+def test_index_probe_with_deltas(spark, indexed_store):
+    store, idx = indexed_store
+    # fold day 2 into the store WITHOUT rebuilding the index -> d2 is a
+    # delta partition the probe must explode fresh and merge in
+    incremental_minhash_dedup(_docs(spark, 60, 40), store, id_col="url",
+                              store_partition="d2", band_index=idx)
+    # day 3 re-crawls DELTA docs (day-2 texts, new urls): a probe that
+    # ignored deltas would let them all survive
+    recrawl = _docs(spark, 60, 20).select(
+        F.concat(F.lit("http://re3.example/"),
+                 F.xxhash64("url").cast("string")).alias("url"), "text")
+    day3 = _docs(spark, 100, 30).unionByName(recrawl)
+    with_idx = incremental_minhash_dedup(
+        day3, store, id_col="url", update_store=False, band_index=idx)
+    without = incremental_minhash_dedup(
+        day3, store, id_col="url", update_store=False)
+    got = _ids(with_idx)
+    assert got == _ids(without)
+    assert not any(u.startswith("http://re3.example/") for u in got)
+
+
+def test_index_scan_is_bucketed_zero_exchange(spark, indexed_store):
+    store, idx = indexed_store
+    members, meta = load_band_index(spark, idx)
+    # probe keys must carry the index's exact types: a cast on the
+    # bucketed side's join key would defeat the bucketing (real probes
+    # share _band_explode, so types always line up)
+    probe = (spark.range(500)
+             .select((F.col("id") % meta["bands"])
+                     .cast(members.schema["band"].dataType).alias("band"),
+                     F.xxhash64("id")
+                     .cast(members.schema["bh"].dataType).alias("bh")))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = members.join(probe, ["band", "bh"], "left_semi")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # the index side scans its at-rest buckets; the ONLY Exchange is
+    # the (small) probe side being shuffled to match
+    assert "Bucketed: true" in plan, plan[:2000]
+    assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_catalog_entry_recreated_after_loss(spark, indexed_store):
+    store, idx = indexed_store
+    _, meta = load_band_index(spark, idx)
+    spark.sql(f"DROP TABLE IF EXISTS `{meta['table']}`")
+    members, _ = load_band_index(spark, idx)  # re-registers from files
+    assert members.count() > 0
+    # and the re-created entry still carries the bucket spec
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = spark.range(100).select(
+            (F.col("id") % 32)
+            .cast(members.schema["band"].dataType).alias("band"),
+            F.xxhash64("id")
+            .cast(members.schema["bh"].dataType).alias("bh"))
+        plan = members.join(probe, ["band", "bh"], "left_semi") \
+            ._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan
+
+
+def test_index_refusals(spark, indexed_store, tmp_path):
+    store, idx = indexed_store
+    with pytest.raises(ValueError, match="rebuild the index"):
+        incremental_minhash_dedup(_docs(spark, 0, 5), store,
+                                  id_col="url", update_store=False,
+                                  band_index=idx, k=64, bands=16)
+    # plain-layout store cannot carry an index (deltas unidentifiable)
+    plain = str(tmp_path / "plain_sigs")
+    incremental_minhash_dedup(_docs(spark, 0, 10), plain, id_col="url")
+    with pytest.raises(ValueError, match="day-partitioned"):
+        build_band_index(spark, plain, str(tmp_path / "pidx"))
+    with pytest.raises(ValueError, match="day-partitioned"):
+        incremental_minhash_dedup(_docs(spark, 10, 5), plain,
+                                  id_col="url", update_store=False,
+                                  band_index=idx)

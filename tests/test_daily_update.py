@@ -235,8 +235,10 @@ def test_daily_update_two_day_scenario(spark, tmp_path, two_days):
          os.path.join(state, "curated", "day=2026-01-03")))
     from rebuild_store import run_rebuild
     racct = run_rebuild(spark, state, bloom_n=100_000, hll_p=12,
-                        time_windows=True, window_horizon=30)
+                        time_windows=True, window_horizon=30,
+                        band_index=True)
     assert racct["days"] == ["2026-01-01", "2026-01-02", "2026-01-03"]
+    assert racct["band_index"]["covered_batches"] == racct["days"]
 
     all_days = (spark.read.parquet(os.path.join(state, "curated"))
                 .select("url", "text", "lang"))
@@ -271,6 +273,9 @@ def test_daily_update_two_day_scenario(spark, tmp_path, two_days):
     acct4 = run_daily(spark, d4, state, "2026-01-04",
                       bloom_n=100_000, hll_p=12, min_tokens=3,
                       time_windows=True, window_horizon=30)
+    # the day auto-used the rebuilt band index (zero-shuffle history
+    # probe) and the re-crawls still died against it
+    assert acct4["band_index"] is True
     day4_docs = spark.read.parquet(
         os.path.join(state, "curated", "day=2026-01-04"))
     assert day4_docs.where(
