@@ -138,6 +138,7 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
               window_resolution: float = 86400.0,
               window_horizon: int = 365,
               keep_known_urls: bool = False,
+              preflight: bool = False,
               force: bool = False) -> dict:
     """The whole daily update as a library call; ``main`` is the CLI
     twin.  Returns the accounting dict."""
@@ -251,6 +252,16 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
     else:
         acct["band_index"] = True
     sig_store = os.path.join(state, "sig_store")
+    if preflight:
+        # opt-in skew report over the DAY's signatures before the
+        # candidate stage (one extra signature pass over the day only
+        # — history is never touched); same dict dedup_corpus embeds
+        from gopie_spark.operators.dedup import (add_minhash_signatures,
+                                                 lsh_preflight_report)
+        day_sigs = add_minhash_signatures(
+            kept.select("url", "text"), "text", out_col="minhash") \
+            .select(F.col("url").alias("_id"), "minhash")
+        acct["lsh_preflight"] = lsh_preflight_report(day_sigs)
     survivors = incremental_minhash_dedup(
         kept, sig_store, id_col="url", threshold=threshold,
         update_store=True, store_partition=date, band_index=band_index)
@@ -434,6 +445,10 @@ def main() -> None:
                          "re-crawled url is dropped via a sharded-"
                          "Bloom probe of the serving store, wrongly "
                          "dropping ~p of genuinely-new urls)")
+    ap.add_argument("--preflight", action="store_true",
+                    help="embed the LSH bucket-skew report for the "
+                         "day's signatures in the accounting (one "
+                         "extra signature pass over the day)")
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
 
@@ -449,7 +464,8 @@ def main() -> None:
         time_windows=args.time_windows,
         window_resolution=args.window_resolution,
         window_horizon=args.window_horizon,
-        keep_known_urls=args.keep_known_urls, force=args.force)
+        keep_known_urls=args.keep_known_urls,
+        preflight=args.preflight, force=args.force)
     print(json.dumps(acct))
     spark.stop()
 
