@@ -522,6 +522,13 @@ def build_band_index(spark, sig_store: str, index_dir: str, *,
     periodically (``jobs/rebuild_store.py --band-index``) to re-absorb
     the deltas — classic base+delta compaction.
 
+    A SECOND layout is written alongside: the covered signatures
+    bucketed+sorted on ``_id`` (``<index_dir>/sigs``).  The probe's
+    signature fetch (every candidate pair needs the stored minhash of
+    the bucket-mate) semi-joins its candidate-id set against these
+    at-rest buckets — zero store-side Exchange — instead of shuffling
+    the whole store by ``_id`` per day.
+
     Requires the day-partitioned store layout (``store_partition=``),
     which is what makes deltas identifiable.  Returns the meta dict
     (also written to ``<index_dir>/_index_meta.json``).
@@ -543,13 +550,24 @@ def build_band_index(spark, sig_store: str, index_dir: str, *,
     expl = _band_explode(raw.select("_id", sig_col), sig_col, k, bands)
     members = _bucket_members(expl, ["band", "bh"], max_bucket)
     data_path = _os.path.join(index_dir, "data")
-    table = "gopie_band_index_" + hashlib.md5(
+    suffix = hashlib.md5(
         _os.path.abspath(index_dir).encode()).hexdigest()[:10]
+    table = "gopie_band_index_" + suffix
     write_bucketed(members, table, ["band", "bh"],
                    n_buckets=index_buckets, path=data_path)
+    # second layout over the SAME covered batches: the signatures
+    # themselves, bucketed+sorted on _id — the candidate signature
+    # fetch (pairs need the stored minhash of every bucket-mate) then
+    # semi-joins the day's candidate-id set against an at-rest layout
+    # instead of shuffling the whole store by _id every day
+    sig_table = "gopie_sig_index_" + suffix
+    sig_path = _os.path.join(index_dir, "sigs")
+    write_bucketed(raw.select("_id", sig_col), sig_table, ["_id"],
+                   n_buckets=index_buckets, path=sig_path)
     meta = {"k": k, "bands": bands, "max_bucket": max_bucket,
             "index_buckets": index_buckets, "table": table,
-            "data_path": data_path, "covered_batches": covered}
+            "data_path": data_path, "sig_table": sig_table,
+            "sig_path": sig_path, "covered_batches": covered}
     _os.makedirs(index_dir, exist_ok=True)
     tmp = _os.path.join(index_dir, "_index_meta.json.tmp")
     with open(tmp, "w") as fh:
@@ -573,6 +591,13 @@ def load_band_index(spark, index_dir: str):
     if not spark.catalog.tableExists(meta["table"]):
         register_bucketed(spark, meta["table"], meta["data_path"],
                           ["band", "bh"], meta["index_buckets"])
+    # indexes built before the _id-bucketed signature layout existed
+    # have no sig_table — probes fall back to fetching signatures from
+    # the raw store (correct, just shuffles the store by _id)
+    if meta.get("sig_table") and \
+            not spark.catalog.tableExists(meta["sig_table"]):
+        register_bucketed(spark, meta["sig_table"], meta["sig_path"],
+                          ["_id"], meta["index_buckets"])
     return read_bucketed(spark, meta["table"]), meta
 
 
@@ -619,7 +644,13 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
     newer than the index's ``covered_batches`` are exploded fresh and
     merged bucket-wise under the same cap, so the result is identical
     to the index-free path (tested).  Index k/bands/max_bucket must
-    match this call's.
+    match this call's.  When the index carries the ``sigs`` layout
+    (signatures bucketed on ``_id`` — all indexes built since it was
+    added), the candidate signature FETCH also goes through the index:
+    the day's candidate-id set semi-joins the at-rest ``_id`` buckets
+    with zero store-side Exchange, instead of shuffling the whole
+    store by ``_id`` per call — this was the last O(corpus) shuffle in
+    the daily loop.
 
     Work shape at scale: new signatures build k-linearly over the new
     batch only; the store side is one band-explode + the two-level
@@ -685,6 +716,8 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
             "consistently per store")
 
     new_expl = _band_explode(new_sigs, sig_col, k, bands)
+    imeta = None
+    delta_sigs = None
     if band_index is not None and stored is not None:
         if not store_is_partitioned:
             raise ValueError(
@@ -712,6 +745,8 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
                 .select("_id", sig_col)  # partition-pruned read
             fresh_expl = fresh_expl.unionByName(
                 _band_explode(delta_sigs, sig_col, k, bands))
+        else:
+            delta_sigs = None
         fresh_members = _bucket_members(fresh_expl, ["band", "bh"],
                                         max_bucket)
         # only buckets the new batch probes matter; the semi-join is
@@ -740,8 +775,29 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
                     F.explode("_ids").alias("id_other"))
             .filter(F.col("id_new") != F.col("id_other"))
             .distinct())
-    all_sigs = new_sigs if stored is None else \
-        new_sigs.unionByName(stored)
+    cand_cached = False
+    if imeta is not None and imeta.get("sig_table"):
+        # signature fetch from the index's SECOND layout — signatures
+        # bucketed on _id: semi-joining the (day-sized) candidate-id
+        # set against the at-rest buckets leaves the store side with
+        # ZERO Exchange (plan-tested), where the raw-store fallback
+        # below shuffles the whole store by _id every call.  Semi-
+        # filtering before the pair join fetches the same rows, so the
+        # result is identical to the fallback (tested).
+        from gopie_spark.sources.bucketed import read_bucketed
+        cand = cand.persist()
+        cand_cached = True
+        other_ids = cand.select(F.col("id_other").alias("_id")) \
+            .distinct()
+        store_fetch = read_bucketed(spark, imeta["sig_table"]) \
+            .join(other_ids, "_id", "left_semi")
+        if delta_sigs is not None:
+            store_fetch = store_fetch.unionByName(
+                delta_sigs.join(other_ids, "_id", "left_semi"))
+        all_sigs = new_sigs.unionByName(store_fetch)
+    else:
+        all_sigs = new_sigs if stored is None else \
+            new_sigs.unionByName(stored)
     sa = new_sigs.select(F.col("_id").alias("id_new"),
                          F.col(sig_col).alias("_sig_a"))
     sb = all_sigs.select(F.col("_id").alias("id_other"),
@@ -789,6 +845,8 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
     losers = vs_stored.unionByName(nn_losers).distinct() \
         .select(F.col("id_new").alias(id_col)) \
         .localCheckpoint(eager=True)
+    if cand_cached:
+        cand.unpersist()
     survivors = new_docs.join(losers, id_col, "left_anti")
     if update_store:
         keep_sigs = new_sigs.join(

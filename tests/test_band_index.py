@@ -108,12 +108,69 @@ def test_index_scan_is_bucketed_zero_exchange(spark, indexed_store):
     assert plan.count("Exchange") == 1, plan[:2000]
 
 
+def test_sig_fetch_is_bucketed_zero_exchange(spark, indexed_store):
+    """The index's second layout: candidate signature fetch semi-joins
+    the day's id set against signatures bucketed on _id — the store
+    side scans its at-rest buckets with no Exchange even when the
+    probe is too big to broadcast (the at-scale daily case)."""
+    store, idx = indexed_store
+    from gopie_spark.sources.bucketed import read_bucketed
+    _, meta = load_band_index(spark, idx)
+    assert meta["sig_table"]
+    sigs = read_bucketed(spark, meta["sig_table"])
+    probe = spark.range(300).select(
+        F.concat(F.lit("http://d.example/"),
+                 F.col("id").cast("string")).alias("_id"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = sigs.join(probe, "_id", "left_semi")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan, plan[:2000]
+    assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_legacy_index_without_sig_layout(spark, indexed_store, tmp_path):
+    """Indexes built before the _id-bucketed signature layout carry no
+    sig_table in their meta — the probe falls back to fetching from the
+    raw store and still equals the index-free path."""
+    import json
+    import shutil
+
+    store, idx = indexed_store
+    legacy = str(tmp_path / "legacy_index")
+    shutil.copytree(idx, legacy)
+    mp = os.path.join(legacy, "_index_meta.json")
+    with open(mp) as fh:
+        meta = json.load(fh)
+    meta.pop("sig_table", None)
+    meta.pop("sig_path", None)
+    with open(mp, "w") as fh:
+        json.dump(meta, fh)
+    day = _docs(spark, 140, 20).unionByName(
+        _docs(spark, 0, 8).select(
+            F.concat(F.lit("http://leg.example/"),
+                     F.xxhash64("url").cast("string")).alias("url"),
+            "text"))
+    with_idx = incremental_minhash_dedup(
+        day, store, id_col="url", update_store=False, band_index=legacy)
+    without = incremental_minhash_dedup(
+        day, store, id_col="url", update_store=False)
+    got = _ids(with_idx)
+    assert got == _ids(without)
+    assert not any(u.startswith("http://leg.example/") for u in got)
+
+
 def test_catalog_entry_recreated_after_loss(spark, indexed_store):
     store, idx = indexed_store
     _, meta = load_band_index(spark, idx)
     spark.sql(f"DROP TABLE IF EXISTS `{meta['table']}`")
+    spark.sql(f"DROP TABLE IF EXISTS `{meta['sig_table']}`")
     members, _ = load_band_index(spark, idx)  # re-registers from files
     assert members.count() > 0
+    assert spark.catalog.tableExists(meta["sig_table"])
     # and the re-created entry still carries the bucket spec
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
