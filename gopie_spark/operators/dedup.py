@@ -221,6 +221,26 @@ def _bucket_pairs(exploded: DataFrame, bucket_cols: List[str],
             .distinct())
 
 
+def _merge_capped_members(base_hit: DataFrame, fresh_members: DataFrame,
+                          bucket_cols: List[str],
+                          max_bucket: int) -> DataFrame:
+    """Full-outer merge of two capped member relations, re-capped.
+    ``slice(array_sort(distinct(a ++ b)), 1, cap)`` is associative with
+    :func:`_bucket_members`' own cap (both keep the cap smallest ids),
+    so a persisted base merged with a fresh delta equals a from-scratch
+    build over base+delta inputs (tested for both index kinds)."""
+    empty = F.array().cast(base_hit.schema["_ids"].dataType)
+    cap_merge = F.slice(
+        F.array_sort(F.array_distinct(F.concat(
+            F.coalesce(F.col("b._ids"), empty),
+            F.coalesce(F.col("f._ids"), empty)))),
+        1, max_bucket).alias("_ids")
+    return (base_hit.alias("b")
+            .join(fresh_members.alias("f"), list(bucket_cols),
+                  "full_outer")
+            .select(*bucket_cols, cap_merge))
+
+
 def bucket_cap_stats(exploded: DataFrame, bucket_cols: List[str],
                      max_bucket: int) -> DataFrame:
     """Observability for the blocking stage: one row with
@@ -755,16 +775,8 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
         # re-exploded or re-aggregated
         base_hit = base.join(new_expl.select("band", "bh").distinct(),
                              ["band", "bh"], "left_semi")
-        empty = F.array().cast(base.schema["_ids"].dataType)
-        cap_merge = F.slice(
-            F.array_sort(F.array_distinct(F.concat(
-                F.coalesce(F.col("b._ids"), empty),
-                F.coalesce(F.col("f._ids"), empty)))),
-            1, max_bucket).alias("_ids")
-        members = (base_hit.alias("b")
-                   .join(fresh_members.alias("f"), ["band", "bh"],
-                         "full_outer")
-                   .select("band", "bh", cap_merge))
+        members = _merge_capped_members(base_hit, fresh_members,
+                                        ["band", "bh"], max_bucket)
     else:
         combined_expl = new_expl if stored is None else \
             new_expl.unionByName(_band_explode(stored, sig_col, k, bands))
@@ -923,13 +935,93 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
             .drop("_fa", "_fb"))
 
 
+def build_chunk_index(spark, fp_store: str, index_dir: str, *,
+                      max_bucket: int = 256,
+                      index_buckets: int = 64) -> dict:
+    """SimHash twin of :func:`build_band_index`: persist the 4x16-bit
+    pigeonhole blocking structure of a day-partitioned fingerprint
+    store as a bucketed ``(chunk, cv) -> capped member ids`` index,
+    plus a second layout — the fingerprints bucketed+sorted on ``_id``
+    (``<index_dir>/fps``) for the candidate fingerprint fetch.
+
+    Without it every :func:`incremental_simhash_dedup` call chunk-
+    explodes the WHOLE store (O(corpus x 4) shuffle rows per day) and
+    shuffles the whole store by ``_id`` for the fetch.  Store
+    partitions folded after the build are probed as deltas and merged
+    bucket-wise under the same cap (associative — tested).  Rebuild
+    periodically to re-absorb deltas, same base+delta compaction as
+    the band index.  Returns the meta dict (also written to
+    ``<index_dir>/_index_meta.json``).
+    """
+    import hashlib
+    import json as _json
+    import os as _os
+    from gopie_spark.sources.bucketed import write_bucketed
+
+    raw = spark.read.parquet(fp_store)
+    if "batch" not in raw.columns:
+        raise ValueError(
+            "chunk index requires the day-partitioned fingerprint "
+            "store layout (batch=<date> partitions, "
+            "store_partition=...): a plain store gives deltas no "
+            "identity")
+    covered = sorted(str(r["batch"]) for r in
+                     raw.select("batch").distinct().collect())
+    fps = raw.select("_id", "simhash")
+    members = _bucket_members(_chunk_explode(fps), ["chunk", "cv"],
+                              max_bucket)
+    suffix = hashlib.md5(
+        _os.path.abspath(index_dir).encode()).hexdigest()[:10]
+    table = "gopie_chunk_index_" + suffix
+    data_path = _os.path.join(index_dir, "data")
+    write_bucketed(members, table, ["chunk", "cv"],
+                   n_buckets=index_buckets, path=data_path)
+    fp_table = "gopie_fp_index_" + suffix
+    fp_path = _os.path.join(index_dir, "fps")
+    write_bucketed(fps, fp_table, ["_id"],
+                   n_buckets=index_buckets, path=fp_path)
+    meta = {"max_bucket": max_bucket, "index_buckets": index_buckets,
+            "table": table, "data_path": data_path,
+            "fp_table": fp_table, "fp_path": fp_path,
+            "covered_batches": covered}
+    _os.makedirs(index_dir, exist_ok=True)
+    tmp = _os.path.join(index_dir, "_index_meta.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(meta, fh, sort_keys=True)
+    _os.replace(tmp, _os.path.join(index_dir, "_index_meta.json"))
+    return meta
+
+
+def load_chunk_index(spark, index_dir: str):
+    """(members DataFrame, meta) for a persisted chunk index, re-
+    registering both bucketed catalog entries when this session lacks
+    them (same durability contract as :func:`load_band_index`)."""
+    import json as _json
+    import os as _os
+    from gopie_spark.sources.bucketed import (read_bucketed,
+                                              register_bucketed)
+
+    with open(_os.path.join(index_dir, "_index_meta.json")) as fh:
+        meta = _json.load(fh)
+    if not spark.catalog.tableExists(meta["table"]):
+        register_bucketed(spark, meta["table"], meta["data_path"],
+                          ["chunk", "cv"], meta["index_buckets"])
+    if not spark.catalog.tableExists(meta["fp_table"]):
+        register_bucketed(spark, meta["fp_table"], meta["fp_path"],
+                          ["_id"], meta["index_buckets"])
+    return read_bucketed(spark, meta["table"]), meta
+
+
 def incremental_simhash_dedup(new_docs: DataFrame, fp_store: str,
                               id_col: str = "doc_id",
                               text_col: str = "text",
                               max_hamming: int = 3,
                               max_bucket: int = 256,
                               strategy: str = "cc",
-                              update_store: bool = True) -> DataFrame:
+                              update_store: bool = True,
+                              store_partition: Optional[str] = None,
+                              chunk_index: Optional[str] = None
+                              ) -> DataFrame:
     """SimHash twin of :func:`incremental_minhash_dedup`: dedup a NEW
     batch against an existing corpus represented only by its 64-bit
     fingerprint store (parquet of (_id, simhash) — 8 bytes per
@@ -941,28 +1033,106 @@ def incremental_simhash_dedup(new_docs: DataFrame, fp_store: str,
     History is immutable; under ``'cc'`` a new-new cluster transitively
     touching history drops entirely, clean clusters keep their smallest
     id — same semantics, caps, and store-update contract as the MinHash
-    variant.  Returns the surviving new docs."""
+    variant.  Returns the surviving new docs.
+
+    ``store_partition`` / ``chunk_index`` mirror the MinHash variant's
+    ``store_partition`` / ``band_index`` exactly: idempotent
+    ``batch=<date>`` overwrites (layout mixing refused before any
+    write), and a :func:`build_chunk_index` directory that replaces
+    the per-call whole-store chunk explode AND the whole-store
+    fingerprint fetch with bucketed scans of the persisted layouts —
+    post-index partitions probed as deltas, result identical to the
+    index-free path (tested)."""
     spark = new_docs.sparkSession
     new_fps = add_simhash(new_docs, text_col).select(
         F.col(id_col).alias("_id"), "simhash")
     new_fps.cache()
     try:
-        stored = spark.read.parquet(fp_store)
+        raw = spark.read.parquet(fp_store)
+        store_is_partitioned = "batch" in raw.columns
+        stored = raw.select("_id", "simhash")
         have_store = True
-    except Exception:
+    except AnalysisException as e:
+        # only missing/empty means "first batch" — any other failure
+        # must surface (a corrupt store treated as empty would skip
+        # all history dedup and overwrite the store in append mode);
+        # same contract as the MinHash variant
+        if ("PATH_NOT_FOUND" not in str(e)
+                and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
+            raise
         stored = None
         have_store = False
+        store_is_partitioned = store_partition is not None
+    if update_store and have_store and \
+            store_is_partitioned != (store_partition is not None):
+        raise ValueError(
+            f"fingerprint store {fp_store} is "
+            f"{'day-partitioned' if store_is_partitioned else 'plain'} "
+            f"but this update is "
+            f"{'plain' if store_partition is None else 'partitioned'} "
+            "(store_partition) — mixing the layouts silently drops the "
+            "root-level history on later reads; use one layout "
+            "consistently per store")
 
     new_expl = _chunk_explode(new_fps)
-    combined_expl = new_expl if stored is None else \
-        new_expl.unionByName(_chunk_explode(stored))
-    members = _bucket_members(combined_expl, ["chunk", "cv"], max_bucket)
+    imeta = None
+    delta_fps = None
+    if chunk_index is not None and stored is not None:
+        if not store_is_partitioned:
+            raise ValueError(
+                "chunk_index requires the day-partitioned store layout "
+                "(store_partition=...) so post-index deltas are "
+                "identifiable")
+        base, imeta = load_chunk_index(spark, chunk_index)
+        if imeta["max_bucket"] != max_bucket:
+            raise ValueError(
+                f"chunk index {chunk_index} was built with "
+                f"max_bucket={imeta['max_bucket']} but this call uses "
+                f"max_bucket={max_bucket} — rebuild the index or "
+                "match its parameters")
+        covered = set(imeta["covered_batches"])
+        batches = [str(r["batch"]) for r in
+                   raw.select("batch").distinct().collect()]
+        delta = [b for b in batches if b not in covered]
+        fresh_expl = new_expl
+        if delta:
+            delta_fps = raw.filter(F.col("batch").isin(delta)) \
+                .select("_id", "simhash")  # partition-pruned read
+            fresh_expl = fresh_expl.unionByName(_chunk_explode(delta_fps))
+        fresh_members = _bucket_members(fresh_expl, ["chunk", "cv"],
+                                        max_bucket)
+        base_hit = base.join(new_expl.select("chunk", "cv").distinct(),
+                             ["chunk", "cv"], "left_semi")
+        members = _merge_capped_members(base_hit, fresh_members,
+                                        ["chunk", "cv"], max_bucket)
+    else:
+        combined_expl = new_expl if stored is None else \
+            new_expl.unionByName(_chunk_explode(stored))
+        members = _bucket_members(combined_expl, ["chunk", "cv"],
+                                  max_bucket)
     cand = (new_expl.join(members, ["chunk", "cv"])
             .select(F.col("_id").alias("id_new"),
                     F.explode("_ids").alias("id_other"))
             .filter(F.col("id_new") != F.col("id_other"))
             .distinct())
-    all_fps = new_fps if stored is None else new_fps.unionByName(stored)
+    cand_cached = False
+    if imeta is not None:
+        # fingerprint fetch from the index's _id-bucketed layout —
+        # zero store-side Exchange, same shape as the MinHash variant
+        from gopie_spark.sources.bucketed import read_bucketed
+        cand = cand.persist()
+        cand_cached = True
+        other_ids = cand.select(F.col("id_other").alias("_id")) \
+            .distinct()
+        store_fetch = read_bucketed(spark, imeta["fp_table"]) \
+            .join(other_ids, "_id", "left_semi")
+        if delta_fps is not None:
+            store_fetch = store_fetch.unionByName(
+                delta_fps.join(other_ids, "_id", "left_semi"))
+        all_fps = new_fps.unionByName(store_fetch)
+    else:
+        all_fps = new_fps if stored is None else \
+            new_fps.unionByName(stored)
     fa = new_fps.select(F.col("_id").alias("id_new"),
                         F.col("simhash").alias("_fa"))
     fb = all_fps.select(F.col("_id").alias("id_other"),
@@ -998,12 +1168,18 @@ def incremental_simhash_dedup(new_docs: DataFrame, fp_store: str,
     losers = vs_stored.unionByName(nn_losers).distinct() \
         .select(F.col("id_new").alias(id_col)) \
         .localCheckpoint(eager=True)
+    if cand_cached:
+        cand.unpersist()
     survivors = new_docs.join(losers, id_col, "left_anti")
     if update_store:
         keep = new_fps.join(losers.select(F.col(id_col).alias("_id")),
                             "_id", "left_anti")
-        keep.write.mode("append" if have_store else "overwrite") \
-            .parquet(fp_store)
+        if store_partition is not None:
+            keep.write.mode("overwrite").parquet(
+                f"{fp_store}/batch={store_partition}")
+        else:
+            keep.write.mode("append" if have_store else "overwrite") \
+                .parquet(fp_store)
     new_fps.unpersist()
     return survivors
 
@@ -1243,6 +1419,64 @@ def dedup_sentences(df: DataFrame, id_col: str = "doc_id",
             .withColumnRenamed("n_paras_kept", "n_sents_kept"))
 
 
+def build_pk_index(spark, pk_store: str, index_dir: str, *,
+                   index_buckets: int = 64) -> dict:
+    """Span-key twin of :func:`build_band_index`: persist a
+    day-partitioned paragraph/sentence key store as ONE bucketed+sorted
+    ``_pk`` layout, so the daily anti-join probes history as an at-rest
+    bucketed scan (zero store-side Exchange, plan-tested) instead of
+    shuffling every historical key by ``_pk`` per day.  Store
+    partitions folded after the build are probed as deltas (a second,
+    day-sized anti-join — sequential anti-joins equal an anti-join
+    against the union).  Returns the meta dict (also written to
+    ``<index_dir>/_index_meta.json``)."""
+    import hashlib
+    import json as _json
+    import os as _os
+    from gopie_spark.sources.bucketed import write_bucketed
+
+    raw = spark.read.parquet(pk_store)
+    if "batch" not in raw.columns:
+        raise ValueError(
+            "pk index requires the day-partitioned key store layout "
+            "(batch=<date> partitions, store_partition=...): a plain "
+            "store gives deltas no identity")
+    covered = sorted(str(r["batch"]) for r in
+                     raw.select("batch").distinct().collect())
+    suffix = hashlib.md5(
+        _os.path.abspath(index_dir).encode()).hexdigest()[:10]
+    table = "gopie_pk_index_" + suffix
+    data_path = _os.path.join(index_dir, "data")
+    write_bucketed(raw.select("_pk"), table, ["_pk"],
+                   n_buckets=index_buckets, path=data_path)
+    meta = {"index_buckets": index_buckets, "table": table,
+            "data_path": data_path,
+            "pk_type": raw.schema["_pk"].dataType.simpleString(),
+            "covered_batches": covered}
+    _os.makedirs(index_dir, exist_ok=True)
+    tmp = _os.path.join(index_dir, "_index_meta.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(meta, fh, sort_keys=True)
+    _os.replace(tmp, _os.path.join(index_dir, "_index_meta.json"))
+    return meta
+
+
+def load_pk_index(spark, index_dir: str):
+    """(keys DataFrame, meta) for a persisted pk index, re-registering
+    the bucketed catalog entry when this session lacks it."""
+    import json as _json
+    import os as _os
+    from gopie_spark.sources.bucketed import (read_bucketed,
+                                              register_bucketed)
+
+    with open(_os.path.join(index_dir, "_index_meta.json")) as fh:
+        meta = _json.load(fh)
+    if not spark.catalog.tableExists(meta["table"]):
+        register_bucketed(spark, meta["table"], meta["data_path"],
+                          ["_pk"], meta["index_buckets"])
+    return read_bucketed(spark, meta["table"]), meta
+
+
 def incremental_paragraph_dedup(new_docs: DataFrame, para_store: str,
                                 id_col: str = "doc_id",
                                 text_col: str = "text",
@@ -1250,7 +1484,10 @@ def incremental_paragraph_dedup(new_docs: DataFrame, para_store: str,
                                 out_col: str = "clean_text",
                                 hash_keys: bool = True,
                                 update_store: bool = True,
-                                unit: str = "paragraph") -> DataFrame:
+                                unit: str = "paragraph",
+                                store_partition: Optional[str] = None,
+                                pk_index: Optional[str] = None
+                                ) -> DataFrame:
     """Paragraph-dedup a batch of NEW documents against a corpus
     represented ONLY by its paragraph-key store — the daily-crawl
     workflow for :func:`dedup_paragraphs`: history's text is never
@@ -1279,6 +1516,17 @@ def incremental_paragraph_dedup(new_docs: DataFrame, para_store: str,
 
     Returns the new docs with ``out_col`` / ``n_paras`` /
     ``n_paras_kept`` — the same shape as :func:`dedup_paragraphs`.
+
+    ``store_partition`` / ``pk_index`` mirror the MinHash variant's
+    ``store_partition`` / ``band_index``: idempotent ``batch=<date>``
+    overwrites — the probe excludes the batch's OWN partition, so a
+    crashed-then-re-run day neither vetoes its own keys nor appends
+    duplicates (layout mixing refused before any write) — and a
+    :func:`build_pk_index` directory that turns the history anti-join
+    into a bucketed at-rest scan with post-index partitions probed as
+    deltas.  Re-running a batch the index already covers is refused
+    (its keys sit in the base, where they cannot be excluded — rebuild
+    the index first).
     """
     spark = new_docs.sparkSession
     if unit == "sentence":
@@ -1293,24 +1541,85 @@ def incremental_paragraph_dedup(new_docs: DataFrame, para_store: str,
     kept_batch = dedup_paragraphs_exploded(exploded, id_col, "_idx",
                                            "_para", hash_keys=hash_keys)
     try:
-        stored = spark.read.parquet(para_store).select("_pk")
+        raw = spark.read.parquet(para_store)
+        store_is_partitioned = "batch" in raw.columns
+        stored = raw.select("_pk")
         have_store = True
-    except Exception:
+    except AnalysisException as e:
+        # only missing/empty means "first batch" — any other failure
+        # must surface (a corrupt store treated as empty would skip
+        # all history dedup and overwrite the store in append mode)
+        if ("PATH_NOT_FOUND" not in str(e)
+                and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
+            raise
         stored = None
         have_store = False
+        store_is_partitioned = store_partition is not None
+    if update_store and have_store and \
+            store_is_partitioned != (store_partition is not None):
+        raise ValueError(
+            f"key store {para_store} is "
+            f"{'day-partitioned' if store_is_partitioned else 'plain'} "
+            f"but this update is "
+            f"{'plain' if store_partition is None else 'partitioned'} "
+            "(store_partition) — mixing the layouts silently drops the "
+            "root-level history on later reads; use one layout "
+            "consistently per store")
+    if store_is_partitioned and store_partition is not None \
+            and have_store:
+        # a crashed batch's own partial write must not veto its keys
+        # on re-run (content keys carry no id to self-exclude by)
+        stored = raw.filter(F.col("batch") != F.lit(store_partition)) \
+            .select("_pk")
     key = (F.xxhash64(F.col("_para")) if hash_keys
            else F.col("_para")).alias("_pk")
     keyed = kept_batch.select(F.col(id_col), "_idx", "_para", key)
-    if stored is not None:
+    if pk_index is not None and stored is not None:
+        if not store_is_partitioned:
+            raise ValueError(
+                "pk_index requires the day-partitioned store layout "
+                "(store_partition=...) so post-index deltas are "
+                "identifiable")
+        base, imeta = load_pk_index(spark, pk_index)
+        want = "bigint" if hash_keys else "string"
+        if imeta["pk_type"] != want:
+            raise ValueError(
+                f"pk index {pk_index} holds {imeta['pk_type']} keys "
+                f"but this call produces {want} keys (hash_keys="
+                f"{hash_keys}) — the two tiers must not mix")
+        covered = set(imeta["covered_batches"])
+        if update_store and store_partition in covered:
+            raise ValueError(
+                f"batch {store_partition!r} is already folded into pk "
+                f"index {pk_index} — its keys sit in the base where a "
+                "re-run cannot exclude them; rebuild the index without "
+                "this batch (or probe with update_store=False)")
+        batches = [str(r["batch"]) for r in
+                   raw.select("batch").distinct().collect()]
+        delta = [b for b in batches
+                 if b not in covered and b != store_partition]
+        # history anti-join against the at-rest bucketed base: zero
+        # store-side Exchange (plan-tested); sequential anti-joins on
+        # base then deltas equal one anti-join on their union
+        keyed = keyed.join(base, "_pk", "left_anti")
+        if delta:
+            keyed = keyed.join(
+                raw.filter(F.col("batch").isin(delta)).select("_pk"),
+                "_pk", "left_anti")  # partition-pruned read
+    elif stored is not None:
         keyed = keyed.join(stored, "_pk", "left_anti")
     # one materialization feeds BOTH the store append and the returned
     # frame (the rebuild would otherwise recompute the batch dedup
     # after the write); batch-survivor-sized
     keyed = keyed.localCheckpoint(eager=True)
     if update_store:
-        keyed.select("_pk").write \
-            .mode("append" if have_store else "overwrite") \
-            .parquet(para_store)
+        if store_partition is not None:
+            keyed.select("_pk").write.mode("overwrite").parquet(
+                f"{para_store}/batch={store_partition}")
+        else:
+            keyed.select("_pk").write \
+                .mode("append" if have_store else "overwrite") \
+                .parquet(para_store)
     return _rebuild_docs(new_docs, keyed.drop("_pk"), id_col, paras_arr,
                          joiner, out_col)
 
@@ -1320,17 +1629,22 @@ def incremental_sentence_dedup(new_docs: DataFrame, sent_store: str,
                                text_col: str = "text",
                                out_col: str = "clean_text",
                                hash_keys: bool = True,
-                               update_store: bool = True) -> DataFrame:
+                               update_store: bool = True,
+                               store_partition: Optional[str] = None,
+                               pk_index: Optional[str] = None
+                               ) -> DataFrame:
     """Sentence-granularity :func:`incremental_paragraph_dedup`: dedup
     a NEW batch's sentences against a corpus represented only by its
     sentence-key store (keys must not be mixed with a paragraph
-    store).  Same store contract, work shape, and full-batch
-    equivalence; output renames accounting to ``n_sents`` /
-    ``n_sents_kept`` (matching :func:`dedup_sentences`)."""
+    store).  Same store contract, work shape, full-batch equivalence,
+    and ``store_partition`` / ``pk_index`` scale path; output renames
+    accounting to ``n_sents`` / ``n_sents_kept`` (matching
+    :func:`dedup_sentences`)."""
     out = incremental_paragraph_dedup(
         new_docs, sent_store, id_col=id_col, text_col=text_col,
         joiner=" ", out_col=out_col, hash_keys=hash_keys,
-        update_store=update_store, unit="sentence")
+        update_store=update_store, unit="sentence",
+        store_partition=store_partition, pk_index=pk_index)
     return (out.withColumnRenamed("n_paras", "n_sents")
             .withColumnRenamed("n_paras_kept", "n_sents_kept"))
 

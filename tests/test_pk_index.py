@@ -1,0 +1,149 @@
+"""Persisted paragraph/sentence key index (operators/dedup.
+build_pk_index) — the span-key twin of the band index:
+
+- probe WITH the index == probe WITHOUT it, base-only AND with store
+  partitions folded after the index build (probed as delta anti-joins);
+- the history anti-join scans the at-rest _pk buckets with exactly ONE
+  Exchange (the batch side) — plan-pinned;
+- day-partitioned store updates are idempotent: the probe excludes the
+  batch's OWN partition, so a crashed-then-re-run day neither vetoes
+  its own keys nor appends duplicates;
+- parameter / layout / covered-batch-re-run mismatches are refused.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gopie_spark.operators.dedup import (build_pk_index,
+                                         incremental_paragraph_dedup,
+                                         load_pk_index)
+
+
+def _docs(spark, lo, n, prefix="d"):
+    return (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .orderBy("doc_id").offset(lo).limit(n)
+            .select(F.concat(F.lit(f"http://{prefix}.example/"),
+                             F.col("doc_id").cast("string")).alias("url"),
+                    "text"))
+
+
+def _out(df):
+    return sorted((r["url"], r["clean_text"], r["n_paras_kept"])
+                  for r in df.select("url", "clean_text",
+                                     "n_paras_kept").collect())
+
+
+@pytest.fixture(scope="module")
+def indexed_pk_store(tmp_path_factory, spark):
+    root = tmp_path_factory.mktemp("pkidx")
+    store = str(root / "pks")
+    incremental_paragraph_dedup(_docs(spark, 0, 60), store, id_col="url",
+                                store_partition="d1")
+    idx = str(root / "index")
+    meta = build_pk_index(spark, store, idx, index_buckets=8)
+    assert meta["covered_batches"] == ["d1"]
+    assert meta["pk_type"] == "bigint"
+    return store, idx
+
+
+def test_index_probe_equals_plain_probe(spark, indexed_pk_store):
+    store, idx = indexed_pk_store
+    # day 2 = fresh docs + docs whose paragraphs repeat day-1 content
+    # (same text under new urls -> every paragraph must be cut by the
+    # INDEXED history, leaving empty clean_text)
+    rep = _docs(spark, 0, 10).select(
+        F.concat(F.lit("http://re.example/"),
+                 F.xxhash64("url").cast("string")).alias("url"), "text")
+    day2 = _docs(spark, 60, 30).unionByName(rep)
+    with_idx = incremental_paragraph_dedup(
+        day2, store, id_col="url", update_store=False, pk_index=idx)
+    without = incremental_paragraph_dedup(
+        day2, store, id_col="url", update_store=False)
+    got = _out(with_idx)
+    assert got == _out(without)
+    reps = [t for t in got if t[0].startswith("http://re.example/")]
+    assert reps and all(t[2] == 0 for t in reps)
+
+
+def test_index_probe_with_deltas(spark, indexed_pk_store):
+    store, idx = indexed_pk_store
+    # fold day 2 WITHOUT rebuilding -> d2 is a delta partition
+    incremental_paragraph_dedup(_docs(spark, 60, 30), store,
+                                id_col="url", store_partition="d2",
+                                pk_index=idx)
+    rep = _docs(spark, 60, 10).select(
+        F.concat(F.lit("http://re3.example/"),
+                 F.xxhash64("url").cast("string")).alias("url"), "text")
+    day3 = _docs(spark, 90, 20).unionByName(rep)
+    with_idx = incremental_paragraph_dedup(
+        day3, store, id_col="url", update_store=False, pk_index=idx)
+    without = incremental_paragraph_dedup(
+        day3, store, id_col="url", update_store=False)
+    got = _out(with_idx)
+    assert got == _out(without)
+    reps = [t for t in got if t[0].startswith("http://re3.example/")]
+    assert reps and all(t[2] == 0 for t in reps)
+
+
+def test_anti_join_is_bucketed_one_exchange(spark, indexed_pk_store):
+    store, idx = indexed_pk_store
+    base, meta = load_pk_index(spark, idx)
+    probe = spark.range(500).select(F.xxhash64("id").alias("_pk"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = probe.join(base, "_pk", "left_anti") \
+            ._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan, plan[:2000]
+    assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_partitioned_rerun_idempotent(spark, tmp_path):
+    # re-running a crashed batch: own partial partition must not veto
+    # the batch's keys, and the overwrite must not duplicate rows
+    store = str(tmp_path / "pks")
+    d1 = _docs(spark, 0, 25)
+    first = _out(incremental_paragraph_dedup(d1, store, id_col="url",
+                                             store_partition="d1"))
+    n1 = spark.read.parquet(store).count()
+    again = _out(incremental_paragraph_dedup(d1, store, id_col="url",
+                                             store_partition="d1"))
+    assert again == first
+    assert spark.read.parquet(store).count() == n1
+    # and a SECOND day still dedups against day 1
+    rep = _docs(spark, 0, 5).select(
+        F.concat(F.lit("http://re.example/"),
+                 F.xxhash64("url").cast("string")).alias("url"), "text")
+    out2 = _out(incremental_paragraph_dedup(rep, store, id_col="url",
+                                            store_partition="d2"))
+    assert all(t[2] == 0 for t in out2)
+
+
+def test_refusals(spark, indexed_pk_store, tmp_path):
+    store, idx = indexed_pk_store
+    # re-running a batch the index already covers is refused
+    with pytest.raises(ValueError, match="already folded"):
+        incremental_paragraph_dedup(_docs(spark, 0, 5), store,
+                                    id_col="url", store_partition="d1",
+                                    pk_index=idx)
+    # raw-string keys against a hashed index
+    with pytest.raises(ValueError, match="must not mix"):
+        incremental_paragraph_dedup(_docs(spark, 0, 5), store,
+                                    id_col="url", update_store=False,
+                                    hash_keys=False, pk_index=idx)
+    # plain-layout store: no index build, no index probe, no layout mix
+    plain = str(tmp_path / "plain_pks")
+    incremental_paragraph_dedup(_docs(spark, 0, 10), plain, id_col="url")
+    with pytest.raises(ValueError, match="day-partitioned"):
+        build_pk_index(spark, plain, str(tmp_path / "pidx"))
+    with pytest.raises(ValueError, match="day-partitioned"):
+        incremental_paragraph_dedup(_docs(spark, 10, 5), plain,
+                                    id_col="url", update_store=False,
+                                    pk_index=idx)
+    with pytest.raises(ValueError, match="mixing the layouts"):
+        incremental_paragraph_dedup(_docs(spark, 10, 5), plain,
+                                    id_col="url", store_partition="d9")
