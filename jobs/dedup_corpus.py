@@ -6,7 +6,9 @@
         --input /path/to/pages_parquet --output /path/to/deduped \\
         [--format parquet|iceberg] [--sig-dir /path/for/signatures] \\
         [--threshold 0.8] [--strategy cc|greedy] [--k 128] [--bands 32] \\
-        [--max-bucket 64] [--incremental] [--paragraph-store /path/pstore]
+        [--max-bucket 64] [--incremental] [--paragraph-store /path/pstore] \\
+        [--batch-date 2026-08-21] [--band-index /path/bidx] \\
+        [--paragraph-index /path/pkidx]
 
 Pipeline (all stages scale-shaped — see operators/dedup.py):
 
@@ -108,6 +110,20 @@ def main() -> None:
                     help="dedup this input as a NEW batch against the "
                          "--sig-dir store (history immutable; "
                          "survivor sigs appended)")
+    ap.add_argument("--batch-date", default=None,
+                    help="day label for this batch: signature and "
+                         "paragraph store updates overwrite their own "
+                         "batch=<date> partition (idempotent re-runs) "
+                         "instead of appending; required for the "
+                         "index options below")
+    ap.add_argument("--band-index", default=None,
+                    help="with --incremental: probe history through "
+                         "this build_band_index directory (bucketed "
+                         "at-rest scans; post-index partitions as "
+                         "deltas) instead of re-aggregating the store")
+    ap.add_argument("--paragraph-index", default=None,
+                    help="with --paragraph-store: history anti-join "
+                         "through this build_pk_index directory")
     ap.add_argument("--paragraph-unit", default="paragraph",
                     choices=["paragraph", "sentence"],
                     help="granularity of the keep-first stage (a store "
@@ -129,6 +145,13 @@ def main() -> None:
     args = ap.parse_args()
     if args.incremental and not args.sig_dir:
         raise SystemExit("--incremental requires --sig-dir")
+    if args.band_index and not args.incremental:
+        raise SystemExit("--band-index requires --incremental")
+    if args.paragraph_index and not args.paragraph_store:
+        raise SystemExit("--paragraph-index requires --paragraph-store")
+    if (args.band_index or args.paragraph_index) and not args.batch_date:
+        raise SystemExit("the index options require --batch-date (the "
+                         "stores must be day-partitioned)")
 
     from pyspark.sql import functions as F
     from gopie_spark.plans import get_spark
@@ -175,7 +198,9 @@ def main() -> None:
         pd_out = incremental_paragraph_dedup(
             pages, args.paragraph_store, text_col=args.text_col,
             unit=args.paragraph_unit,
-            joiner=" " if args.paragraph_unit == "sentence" else "\n")
+            joiner=" " if args.paragraph_unit == "sentence" else "\n",
+            store_partition=args.batch_date,
+            pk_index=args.paragraph_index)
         pages = (pd_out.filter(F.col("n_paras_kept") > 0)
                  .withColumn(args.text_col, F.col("clean_text"))
                  .drop("clean_text", "n_paras", "n_paras_kept")
@@ -195,7 +220,9 @@ def main() -> None:
         deduped = incremental_minhash_dedup(
             survivors, args.sig_dir, text_col=args.text_col,
             threshold=args.threshold, strategy=args.strategy, k=args.k,
-            bands=args.bands, max_bucket=args.max_bucket).persist()
+            bands=args.bands, max_bucket=args.max_bucket,
+            store_partition=args.batch_date,
+            band_index=args.band_index).persist()
     else:
         # build the (k-linear) signature table ONCE, run the pre-flight
         # skew report on it (one cheap groupBy — tells you whether
@@ -230,6 +257,9 @@ def main() -> None:
         "signatures": args.sig_dir,
         "paragraph_store": args.paragraph_store,
         "incremental": args.incremental,
+        "batch_date": args.batch_date,
+        "band_index": args.band_index,
+        "paragraph_index": args.paragraph_index,
         "lsh_preflight": preflight,
         "novelty_preflight": novelty,
         "quarantined": quarantined,

@@ -123,6 +123,62 @@ def test_partitioned_rerun_idempotent(spark, tmp_path):
     assert all(t[2] == 0 for t in out2)
 
 
+def test_dedup_corpus_job_with_indexes(spark, tmp_path):
+    """jobs/dedup_corpus.py --batch-date/--band-index/--paragraph-index
+    as a black box: day 1 builds the partitioned stores, indexes are
+    built in THIS session (the job's own session must re-register the
+    bucketed catalog entries from the files), day 2 probes through
+    both indexes and the planted re-crawl docs die."""
+    import glob
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+
+    from gopie_spark.operators.dedup import (build_band_index,
+                                             build_pk_index)
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    d1, d2 = str(tmp_path / "day1.parquet"), str(tmp_path / "day2.parquet")
+    duckdb.sql(f"COPY (SELECT * FROM '{src}' ORDER BY doc_id LIMIT 300) "
+               f"TO '{d1}' (FORMAT PARQUET)")
+    # day 2: 50 re-crawls of day-1 docs (250-299) + 200 fresh, new ids
+    duckdb.sql(f"COPY (SELECT doc_id + 10000 AS doc_id, "
+               f"* EXCLUDE (doc_id) FROM '{src}' "
+               f"ORDER BY doc_id LIMIT 250 OFFSET 250) "
+               f"TO '{d2}' (FORMAT PARQUET)")
+    sig, pstore = str(tmp_path / "sigs"), str(tmp_path / "pstore")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8", PYTHONPATH="/root/repo")
+
+    def run(inp, date, extra):
+        r = subprocess.run(
+            [sys.executable, "jobs/dedup_corpus.py", "--input", inp,
+             "--output", str(tmp_path / f"out_{date}"),
+             "--sig-dir", sig, "--incremental",
+             "--paragraph-store", pstore, "--batch-date", date] + extra,
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+            timeout=400)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    run(d1, "d1", [])
+    bidx, pidx = str(tmp_path / "bidx"), str(tmp_path / "pidx")
+    build_band_index(spark, sig, bidx, index_buckets=8)
+    build_pk_index(spark, pstore, pidx, index_buckets=8)
+    rep = run(d2, "d2", ["--band-index", bidx,
+                         "--paragraph-index", pidx])
+    assert rep["band_index"] == bidx and rep["paragraph_index"] == pidx
+    assert rep["batch_date"] == "d2"
+    # the 50 re-crawls lose every paragraph to the indexed history
+    assert rep["after_paragraph_dedup"] <= 200
+    out = glob.glob(str(tmp_path / "out_d2") + "/*.parquet")
+    assert out
+    kept = duckdb.sql(
+        f"SELECT min(doc_id) FROM read_parquet({out!r})").fetchone()[0]
+    assert kept is None or kept >= 10300  # no re-crawl survived
+
+
 def test_refusals(spark, indexed_pk_store, tmp_path):
     store, idx = indexed_pk_store
     # re-running a batch the index already covers is refused
