@@ -241,6 +241,124 @@ def _merge_capped_members(base_hit: DataFrame, fresh_members: DataFrame,
             .select(*bucket_cols, cap_merge))
 
 
+def _check_batch_label(label: str) -> str:
+    """Refuse ``store_partition`` labels that Spark partition-type
+    inference would re-type and read back under a DIFFERENT string
+    (e.g. ``'2026-8-1'`` -> date ``2026-08-01``, ``'007'`` -> int
+    ``7``): every covered/delta/own-batch comparison in the
+    incremental stores is a string compare against the label, so a
+    non-round-tripping label would silently turn idempotent re-runs
+    into data loss (the own partition fails its exclusion and vetoes
+    the batch's keys)."""
+    import datetime
+    import re
+    if not isinstance(label, str) \
+            or not re.fullmatch(r"[A-Za-z0-9._-]+", label):
+        raise ValueError(
+            f"store_partition {label!r} must be a non-empty "
+            "[A-Za-z0-9._-]+ string")
+    if re.fullmatch(r"-?\d+", label):
+        if str(int(label)) != label:
+            raise ValueError(
+                f"store_partition {label!r} would be read back as the "
+                f"integer {int(label)} by partition-type inference — "
+                "use a label that round-trips (no leading zeros / "
+                "leading '-')")
+    elif re.fullmatch(r"-?[\d.]+", label):
+        try:
+            float(label)
+        except ValueError:
+            pass  # e.g. '1.2.3' — stays a string under inference
+        else:
+            raise ValueError(
+                f"store_partition {label!r} parses as a number — "
+                "partition-type inference may re-type it; use a "
+                "non-numeric label")
+    elif re.fullmatch(r"\d{4,6}-\d{1,2}(-\d{1,2})?", label):
+        # Spark's date cast is LENIENT: '2026-8-1' and '2026-08' both
+        # parse (to 2026-08-01), so only the canonical yyyy-mm-dd form
+        # reads back as the same string
+        parts = [int(p) for p in label.split("-")]
+        while len(parts) < 3:
+            parts.append(1)
+        try:
+            d = datetime.date(*parts)
+        except ValueError:
+            d = None  # month/day out of range -> stays a string
+        if d is not None and d.isoformat() != label:
+            raise ValueError(
+                f"store_partition {label!r} would be read back as the "
+                f"date {d.isoformat()} by partition-type inference — "
+                "use the canonical yyyy-mm-dd form")
+    return label
+
+
+def _list_batch_partitions(spark, store_path: str) -> List[str]:
+    """The store's ``batch=`` partition labels from an O(#partitions)
+    directory listing (Hadoop FS — file://, hdfs://, s3a:// alike)
+    instead of a full-store DISTINCT scan: partition discovery over a
+    10^12-row store must not cost a corpus-wide job per daily probe,
+    and the literal directory names are immune to partition-type
+    inference re-typing the values."""
+    sc = spark.sparkContext
+    path = sc._jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch="):
+            out.append(name.split("=", 1)[1])
+    return sorted(out)
+
+
+def _open_incremental_store(spark, path: str, cols: List[str],
+                            store_partition: Optional[str],
+                            update_store: bool, what: str):
+    """Shared store-open contract for the three incremental dedup
+    stores: returns ``(raw, stored, have_store, store_is_partitioned)``.
+    Only a missing or empty path reads as "first batch" — any other
+    failure surfaces (a corrupt store treated as empty would skip all
+    history dedup and overwrite the store in append mode) — and a
+    layout-mixing update is refused BEFORE anything is written
+    (partition discovery silently drops root-level files on later
+    reads of a mixed store)."""
+    try:
+        raw = spark.read.parquet(path)
+        part = "batch" in raw.columns
+        stored = raw.select(*cols)
+        have = True
+    except AnalysisException as e:
+        if ("PATH_NOT_FOUND" not in str(e)
+                and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
+            raise
+        raw = None
+        stored = None
+        have = False
+        part = store_partition is not None
+    if update_store and have and part != (store_partition is not None):
+        raise ValueError(
+            f"{what} store {path} is "
+            f"{'day-partitioned' if part else 'plain'} "
+            f"but this update is "
+            f"{'plain' if store_partition is None else 'partitioned'} "
+            "(store_partition) — mixing the layouts silently drops the "
+            "root-level history on later reads; use one layout "
+            "consistently per store")
+    return raw, stored, have, part
+
+
+def _write_index_meta(index_dir: str, meta: dict) -> dict:
+    """Atomic ``_index_meta.json`` write shared by the index builders."""
+    import json as _json
+    import os as _os
+    _os.makedirs(index_dir, exist_ok=True)
+    tmp = _os.path.join(index_dir, "_index_meta.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(meta, fh, sort_keys=True)
+    _os.replace(tmp, _os.path.join(index_dir, "_index_meta.json"))
+    return meta
+
+
 def bucket_cap_stats(exploded: DataFrame, bucket_cols: List[str],
                      max_bucket: int) -> DataFrame:
     """Observability for the blocking stage: one row with
@@ -554,7 +672,6 @@ def build_band_index(spark, sig_store: str, index_dir: str, *,
     (also written to ``<index_dir>/_index_meta.json``).
     """
     import hashlib
-    import json as _json
     import os as _os
     from gopie_spark.sources.bucketed import write_bucketed
 
@@ -564,8 +681,7 @@ def build_band_index(spark, sig_store: str, index_dir: str, *,
             "band index requires the day-partitioned signature store "
             "layout (batch=<date> partitions, store_partition=...): a "
             "plain store gives deltas no identity")
-    covered = sorted(str(r["batch"]) for r in
-                     raw.select("batch").distinct().collect())
+    covered = _list_batch_partitions(spark, sig_store)
     sig_col = "minhash"
     expl = _band_explode(raw.select("_id", sig_col), sig_col, k, bands)
     members = _bucket_members(expl, ["band", "bh"], max_bucket)
@@ -584,16 +700,11 @@ def build_band_index(spark, sig_store: str, index_dir: str, *,
     sig_path = _os.path.join(index_dir, "sigs")
     write_bucketed(raw.select("_id", sig_col), sig_table, ["_id"],
                    n_buckets=index_buckets, path=sig_path)
-    meta = {"k": k, "bands": bands, "max_bucket": max_bucket,
-            "index_buckets": index_buckets, "table": table,
-            "data_path": data_path, "sig_table": sig_table,
-            "sig_path": sig_path, "covered_batches": covered}
-    _os.makedirs(index_dir, exist_ok=True)
-    tmp = _os.path.join(index_dir, "_index_meta.json.tmp")
-    with open(tmp, "w") as fh:
-        _json.dump(meta, fh, sort_keys=True)
-    _os.replace(tmp, _os.path.join(index_dir, "_index_meta.json"))
-    return meta
+    return _write_index_meta(index_dir, {
+        "k": k, "bands": bands, "max_bucket": max_bucket,
+        "index_buckets": index_buckets, "table": table,
+        "data_path": data_path, "sig_table": sig_table,
+        "sig_path": sig_path, "covered_batches": covered})
 
 
 def load_band_index(spark, index_dir: str):
@@ -694,6 +805,8 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
     """
     if k % bands:
         raise ValueError("bands must divide k")
+    if store_partition is not None:
+        _check_batch_label(store_partition)
     spark = new_docs.sparkSession
     sig_col = "minhash"
     new_sigs = add_minhash_signatures(new_docs, text_col, k=k,
@@ -701,39 +814,10 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
                                       out_col=sig_col) \
         .select(F.col(id_col).alias("_id"), sig_col)
     new_sigs.cache()
-    try:
-        raw = spark.read.parquet(sig_store)
-        # partition discovery surfaces a batch=… layout as this column
-        store_is_partitioned = "batch" in raw.columns
-        stored = raw.select("_id", sig_col)
-        have_store = True
-    except AnalysisException as e:
-        # ONLY a missing or empty store means "first batch" (callers
-        # may mkdir the sig dir in advance) — any other read failure
-        # must surface: treating it as empty would silently skip all
-        # history dedup and, in append mode, OVERWRITE the historical
-        # signature store.  Corrupt parquet raises a non-Analysis error
-        # (footer parse) and propagates past this handler.
-        if ("PATH_NOT_FOUND" not in str(e)
-                and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
-            raise
-        stored = None
-        have_store = False
-        store_is_partitioned = store_partition is not None
-    # refuse BEFORE writing: mixing the two layouts does not even fail
-    # loudly — Spark's partition discovery silently DROPS the root-level
-    # files, i.e. the store's history, on every later read.  (Read-only
-    # probes — update_store=False — work against either layout.)
-    if update_store and have_store and \
-            store_is_partitioned != (store_partition is not None):
-        raise ValueError(
-            f"signature store {sig_store} is "
-            f"{'day-partitioned' if store_is_partitioned else 'plain'} "
-            f"but this update is "
-            f"{'plain' if store_partition is None else 'partitioned'} "
-            "(store_partition) — mixing the layouts silently drops the "
-            "root-level history on later reads; use one layout "
-            "consistently per store")
+    raw, stored, have_store, store_is_partitioned = \
+        _open_incremental_store(spark, sig_store, ["_id", sig_col],
+                                store_partition, update_store,
+                                "signature")
 
     new_expl = _band_explode(new_sigs, sig_col, k, bands)
     imeta = None
@@ -754,8 +838,15 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
                 f"k={k} bands={bands} max_bucket={max_bucket} — "
                 "rebuild the index or match its parameters")
         covered = set(imeta["covered_batches"])
-        batches = [str(r["batch"]) for r in
-                   raw.select("batch").distinct().collect()]
+        if update_store and store_partition in covered:
+            raise ValueError(
+                f"batch {store_partition!r} is already folded into "
+                f"band index {band_index} — overwriting its store "
+                "partition would desynchronize the persisted index "
+                "layouts from the store (the stale signatures stay in "
+                "the base, never probed as a delta); rebuild the index "
+                "without this batch first")
+        batches = _list_batch_partitions(spark, sig_store)
         delta = [b for b in batches if b not in covered]
         # fresh side: the new batch + any store partitions folded after
         # the index build (partition-pruned read)
@@ -765,8 +856,6 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
                 .select("_id", sig_col)  # partition-pruned read
             fresh_expl = fresh_expl.unionByName(
                 _band_explode(delta_sigs, sig_col, k, bands))
-        else:
-            delta_sigs = None
         fresh_members = _bucket_members(fresh_expl, ["band", "bh"],
                                         max_bucket)
         # only buckets the new batch probes matter; the semi-join is
@@ -954,7 +1043,6 @@ def build_chunk_index(spark, fp_store: str, index_dir: str, *,
     ``<index_dir>/_index_meta.json``).
     """
     import hashlib
-    import json as _json
     import os as _os
     from gopie_spark.sources.bucketed import write_bucketed
 
@@ -965,8 +1053,7 @@ def build_chunk_index(spark, fp_store: str, index_dir: str, *,
             "store layout (batch=<date> partitions, "
             "store_partition=...): a plain store gives deltas no "
             "identity")
-    covered = sorted(str(r["batch"]) for r in
-                     raw.select("batch").distinct().collect())
+    covered = _list_batch_partitions(spark, fp_store)
     fps = raw.select("_id", "simhash")
     members = _bucket_members(_chunk_explode(fps), ["chunk", "cv"],
                               max_bucket)
@@ -980,16 +1067,11 @@ def build_chunk_index(spark, fp_store: str, index_dir: str, *,
     fp_path = _os.path.join(index_dir, "fps")
     write_bucketed(fps, fp_table, ["_id"],
                    n_buckets=index_buckets, path=fp_path)
-    meta = {"max_bucket": max_bucket, "index_buckets": index_buckets,
-            "table": table, "data_path": data_path,
-            "fp_table": fp_table, "fp_path": fp_path,
-            "covered_batches": covered}
-    _os.makedirs(index_dir, exist_ok=True)
-    tmp = _os.path.join(index_dir, "_index_meta.json.tmp")
-    with open(tmp, "w") as fh:
-        _json.dump(meta, fh, sort_keys=True)
-    _os.replace(tmp, _os.path.join(index_dir, "_index_meta.json"))
-    return meta
+    return _write_index_meta(index_dir, {
+        "max_bucket": max_bucket, "index_buckets": index_buckets,
+        "table": table, "data_path": data_path,
+        "fp_table": fp_table, "fp_path": fp_path,
+        "covered_batches": covered})
 
 
 def load_chunk_index(spark, index_dir: str):
@@ -1043,36 +1125,16 @@ def incremental_simhash_dedup(new_docs: DataFrame, fp_store: str,
     fingerprint fetch with bucketed scans of the persisted layouts —
     post-index partitions probed as deltas, result identical to the
     index-free path (tested)."""
+    if store_partition is not None:
+        _check_batch_label(store_partition)
     spark = new_docs.sparkSession
     new_fps = add_simhash(new_docs, text_col).select(
         F.col(id_col).alias("_id"), "simhash")
     new_fps.cache()
-    try:
-        raw = spark.read.parquet(fp_store)
-        store_is_partitioned = "batch" in raw.columns
-        stored = raw.select("_id", "simhash")
-        have_store = True
-    except AnalysisException as e:
-        # only missing/empty means "first batch" — any other failure
-        # must surface (a corrupt store treated as empty would skip
-        # all history dedup and overwrite the store in append mode);
-        # same contract as the MinHash variant
-        if ("PATH_NOT_FOUND" not in str(e)
-                and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
-            raise
-        stored = None
-        have_store = False
-        store_is_partitioned = store_partition is not None
-    if update_store and have_store and \
-            store_is_partitioned != (store_partition is not None):
-        raise ValueError(
-            f"fingerprint store {fp_store} is "
-            f"{'day-partitioned' if store_is_partitioned else 'plain'} "
-            f"but this update is "
-            f"{'plain' if store_partition is None else 'partitioned'} "
-            "(store_partition) — mixing the layouts silently drops the "
-            "root-level history on later reads; use one layout "
-            "consistently per store")
+    raw, stored, have_store, store_is_partitioned = \
+        _open_incremental_store(spark, fp_store, ["_id", "simhash"],
+                                store_partition, update_store,
+                                "fingerprint")
 
     new_expl = _chunk_explode(new_fps)
     imeta = None
@@ -1091,8 +1153,15 @@ def incremental_simhash_dedup(new_docs: DataFrame, fp_store: str,
                 f"max_bucket={max_bucket} — rebuild the index or "
                 "match its parameters")
         covered = set(imeta["covered_batches"])
-        batches = [str(r["batch"]) for r in
-                   raw.select("batch").distinct().collect()]
+        if update_store and store_partition in covered:
+            raise ValueError(
+                f"batch {store_partition!r} is already folded into "
+                f"chunk index {chunk_index} — overwriting its store "
+                "partition would desynchronize the persisted index "
+                "layouts from the store (the stale fingerprints stay "
+                "in the base, never probed as a delta); rebuild the "
+                "index without this batch first")
+        batches = _list_batch_partitions(spark, fp_store)
         delta = [b for b in batches if b not in covered]
         fresh_expl = new_expl
         if delta:
@@ -1431,7 +1500,6 @@ def build_pk_index(spark, pk_store: str, index_dir: str, *,
     against the union).  Returns the meta dict (also written to
     ``<index_dir>/_index_meta.json``)."""
     import hashlib
-    import json as _json
     import os as _os
     from gopie_spark.sources.bucketed import write_bucketed
 
@@ -1441,24 +1509,18 @@ def build_pk_index(spark, pk_store: str, index_dir: str, *,
             "pk index requires the day-partitioned key store layout "
             "(batch=<date> partitions, store_partition=...): a plain "
             "store gives deltas no identity")
-    covered = sorted(str(r["batch"]) for r in
-                     raw.select("batch").distinct().collect())
+    covered = _list_batch_partitions(spark, pk_store)
     suffix = hashlib.md5(
         _os.path.abspath(index_dir).encode()).hexdigest()[:10]
     table = "gopie_pk_index_" + suffix
     data_path = _os.path.join(index_dir, "data")
     write_bucketed(raw.select("_pk"), table, ["_pk"],
                    n_buckets=index_buckets, path=data_path)
-    meta = {"index_buckets": index_buckets, "table": table,
-            "data_path": data_path,
-            "pk_type": raw.schema["_pk"].dataType.simpleString(),
-            "covered_batches": covered}
-    _os.makedirs(index_dir, exist_ok=True)
-    tmp = _os.path.join(index_dir, "_index_meta.json.tmp")
-    with open(tmp, "w") as fh:
-        _json.dump(meta, fh, sort_keys=True)
-    _os.replace(tmp, _os.path.join(index_dir, "_index_meta.json"))
-    return meta
+    return _write_index_meta(index_dir, {
+        "index_buckets": index_buckets, "table": table,
+        "data_path": data_path,
+        "pk_type": raw.schema["_pk"].dataType.simpleString(),
+        "covered_batches": covered})
 
 
 def load_pk_index(spark, index_dir: str):
@@ -1540,31 +1602,11 @@ def incremental_paragraph_dedup(new_docs: DataFrame, para_store: str,
                                 .alias("_idx", "_para")))
     kept_batch = dedup_paragraphs_exploded(exploded, id_col, "_idx",
                                            "_para", hash_keys=hash_keys)
-    try:
-        raw = spark.read.parquet(para_store)
-        store_is_partitioned = "batch" in raw.columns
-        stored = raw.select("_pk")
-        have_store = True
-    except AnalysisException as e:
-        # only missing/empty means "first batch" — any other failure
-        # must surface (a corrupt store treated as empty would skip
-        # all history dedup and overwrite the store in append mode)
-        if ("PATH_NOT_FOUND" not in str(e)
-                and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
-            raise
-        stored = None
-        have_store = False
-        store_is_partitioned = store_partition is not None
-    if update_store and have_store and \
-            store_is_partitioned != (store_partition is not None):
-        raise ValueError(
-            f"key store {para_store} is "
-            f"{'day-partitioned' if store_is_partitioned else 'plain'} "
-            f"but this update is "
-            f"{'plain' if store_partition is None else 'partitioned'} "
-            "(store_partition) — mixing the layouts silently drops the "
-            "root-level history on later reads; use one layout "
-            "consistently per store")
+    if store_partition is not None:
+        _check_batch_label(store_partition)
+    raw, stored, have_store, store_is_partitioned = \
+        _open_incremental_store(spark, para_store, ["_pk"],
+                                store_partition, update_store, "key")
     if store_is_partitioned and store_partition is not None \
             and have_store:
         # a crashed batch's own partial write must not veto its keys
@@ -1588,14 +1630,17 @@ def incremental_paragraph_dedup(new_docs: DataFrame, para_store: str,
                 f"but this call produces {want} keys (hash_keys="
                 f"{hash_keys}) — the two tiers must not mix")
         covered = set(imeta["covered_batches"])
-        if update_store and store_partition in covered:
+        if store_partition is not None and store_partition in covered:
+            # unlike the minhash/simhash twins, even a READ-ONLY probe
+            # of a covered batch diverges here: content keys carry no
+            # id, so the batch's own keys in the bucketed base cannot
+            # be excluded and would veto every paragraph
             raise ValueError(
                 f"batch {store_partition!r} is already folded into pk "
-                f"index {pk_index} — its keys sit in the base where a "
-                "re-run cannot exclude them; rebuild the index without "
-                "this batch (or probe with update_store=False)")
-        batches = [str(r["batch"]) for r in
-                   raw.select("batch").distinct().collect()]
+                f"index {pk_index} — its keys sit in the base where "
+                "neither a re-run nor a probe can exclude them; "
+                "rebuild the index without this batch")
+        batches = _list_batch_partitions(spark, para_store)
         delta = [b for b in batches
                  if b not in covered and b != store_partition]
         # history anti-join against the at-rest bucketed base: zero

@@ -189,6 +189,12 @@ def test_catalog_entry_recreated_after_loss(spark, indexed_store):
 
 def test_index_refusals(spark, indexed_store, tmp_path):
     store, idx = indexed_store
+    # re-running a batch the index already covers would desync the
+    # persisted layouts from the store
+    with pytest.raises(ValueError, match="already folded"):
+        incremental_minhash_dedup(_docs(spark, 0, 5), store,
+                                  id_col="url", store_partition="d1",
+                                  band_index=idx)
     with pytest.raises(ValueError, match="rebuild the index"):
         incremental_minhash_dedup(_docs(spark, 0, 5), store,
                                   id_col="url", update_store=False,

@@ -123,6 +123,10 @@ def test_partitioned_update_idempotent(spark, indexed_fp_store,
 
 def test_refusals(spark, indexed_fp_store, tmp_path):
     store, idx = indexed_fp_store
+    with pytest.raises(ValueError, match="already folded"):
+        incremental_simhash_dedup(_docs(spark, 0, 5), store,
+                                  id_col="url", store_partition="d1",
+                                  chunk_index=idx)
     with pytest.raises(ValueError, match="rebuild the index"):
         incremental_simhash_dedup(_docs(spark, 0, 5), store,
                                   id_col="url", update_store=False,

@@ -179,13 +179,35 @@ def test_dedup_corpus_job_with_indexes(spark, tmp_path):
     assert kept is None or kept >= 10300  # no re-crawl survived
 
 
+def test_bad_batch_labels_refused(spark, tmp_path):
+    """Labels partition-type inference would re-type (and read back as
+    a DIFFERENT string) are refused up front — a silent mismatch would
+    turn the own-partition exclusion into data loss on re-run."""
+    from gopie_spark.operators.dedup import _check_batch_label
+    for bad in ("2026-8-1", "007", "1.50", "bad/label", ""):
+        with pytest.raises(ValueError):
+            _check_batch_label(bad)
+    for ok in ("2026-08-21", "d1", "7", "base", "v1.2.3"):
+        assert _check_batch_label(ok) == ok
+    store = str(tmp_path / "pks")
+    with pytest.raises(ValueError, match="partition-type inference"):
+        incremental_paragraph_dedup(_docs(spark, 0, 5), store,
+                                    id_col="url",
+                                    store_partition="2026-8-1")
+
+
 def test_refusals(spark, indexed_pk_store, tmp_path):
     store, idx = indexed_pk_store
-    # re-running a batch the index already covers is refused
+    # a covered batch is refused even READ-ONLY: its keys sit in the
+    # bucketed base where no probe can exclude them
     with pytest.raises(ValueError, match="already folded"):
         incremental_paragraph_dedup(_docs(spark, 0, 5), store,
                                     id_col="url", store_partition="d1",
                                     pk_index=idx)
+    with pytest.raises(ValueError, match="already folded"):
+        incremental_paragraph_dedup(_docs(spark, 0, 5), store,
+                                    id_col="url", store_partition="d1",
+                                    update_store=False, pk_index=idx)
     # raw-string keys against a hashed index
     with pytest.raises(ValueError, match="must not mix"):
         incremental_paragraph_dedup(_docs(spark, 0, 5), store,
