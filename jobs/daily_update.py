@@ -129,6 +129,33 @@ def _recover_swaps(state: str) -> list:
     return healed
 
 
+def maybe_reindex(spark, sig_store: str, band_index: str,
+                  reindex_every: int) -> dict:
+    """LSM compaction for the daily loop: when the signature store has
+    accumulated ``reindex_every`` or more partitions the band index
+    does not cover, rebuild the index (with its OWN recorded
+    parameters) so the per-day delta work resets to zero.  Runs AFTER
+    the day commits — a crash mid-rebuild leaves the previous meta in
+    place, and a meta that under-reports coverage only makes covered
+    batches be probed as deltas too (the capped merge and the pair
+    distinct absorb the duplicates), so probes stay correct.  Returns
+    the accounting fragment."""
+    from gopie_spark.operators.dedup import (_list_batch_partitions,
+                                             build_band_index,
+                                             load_band_index)
+    _, imeta = load_band_index(spark, band_index)
+    delta = sorted(set(_list_batch_partitions(spark, sig_store))
+                   - set(imeta["covered_batches"]))
+    if len(delta) < reindex_every:
+        return {"band_index_deltas": len(delta)}
+    meta = build_band_index(
+        spark, sig_store, band_index, k=imeta["k"],
+        bands=imeta["bands"], max_bucket=imeta["max_bucket"],
+        index_buckets=imeta["index_buckets"])
+    return {"band_index_rebuilt": {"absorbed": delta,
+                                   "covered": len(meta["covered_batches"])}}
+
+
 def run_daily(spark, input_path: str, state: str, date: str, *,
               fmt: str = "parquet", quarantine: bool = False,
               max_text_len=None, min_tokens: int = 20, blocklist=None,
@@ -139,6 +166,7 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
               window_horizon: int = 365,
               keep_known_urls: bool = False,
               preflight: bool = False,
+              reindex_every=None,
               force: bool = False) -> dict:
     """The whole daily update as a library call; ``main`` is the CLI
     twin.  Returns the accounting dict."""
@@ -407,6 +435,12 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
     # stage 3) — drop it now that the day is committed
     shutil.rmtree(ckpt, ignore_errors=True)
 
+    # LSM compaction AFTER the commit: absorb accumulated delta
+    # partitions back into the band index once they exceed the budget
+    if band_index is not None and reindex_every:
+        acct.update(maybe_reindex(spark, sig_store, band_index,
+                                  reindex_every))
+
     acct["seconds"] = round(time.perf_counter() - t0, 3)
     out = os.path.join(state, "accounting", f"{date}.json")
     with open(out + ".tmp", "w") as fh:
@@ -449,6 +483,11 @@ def main() -> None:
                     help="embed the LSH bucket-skew report for the "
                          "day's signatures in the accounting (one "
                          "extra signature pass over the day)")
+    ap.add_argument("--reindex-every", type=int, default=None,
+                    help="after the day commits: rebuild the band "
+                         "index once it lags the signature store by "
+                         "this many delta partitions (LSM compaction "
+                         "inside the loop; needs an existing index)")
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
 
@@ -465,7 +504,8 @@ def main() -> None:
         window_resolution=args.window_resolution,
         window_horizon=args.window_horizon,
         keep_known_urls=args.keep_known_urls,
-        preflight=args.preflight, force=args.force)
+        preflight=args.preflight, reindex_every=args.reindex_every,
+        force=args.force)
     print(json.dumps(acct))
     spark.stop()
 

@@ -353,3 +353,48 @@ def test_incremental_sig_store_read_failures_surface(spark, tmp_path):
         fh.write(b"not parquet at all")
     with pytest.raises(Exception):
         incremental_minhash_dedup(docs, bad, id_col="url")
+
+
+def test_maybe_reindex_absorbs_deltas(spark, tmp_path):
+    """The in-loop LSM compaction: below the budget it only reports the
+    delta count; at the budget it rebuilds the index with its own
+    recorded parameters and the post-rebuild probe still equals the
+    index-free path."""
+    from daily_update import maybe_reindex
+    from gopie_spark.operators.dedup import (build_band_index,
+                                             incremental_minhash_dedup)
+    docs = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .orderBy("doc_id"))
+
+    def sl(lo, n):
+        return docs.offset(lo).limit(n).select(
+            F.concat(F.lit("http://docs.example/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            "text")
+
+    store = str(tmp_path / "sigs")
+    idx = str(tmp_path / "idx")
+    incremental_minhash_dedup(sl(0, 40), store, id_col="url",
+                              store_partition="d1")
+    build_band_index(spark, store, idx, index_buckets=8)
+    for d, lo in (("d2", 40), ("d3", 60)):
+        incremental_minhash_dedup(sl(lo, 20), store, id_col="url",
+                                  store_partition=d, band_index=idx)
+    assert maybe_reindex(spark, store, idx, 3) == \
+        {"band_index_deltas": 2}
+    out = maybe_reindex(spark, store, idx, 2)
+    assert out["band_index_rebuilt"]["absorbed"] == ["d2", "d3"]
+    assert out["band_index_rebuilt"]["covered"] == 3
+    # post-compaction probe: re-crawls of ABSORBED docs still die and
+    # the result equals the index-free path
+    rec = sl(40, 10).select(
+        F.concat(F.lit("http://re.example/"),
+                 F.xxhash64("url").cast("string")).alias("url"), "text")
+    day = sl(80, 15).unionByName(rec)
+    wi = incremental_minhash_dedup(day, store, id_col="url",
+                                   update_store=False, band_index=idx)
+    wo = incremental_minhash_dedup(day, store, id_col="url",
+                                   update_store=False)
+    got = sorted(r["url"] for r in wi.select("url").collect())
+    assert got == sorted(r["url"] for r in wo.select("url").collect())
+    assert not any(u.startswith("http://re.example/") for u in got)
