@@ -603,6 +603,57 @@ def _q_minhash_lsh_dedup(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def _q_incremental_dedup_indexed(spark, sf_dir):
+    """Incremental dedup-vs-history through the persisted LSM band
+    index (operators/dedup.py build_band_index /
+    incremental_minhash_dedup(band_index=...) — the daily-crawl tier):
+    history (doc_id < 250) self-dedups into a day-partitioned
+    signature store, the band index (member buckets + the
+    _id-bucketed signature layout) is built over it, and a "day"
+    batch — docs 150-299 plus EXACT re-crawls of the first 30 history
+    docs under ids +10000 — probes the store THROUGH the index.
+
+    Certificates (all deterministic, so the oracle recomputes them):
+    - one row per planted re-crawl; ``died`` must be TRUE — identical
+      text yields an identical MinHash signature, so est_jaccard = 1
+      >= threshold against the stored text (a re-crawl of a history
+      doc that itself lost its self-dedup cluster dies the same way:
+      its signature reproduces the exact pair estimate that dropped
+      the original).  No estimator slack needed;
+    - ``indexed_equals_plain`` rides every row: the indexed survivor
+      set compared doc-for-doc against the index-free probe (the LSM
+      contract — base+delta == from-scratch)."""
+    import tempfile
+    from gopie_spark.operators.dedup import (build_band_index,
+                                             incremental_minhash_dedup)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300) \
+        .select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") < 150)
+    recrawl = hist.filter(F.col("doc_id") < 30) \
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    day = docs.filter(F.col("doc_id") >= 150).unionByName(recrawl)
+    with tempfile.TemporaryDirectory() as d:
+        store = f"{d}/sigs"
+        incremental_minhash_dedup(hist, store, store_partition="base")
+        build_band_index(spark, store, f"{d}/idx", index_buckets=8)
+        # both probes eagerly materialized (bounded by the 180-doc day)
+        # so nothing reads the temp store after cleanup
+        wi = incremental_minhash_dedup(
+            day, store, update_store=False,
+            band_index=f"{d}/idx").select("doc_id").localCheckpoint()
+        wo = incremental_minhash_dedup(
+            day, store, update_store=False) \
+            .select("doc_id").localCheckpoint()
+        n_disagree = (wi.join(wo, "doc_id", "left_anti").count()
+                      + wo.join(wi, "doc_id", "left_anti").count())
+    return (recrawl.select(F.col("doc_id").alias("new_id"))
+            .join(wi.select(F.col("doc_id").alias("new_id"),
+                            F.lit(True).alias("_s")), "new_id", "left")
+            .select("new_id", F.col("_s").isNull().alias("died"),
+                    F.lit(n_disagree == 0).alias("indexed_equals_plain"))
+            .orderBy("new_id"))
+
+
 def _q_simhash_dedup(spark, sf_dir):
     """SimHash blocking certificate: the 4x16-bit-chunk blocking +
     bit_count(xor) verify must reproduce EXACTLY the brute-force
@@ -3342,6 +3393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position.
     return {
         # --- no driver-green row yet (r4 priority block) ---
+        "incremental_dedup_indexed": _q_incremental_dedup_indexed,
         "sql_sketch_rollup": _q_sql_sketch_rollup,
         "sketch_store_answers": _q_sketch_store_answers,
         "advised_join_orders": _q_advised_join_orders,
@@ -3463,6 +3515,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "incremental_dedup_indexed": """
+            SELECT doc_id + 10000 AS new_id,
+                   TRUE AS died,
+                   TRUE AS indexed_equals_plain
+            FROM documents WHERE doc_id < 30
+            ORDER BY new_id
+        """,
         "funnel_steps": """
             WITH firsts AS (
                 SELECT user_id,

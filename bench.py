@@ -114,6 +114,10 @@ def main() -> None:
         # round 4n: pure-SQL sketch rollup via the gopie_sketch_merge
         # grouped aggregate (merge KB blobs in spark.sql, never raw rows)
         "sql_sketch_rollup",
+        # round 4p: incremental dedup-vs-history through the persisted
+        # LSM band index (store + index built in-query, indexed probe
+        # pinned equal to index-free, planted re-crawls die)
+        "incremental_dedup_indexed",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",
