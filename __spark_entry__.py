@@ -607,8 +607,8 @@ def _q_incremental_dedup_indexed(spark, sf_dir):
     """Incremental dedup-vs-history through the persisted LSM band
     index (operators/dedup.py build_band_index /
     incremental_minhash_dedup(band_index=...) — the daily-crawl tier):
-    history (doc_id < 250) self-dedups into a day-partitioned
-    signature store, the band index (member buckets + the
+    history (doc_id < 150) writes its signature table into a
+    day-partitioned store, the band index (member buckets + the
     _id-bucketed signature layout) is built over it, and a "day"
     batch — docs 150-299 plus EXACT re-crawls of the first 30 history
     docs under ids +10000 — probes the store THROUGH the index.
@@ -616,16 +616,20 @@ def _q_incremental_dedup_indexed(spark, sf_dir):
     Certificates (all deterministic, so the oracle recomputes them):
     - one row per planted re-crawl; ``died`` must be TRUE — identical
       text yields an identical MinHash signature, so est_jaccard = 1
-      >= threshold against the stored text (a re-crawl of a history
-      doc that itself lost its self-dedup cluster dies the same way:
-      its signature reproduces the exact pair estimate that dropped
-      the original).  No estimator slack needed;
+      >= threshold against the stored signature.  No estimator slack
+      needed (every history doc's signature is in the store);
     - ``indexed_equals_plain`` rides every row: the indexed survivor
       set compared doc-for-doc against the index-free probe (the LSM
-      contract — base+delta == from-scratch)."""
+      contract — base+delta == from-scratch).
+
+    Both probes use ``strategy='greedy'`` — the vs-history semantics
+    under test are strategy-independent and the cc survivor selection
+    carries its own certs (``cc_components``, ``minhash_lsh_dedup``);
+    greedy spares the iterative component rounds twice per run."""
     import tempfile
     from gopie_spark.operators.dedup import (build_band_index,
-                                             incremental_minhash_dedup)
+                                             incremental_minhash_dedup,
+                                             minhash_signature_table)
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300) \
         .select("doc_id", "text")
     hist = docs.filter(F.col("doc_id") < 150)
@@ -634,15 +638,15 @@ def _q_incremental_dedup_indexed(spark, sf_dir):
     day = docs.filter(F.col("doc_id") >= 150).unionByName(recrawl)
     with tempfile.TemporaryDirectory() as d:
         store = f"{d}/sigs"
-        incremental_minhash_dedup(hist, store, store_partition="base")
+        minhash_signature_table(hist, sig_path=f"{store}/batch=base")
         build_band_index(spark, store, f"{d}/idx", index_buckets=8)
         # both probes eagerly materialized (bounded by the 180-doc day)
         # so nothing reads the temp store after cleanup
         wi = incremental_minhash_dedup(
-            day, store, update_store=False,
+            day, store, update_store=False, strategy="greedy",
             band_index=f"{d}/idx").select("doc_id").localCheckpoint()
         wo = incremental_minhash_dedup(
-            day, store, update_store=False) \
+            day, store, update_store=False, strategy="greedy") \
             .select("doc_id").localCheckpoint()
         n_disagree = (wi.join(wo, "doc_id", "left_anti").count()
                       + wo.join(wi, "doc_id", "left_anti").count())
