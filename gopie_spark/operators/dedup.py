@@ -258,38 +258,46 @@ def _check_batch_label(label: str) -> str:
             f"store_partition {label!r} must be a non-empty "
             "[A-Za-z0-9._-]+ string")
     if re.fullmatch(r"-?\d+", label):
+        # canonical integers round-trip ('7' -> int 7 -> '7');
+        # non-canonical ones do not ('007' -> int 7 -> '7', verified
+        # empirically in test_pk_index)
         if str(int(label)) != label:
             raise ValueError(
                 f"store_partition {label!r} would be read back as the "
                 f"integer {int(label)} by partition-type inference — "
                 "use a label that round-trips (no leading zeros / "
                 "leading '-')")
-    elif re.fullmatch(r"-?[\d.]+", label):
+    else:
+        # anything Python can parse as a float is fair game for the
+        # numeric inference tiers ('1.50' -> double 1.5, '2e3' ->
+        # decimal 2000 — both verified empirically); non-canonical
+        # forms read back different, so refuse the whole class
         try:
             float(label)
         except ValueError:
-            pass  # e.g. '1.2.3' — stays a string under inference
+            pass  # e.g. 'v1.2.3', '1-2-3-4' — stay strings
         else:
             raise ValueError(
                 f"store_partition {label!r} parses as a number — "
                 "partition-type inference may re-type it; use a "
-                "non-numeric label")
-    elif re.fullmatch(r"\d{4,6}-\d{1,2}(-\d{1,2})?", label):
-        # Spark's date cast is LENIENT: '2026-8-1' and '2026-08' both
-        # parse (to 2026-08-01), so only the canonical yyyy-mm-dd form
-        # reads back as the same string
-        parts = [int(p) for p in label.split("-")]
-        while len(parts) < 3:
-            parts.append(1)
-        try:
-            d = datetime.date(*parts)
-        except ValueError:
-            d = None  # month/day out of range -> stays a string
-        if d is not None and d.isoformat() != label:
-            raise ValueError(
-                f"store_partition {label!r} would be read back as the "
-                f"date {d.isoformat()} by partition-type inference — "
-                "use the canonical yyyy-mm-dd form")
+                "non-numeric or canonical-integer label")
+        if re.fullmatch(r"\d{4,6}-\d{1,2}(-\d{1,2})?", label):
+            # conservative cross-version stance: this Spark's partition
+            # inference only date-types the strict yyyy-MM-dd form
+            # (which round-trips), but lenient date casts exist
+            # elsewhere in the engine — require the canonical form
+            parts = [int(p) for p in label.split("-")]
+            while len(parts) < 3:
+                parts.append(1)
+            try:
+                d = datetime.date(*parts)
+            except ValueError:
+                d = None  # month/day out of range -> stays a string
+            if d is not None and d.isoformat() != label:
+                raise ValueError(
+                    f"store_partition {label!r} is a non-canonical "
+                    f"date form (reads as {d.isoformat()} under a "
+                    "lenient date cast) — use yyyy-mm-dd")
     return label
 
 

@@ -12,7 +12,8 @@ incremental paths end to end:
         --date 2026-01-02 [--format parquet|warc] [--quarantine] \\
         [--max-text-len N] [--min-tokens 20] [--blocklist h1,h2] \\
         [--per-host-cap N] [--bloom-n N] [--hll-p 14] [--force] \\
-        [--time-windows [--window-resolution SECS] [--window-horizon N]]
+        [--time-windows [--window-resolution SECS] [--window-horizon N]] \\
+        [--reindex-every N]
 
 Stages, in order (each one is the already-tested library path):
 

@@ -184,16 +184,38 @@ def test_bad_batch_labels_refused(spark, tmp_path):
     a DIFFERENT string) are refused up front — a silent mismatch would
     turn the own-partition exclusion into data loss on re-run."""
     from gopie_spark.operators.dedup import _check_batch_label
-    for bad in ("2026-8-1", "007", "1.50", "bad/label", ""):
+    for bad in ("2026-8-1", "007", "1.50", "2e3", "bad/label", ""):
         with pytest.raises(ValueError):
             _check_batch_label(bad)
-    for ok in ("2026-08-21", "d1", "7", "base", "v1.2.3"):
+    for ok in ("2026-08-21", "d1", "7", "base", "v1.2.3", "1-2-3-4"):
         assert _check_batch_label(ok) == ok
     store = str(tmp_path / "pks")
-    with pytest.raises(ValueError, match="partition-type inference"):
+    with pytest.raises(ValueError, match="non-canonical date"):
         incremental_paragraph_dedup(_docs(spark, 0, 5), store,
                                     id_col="url",
                                     store_partition="2026-8-1")
+
+
+def test_accepted_labels_survive_spark_inference(spark, tmp_path):
+    """Empirical pin for _check_batch_label against Spark itself: every
+    ACCEPTED label, written as its own homogeneous partition column,
+    reads back as the identical string — and a refused label really
+    does come back different (the documented threat)."""
+    from gopie_spark.operators.dedup import _check_batch_label
+    for i, lab in enumerate(["2026-08-21", "d1", "7", "base", "v1.2.3",
+                             "x_y-z.w", "20260821", "1-2-3-4"]):
+        _check_batch_label(lab)
+        p = str(tmp_path / f"s{i}")
+        spark.range(1).write.parquet(f"{p}/batch={lab}")
+        got = str(spark.read.parquet(p).select("batch").first()["batch"])
+        assert got == lab, (lab, got)
+    # the refused numeric classes really are re-typed by inference
+    for j, (lab, reread) in enumerate((("007", "7"), ("1.50", "1.5"),
+                                       ("2e3", "2000"))):
+        bad = str(tmp_path / f"bad{j}")
+        spark.range(1).write.parquet(f"{bad}/batch={lab}")
+        got = str(spark.read.parquet(bad).select("batch").first()["batch"])
+        assert got == reread and got != lab, (lab, got)
 
 
 def test_refusals(spark, indexed_pk_store, tmp_path):
