@@ -307,14 +307,25 @@ def _list_batch_partitions(spark, store_path: str) -> List[str]:
     instead of a full-store DISTINCT scan: partition discovery over a
     10^12-row store must not cost a corpus-wide job per daily probe,
     and the literal directory names are immune to partition-type
-    inference re-typing the values."""
+    inference re-typing the values.
+
+    A ``batch=`` directory with no committed data file (a crashed
+    write leaves only ``_temporary/``) is NOT a partition — Spark's
+    own discovery ignores it, and counting it would both record a
+    phantom label in an index's ``covered_batches`` and wedge the
+    documented crashed-day re-run behind the already-folded refusal."""
     sc = spark.sparkContext
     path = sc._jvm.org.apache.hadoop.fs.Path(store_path)
     fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
     out = []
     for st in fs.listStatus(path):
         name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("batch="):
+        if not (st.isDirectory() and name.startswith("batch=")):
+            continue
+        committed = any(
+            not c.getPath().getName().startswith(("_", "."))
+            for c in fs.listStatus(st.getPath()))
+        if committed:
             out.append(name.split("=", 1)[1])
     return sorted(out)
 
@@ -364,6 +375,53 @@ def _write_index_meta(index_dir: str, meta: dict) -> dict:
     with open(tmp, "w") as fh:
         _json.dump(meta, fh, sort_keys=True)
     _os.replace(tmp, _os.path.join(index_dir, "_index_meta.json"))
+    return meta
+
+
+def _new_index_version() -> str:
+    """Token for one index build's data dirs and table names: each
+    (re)build writes a NEW version and commits it only by the atomic
+    meta swap, so an in-place rebuild that crashes mid-write leaves
+    the previous version fully intact (the half-written dirs are
+    orphans the commit of the next successful build collects)."""
+    import binascii
+    import os as _os
+    return binascii.hexlify(_os.urandom(4)).decode()
+
+
+def _commit_index_meta(spark, index_dir: str, meta: dict) -> dict:
+    """Publish a new index version: swap in the new
+    ``_index_meta.json`` (atomic — this IS the commit point), then
+    best-effort drop every superseded version's catalog entries and
+    data dirs, including half-written orphans from crashed builds.  A
+    crash before the swap leaves the previous version untouched; a
+    crash after it only leaves orphans for the next commit."""
+    import json as _json
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+    mp = _os.path.join(index_dir, "_index_meta.json")
+    old = None
+    if _os.path.exists(mp):
+        with open(mp) as fh:
+            old = _json.load(fh)
+    _write_index_meta(index_dir, meta)
+    new_tables = {meta.get(k) for k in ("table", "sig_table", "fp_table")}
+    new_paths = {meta.get(k) for k in ("data_path", "sig_path", "fp_path")}
+    if old:
+        for k in ("table", "sig_table", "fp_table"):
+            t = old.get(k)
+            if t and t not in new_tables:
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+                except Exception:
+                    pass
+    keep = {_os.path.basename(p) for p in new_paths if p}
+    for name in _os.listdir(index_dir):
+        if _re.fullmatch(r"(data|sigs|fps)(-[0-9a-f]+)?", name) \
+                and name not in keep:
+            _shutil.rmtree(_os.path.join(index_dir, name),
+                           ignore_errors=True)
     return meta
 
 
@@ -693,10 +751,11 @@ def build_band_index(spark, sig_store: str, index_dir: str, *,
     sig_col = "minhash"
     expl = _band_explode(raw.select("_id", sig_col), sig_col, k, bands)
     members = _bucket_members(expl, ["band", "bh"], max_bucket)
-    data_path = _os.path.join(index_dir, "data")
     suffix = hashlib.md5(
         _os.path.abspath(index_dir).encode()).hexdigest()[:10]
-    table = "gopie_band_index_" + suffix
+    ver = _new_index_version()
+    table = f"gopie_band_index_{suffix}_{ver}"
+    data_path = _os.path.join(index_dir, f"data-{ver}")
     write_bucketed(members, table, ["band", "bh"],
                    n_buckets=index_buckets, path=data_path)
     # second layout over the SAME covered batches: the signatures
@@ -704,11 +763,11 @@ def build_band_index(spark, sig_store: str, index_dir: str, *,
     # fetch (pairs need the stored minhash of every bucket-mate) then
     # semi-joins the day's candidate-id set against an at-rest layout
     # instead of shuffling the whole store by _id every day
-    sig_table = "gopie_sig_index_" + suffix
-    sig_path = _os.path.join(index_dir, "sigs")
+    sig_table = f"gopie_sig_index_{suffix}_{ver}"
+    sig_path = _os.path.join(index_dir, f"sigs-{ver}")
     write_bucketed(raw.select("_id", sig_col), sig_table, ["_id"],
                    n_buckets=index_buckets, path=sig_path)
-    return _write_index_meta(index_dir, {
+    return _commit_index_meta(spark, index_dir, {
         "k": k, "bands": bands, "max_bucket": max_bucket,
         "index_buckets": index_buckets, "table": table,
         "data_path": data_path, "sig_table": sig_table,
@@ -1067,15 +1126,16 @@ def build_chunk_index(spark, fp_store: str, index_dir: str, *,
                               max_bucket)
     suffix = hashlib.md5(
         _os.path.abspath(index_dir).encode()).hexdigest()[:10]
-    table = "gopie_chunk_index_" + suffix
-    data_path = _os.path.join(index_dir, "data")
+    ver = _new_index_version()
+    table = f"gopie_chunk_index_{suffix}_{ver}"
+    data_path = _os.path.join(index_dir, f"data-{ver}")
     write_bucketed(members, table, ["chunk", "cv"],
                    n_buckets=index_buckets, path=data_path)
-    fp_table = "gopie_fp_index_" + suffix
-    fp_path = _os.path.join(index_dir, "fps")
+    fp_table = f"gopie_fp_index_{suffix}_{ver}"
+    fp_path = _os.path.join(index_dir, f"fps-{ver}")
     write_bucketed(fps, fp_table, ["_id"],
                    n_buckets=index_buckets, path=fp_path)
-    return _write_index_meta(index_dir, {
+    return _commit_index_meta(spark, index_dir, {
         "max_bucket": max_bucket, "index_buckets": index_buckets,
         "table": table, "data_path": data_path,
         "fp_table": fp_table, "fp_path": fp_path,
@@ -1520,11 +1580,12 @@ def build_pk_index(spark, pk_store: str, index_dir: str, *,
     covered = _list_batch_partitions(spark, pk_store)
     suffix = hashlib.md5(
         _os.path.abspath(index_dir).encode()).hexdigest()[:10]
-    table = "gopie_pk_index_" + suffix
-    data_path = _os.path.join(index_dir, "data")
+    ver = _new_index_version()
+    table = f"gopie_pk_index_{suffix}_{ver}"
+    data_path = _os.path.join(index_dir, f"data-{ver}")
     write_bucketed(raw.select("_pk"), table, ["_pk"],
                    n_buckets=index_buckets, path=data_path)
-    return _write_index_meta(index_dir, {
+    return _commit_index_meta(spark, index_dir, {
         "index_buckets": index_buckets, "table": table,
         "data_path": data_path,
         "pk_type": raw.schema["_pk"].dataType.simpleString(),

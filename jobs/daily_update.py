@@ -134,13 +134,13 @@ def maybe_reindex(spark, sig_store: str, band_index: str,
                   reindex_every: int) -> dict:
     """LSM compaction for the daily loop: when the signature store has
     accumulated ``reindex_every`` or more partitions the band index
-    does not cover, rebuild the index (with its OWN recorded
-    parameters) so the per-day delta work resets to zero.  Runs AFTER
-    the day commits — a crash mid-rebuild leaves the previous meta in
-    place, and a meta that under-reports coverage only makes covered
-    batches be probed as deltas too (the capped merge and the pair
-    distinct absorb the duplicates), so probes stay correct.  Returns
-    the accounting fragment."""
+    does not cover (``0`` = rebuild unconditionally), rebuild the
+    index (with its OWN recorded parameters) so the per-day delta
+    work resets to zero.  Runs AFTER the day commits; the build
+    writes a fresh index VERSION and commits it by the atomic meta
+    swap (operators/dedup._commit_index_meta), so a crash mid-rebuild
+    leaves the previous version fully intact.  Returns the accounting
+    fragment."""
     from gopie_spark.operators.dedup import (_list_batch_partitions,
                                              build_band_index,
                                              load_band_index)
@@ -184,6 +184,14 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
     from sketch_cube import run_cube  # noqa: E402
 
     t0 = time.perf_counter()
+    # refuse a non-round-tripping date label BEFORE any state mutation
+    # (stage 2 would refuse it anyway, but only after a full curate
+    # pass has burned and written quarantine/curated state)
+    from gopie_spark.operators.dedup import _check_batch_label
+    try:
+        _check_batch_label(date)
+    except ValueError as e:
+        raise SystemExit(f"--date: {e}")
     marker = os.path.join(state, "_applied", date)
     # the in-store marker commits atomically with the fold's swap — it
     # is the authority; the state-level mirror is a convenience copy
@@ -275,11 +283,32 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
     # history is probed with a zero-shuffle bucketed scan + fresh
     # explode of only the post-index delta partitions, instead of
     # re-aggregating the whole store — the at-scale daily shape
-    band_index = os.path.join(state, "band_index")
-    if not os.path.exists(os.path.join(band_index, "_index_meta.json")):
+    band_index_dir = os.path.join(state, "band_index")
+    reindex_force = False
+    if not os.path.exists(os.path.join(band_index_dir,
+                                       "_index_meta.json")):
+        band_index_dir = None
         band_index = None
     else:
+        band_index = band_index_dir
         acct["band_index"] = True
+        with open(os.path.join(band_index_dir,
+                               "_index_meta.json")) as fh:
+            _covered = json.load(fh).get("covered_batches", [])
+        if date in _covered:
+            # this day's batch is already inside the index base — a
+            # --force re-run, or a day that crashed after its store
+            # write and was absorbed by a later compaction.  The
+            # already-folded guard would refuse mid-run; instead probe
+            # WITHOUT the index this once (correct, just un-indexed)
+            # and rebuild the index right after the day commits so the
+            # overwritten partition cannot go stale in the base
+            band_index = None
+            acct["band_index"] = False
+            reindex_force = True
+            acct["band_index_bypassed"] = (
+                f"batch {date} already folded; index rebuilt "
+                "post-commit")
     sig_store = os.path.join(state, "sig_store")
     if preflight:
         # opt-in skew report over the DAY's signatures before the
@@ -438,7 +467,11 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
 
     # LSM compaction AFTER the commit: absorb accumulated delta
     # partitions back into the band index once they exceed the budget
-    if band_index is not None and reindex_every:
+    # (unconditionally when this run overwrote an already-folded batch
+    # — the base would otherwise keep the stale copy forever)
+    if reindex_force and band_index_dir is not None:
+        acct.update(maybe_reindex(spark, sig_store, band_index_dir, 0))
+    elif band_index is not None and reindex_every:
         acct.update(maybe_reindex(spark, sig_store, band_index,
                                   reindex_every))
 

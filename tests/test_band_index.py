@@ -208,3 +208,60 @@ def test_index_refusals(spark, indexed_store, tmp_path):
         incremental_minhash_dedup(_docs(spark, 10, 5), plain,
                                   id_col="url", update_store=False,
                                   band_index=idx)
+
+
+def test_rebuild_is_versioned_and_crash_safe(spark, tmp_path):
+    """An in-place rebuild writes a NEW version committed only by the
+    atomic meta swap: half-written orphan dirs from a crashed attempt
+    are collected, the superseded version's dirs and catalog entries
+    go away, and the probe keeps working across the rebuild."""
+    from gopie_spark.operators.dedup import build_band_index
+
+    store = str(tmp_path / "sigs")
+    incremental_minhash_dedup(_docs(spark, 0, 30), store, id_col="url",
+                              store_partition="d1")
+    idx = str(tmp_path / "idx")
+    m1 = build_band_index(spark, store, idx, index_buckets=8)
+    # simulate a crashed rebuild attempt: an orphan version dir
+    os.makedirs(os.path.join(idx, "data-deadbeef"))
+    incremental_minhash_dedup(_docs(spark, 30, 20), store, id_col="url",
+                              store_partition="d2")
+    m2 = build_band_index(spark, store, idx, index_buckets=8)
+    assert m2["covered_batches"] == ["d1", "d2"]
+    assert m2["data_path"] != m1["data_path"]
+    names = set(os.listdir(idx))
+    assert os.path.basename(m2["data_path"]) in names
+    assert os.path.basename(m2["sig_path"]) in names
+    assert os.path.basename(m1["data_path"]) not in names  # superseded
+    assert "data-deadbeef" not in names                    # orphan gc'd
+    assert not spark.catalog.tableExists(m1["table"])
+    assert not spark.catalog.tableExists(m1["sig_table"])
+    # the new version serves a probe end to end
+    got = _ids(incremental_minhash_dedup(
+        _docs(spark, 50, 10), store, id_col="url", update_store=False,
+        band_index=idx))
+    assert got == _ids(incremental_minhash_dedup(
+        _docs(spark, 50, 10), store, id_col="url", update_store=False))
+
+
+def test_uncommitted_partition_is_not_covered(spark, tmp_path):
+    """A batch= dir left by a crashed write (no committed data file)
+    is not a partition: it must not enter covered_batches — that
+    would wedge the documented crashed-day re-run behind the
+    already-folded refusal."""
+    from gopie_spark.operators.dedup import (_list_batch_partitions,
+                                             build_band_index)
+
+    store = str(tmp_path / "sigs")
+    incremental_minhash_dedup(_docs(spark, 0, 20), store, id_col="url",
+                              store_partition="d1")
+    os.makedirs(os.path.join(store, "batch=d2", "_temporary"))
+    assert _list_batch_partitions(spark, store) == ["d1"]
+    idx = str(tmp_path / "idx")
+    meta = build_band_index(spark, store, idx, index_buckets=8)
+    assert meta["covered_batches"] == ["d1"]
+    # the crashed day re-runs cleanly through the index
+    out = incremental_minhash_dedup(_docs(spark, 20, 10), store,
+                                    id_col="url", store_partition="d2",
+                                    band_index=idx)
+    assert out.count() > 0

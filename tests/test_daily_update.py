@@ -398,3 +398,37 @@ def test_maybe_reindex_absorbs_deltas(spark, tmp_path):
     got = sorted(r["url"] for r in wi.select("url").collect())
     assert got == sorted(r["url"] for r in wo.select("url").collect())
     assert not any(u.startswith("http://re.example/") for u in got)
+
+
+def test_bad_date_label_refused_before_any_state(spark, tmp_path):
+    """A non-round-tripping --date is refused BEFORE curate runs or
+    any state directory is created."""
+    from daily_update import run_daily
+    state = str(tmp_path / "state")
+    with pytest.raises(SystemExit, match="--date"):
+        run_daily(spark, "/nonexistent/input", state, "2026-8-1")
+    assert not os.path.exists(os.path.join(state, "curated"))
+
+
+def test_force_rerun_of_covered_batch_bypasses_and_rebuilds(
+        spark, tmp_path, two_days):
+    """Re-running a day whose batch the band index already covers must
+    not wedge on the already-folded refusal: the probe bypasses the
+    index for that run and the index is rebuilt right after the
+    commit, so the overwritten partition cannot go stale in the base."""
+    from daily_update import run_daily
+    from gopie_spark.operators.dedup import build_band_index
+    root, d1, fresh2 = two_days
+    state = str(tmp_path / "state")
+    run_daily(spark, d1, state, "2026-01-01")
+    build_band_index(spark, os.path.join(state, "sig_store"),
+                     os.path.join(state, "band_index"), index_buckets=8)
+    acct = run_daily(spark, d1, state, "2026-01-01", force=True)
+    assert acct["band_index_bypassed"].startswith("batch 2026-01-01")
+    assert "band_index_rebuilt" in acct
+    assert acct["band_index_rebuilt"]["covered"] == 1
+    # and the NEXT day runs through the rebuilt index normally
+    acct2 = run_daily(spark, fresh2, state, "2026-01-02",
+                      reindex_every=5)
+    assert acct2.get("band_index") is True
+    assert acct2["band_index_deltas"] == 1
