@@ -143,3 +143,33 @@ def test_refusals(spark, indexed_fp_store, tmp_path):
     with pytest.raises(ValueError, match="mixing the layouts"):
         incremental_simhash_dedup(_docs(spark, 10, 5), plain,
                                   id_col="url", store_partition="d9")
+
+
+def test_rebuild_is_versioned(spark, tmp_path):
+    """Chunk-index rebuilds commit as atomic versions too: the
+    superseded version's dirs (incl. the fps- layout) and catalog
+    entries are collected, and the rebuilt index serves a probe."""
+    from gopie_spark.operators.dedup import build_chunk_index
+
+    store = str(tmp_path / "fps")
+    incremental_simhash_dedup(_docs(spark, 0, 25), store, id_col="url",
+                              store_partition="d1")
+    idx = str(tmp_path / "idx")
+    m1 = build_chunk_index(spark, store, idx, index_buckets=8)
+    incremental_simhash_dedup(_docs(spark, 25, 15), store, id_col="url",
+                              store_partition="d2")
+    m2 = build_chunk_index(spark, store, idx, index_buckets=8)
+    assert m2["covered_batches"] == ["d1", "d2"]
+    names = set(os.listdir(idx))
+    assert os.path.basename(m2["fp_path"]) in names
+    assert os.path.basename(m1["data_path"]) not in names
+    assert os.path.basename(m1["fp_path"]) not in names
+    assert not spark.catalog.tableExists(m1["table"])
+    assert not spark.catalog.tableExists(m1["fp_table"])
+    rec = _docs(spark, 0, 8).select(
+        F.concat(F.lit("http://re.example/"),
+                 F.xxhash64("url").cast("string")).alias("url"), "text")
+    got = _ids(incremental_simhash_dedup(
+        _docs(spark, 40, 10).unionByName(rec), store, id_col="url",
+        update_store=False, chunk_index=idx))
+    assert not any(u.startswith("http://re.example/") for u in got)
