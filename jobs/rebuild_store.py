@@ -144,15 +144,32 @@ def run_rebuild(spark, state: str, *, bloom_n: int = 1_000_000_000,
             acct["sig_store"] = {"batches": len(days), "k": k,
                                  "shingle_width": shingle_width}
         _swap_dir(sig_new, os.path.join(state, "sig_store"))
-        if band_index:
-            # base+delta compaction: the fresh index covers every batch
-            # just written, so the daily probe's delta set resets to
-            # empty until the next fold
+        idx_dir = os.path.join(state, "band_index")
+        has_index = os.path.exists(
+            os.path.join(idx_dir, "_index_meta.json"))
+        if band_index or has_index:
+            # an EXISTING index must be rebuilt after the store rewrite
+            # even without --band-index: its base covers batch names
+            # that no longer exist, so every rewritten partition would
+            # count as a delta and the daily probe would silently
+            # re-explode the whole store again (correct, but exactly
+            # the O(corpus x bands) cost the index exists to remove).
+            # Keep the old index's own bands/cap/buckets; k must match
+            # the signatures just written, so it follows this rebuild.
             from gopie_spark.operators.dedup import build_band_index
+            kw = {"k": k, "bands": 32, "max_bucket": 64}
+            if has_index:
+                with open(os.path.join(idx_dir,
+                                       "_index_meta.json")) as fh:
+                    old = json.load(fh)
+                kw = {"k": k, "bands": old["bands"],
+                      "max_bucket": old["max_bucket"],
+                      "index_buckets": old["index_buckets"]}
+                if not band_index:
+                    acct["band_index_auto"] = (
+                        "existing index rebuilt after store rewrite")
             acct["band_index"] = build_band_index(
-                spark, os.path.join(state, "sig_store"),
-                os.path.join(state, "band_index"), k=k, bands=32,
-                max_bucket=64)
+                spark, os.path.join(state, "sig_store"), idx_dir, **kw)
 
     # -- 3. (lang, day) url cube ---------------------------------------
     if not skip_cube:

@@ -432,3 +432,32 @@ def test_force_rerun_of_covered_batch_bypasses_and_rebuilds(
                       reindex_every=5)
     assert acct2.get("band_index") is True
     assert acct2["band_index_deltas"] == 1
+
+
+def test_rebuild_auto_rebuilds_existing_index(spark, tmp_path,
+                                              two_days):
+    """rebuild_store must rebuild an EXISTING band index even without
+    --band-index: after --compact-sigs the old base covers batch names
+    that no longer exist, so every rewritten partition would count as
+    a delta and the daily probe would silently re-explode the whole
+    store again.  The old index's own parameters are preserved."""
+    from daily_update import run_daily
+    from rebuild_store import run_rebuild
+    from gopie_spark.operators.dedup import build_band_index
+    root, d1, fresh2 = two_days
+    state = str(tmp_path / "state")
+    run_daily(spark, d1, state, "2026-01-01", bloom_n=100_000,
+              hll_p=12)
+    build_band_index(spark, os.path.join(state, "sig_store"),
+                     os.path.join(state, "band_index"), index_buckets=8)
+    racct = run_rebuild(spark, state, bloom_n=100_000, hll_p=12,
+                        compact_sigs=True)  # NO band_index flag
+    assert racct["band_index_auto"]
+    assert racct["band_index"]["covered_batches"] == ["base"]
+    assert racct["band_index"]["index_buckets"] == 8
+    # the next day probes through the rebuilt index with only its own
+    # partition as delta
+    acct2 = run_daily(spark, fresh2, state, "2026-01-02",
+                      bloom_n=100_000, hll_p=12, reindex_every=9)
+    assert acct2.get("band_index") is True
+    assert acct2["band_index_deltas"] == 1
