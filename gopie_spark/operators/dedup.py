@@ -400,22 +400,38 @@ def _commit_index_meta(spark, index_dir: str, meta: dict) -> dict:
     import os as _os
     import re as _re
     import shutil as _shutil
+    import hashlib as _hashlib
     mp = _os.path.join(index_dir, "_index_meta.json")
     old = None
     if _os.path.exists(mp):
         with open(mp) as fh:
             old = _json.load(fh)
     _write_index_meta(index_dir, meta)
-    new_tables = {meta.get(k) for k in ("table", "sig_table", "fp_table")}
+    new_tables = {meta.get(k) for k in ("table", "sig_table", "fp_table")
+                  if meta.get(k)}
     new_paths = {meta.get(k) for k in ("data_path", "sig_path", "fp_path")}
-    if old:
-        for k in ("table", "sig_table", "fp_table"):
-            t = old.get(k)
-            if t and t not in new_tables:
-                try:
-                    spark.sql(f"DROP TABLE IF EXISTS `{t}`")
-                except Exception:
-                    pass
+    # drop EVERY superseded catalog entry for this index dir — not just
+    # the immediately-previous meta's: crashed builds register their
+    # tables before the (never-reached) meta swap, and those entries
+    # would dangle forever in a persistent metastore once their data
+    # dirs are collected below.  All this dir's tables share the
+    # directory-hash infix, so the sweep cannot touch another index.
+    infix = _hashlib.md5(
+        _os.path.abspath(index_dir).encode()).hexdigest()[:10]
+    try:
+        stale = [t.name for t in spark.catalog.listTables()
+                 if (f"_{infix}_" in t.name          # versioned names
+                     or t.name.endswith(f"_{infix}"))  # pre-versioned
+                 and t.name not in new_tables]
+    except Exception:
+        stale = [old.get(k) for k in ("table", "sig_table", "fp_table")
+                 if old and old.get(k)
+                 and old.get(k) not in new_tables]
+    for t in stale:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+        except Exception:
+            pass
     keep = {_os.path.basename(p) for p in new_paths if p}
     for name in _os.listdir(index_dir):
         if _re.fullmatch(r"(data|sigs|fps)(-[0-9a-f]+)?", name) \

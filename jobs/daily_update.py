@@ -196,12 +196,13 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
     # the in-store marker commits atomically with the fold's swap — it
     # is the authority; the state-level mirror is a convenience copy
     store_marker = os.path.join(state, "store", "_applied", date)
-    if (os.path.exists(marker) or os.path.exists(store_marker)) \
-            and not force:
+    reapplied = (os.path.exists(marker) or os.path.exists(store_marker))
+    if reapplied and not force:
         raise SystemExit(
             f"date {date} already applied to {state} (the store fold is "
             "not idempotent for linear states); use a fresh --state or "
             "--force if you are deliberately rebuilding")
+    reapplied = reapplied and force
     for sub in ("curated", "accounting", "_applied", "drift"):
         os.makedirs(os.path.join(state, sub), exist_ok=True)
     healed = _recover_swaps(state)
@@ -259,8 +260,17 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
     # (store meta p, default 1e-3) wrongly drops that fraction of
     # genuinely-new urls — the standard membership tradeoff, disable
     # with keep_known_urls for a keep-every-crawl corpus.
+    # A --force re-run of an ALREADY-APPLIED day must skip conflation:
+    # the serving store contains that day's own urls, so probing it
+    # would drop the entire day — stage 2 would then OVERWRITE the
+    # day's signature partition with nothing (silent history loss)
+    # and the fold would land an empty day.  The re-run is a
+    # deliberate replace; the marker refusal's warning about linear
+    # states double-counting in the fold still applies (rebuild_store
+    # is the clean full remedy).
+    conflate = not keep_known_urls and not reapplied
     serving_meta = os.path.join(serving, "_store_meta.json")
-    if not keep_known_urls and os.path.exists(serving_meta):
+    if conflate and os.path.exists(serving_meta):
         from gopie_spark.operators.membership import bloom_shards_filter
         with open(serving_meta) as fh:
             smeta = json.load(fh)
@@ -271,10 +281,14 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
         kept = bloom_shards_filter(
             spark, shard_states, kept, "url", n=None,
             shards=smeta["bloom_shards"], keep=False)
+    elif reapplied and not keep_known_urls:
+        acct["conflation_skipped"] = (
+            f"force re-run of applied day {date}: the serving store "
+            "holds this day's own urls")
     # one materialization of the (curated, conflated) day feeds the
     # count, the signature build, and the survivors write below
     kept = kept.persist()
-    if not keep_known_urls and os.path.exists(serving_meta):
+    if conflate and os.path.exists(serving_meta):
         acct["known_url_dropped"] = \
             curate_report["output_rows"] - kept.count()
 
@@ -283,6 +297,7 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
     # history is probed with a zero-shuffle bucketed scan + fresh
     # explode of only the post-index delta partitions, instead of
     # re-aggregating the whole store — the at-scale daily shape
+    sig_store = os.path.join(state, "sig_store")
     band_index_dir = os.path.join(state, "band_index")
     reindex_force = False
     if not os.path.exists(os.path.join(band_index_dir,
@@ -294,22 +309,44 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
         acct["band_index"] = True
         with open(os.path.join(band_index_dir,
                                "_index_meta.json")) as fh:
-            _covered = json.load(fh).get("covered_batches", [])
-        if date in _covered:
+            _imeta = json.load(fh)
+        if date in _imeta.get("covered_batches", []):
             # this day's batch is already inside the index base — a
             # --force re-run, or a day that crashed after its store
             # write and was absorbed by a later compaction.  The
-            # already-folded guard would refuse mid-run; instead probe
-            # WITHOUT the index this once (correct, just un-indexed)
-            # and rebuild the index right after the day commits so the
-            # overwritten partition cannot go stale in the base
-            band_index = None
-            acct["band_index"] = False
+            # already-folded guard would refuse mid-run; instead
+            # REMOVE the date from covered_batches NOW (atomic meta
+            # swap) so the partition counts as a delta no matter where
+            # this run dies — stage 2's overwrite can never go stale
+            # in the base — and rebuild the index after the commit.
+            from gopie_spark.operators.dedup import _write_index_meta
+            _imeta["covered_batches"] = [
+                b for b in _imeta["covered_batches"] if b != date]
+            _write_index_meta(band_index_dir, _imeta)
             reindex_force = True
-            acct["band_index_bypassed"] = (
-                f"batch {date} already folded; index rebuilt "
-                "post-commit")
-    sig_store = os.path.join(state, "sig_store")
+            if reapplied:
+                # deliberate REPLACE of an applied day: its old
+                # signatures must not act as history (a changed input
+                # would wrongly die against the day's previous self).
+                # Drop the partition and probe WITHOUT the index —
+                # its sigs layout still holds the old signatures
+                # until the post-commit rebuild clears them.
+                shutil.rmtree(os.path.join(sig_store, f"batch={date}"),
+                              ignore_errors=True)
+                band_index = None
+                acct["band_index"] = False
+                acct["band_index_bypassed"] = (
+                    f"force replace of applied day {date}: old "
+                    "partition dropped, probe un-indexed, index "
+                    "rebuilt post-commit")
+            else:
+                # crashed-then-absorbed day, same input: the partition
+                # (now a delta) probes THROUGH the index; identical
+                # ids self-exclude, so the day's own prior write is
+                # inert
+                acct["band_index_bypassed"] = (
+                    f"batch {date} de-covered (now a delta); index "
+                    "rebuilt post-commit")
     if preflight:
         # opt-in skew report over the DAY's signatures before the
         # candidate stage (one extra signature pass over the day only
@@ -471,7 +508,8 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
     # — the base would otherwise keep the stale copy forever)
     if reindex_force and band_index_dir is not None:
         acct.update(maybe_reindex(spark, sig_store, band_index_dir, 0))
-    elif band_index is not None and reindex_every:
+    elif band_index is not None and reindex_every is not None:
+        # 0 = rebuild unconditionally, matching maybe_reindex's contract
         acct.update(maybe_reindex(spark, sig_store, band_index,
                                   reindex_every))
 

@@ -149,11 +149,17 @@ def run_rebuild(spark, state: str, *, bloom_n: int = 1_000_000_000,
             os.path.join(idx_dir, "_index_meta.json"))
         if band_index or has_index:
             # an EXISTING index must be rebuilt after the store rewrite
-            # even without --band-index: its base covers batch names
-            # that no longer exist, so every rewritten partition would
-            # count as a delta and the daily probe would silently
-            # re-explode the whole store again (correct, but exactly
-            # the O(corpus x bands) cost the index exists to remove).
+            # even without --band-index: after --compact-sigs its base
+            # covers batch names that no longer exist (every rewritten
+            # partition becomes a delta — the O(corpus x bands) cost
+            # the index exists to remove), and even a name-preserving
+            # rebuild may have changed the signatures themselves (a k
+            # or shingle-width change leaves names identical but makes
+            # the index base silently stale — recall loss with no
+            # error).  Proving content-identity would need the
+            # original build's parameters, which the store does not
+            # record, so the rebuild is unconditional; its cost is the
+            # same order as the re-sign this job just paid.
             # Keep the old index's own bands/cap/buckets; k must match
             # the signatures just written, so it follows this rebuild.
             from gopie_spark.operators.dedup import build_band_index

@@ -420,13 +420,24 @@ def test_force_rerun_of_covered_batch_bypasses_and_rebuilds(
     from gopie_spark.operators.dedup import build_band_index
     root, d1, fresh2 = two_days
     state = str(tmp_path / "state")
-    run_daily(spark, d1, state, "2026-01-01")
+    acct0 = run_daily(spark, d1, state, "2026-01-01")
+    n_sigs0 = spark.read.parquet(
+        os.path.join(state, "sig_store")).count()
     build_band_index(spark, os.path.join(state, "sig_store"),
                      os.path.join(state, "band_index"), index_buckets=8)
     acct = run_daily(spark, d1, state, "2026-01-01", force=True)
-    assert acct["band_index_bypassed"].startswith("batch 2026-01-01")
+    assert acct["band_index_bypassed"].startswith(
+        "force replace of applied day 2026-01-01")
     assert "band_index_rebuilt" in acct
     assert acct["band_index_rebuilt"]["covered"] == 1
+    # the deliberate replace must actually RE-PROCESS the day — the
+    # serving store holds the day's own urls, so conflation is skipped
+    # (probing it would land the day empty and silently wipe its
+    # signature partition)
+    assert acct["conflation_skipped"]
+    assert acct["day_docs"] == acct0["day_docs"]
+    assert spark.read.parquet(
+        os.path.join(state, "sig_store")).count() == n_sigs0
     # and the NEXT day runs through the rebuilt index normally
     acct2 = run_daily(spark, fresh2, state, "2026-01-02",
                       reindex_every=5)
