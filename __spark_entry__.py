@@ -3387,83 +3387,33 @@ def _q_countsketch_token_counts(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order matters: the driver's correctness window has historically
-    # covered the FIRST 50 entries only (CORRECTNESS_r03.json).  Queries
-    # without a driver-green row yet (the round-3 wave-2 tier + everything
-    # added in round 4: 19 + the 16 round-4b/4c entries = 35) are listed first
-    # so the hard signal covers them; the remaining entries were all
-    # rows+schema+hash green in r01-r03 windows and stay gated by the local
-    # DuckDB replica (tests/test_driver_contract.py) regardless of window
-    # position.
+    # Dict order matters: the driver's correctness window covers the FIRST
+    # 50 entries only.  Block A = the 15 queries with no driver-green row
+    # after r4 (14 never-windowed + the repetition_stats r4 hash-fail, now
+    # oracle-fixed).  Block B = round-5 additions.  Block C = r01-r03
+    # greens, least-recently-windowed first, so the remaining window slots
+    # re-certify the oldest evidence.  Block D = r4-green entries; every
+    # entry stays gated by the local DuckDB replica regardless of position
+    # (tests/test_driver_contract.py).
     return {
-        # --- no driver-green row yet (r4 priority block) ---
-        "incremental_dedup_indexed": _q_incremental_dedup_indexed,
-        "sql_sketch_rollup": _q_sql_sketch_rollup,
-        "sketch_store_answers": _q_sketch_store_answers,
-        "advised_join_orders": _q_advised_join_orders,
-        "join_plan_advice": _q_join_plan_advice,
-        "lang_drift": _q_lang_drift,
-        "corpus_drift": _q_corpus_drift,
-        "cuckoo_membership_remove": _q_cuckoo_membership_remove,
-        "sliding_hll_suffix_distinct": _q_sliding_hll_suffix_distinct,
-        "window_cms_trending": _q_window_cms_trending,
-        "ddsketch_window_quantiles": _q_ddsketch_window_quantiles,
-        "ddsketch_quantiles": _q_ddsketch_quantiles,
-        "session_stats": _q_session_stats,
-        "retention_cohorts": _q_retention_cohorts,
-        "funnel_steps": _q_funnel_steps,
-        "grouped_topk": _q_grouped_topk,
-        "ams_join_size_cross": _q_ams_join_size_cross,
-        "dsir_weights": _q_dsir_weights,
-        "freqdir_covariance": _q_freqdir_covariance,
-        "bpe_pair_counts": _q_bpe_pair_counts,
-        "sketch_cube_rollup": _q_sketch_cube_rollup,
-        "theta_distinct_events": _q_theta_distinct_events,
-        "theta_shingle_algebra": _q_theta_shingle_algebra,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "contamination_overlap": _q_contamination_overlap,
-        "semantic_dedup": _q_semantic_dedup,
-        "quantile_gate_docs": _q_quantile_gate_docs,
-        "temperature_mixture": _q_temperature_mixture,
-        "ngram_containment": _q_ngram_containment,
-        "vocab_top_tokens": _q_vocab_top_tokens,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "repetition_stats": _q_repetition_stats,
-        "pii_redaction": _q_pii_redaction,
-        "host_budget_docs": _q_host_budget_docs,
-        "dup_ngram_stats": _q_dup_ngram_stats,
-        "quality_filter_flags": _q_quality_filter_flags,
-        "lm_doc_scores": _q_lm_doc_scores,
-        "mixture_sample_docs": _q_mixture_sample_docs,
-        "canonical_urls": _q_canonical_urls,
-        "dedup_spans": _q_dedup_spans,
-        "host_dup_factor": _q_host_dup_factor,
-        "token_budget_sample": _q_token_budget_sample,
-        "host_blocklist_stats": _q_host_blocklist_stats,
-        "filter_corpus_stages": _q_filter_corpus_stages,
-        "ann_ivfpq": _q_ann_ivfpq,
-        "doc_chunks": _q_doc_chunks,
-        "packed_sequences": _q_packed_sequences,
-        "boilerplate_spans": _q_boilerplate_spans,
-        "host_split_assign": _q_host_split_assign,
-        "training_order_docs": _q_training_order_docs,
-        "url_filter_docs": _q_url_filter_docs,
-        "compression_gate": _q_compression_gate,
-        "normalize_gate": _q_normalize_gate,
-        "mirror_hosts": _q_mirror_hosts,
-        "doc_sentences": _q_doc_sentences,
-        "sentence_dedup": _q_sentence_dedup,
+        # --- block A: no driver-green row yet ---
+        "countsketch_token_counts": _q_countsketch_token_counts,
+        "weighted_minhash_pairs": _q_weighted_minhash_pairs,
+        "bbit_minhash_pairs": _q_bbit_minhash_pairs,
         "ams_f2_join_size": _q_ams_f2_join_size,
-        "token_entropy_per_lang": _q_token_entropy_per_lang,
         "asof_click_attribution": _q_asof_click_attribution,
         "session_overlap_pairs": _q_session_overlap_pairs,
         "range_shard_balance": _q_range_shard_balance,
-        "weighted_minhash_pairs": _q_weighted_minhash_pairs,
-        "bbit_minhash_pairs": _q_bbit_minhash_pairs,
-        "countsketch_token_counts": _q_countsketch_token_counts,
-        # --- driver-green in r01-r03 windows (rotated: reverse of the
-        # r03 ordering, so the window's remaining ~17 slots re-certify the
-        # LEAST-recently-windowed of the old queries each round) ---
+        "sentence_dedup": _q_sentence_dedup,
+        "doc_sentences": _q_doc_sentences,
+        "url_filter_docs": _q_url_filter_docs,
+        "mirror_hosts": _q_mirror_hosts,
+        "token_entropy_per_lang": _q_token_entropy_per_lang,
+        "compression_gate": _q_compression_gate,
+        "normalize_gate": _q_normalize_gate,
+        "repetition_stats": _q_repetition_stats,
+        # --- block B: round-5 additions ---
+        # --- block C: r01-r03 driver-green, oldest evidence first ---
         "priority_sample_docs": _q_priority_sample_docs,
         "stratified_sample_docs": _q_stratified_sample_docs,
         "uniform_sample_docs": _q_uniform_sample_docs,
@@ -3514,6 +3464,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_per_window": _q_hll_distinct_per_window,
         "hll_distinct_per_lang": _q_hll_distinct_per_lang,
         "hll_distinct_global": _q_hll_distinct_global,
+        # --- block D: r4 driver-green ---
+        "incremental_dedup_indexed": _q_incremental_dedup_indexed,
+        "sql_sketch_rollup": _q_sql_sketch_rollup,
+        "sketch_store_answers": _q_sketch_store_answers,
+        "advised_join_orders": _q_advised_join_orders,
+        "join_plan_advice": _q_join_plan_advice,
+        "lang_drift": _q_lang_drift,
+        "corpus_drift": _q_corpus_drift,
+        "cuckoo_membership_remove": _q_cuckoo_membership_remove,
+        "sliding_hll_suffix_distinct": _q_sliding_hll_suffix_distinct,
+        "window_cms_trending": _q_window_cms_trending,
+        "ddsketch_window_quantiles": _q_ddsketch_window_quantiles,
+        "ddsketch_quantiles": _q_ddsketch_quantiles,
+        "session_stats": _q_session_stats,
+        "retention_cohorts": _q_retention_cohorts,
+        "funnel_steps": _q_funnel_steps,
+        "grouped_topk": _q_grouped_topk,
+        "ams_join_size_cross": _q_ams_join_size_cross,
+        "dsir_weights": _q_dsir_weights,
+        "freqdir_covariance": _q_freqdir_covariance,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "sketch_cube_rollup": _q_sketch_cube_rollup,
+        "theta_distinct_events": _q_theta_distinct_events,
+        "theta_shingle_algebra": _q_theta_shingle_algebra,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "contamination_overlap": _q_contamination_overlap,
+        "semantic_dedup": _q_semantic_dedup,
+        "quantile_gate_docs": _q_quantile_gate_docs,
+        "temperature_mixture": _q_temperature_mixture,
+        "ngram_containment": _q_ngram_containment,
+        "vocab_top_tokens": _q_vocab_top_tokens,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "pii_redaction": _q_pii_redaction,
+        "host_budget_docs": _q_host_budget_docs,
+        "dup_ngram_stats": _q_dup_ngram_stats,
+        "quality_filter_flags": _q_quality_filter_flags,
+        "lm_doc_scores": _q_lm_doc_scores,
+        "mixture_sample_docs": _q_mixture_sample_docs,
+        "canonical_urls": _q_canonical_urls,
+        "dedup_spans": _q_dedup_spans,
+        "host_dup_factor": _q_host_dup_factor,
+        "token_budget_sample": _q_token_budget_sample,
+        "host_blocklist_stats": _q_host_blocklist_stats,
+        "filter_corpus_stages": _q_filter_corpus_stages,
+        "ann_ivfpq": _q_ann_ivfpq,
+        "doc_chunks": _q_doc_chunks,
+        "packed_sequences": _q_packed_sequences,
+        "boilerplate_spans": _q_boilerplate_spans,
+        "host_split_assign": _q_host_split_assign,
+        "training_order_docs": _q_training_order_docs,
     }
 
 
@@ -4437,7 +4437,7 @@ def oracle_sql() -> dict[str, str]:
                     FROM big GROUP BY doc_id, bg),
             ba  AS (SELECT doc_id, max(c) AS max_bg FROM bc GROUP BY doc_id)
             SELECT b.doc_id,
-                   coalesce(n_tok, 0) AS n_tokens,
+                   CAST(coalesce(n_tok, 0) AS BIGINT) AS n_tokens,
                    coalesce(n_dis, 0) AS n_distinct_tokens,
                    CASE WHEN n_tok > 0 THEN CAST(floor(
                        n_dis * 1000000.0 / n_tok + 0.5) AS BIGINT)

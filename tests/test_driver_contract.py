@@ -73,6 +73,23 @@ def test_query_vs_oracle(spark, ddb, name):
                       f"{s_vals[mism[0]]} vs {d_vals[mism[0]]}")
 
 
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_arrow_schema_has_no_decimals(ddb, name):
+    """Driver-hash regression guard for the r4 ``repetition_stats`` failure.
+
+    DuckDB ``sum()`` over integers returns HUGEINT, which surfaces through
+    Arrow as ``decimal128(38,0)`` while Spark emits int64 — numerically
+    equal values, different driver hash.  Every oracle must therefore cast
+    integer sums to BIGINT; this test fails on any decimal column in the
+    oracle's Arrow output schema.
+    """
+    tbl = ddb.execute(ORACLES[name]).arrow()
+    import pyarrow.types as pat
+    bad = [f.name for f in tbl.schema if pat.is_decimal(f.type)]
+    assert not bad, (f"{name}: decimal (HUGEINT) columns {bad} — add "
+                     f"CAST(... AS BIGINT) in the oracle SQL")
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
