@@ -367,9 +367,23 @@ def _open_incremental_store(spark, path: str, cols: List[str],
 
 
 def _write_index_meta(index_dir: str, meta: dict) -> dict:
-    """Atomic ``_index_meta.json`` write shared by the index builders."""
+    """Atomic ``_index_meta.json`` write shared by the index builders.
+
+    Refuses a remote-URI ``index_dir``: the index lifecycle (this
+    write, version GC, meta loads) is plain-``os`` local I/O, unlike
+    the store partition listing which speaks the Hadoop FS API — a
+    remote dir would fail later on ``open()`` or silently leak
+    superseded version dirs.  See :func:`build_band_index`'s
+    operational contract."""
     import json as _json
     import os as _os
+    import re as _re
+    if _re.match(r"^[a-z][a-z0-9+.-]*://", index_dir):
+        raise ValueError(
+            f"index_dir {index_dir!r} is a URI; the index lifecycle "
+            "uses local filesystem I/O — pass a plain local or "
+            "locally-mounted path (the partitioned STORE may be "
+            "remote, the index may not)")
     _os.makedirs(index_dir, exist_ok=True)
     tmp = _os.path.join(index_dir, "_index_meta.json.tmp")
     with open(tmp, "w") as fh:
@@ -752,6 +766,19 @@ def build_band_index(spark, sig_store: str, index_dir: str, *,
     Requires the day-partitioned store layout (``store_partition=``),
     which is what makes deltas identifiable.  Returns the meta dict
     (also written to ``<index_dir>/_index_meta.json``).
+
+    Operational contract: ``index_dir`` must be a LOCAL (or
+    locally-mounted) path — the meta write, version GC, and loaders
+    use plain ``os``/``open``/``shutil``, unlike the store partition
+    listing which goes through the Hadoop FS API; a remote
+    ``hdfs://``/``s3a://`` index_dir fails on ``open()`` or leaks
+    superseded version dirs.  Index commits assume a SINGLE WRITER
+    and no concurrent reader mid-probe: ``_commit_index_meta``
+    collects the superseded version's data dirs immediately after the
+    meta swap, so an overlapping probe on the old version would read
+    files that vanish under it.  Serialize rebuilds against probes
+    (the daily loop does — ``maybe_reindex`` runs after the day's
+    commit, within the same single-process run).
     """
     import hashlib
     import os as _os

@@ -310,6 +310,15 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
         with open(os.path.join(band_index_dir,
                                "_index_meta.json")) as fh:
             _imeta = json.load(fh)
+        if _imeta.get("needs_rebuild"):
+            # a previous run de-covered a batch (below) and died before
+            # its post-commit rebuild: the index base still physically
+            # holds that batch's old member ids/signatures.  The flag
+            # persists the lost reindex_force across the crash; the
+            # rebuild's _commit_index_meta publishes a fresh meta
+            # without it, which is what clears it.
+            reindex_force = True
+            acct["band_index_needs_rebuild"] = True
         if date in _imeta.get("covered_batches", []):
             # this day's batch is already inside the index base — a
             # --force re-run, or a day that crashed after its store
@@ -319,20 +328,22 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
             # swap) so the partition counts as a delta no matter where
             # this run dies — stage 2's overwrite can never go stale
             # in the base — and rebuild the index after the commit.
+            # needs_rebuild rides the same swap: if this run dies
+            # before maybe_reindex, the next run (date no longer
+            # covered) would otherwise probe THROUGH the index against
+            # the base's stale, partition-less entries forever.
             from gopie_spark.operators.dedup import _write_index_meta
             _imeta["covered_batches"] = [
                 b for b in _imeta["covered_batches"] if b != date]
+            _imeta["needs_rebuild"] = True
             _write_index_meta(band_index_dir, _imeta)
             reindex_force = True
             if reapplied:
-                # deliberate REPLACE of an applied day: its old
-                # signatures must not act as history (a changed input
-                # would wrongly die against the day's previous self).
-                # Drop the partition and probe WITHOUT the index —
-                # its sigs layout still holds the old signatures
-                # until the post-commit rebuild clears them.
-                shutil.rmtree(os.path.join(sig_store, f"batch={date}"),
-                              ignore_errors=True)
+                # deliberate REPLACE of an applied day: probe WITHOUT
+                # the index — its sigs layout still holds the old
+                # signatures until the post-commit rebuild clears them.
+                # (The stale partition itself is dropped below for
+                # every reapplied run, covered or not.)
                 band_index = None
                 acct["band_index"] = False
                 acct["band_index_bypassed"] = (
@@ -347,6 +358,16 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
                 acct["band_index_bypassed"] = (
                     f"batch {date} de-covered (now a delta); index "
                     "rebuilt post-commit")
+    if reapplied:
+        # deliberate REPLACE of an applied day: its old signatures must
+        # never act as history (a changed input would wrongly die
+        # against the day's previous self).  Drop the partition
+        # REGARDLESS of index coverage — with no index, or with the
+        # day applied after the last index build, the old partition
+        # would otherwise be probed directly (or read as an index-path
+        # delta) even though it is being replaced.
+        shutil.rmtree(os.path.join(sig_store, f"batch={date}"),
+                      ignore_errors=True)
     if preflight:
         # opt-in skew report over the DAY's signatures before the
         # candidate stage (one extra signature pass over the day only

@@ -472,3 +472,106 @@ def test_rebuild_auto_rebuilds_existing_index(spark, tmp_path,
                       bloom_n=100_000, hll_p=12, reindex_every=9)
     assert acct2.get("band_index") is True
     assert acct2["band_index_deltas"] == 1
+
+
+def test_force_rerun_uncovered_day_drops_stale_partition(
+        spark, tmp_path, two_days):
+    """A --force replace must drop the day's old sig_store partition
+    even when the day is NOT in the band index's covered_batches (no
+    index at all here): otherwise the day's previous self is probed
+    as history and a changed replacement input (new urls, same texts)
+    is wrongly dropped wholesale."""
+    from daily_update import run_daily
+    root, d1, fresh2 = two_days
+    state = str(tmp_path / "state")
+    acct0 = run_daily(spark, d1, state, "2026-01-01")
+    assert acct0["day_docs"] > 0
+    # changed replacement input: the same curated texts under entirely
+    # new urls — every one a perfect near-dup of the day's previous self
+    replaced = str(root / "day1_replaced")
+    (spark.read.parquet(d1)
+     .withColumn("url", F.concat(F.lit("http://replaced.example/"),
+                                 F.xxhash64("url").cast("string")))
+     .write.mode("overwrite").parquet(replaced))
+    acct = run_daily(spark, replaced, state, "2026-01-01", force=True)
+    # without the unconditional partition drop these all die vs history
+    assert acct["day_docs"] == acct0["day_docs"]
+    # and the store partition holds the NEW urls only
+    part = spark.read.parquet(
+        os.path.join(state, "sig_store", "batch=2026-01-01"))
+    urls = [r._id for r in part.select("_id").collect()]
+    assert urls and all(u.startswith("http://replaced.example/")
+                        for u in urls)
+
+
+def test_force_rerun_delta_day_with_index_drops_stale_partition(
+        spark, tmp_path, two_days):
+    """Same hazard through the index path: the day was applied AFTER
+    the last index build, so its partition is an uncovered delta the
+    indexed probe reads directly.  The force replace must still drop
+    it before stage 2."""
+    from daily_update import run_daily
+    from gopie_spark.operators.dedup import build_band_index
+    root, d1, fresh2 = two_days
+    state = str(tmp_path / "state")
+    run_daily(spark, d1, state, "2026-01-01")
+    build_band_index(spark, os.path.join(state, "sig_store"),
+                     os.path.join(state, "band_index"), index_buckets=8)
+    acct2 = run_daily(spark, fresh2, state, "2026-01-02")
+    assert acct2["band_index"] is True and acct2["day_docs"] > 0
+    replaced = str(root / "day2_replaced")
+    (spark.read.parquet(fresh2)
+     .withColumn("url", F.concat(F.lit("http://replaced2.example/"),
+                                 F.xxhash64("url").cast("string")))
+     .write.mode("overwrite").parquet(replaced))
+    acct = run_daily(spark, replaced, state, "2026-01-02", force=True)
+    # day-2 docs that genuinely near-dup DAY-1 history must still die,
+    # but nothing may die against day-2's previous self
+    assert acct["day_docs"] == acct2["day_docs"]
+    part = spark.read.parquet(
+        os.path.join(state, "sig_store", "batch=2026-01-02"))
+    urls = [r._id for r in part.select("_id").collect()]
+    assert urls and all(u.startswith("http://replaced2.example/")
+                        for u in urls)
+
+
+def test_needs_rebuild_flag_survives_crash_before_reindex(
+        spark, tmp_path, two_days, monkeypatch):
+    """De-covering a batch persists needs_rebuild in _index_meta.json;
+    if the run dies before its post-commit rebuild, the NEXT run picks
+    the flag up as reindex_force, and the rebuild's fresh meta clears
+    it — the index base can never keep stale partition-less entries
+    forever."""
+    import daily_update as du
+    from gopie_spark.operators.dedup import build_band_index
+    root, d1, fresh2 = two_days
+    state = str(tmp_path / "state")
+    du.run_daily(spark, d1, state, "2026-01-01")
+    build_band_index(spark, os.path.join(state, "sig_store"),
+                     os.path.join(state, "band_index"), index_buckets=8)
+    # force re-run of the covered day, crashing at the reindex step
+    real = du.maybe_reindex
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before rebuild")
+    monkeypatch.setattr(du, "maybe_reindex", boom)
+    with pytest.raises(RuntimeError):
+        du.run_daily(spark, d1, state, "2026-01-01", force=True)
+    monkeypatch.setattr(du, "maybe_reindex", real)
+    meta_p = os.path.join(state, "band_index", "_index_meta.json")
+    with open(meta_p) as fh:
+        m = json.load(fh)
+    assert m.get("needs_rebuild") is True
+    assert "2026-01-01" not in m["covered_batches"]
+    # next (normal) day picks the flag up and rebuilds unconditionally
+    acct2 = run_daily_via(du, spark, fresh2, state, "2026-01-02")
+    assert acct2.get("band_index_needs_rebuild") is True
+    assert "band_index_rebuilt" in acct2
+    with open(meta_p) as fh:
+        m2 = json.load(fh)
+    assert "needs_rebuild" not in m2
+    assert set(m2["covered_batches"]) == {"2026-01-01", "2026-01-02"}
+
+
+def run_daily_via(du, spark, inp, state, date, **kw):
+    return du.run_daily(spark, inp, state, date, **kw)
