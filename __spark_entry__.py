@@ -658,6 +658,110 @@ def _q_incremental_dedup_indexed(spark, sf_dir):
             .orderBy("new_id"))
 
 
+def _q_daily_update_cert(spark, sf_dir):
+    """END-TO-END daily-loop certificate (jobs/daily_update.py
+    ``run_daily`` — curate -> keep-first url conflation -> incremental
+    near-dup dedup vs the history signature store -> day sketch store
+    -> serving-store fold -> cube -> drift), run as a bounded two-day
+    scenario whose outcomes the DuckDB oracle recomputes:
+
+    - day 1 = docs 0-149 as pages; day 2 = fresh docs 150-259 plus
+      EXACT re-crawls of docs 0-29 under new urls;
+    - certificate scope = docs that PASS the rule-based quality filter
+      (driver-certified SQL twin: ``quality_filter_flags``) and have NO
+      exact 3-gram Jaccard >= 0.6 partner among docs 0-259 (certified
+      twin: ``ngram_jaccard_pairs``) — for scoped docs every stage is
+      deterministic: day-1/fresh docs must SURVIVE their day (nothing
+      can kill them: unique urls, unique digests, no near-dup partner
+      within estimator slack), and every scoped re-crawl must DIE
+      against history (identical text -> identical MinHash signature
+      -> est_jaccard = 1 >= threshold, and its source provably reached
+      the store);
+    - serving-layer anchors ride every row: the folded SketchStore's
+      distinct-url answer inside the HLL 4-sigma band of the exact
+      two-day survivor count, zero Bloom false negatives over every
+      survivor url, day-2 accounting == the curated partition, and
+      drift diffed against the day-1 label.
+
+    Risky docs (near-dup families, quality-fails) still flow THROUGH
+    the pipeline — they are only excluded from the certificate rows,
+    where survivor selection inside a family is strategy-dependent."""
+    import json
+    import os
+    import sys
+    import tempfile
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "jobs"))
+    from daily_update import run_daily
+    from gopie_spark.operators.dedup import ngram_jaccard_pairs
+    from gopie_spark.operators.store import SketchStore
+    from gopie_spark.operators.textstats import quality_filter
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 260) \
+        .select("doc_id", "text", "lang").localCheckpoint()
+    q_ids = {r["doc_id"] for r in quality_filter(docs)
+             .filter("keep").select("doc_id").collect()}
+    pr = ngram_jaccard_pairs(docs, width=3, threshold=0.6) \
+        .select("id_a", "id_b").collect()
+    risky = {r["id_a"] for r in pr} | {r["id_b"] for r in pr}
+    scope = sorted(q_ids - risky)
+
+    pages = docs.select(
+        F.concat(F.lit("http://d.example/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "text", "lang", "doc_id")
+    with tempfile.TemporaryDirectory() as d:
+        state = os.path.join(d, "state")
+        pages.filter(F.col("doc_id") < 150).drop("doc_id") \
+            .coalesce(2).write.parquet(os.path.join(d, "day1"))
+        recrawl = pages.filter(F.col("doc_id") < 30).select(
+            F.concat(F.lit("http://r.example/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            "text", "lang")
+        pages.filter(F.col("doc_id") >= 150).drop("doc_id") \
+            .unionByName(recrawl).coalesce(2) \
+            .write.parquet(os.path.join(d, "day2"))
+        run_daily(spark, os.path.join(d, "day1"), state, "2026-01-01",
+                  bloom_n=100_000, hll_p=12)
+        acct2 = run_daily(spark, os.path.join(d, "day2"), state,
+                          "2026-01-02", bloom_n=100_000, hll_p=12)
+        s1 = {r["url"] for r in spark.read.parquet(
+            os.path.join(state, "curated", "day=2026-01-01"))
+            .select("url").collect()}
+        s2 = {r["url"] for r in spark.read.parquet(
+            os.path.join(state, "curated", "day=2026-01-02"))
+            .select("url").collect()}
+        store = SketchStore(os.path.join(state, "store"))
+        n_union = len(s1) + len(s2)
+        est = store.distinct_urls()
+        band = 4 * 1.04 / 2 ** 6  # 4-sigma at p=12
+        distinct_ok = abs(est.value - n_union) <= band * n_union + 5
+        probe = sorted(s1 | s2)
+        bloom_ok = all(store.maybe_contains_urls(probe).value[u]
+                       for u in probe)
+        acct_ok = (acct2["day_docs"] == len(s2)
+                   and os.path.exists(os.path.join(
+                       state, "_applied", "2026-01-02"))
+                   and os.path.exists(os.path.join(
+                       state, "accounting", "2026-01-02.json")))
+        drift_ok = acct2.get("drift_vs") == "2026-01-01"
+    rows = []
+    for i in scope:
+        if i < 150:
+            rows.append((i, "day1", f"http://d.example/{i}" in s1))
+        else:
+            rows.append((i, "fresh", f"http://d.example/{i}" in s2))
+        if i < 30:
+            rows.append((i + 10000, "recrawl",
+                         f"http://r.example/{i}" in s2))
+    out = [(int(i), k, bool(s), bool(distinct_ok), bool(bloom_ok),
+            bool(acct_ok), bool(drift_ok)) for i, k, s in rows]
+    return spark.createDataFrame(
+        out, "id long, kind string, survived boolean, "
+             "distinct_ok boolean, bloom_ok boolean, "
+             "acct_ok boolean, drift_ok boolean").orderBy("id", "kind")
+
+
 def _q_simhash_dedup(spark, sf_dir):
     """SimHash blocking certificate: the 4x16-bit-chunk blocking +
     bit_count(xor) verify must reproduce EXACTLY the brute-force
@@ -3413,6 +3517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_gate": _q_normalize_gate,
         "repetition_stats": _q_repetition_stats,
         # --- block B: round-5 additions ---
+        "daily_update_cert": _q_daily_update_cert,
         # --- block C: r01-r03 driver-green, oldest evidence first ---
         "priority_sample_docs": _q_priority_sample_docs,
         "stratified_sample_docs": _q_stratified_sample_docs,
@@ -3519,6 +3624,109 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "daily_update_cert": r"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                                      '\s+'),
+                                   t -> t <> '') AS l,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text),
+                                                        '\s+'))
+                       END AS qf_n_tokens,
+                       len(text) AS n_chars
+                FROM documents
+                WHERE doc_id < 260 AND text IS NOT NULL
+            ),
+            tok AS (SELECT doc_id, unnest(l) AS token FROM base),
+            tc  AS (SELECT doc_id, token, count(*) AS c
+                    FROM tok GROUP BY doc_id, token),
+            ta  AS (SELECT doc_id, max(c) AS max_tok, sum(c) AS n_tok,
+                           count(*) AS n_dis
+                    FROM tc GROUP BY doc_id),
+            f AS (
+                SELECT b.doc_id,
+                       coalesce(n_tok, 0) AS rs_n_tokens,
+                       CASE WHEN n_tok > 0 THEN CAST(floor(
+                           n_dis * 1000000.0 / n_tok + 0.5) AS BIGINT)
+                       END AS ttr_e6,
+                       CASE WHEN n_tok > 0 THEN CAST(floor(
+                           max_tok * 1000000.0 / n_tok + 0.5) AS BIGINT)
+                       END AS top_token_e6,
+                       n_chars * 1.0 / greatest(qf_n_tokens, 1)
+                           AS mean_token_len,
+                       len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           * 1.0 / greatest(n_chars, 1) AS alpha_ratio,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(list_filter(
+                                string_split_regex(lower(trim(text)),
+                                                   '\s+'),
+                                t -> list_contains(['the','of','and','to','in','a','is','that','for','it','was','on','are','as','with','at','be','by','this'], t)))
+                       END * 1.0 / greatest(qf_n_tokens, 1)
+                           AS stopword_ratio
+                FROM base b LEFT JOIN ta USING (doc_id)
+            ),
+            quality AS (
+                SELECT doc_id FROM f
+                WHERE rs_n_tokens >= 20 AND rs_n_tokens <= 100000
+                  AND mean_token_len >= 2.0 AND mean_token_len <= 12.0
+                  AND alpha_ratio >= 0.5 AND stopword_ratio >= 0.01
+                  AND coalesce(ttr_e6, 0) >= 100000
+                  AND coalesce(top_token_e6, 0) <= 200000
+            ),
+            toks2 AS (
+                SELECT doc_id,
+                       string_split_regex(lower(text), '\s+') AS t
+                FROM documents WHERE doc_id < 260
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(t) >= 3
+                            THEN array_to_string(t[i:i+2], ' ')
+                            ELSE array_to_string(t, ' ') END AS shingle
+                FROM toks2,
+                     LATERAL (SELECT unnest(range(1, greatest(len(t) - 1,
+                                                              2)))
+                              AS i) g
+            ),
+            sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS shared
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT id_a, id_b FROM shared
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.6
+            ),
+            risky AS (SELECT id_a AS doc_id FROM pairs
+                      UNION SELECT id_b FROM pairs),
+            scopetbl AS (
+                SELECT doc_id FROM quality
+                WHERE doc_id NOT IN (SELECT doc_id FROM risky)
+            )
+            SELECT * FROM (
+                SELECT CAST(doc_id AS BIGINT) AS id, 'day1' AS kind,
+                       TRUE AS survived, TRUE AS distinct_ok,
+                       TRUE AS bloom_ok, TRUE AS acct_ok,
+                       TRUE AS drift_ok
+                FROM scopetbl WHERE doc_id < 150
+                UNION ALL
+                SELECT CAST(doc_id AS BIGINT), 'fresh', TRUE, TRUE,
+                       TRUE, TRUE, TRUE
+                FROM scopetbl WHERE doc_id >= 150
+                UNION ALL
+                SELECT CAST(doc_id + 10000 AS BIGINT), 'recrawl', FALSE,
+                       TRUE, TRUE, TRUE, TRUE
+                FROM scopetbl WHERE doc_id < 30
+            ) ORDER BY id, kind
+        """,
         "incremental_dedup_indexed": """
             SELECT doc_id + 10000 AS new_id,
                    TRUE AS died,
