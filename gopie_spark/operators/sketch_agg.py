@@ -164,14 +164,25 @@ def build_partials(df: DataFrame, keys: Sequence[str], value_col: str,
     return df.mapInArrow(fn, out_schema)
 
 
-def _arrow_group_merge(sketch, key_cols: List[str]):
+def _arrow_group_merge(sketch, key_cols: List[str], out_schema=None):
     """Group-merge function for ``applyInArrow``: fold every state blob in
     the group with the kernel's associative merge, emit one row carrying
     the group key.  Arrow (not pandas) because the per-group fixed cost
     dominates when there are many small groups (720-window merge measured
     4x faster than the applyInPandas equivalent — no pandas block
-    construction per group)."""
+    construction per group).
+
+    When ``out_schema`` (the Spark StructType) is given, the output
+    table is cast to its Arrow equivalent — pass-through key columns
+    otherwise keep the INPUT table's Arrow annotations, and a timestamp
+    key's timezone label can disagree with what the session expects
+    back (tz=Etc/UTC vs tz=UTC) in sessions whose timeZone is not
+    pinned, failing Spark's result verification."""
     import pyarrow as pa
+    arrow_schema = None
+    if out_schema is not None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+        arrow_schema = to_arrow_schema(out_schema)
 
     def fn(table: "pa.Table") -> "pa.Table":
         st = None
@@ -180,7 +191,10 @@ def _arrow_group_merge(sketch, key_cols: List[str]):
             st = s if st is None else sketch.merge(st, s)
         cols = {k: table.column(k)[:1] for k in key_cols}
         cols[STATE_COL] = pa.array([sketch.serialize(st)], type=pa.binary())
-        return pa.table(cols)
+        out = pa.table(cols)
+        if arrow_schema is not None:
+            out = out.cast(arrow_schema)
+        return out
 
     return fn
 
@@ -204,12 +218,13 @@ def merge_partials(partials: DataFrame, keys: Sequence[str], sketch,
             "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)))
         partials = (salted.groupBy(*keys, "_salt")
                     .applyInArrow(_arrow_group_merge(sketch,
-                                                     keys + ["_salt"]),
+                                                     keys + ["_salt"],
+                                                     salted_schema),
                                   salted_schema)
                     .drop("_salt"))
 
     return partials.groupBy(*keys).applyInArrow(
-        _arrow_group_merge(sketch, keys), out_schema)
+        _arrow_group_merge(sketch, keys, out_schema), out_schema)
 
 
 def _merge_all_to_one(sketch):

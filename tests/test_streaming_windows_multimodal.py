@@ -52,6 +52,33 @@ def test_sliding_equals_tumbling_when_same(spark, events):
     assert sa == sb
 
 
+def test_sliding_panes_engine_byte_equals_explode(spark, events):
+    """The pane-based sliding engine (tumbling pane states + per-window
+    state merges) must be BYTE-identical to the row-explode reference
+    engine — both reduce to the same register merges, so serialized
+    states cannot differ."""
+    hll = HLL(p=12)
+    a = windowed_sketch_agg(events, "ts", "user_id", hll,
+                            width_s=3600, slide_s=900, engine="panes")
+    b = windowed_sketch_agg(events, "ts", "user_id", hll,
+                            width_s=3600, slide_s=900, engine="explode")
+    sa = {r["window_start"]: bytes(r[STATE_COL]) for r in a.collect()}
+    sb = {r["window_start"]: bytes(r[STATE_COL]) for r in b.collect()}
+    assert sa == sb
+    # keyed variant too (keys ride both shuffles)
+    ak = windowed_sketch_agg(events, "ts", "user_id", hll,
+                             width_s=7200, slide_s=3600,
+                             keys=["event_type"], engine="panes")
+    bk = windowed_sketch_agg(events, "ts", "user_id", hll,
+                             width_s=7200, slide_s=3600,
+                             keys=["event_type"], engine="explode")
+    ka = {(r["window_start"], r["event_type"]): bytes(r[STATE_COL])
+          for r in ak.collect()}
+    kb = {(r["window_start"], r["event_type"]): bytes(r[STATE_COL])
+          for r in bk.collect()}
+    assert ka == kb
+
+
 def test_streaming_sketch_equals_batch(spark, tmp_path):
     """Micro-batch-merged streaming HLL == one-shot batch HLL (byte-equal),
     via a file-source stream drained with availableNow."""
