@@ -735,7 +735,8 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
 def build_band_index(spark, sig_store: str, index_dir: str, *,
                      k: int = 128, bands: int = 32,
                      max_bucket: int = 64,
-                     index_buckets: int = 64) -> dict:
+                     index_buckets: int = 64,
+                     bbit: Optional[int] = None) -> dict:
     """Compact the signature store's LSH blocking structure into a
     PERSISTED, bucketed member index — the base of the LSM shape that
     keeps daily incremental dedup from re-shuffling all of history.
@@ -808,13 +809,25 @@ def build_band_index(spark, sig_store: str, index_dir: str, *,
     # instead of shuffling the whole store by _id every day
     sig_table = f"gopie_sig_index_{suffix}_{ver}"
     sig_path = _os.path.join(index_dir, f"sigs-{ver}")
-    write_bucketed(raw.select("_id", sig_col), sig_table, ["_id"],
+    sig_rows = raw.select("_id", sig_col)
+    if bbit is not None:
+        # b-bit verification diet (Li & Koenig, CACM 2011): persist the
+        # packed words ALONGSIDE the full signatures in the same
+        # bucketed layout, so an incremental probe with bbit= fetches
+        # k*b/64 words per candidate instead of k slots (64x smaller at
+        # b=1, k=128) — at the 10^12-doc tier the fetch reduction
+        # matters most exactly here.  Pure column addition: the full
+        # signatures stay for bbit-less probes and future rebuilds.
+        sig_rows = pack_bbit_column(sig_rows, sig_col=sig_col, k=k,
+                                    b=bbit, out_col="minhash_bbit")
+    write_bucketed(sig_rows, sig_table, ["_id"],
                    n_buckets=index_buckets, path=sig_path)
     return _commit_index_meta(spark, index_dir, {
         "k": k, "bands": bands, "max_bucket": max_bucket,
         "index_buckets": index_buckets, "table": table,
         "data_path": data_path, "sig_table": sig_table,
-        "sig_path": sig_path, "covered_batches": covered})
+        "sig_path": sig_path, "bbit": bbit,
+        "covered_batches": covered})
 
 
 def load_band_index(spark, index_dir: str):
@@ -851,7 +864,8 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
                               strategy: str = "cc",
                               update_store: bool = True,
                               store_partition: Optional[str] = None,
-                              band_index: Optional[str] = None
+                              band_index: Optional[str] = None,
+                              bbit: Optional[int] = None
                               ) -> DataFrame:
     """Near-dup-dedup a batch of NEW documents against an existing
     corpus represented ONLY by its MinHash signature store — the
@@ -898,6 +912,21 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
     capped member collection (bounded buffers); candidate expansion is
     new-in-bucket x capped members, i.e. O(|new| x bands x max_bucket)
     worst case — NEVER store x store.
+
+    ``bbit`` (1/2/4/8): the b-bit verification diet — candidates are
+    verified from packed b-bit words instead of full signatures, so
+    the per-candidate signature fetch carries ``k*b/64`` words per
+    side instead of ``k`` slots (64x smaller at b=1, k=128).  When the
+    band index's sigs layout was built with the same ``bbit``
+    (:func:`build_band_index`), the packed column is read AT REST from
+    the bucketed layout — the fetch reduction with zero extra work;
+    otherwise (no index, or an index without packed words) the fetched
+    full signatures are packed post-fetch, which keeps the estimator
+    semantics identical but forgoes the shuffle saving.  The estimate
+    becomes the unbiased b-bit Jaccard (sigma sqrt(p(1-p)/k)/(1-2^-b)
+    instead of sqrt(J(1-J)/k)) — exact duplicates still estimate 1.0
+    exactly, and ``threshold`` should carry the wider slack for
+    borderline pairs (see kernels.minhash ``bbit_sigma``).
 
     Semantics: a new doc is dropped when its estimated Jaccard >=
     ``threshold`` against any STORED doc (history is immutable — it is
@@ -987,6 +1016,21 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
             .filter(F.col("id_new") != F.col("id_other"))
             .distinct())
     cand_cached = False
+    pk_col = "minhash_bbit"
+
+    def _as_verify(sigs_df, from_packed=False):
+        # project a signature frame to the verification columns: the
+        # packed words under bbit (packing post-fetch when the source
+        # has no at-rest packed column), the full signature otherwise
+        if bbit is None:
+            return sigs_df.select("_id", sig_col)
+        if from_packed:
+            return sigs_df.select("_id", F.col(pk_col).alias("_pk"))
+        return pack_bbit_column(sigs_df.select("_id", sig_col),
+                                sig_col=sig_col, k=k, b=bbit,
+                                out_col="_pk").select("_id", "_pk")
+
+    new_verify = _as_verify(new_sigs)
     if imeta is not None and imeta.get("sig_table"):
         # signature fetch from the index's SECOND layout — signatures
         # bucketed on _id: semi-joining the (day-sized) candidate-id
@@ -994,29 +1038,44 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
         # ZERO Exchange (plan-tested), where the raw-store fallback
         # below shuffles the whole store by _id every call.  Semi-
         # filtering before the pair join fetches the same rows, so the
-        # result is identical to the fallback (tested).
+        # result is identical to the fallback (tested).  Under bbit
+        # with a matching index, only the packed column is READ —
+        # column pruning keeps the full signatures on disk.
         from gopie_spark.sources.bucketed import read_bucketed
         cand = cand.persist()
         cand_cached = True
         other_ids = cand.select(F.col("id_other").alias("_id")) \
             .distinct()
-        store_fetch = read_bucketed(spark, imeta["sig_table"]) \
-            .join(other_ids, "_id", "left_semi")
+        at_rest = read_bucketed(spark, imeta["sig_table"])
+        packed_at_rest = bbit is not None and imeta.get("bbit") == bbit
+        if packed_at_rest:
+            at_rest = at_rest.select("_id", pk_col)
+        store_fetch = _as_verify(
+            at_rest.join(other_ids, "_id", "left_semi"),
+            from_packed=packed_at_rest)
         if delta_sigs is not None:
-            store_fetch = store_fetch.unionByName(
-                delta_sigs.join(other_ids, "_id", "left_semi"))
-        all_sigs = new_sigs.unionByName(store_fetch)
+            store_fetch = store_fetch.unionByName(_as_verify(
+                delta_sigs.join(other_ids, "_id", "left_semi")))
+        all_verify = new_verify.unionByName(store_fetch)
     else:
-        all_sigs = new_sigs if stored is None else \
-            new_sigs.unionByName(stored)
-    sa = new_sigs.select(F.col("_id").alias("id_new"),
-                         F.col(sig_col).alias("_sig_a"))
-    sb = all_sigs.select(F.col("_id").alias("id_other"),
-                         F.col(sig_col).alias("_sig_b"))
-    est = F.aggregate(
-        F.zip_with("_sig_a", "_sig_b",
-                   lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0), lambda acc, v: acc + v) / F.lit(k)
+        all_verify = new_verify if stored is None else \
+            new_verify.unionByName(_as_verify(stored))
+    if bbit is not None:
+        sa = new_verify.select(F.col("_id").alias("id_new"),
+                               F.col("_pk").alias("_pk_a"))
+        sb = all_verify.select(F.col("_id").alias("id_other"),
+                               F.col("_pk").alias("_pk_b"))
+        est = bbit_est_jaccard(F.col("_pk_a"), F.col("_pk_b"),
+                               k=k, b=bbit)
+    else:
+        sa = new_verify.select(F.col("_id").alias("id_new"),
+                               F.col(sig_col).alias("_sig_a"))
+        sb = all_verify.select(F.col("_id").alias("id_other"),
+                               F.col(sig_col).alias("_sig_b"))
+        est = F.aggregate(
+            F.zip_with("_sig_a", "_sig_b",
+                       lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0), lambda acc, v: acc + v) / F.lit(k)
     pairs = (cand.join(sa, "id_new").join(sb, "id_other")
              .withColumn("est_jaccard", est.cast("double"))
              .filter(F.col("est_jaccard") >= threshold)

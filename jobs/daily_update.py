@@ -152,7 +152,8 @@ def maybe_reindex(spark, sig_store: str, band_index: str,
     meta = build_band_index(
         spark, sig_store, band_index, k=imeta["k"],
         bands=imeta["bands"], max_bucket=imeta["max_bucket"],
-        index_buckets=imeta["index_buckets"])
+        index_buckets=imeta["index_buckets"],
+        bbit=imeta.get("bbit"))
     return {"band_index_rebuilt": {"absorbed": delta,
                                    "covered": len(meta["covered_batches"])}}
 

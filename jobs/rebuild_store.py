@@ -170,7 +170,8 @@ def run_rebuild(spark, state: str, *, bloom_n: int = 1_000_000_000,
                     old = json.load(fh)
                 kw = {"k": k, "bands": old["bands"],
                       "max_bucket": old["max_bucket"],
-                      "index_buckets": old["index_buckets"]}
+                      "index_buckets": old["index_buckets"],
+                      "bbit": old.get("bbit")}
                 if not band_index:
                     acct["band_index_auto"] = (
                         "existing index rebuilt after store rewrite")

@@ -265,3 +265,66 @@ def test_uncommitted_partition_is_not_covered(spark, tmp_path):
                                     id_col="url", store_partition="d2",
                                     band_index=idx)
     assert out.count() > 0
+
+
+def test_bbit_indexed_probe_equals_bbit_plain(spark, tmp_path):
+    """b-bit verification diet through the LSM path: an index built
+    with bbit= stores packed words alongside the signatures, and a
+    probe with the same bbit= must equal the index-free bbit probe
+    doc-for-doc (same estimator both sides), with exact re-crawls
+    still dying (packed words of identical signatures are identical,
+    so the b-bit estimate is exactly 1)."""
+    store = str(tmp_path / "sigs")
+    incremental_minhash_dedup(_docs(spark, 0, 60), store, id_col="url",
+                              store_partition="d1")
+    idx = str(tmp_path / "index")
+    meta = build_band_index(spark, store, idx, k=128, bands=32,
+                            max_bucket=64, index_buckets=8, bbit=1)
+    assert meta["bbit"] == 1
+    recrawl = _docs(spark, 0, 15).select(
+        F.concat(F.lit("http://re.example/"),
+                 F.xxhash64("url").cast("string")).alias("url"), "text")
+    day2 = _docs(spark, 60, 40).unionByName(recrawl)
+    with_idx = incremental_minhash_dedup(
+        day2, store, id_col="url", update_store=False, band_index=idx,
+        bbit=1)
+    without = incremental_minhash_dedup(
+        day2, store, id_col="url", update_store=False, bbit=1)
+    got = _ids(with_idx)
+    assert got == _ids(without)
+    assert not any(u.startswith("http://re.example/") for u in got)
+    # delta partitions (packed on the fly) keep the equality too
+    incremental_minhash_dedup(_docs(spark, 60, 40), store, id_col="url",
+                              store_partition="d2", band_index=idx)
+    recrawl3 = _docs(spark, 60, 20).select(
+        F.concat(F.lit("http://re3.example/"),
+                 F.xxhash64("url").cast("string")).alias("url"), "text")
+    day3 = _docs(spark, 100, 30).unionByName(recrawl3)
+    wi = incremental_minhash_dedup(
+        day3, store, id_col="url", update_store=False, band_index=idx,
+        bbit=1)
+    wo = incremental_minhash_dedup(
+        day3, store, id_col="url", update_store=False, bbit=1)
+    assert _ids(wi) == _ids(wo)
+    assert not any(u.startswith("http://re3.example/")
+                   for u in _ids(wi))
+
+
+def test_bbit_mismatched_index_packs_post_fetch(spark, indexed_store):
+    """A bbit probe against an index whose sigs layout has NO packed
+    words must still work (full signatures fetched, packed post-fetch)
+    and equal the index-free bbit probe."""
+    store, idx = indexed_store
+    _, imeta = load_band_index(spark, idx)
+    assert imeta.get("bbit") is None
+    recrawl = _docs(spark, 0, 10).select(
+        F.concat(F.lit("http://reb.example/"),
+                 F.xxhash64("url").cast("string")).alias("url"), "text")
+    day = _docs(spark, 140, 20).unionByName(recrawl)
+    wi = incremental_minhash_dedup(
+        day, store, id_col="url", update_store=False, band_index=idx,
+        bbit=2)
+    wo = incremental_minhash_dedup(
+        day, store, id_col="url", update_store=False, bbit=2)
+    assert _ids(wi) == _ids(wo)
+    assert not any(u.startswith("http://reb.example/") for u in _ids(wi))
