@@ -163,6 +163,7 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
               max_text_len=None, min_tokens: int = 20, blocklist=None,
               per_host_cap=None, bloom_n: int = 1_000_000_000,
               hll_p: int = 14, threshold: float = 0.8,
+              bbit=None,
               time_windows: bool = False,
               window_resolution: float = 86400.0,
               window_horizon: int = 365,
@@ -381,7 +382,8 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
         acct["lsh_preflight"] = lsh_preflight_report(day_sigs)
     survivors = incremental_minhash_dedup(
         kept, sig_store, id_col="url", threshold=threshold,
-        update_store=True, store_partition=date, band_index=band_index)
+        update_store=True, store_partition=date, band_index=band_index,
+        bbit=bbit)
     day_dir = os.path.join(state, "curated", f"day={date}")
     if "warc_ts" not in survivors.columns:
         # the crawl day IS the event time at daily resolution — gives
@@ -582,6 +584,13 @@ def main() -> None:
                          "index once it lags the signature store by "
                          "this many delta partitions (LSM compaction "
                          "inside the loop; needs an existing index)")
+    ap.add_argument("--bbit", type=int, default=None,
+                    choices=(1, 2, 4, 8),
+                    help="b-bit verification diet for the history "
+                         "probe: candidates verify from packed b-bit "
+                         "words (64/b-fold smaller signature fetch; "
+                         "reads the packed column at rest when the "
+                         "band index was built with the same --bbit)")
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
 
@@ -597,7 +606,7 @@ def main() -> None:
         time_windows=args.time_windows,
         window_resolution=args.window_resolution,
         window_horizon=args.window_horizon,
-        keep_known_urls=args.keep_known_urls,
+        keep_known_urls=args.keep_known_urls, bbit=args.bbit,
         preflight=args.preflight, reindex_every=args.reindex_every,
         force=args.force)
     print(json.dumps(acct))

@@ -121,6 +121,12 @@ def main() -> None:
                          "this build_band_index directory (bucketed "
                          "at-rest scans; post-index partitions as "
                          "deltas) instead of re-aggregating the store")
+    ap.add_argument("--bbit", type=int, default=None,
+                    choices=(1, 2, 4, 8),
+                    help="with --incremental: verify candidates from "
+                         "packed b-bit words (64/b-fold smaller "
+                         "signature fetch when the band index carries "
+                         "the packed layout)")
     ap.add_argument("--paragraph-index", default=None,
                     help="with --paragraph-store: history anti-join "
                          "through this build_pk_index directory")
@@ -222,7 +228,7 @@ def main() -> None:
             threshold=args.threshold, strategy=args.strategy, k=args.k,
             bands=args.bands, max_bucket=args.max_bucket,
             store_partition=args.batch_date,
-            band_index=args.band_index).persist()
+            band_index=args.band_index, bbit=args.bbit).persist()
     else:
         # build the (k-linear) signature table ONCE, run the pre-flight
         # skew report on it (one cheap groupBy — tells you whether

@@ -61,7 +61,8 @@ def run_rebuild(spark, state: str, *, bloom_n: int = 1_000_000_000,
                 shingle_width: int = 3, skip_sigs: bool = False,
                 skip_cube: bool = False,
                 compact_sigs: bool = False,
-                band_index: bool = False) -> dict:
+                band_index: bool = False,
+                bbit=None) -> dict:
     """The whole rebuild as a library call; ``main`` is the CLI twin."""
     from pyspark.sql import functions as F
     from gopie_spark.kernels import HLL
@@ -163,7 +164,8 @@ def run_rebuild(spark, state: str, *, bloom_n: int = 1_000_000_000,
             # Keep the old index's own bands/cap/buckets; k must match
             # the signatures just written, so it follows this rebuild.
             from gopie_spark.operators.dedup import build_band_index
-            kw = {"k": k, "bands": 32, "max_bucket": 64}
+            kw = {"k": k, "bands": 32, "max_bucket": 64,
+                  "bbit": bbit}
             if has_index:
                 with open(os.path.join(idx_dir,
                                        "_index_meta.json")) as fh:
@@ -171,7 +173,8 @@ def run_rebuild(spark, state: str, *, bloom_n: int = 1_000_000_000,
                 kw = {"k": k, "bands": old["bands"],
                       "max_bucket": old["max_bucket"],
                       "index_buckets": old["index_buckets"],
-                      "bbit": old.get("bbit")}
+                      "bbit": bbit if bbit is not None
+                      else old.get("bbit")}
                 if not band_index:
                     acct["band_index_auto"] = (
                         "existing index rebuilt after store rewrite")
@@ -227,6 +230,13 @@ def main() -> None:
     ap.add_argument("--compact-sigs", action="store_true",
                     help="rebuild the signature store as ONE base "
                          "partition instead of per-day batches")
+    ap.add_argument("--bbit", type=int, default=None,
+                    choices=(1, 2, 4, 8),
+                    help="store packed b-bit words alongside the "
+                         "signatures in the (re)built band index so "
+                         "daily probes with the same bbit fetch "
+                         "64/b-fold less; an existing index keeps its "
+                         "recorded bbit unless overridden here")
     ap.add_argument("--band-index", action="store_true",
                     help="also (re)build the persisted LSH band-bucket "
                          "member index (operators/dedup."
@@ -244,7 +254,7 @@ def main() -> None:
         window_horizon=args.window_horizon, k=args.k,
         shingle_width=args.shingle_width, skip_sigs=args.skip_sigs,
         skip_cube=args.skip_cube, compact_sigs=args.compact_sigs,
-        band_index=args.band_index)
+        band_index=args.band_index, bbit=args.bbit)
     print(json.dumps(acct))
     spark.stop()
 

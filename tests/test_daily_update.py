@@ -575,3 +575,35 @@ def test_needs_rebuild_flag_survives_crash_before_reindex(
 
 def run_daily_via(du, spark, inp, state, date, **kw):
     return du.run_daily(spark, inp, state, date, **kw)
+
+
+def test_daily_loop_with_bbit_diet(spark, tmp_path, two_days):
+    """--bbit rides the whole loop: day 1 builds the store, the index
+    is built with packed words (bbit=1), and day 2's history probe
+    (planted exact re-crawls) still kills every re-crawl — identical
+    packed words estimate exactly 1.  The compaction rebuild keeps the
+    recorded bbit."""
+    from daily_update import run_daily
+    from gopie_spark.operators.dedup import build_band_index
+    root, d1, fresh2 = two_days
+    state = str(tmp_path / "state")
+    run_daily(spark, d1, state, "2026-01-01", bbit=1)
+    build_band_index(spark, os.path.join(state, "sig_store"),
+                     os.path.join(state, "band_index"),
+                     index_buckets=8, bbit=1)
+    d2 = _plant_day2(spark, state, root, fresh2)
+    acct2 = run_daily(spark, d2, state, "2026-01-02", bbit=1,
+                      reindex_every=0)
+    assert acct2["band_index"] is True
+    day2_docs = spark.read.parquet(
+        os.path.join(state, "curated", "day=2026-01-02"))
+    assert day2_docs.where(
+        F.col("url").startswith("http://recrawl.example/")).count() == 0
+    assert acct2["near_dup_dropped"] >= 80
+    # the in-loop compaction rebuilt with the index's own bbit
+    assert "band_index_rebuilt" in acct2
+    with open(os.path.join(state, "band_index",
+                           "_index_meta.json")) as fh:
+        m = json.load(fh)
+    assert m["bbit"] == 1
+    assert set(m["covered_batches"]) == {"2026-01-01", "2026-01-02"}
