@@ -118,6 +118,13 @@ def main() -> None:
         # LSM band index (store + index built in-query, indexed probe
         # pinned equal to index-free, planted re-crawls die)
         "incremental_dedup_indexed",
+        # round 5: the daily loop end-to-end (two run_daily days inside
+        # the query: curate -> conflate -> dedup-vs-history -> store
+        # fold -> cube -> drift).  Composition-dominated by design —
+        # its wall time is the orchestration of ~10 certified stages
+        # over a bounded two-day corpus, not a per-row throughput
+        # measure.
+        "daily_update_cert",
     ]
     # rows consumed by the sketch-building queries (docs/sec denominator)
     sketch_queries = {"hll_distinct_global", "hll_distinct_per_lang",
