@@ -305,3 +305,38 @@ def test_token_entropy_two_hash_aggregates_no_window(spark):
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final x 2 aggs
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pane_engine_plan_two_exchanges_no_row_explode(spark):
+    """The pane-based sliding engine's plan: exactly TWO shuffles (the
+    pane partial-state aggregation and the window state merge) and the
+    Generate (explode) sits ABOVE the first aggregation — it explodes
+    pane STATES, never event rows.  The explode engine's plan, by
+    contrast, generates below its aggregation (row explode is its
+    defining cost)."""
+    from gopie_spark.kernels import HLL
+    from gopie_spark.operators.windows import windowed_sketch_agg
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    hll = HLL(p=12)
+    panes = windowed_sketch_agg(events, "ts", "user_id", hll,
+                                width_s=3600, slide_s=900,
+                                engine="panes")
+    plan = plan_text(panes, "simple")
+    assert plan.count("Exchange") == 2, plan[:3000]
+    # the generate feeds off the pane-merge output (binary state col),
+    # not the raw events scan: its input carries sketch_state
+    gen_at = plan.find("Generate")
+    assert gen_at != -1
+    explode_sec = plan[gen_at:gen_at + 400]
+    assert "window_start" in explode_sec
+    exp = windowed_sketch_agg(events, "ts", "user_id", hll,
+                              width_s=3600, slide_s=900,
+                              engine="explode")
+    # the explode engine does all its work below ONE shuffle: rows
+    # explode r-fold into the in-partition partial build, then one
+    # exchange merges per-window partials.  That row multiplication is
+    # its defining map-side cost — the pane engine trades it for the
+    # second (window-count-bounded) state shuffle pinned above.
+    ep = plan_text(exp, "simple")
+    assert ep.count("Exchange") == 1, ep[:3000]
+    assert "Generate" in ep
