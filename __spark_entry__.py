@@ -1483,6 +1483,74 @@ def _q_repetition_stats(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _quality_cte_sql(doc_bound: int) -> str:
+    """Shared DuckDB CTE chain computing the rule-based quality-filter
+    bitmask over ``documents WHERE doc_id < doc_bound`` — ONE source
+    for the thresholds and the 19-word stopword list, consumed by the
+    ``quality_filter_flags`` oracle (flags surface) and the
+    ``daily_update_cert`` oracle (pass/fail scope).  Ends with CTE
+    ``m(doc_id, drop_reasons)``; callers append their own final
+    SELECT.  Mirrors operators/textstats.quality_filter's defaults."""
+    return rf"""base AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                                      '\s+'),
+                                   t -> t <> '') AS l,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text),
+                                                        '\s+'))
+                       END AS qf_n_tokens,
+                       len(text) AS n_chars
+                FROM documents
+                WHERE doc_id < {doc_bound} AND text IS NOT NULL
+            ),
+            tok AS (SELECT doc_id, unnest(l) AS token FROM base),
+            tc  AS (SELECT doc_id, token, count(*) AS c
+                    FROM tok GROUP BY doc_id, token),
+            ta  AS (SELECT doc_id, max(c) AS max_tok, sum(c) AS n_tok,
+                           count(*) AS n_dis
+                    FROM tc GROUP BY doc_id),
+            f AS (
+                SELECT b.doc_id,
+                       coalesce(n_tok, 0) AS rs_n_tokens,
+                       CASE WHEN n_tok > 0 THEN CAST(floor(
+                           n_dis * 1000000.0 / n_tok + 0.5) AS BIGINT)
+                       END AS ttr_e6,
+                       CASE WHEN n_tok > 0 THEN CAST(floor(
+                           max_tok * 1000000.0 / n_tok + 0.5) AS BIGINT)
+                       END AS top_token_e6,
+                       n_chars * 1.0 / greatest(qf_n_tokens, 1)
+                           AS mean_token_len,
+                       len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           * 1.0 / greatest(n_chars, 1) AS alpha_ratio,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(list_filter(
+                                string_split_regex(lower(trim(text)),
+                                                   '\s+'),
+                                t -> list_contains(['the','of','and','to','in','a','is','that','for','it','was','on','are','as','with','at','be','by','this'], t)))
+                       END * 1.0 / greatest(qf_n_tokens, 1)
+                           AS stopword_ratio
+                FROM base b LEFT JOIN ta USING (doc_id)
+            ),
+            m AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN rs_n_tokens < 20 THEN 1 ELSE 0 END
+                          + CASE WHEN rs_n_tokens > 100000 THEN 2 ELSE 0 END
+                          + CASE WHEN mean_token_len < 2.0
+                                   OR mean_token_len > 12.0 THEN 4 ELSE 0 END
+                          + CASE WHEN alpha_ratio < 0.5 THEN 8 ELSE 0 END
+                          + CASE WHEN stopword_ratio < 0.01
+                                 THEN 16 ELSE 0 END
+                          + CASE WHEN coalesce(ttr_e6, 0) < 100000
+                                 THEN 32 ELSE 0 END
+                          + CASE WHEN coalesce(top_token_e6, 0) > 200000
+                                 THEN 64 ELSE 0 END AS BIGINT)
+                           AS drop_reasons
+                FROM f
+            )"""
+
+
+
 def _canonical_urls_oracle_sql() -> str:
     """canonical_urls oracle, generated from the operator module's own
     DuckDB mirror so the two engines share one pattern source."""
@@ -3624,55 +3692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "daily_update_cert": r"""
-            WITH base AS (
-                SELECT doc_id, text,
-                       list_filter(string_split_regex(lower(trim(text)),
-                                                      '\s+'),
-                                   t -> t <> '') AS l,
-                       CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(string_split_regex(trim(text),
-                                                        '\s+'))
-                       END AS qf_n_tokens,
-                       len(text) AS n_chars
-                FROM documents
-                WHERE doc_id < 260 AND text IS NOT NULL
-            ),
-            tok AS (SELECT doc_id, unnest(l) AS token FROM base),
-            tc  AS (SELECT doc_id, token, count(*) AS c
-                    FROM tok GROUP BY doc_id, token),
-            ta  AS (SELECT doc_id, max(c) AS max_tok, sum(c) AS n_tok,
-                           count(*) AS n_dis
-                    FROM tc GROUP BY doc_id),
-            f AS (
-                SELECT b.doc_id,
-                       coalesce(n_tok, 0) AS rs_n_tokens,
-                       CASE WHEN n_tok > 0 THEN CAST(floor(
-                           n_dis * 1000000.0 / n_tok + 0.5) AS BIGINT)
-                       END AS ttr_e6,
-                       CASE WHEN n_tok > 0 THEN CAST(floor(
-                           max_tok * 1000000.0 / n_tok + 0.5) AS BIGINT)
-                       END AS top_token_e6,
-                       n_chars * 1.0 / greatest(qf_n_tokens, 1)
-                           AS mean_token_len,
-                       len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                           * 1.0 / greatest(n_chars, 1) AS alpha_ratio,
-                       CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(list_filter(
-                                string_split_regex(lower(trim(text)),
-                                                   '\s+'),
-                                t -> list_contains(['the','of','and','to','in','a','is','that','for','it','was','on','are','as','with','at','be','by','this'], t)))
-                       END * 1.0 / greatest(qf_n_tokens, 1)
-                           AS stopword_ratio
-                FROM base b LEFT JOIN ta USING (doc_id)
-            ),
+        "daily_update_cert": "WITH " + _quality_cte_sql(260) + r""",
             quality AS (
-                SELECT doc_id FROM f
-                WHERE rs_n_tokens >= 20 AND rs_n_tokens <= 100000
-                  AND mean_token_len >= 2.0 AND mean_token_len <= 12.0
-                  AND alpha_ratio >= 0.5 AND stopword_ratio >= 0.01
-                  AND coalesce(ttr_e6, 0) >= 100000
-                  AND coalesce(top_token_e6, 0) <= 200000
+                SELECT doc_id FROM m WHERE drop_reasons = 0
             ),
             toks2 AS (
                 SELECT doc_id,
@@ -4714,63 +4736,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN per USING (doc_id)
             ORDER BY d.doc_id
         """,
-        "quality_filter_flags": r"""
-            WITH base AS (
-                SELECT doc_id, text,
-                       list_filter(string_split_regex(lower(trim(text)),
-                                                      '\s+'),
-                                   t -> t <> '') AS l,
-                       CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(string_split_regex(trim(text), '\s+'))
-                       END AS qf_n_tokens,
-                       len(text) AS n_chars
-                FROM documents
-                WHERE doc_id < 300 AND text IS NOT NULL
-            ),
-            tok AS (SELECT doc_id, unnest(l) AS token FROM base),
-            tc  AS (SELECT doc_id, token, count(*) AS c
-                    FROM tok GROUP BY doc_id, token),
-            ta  AS (SELECT doc_id, max(c) AS max_tok, sum(c) AS n_tok,
-                           count(*) AS n_dis
-                    FROM tc GROUP BY doc_id),
-            f AS (
-                SELECT b.doc_id,
-                       coalesce(n_tok, 0) AS rs_n_tokens,
-                       CASE WHEN n_tok > 0 THEN CAST(floor(
-                           n_dis * 1000000.0 / n_tok + 0.5) AS BIGINT)
-                       END AS ttr_e6,
-                       CASE WHEN n_tok > 0 THEN CAST(floor(
-                           max_tok * 1000000.0 / n_tok + 0.5) AS BIGINT)
-                       END AS top_token_e6,
-                       n_chars * 1.0 / greatest(qf_n_tokens, 1)
-                           AS mean_token_len,
-                       len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                           * 1.0 / greatest(n_chars, 1) AS alpha_ratio,
-                       CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(list_filter(
-                                string_split_regex(lower(trim(text)),
-                                                   '\s+'),
-                                t -> list_contains(['the','of','and','to','in','a','is','that','for','it','was','on','are','as','with','at','be','by','this'], t)))
-                       END * 1.0 / greatest(qf_n_tokens, 1)
-                           AS stopword_ratio
-                FROM base b LEFT JOIN ta USING (doc_id)
-            ),
-            m AS (
-                SELECT doc_id,
-                       CAST(CASE WHEN rs_n_tokens < 20 THEN 1 ELSE 0 END
-                          + CASE WHEN rs_n_tokens > 100000 THEN 2 ELSE 0 END
-                          + CASE WHEN mean_token_len < 2.0
-                                   OR mean_token_len > 12.0 THEN 4 ELSE 0 END
-                          + CASE WHEN alpha_ratio < 0.5 THEN 8 ELSE 0 END
-                          + CASE WHEN stopword_ratio < 0.01
-                                 THEN 16 ELSE 0 END
-                          + CASE WHEN coalesce(ttr_e6, 0) < 100000
-                                 THEN 32 ELSE 0 END
-                          + CASE WHEN coalesce(top_token_e6, 0) > 200000
-                                 THEN 64 ELSE 0 END AS BIGINT)
-                           AS drop_reasons
-                FROM f
-            )
+        "quality_filter_flags": "WITH " + _quality_cte_sql(300) + """
             SELECT doc_id, drop_reasons, drop_reasons = 0 AS keep
             FROM m ORDER BY doc_id
         """,

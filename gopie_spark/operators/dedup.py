@@ -366,17 +366,14 @@ def _open_incremental_store(spark, path: str, cols: List[str],
     return raw, stored, have, part
 
 
-def _write_index_meta(index_dir: str, meta: dict) -> dict:
-    """Atomic ``_index_meta.json`` write shared by the index builders.
-
-    Refuses a remote-URI ``index_dir``: the index lifecycle (this
-    write, version GC, meta loads) is plain-``os`` local I/O, unlike
+def _check_index_dir(index_dir: str) -> None:
+    """Refuse a remote-URI ``index_dir``: the index lifecycle (meta
+    writes, version GC, meta loads) is plain-``os`` local I/O, unlike
     the store partition listing which speaks the Hadoop FS API — a
-    remote dir would fail later on ``open()`` or silently leak
-    superseded version dirs.  See :func:`build_band_index`'s
-    operational contract."""
-    import json as _json
-    import os as _os
+    remote dir would fail on ``open()`` or silently leak superseded
+    version dirs.  Called at the TOP of every index build (before the
+    expensive bucketed writes) and again at the meta write for direct
+    callers.  See :func:`build_band_index`'s operational contract."""
     import re as _re
     if _re.match(r"^[a-z][a-z0-9+.-]*://", index_dir):
         raise ValueError(
@@ -384,6 +381,13 @@ def _write_index_meta(index_dir: str, meta: dict) -> dict:
             "uses local filesystem I/O — pass a plain local or "
             "locally-mounted path (the partitioned STORE may be "
             "remote, the index may not)")
+
+
+def _write_index_meta(index_dir: str, meta: dict) -> dict:
+    """Atomic ``_index_meta.json`` write shared by the index builders."""
+    import json as _json
+    import os as _os
+    _check_index_dir(index_dir)
     _os.makedirs(index_dir, exist_ok=True)
     tmp = _os.path.join(index_dir, "_index_meta.json.tmp")
     with open(tmp, "w") as fh:
@@ -781,6 +785,7 @@ def build_band_index(spark, sig_store: str, index_dir: str, *,
     (the daily loop does — ``maybe_reindex`` runs after the day's
     commit, within the same single-process run).
     """
+    _check_index_dir(index_dir)
     import hashlib
     import os as _os
     from gopie_spark.sources.bucketed import write_bucketed
@@ -1211,6 +1216,7 @@ def build_chunk_index(spark, fp_store: str, index_dir: str, *,
     the band index.  Returns the meta dict (also written to
     ``<index_dir>/_index_meta.json``).
     """
+    _check_index_dir(index_dir)
     import hashlib
     import os as _os
     from gopie_spark.sources.bucketed import write_bucketed
@@ -1669,6 +1675,7 @@ def build_pk_index(spark, pk_store: str, index_dir: str, *,
     day-sized anti-join — sequential anti-joins equal an anti-join
     against the union).  Returns the meta dict (also written to
     ``<index_dir>/_index_meta.json``)."""
+    _check_index_dir(index_dir)
     import hashlib
     import os as _os
     from gopie_spark.sources.bucketed import write_bucketed

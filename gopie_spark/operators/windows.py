@@ -26,8 +26,12 @@ from gopie_spark.operators.sketch_agg import merge_partials, sketch_agg
 
 
 def _tumbling_start(ts_col: str, width_s: int) -> Column:
+    # floor, not cast-truncation: for pre-epoch (negative) timestamps
+    # truncation rounds TOWARD zero and mis-aligns the bucket by one
+    # width; identical for epoch >= 0
     epoch = F.unix_timestamp(F.col(ts_col))
-    return F.timestamp_seconds((epoch / width_s).cast("long") * width_s)
+    return F.timestamp_seconds(
+        F.floor(epoch / width_s).cast("long") * width_s)
 
 
 def windowed_sketch_agg(df: DataFrame, ts_col: str, value_col: str, sketch,
@@ -90,21 +94,31 @@ def windowed_sketch_agg(df: DataFrame, ts_col: str, value_col: str, sketch,
     if engine == "auto":
         engine = "panes" if width_s // slide_s >= 8 else "explode"
     if engine == "explode":
+        # floor-division window indexes (matches _tumbling_start's pane
+        # grid exactly, including pre-epoch timestamps — the engines'
+        # byte-identity depends on it); rows with a null timestamp drop
+        # here via explode(null), and the pane engine filters them to
+        # match
         epoch = F.unix_timestamp(F.col(ts_col))
-        first = ((epoch - width_s + slide_s) / slide_s).cast("long")
-        # guard: windows cannot start before epoch 0 alignment
+        first = F.floor((epoch - width_s + slide_s) / slide_s) \
+            .cast("long")
         starts = F.transform(
-            F.sequence(first, (epoch / slide_s).cast("long")),
+            F.sequence(first, F.floor(epoch / slide_s).cast("long")),
             lambda i: F.timestamp_seconds(i * slide_s))
         windowed = df.withColumn(out_window_col, F.explode(starts))
         return sketch_agg(windowed, [out_window_col] + keys, value_col,
                           sketch)
     # pane-based: tumbling panes at slide resolution, then state-level
     # composition — window [W, W+width) covers pane [P, P+slide) for
-    # W in {P - i*slide : 0 <= i < width/slide}
+    # W in {P - i*slide : 0 <= i < width/slide}.  Null timestamps are
+    # dropped to match the explode engine (which loses them inside
+    # explode(null)); without the filter they would form a null pane
+    # whose state merges r-fold into a null window — wrong shape AND,
+    # for additive sketches, r x the true counts.
     r = width_s // slide_s
     panes = sketch_agg(
-        df.withColumn("_pane", _tumbling_start(ts_col, slide_s)),
+        df.filter(F.col(ts_col).isNotNull())
+        .withColumn("_pane", _tumbling_start(ts_col, slide_s)),
         ["_pane"] + keys, value_col, sketch)
     pane_epoch = F.unix_timestamp("_pane")
     wins = F.transform(
@@ -122,9 +136,9 @@ def sliding_window_counts(df: DataFrame, ts_col: str,
     pure built-ins: explode to member windows, then hash aggregate."""
     keys = list(keys)
     epoch = F.unix_timestamp(F.col(ts_col))
-    first = ((epoch - width_s + slide_s) / slide_s).cast("long")
+    first = F.floor((epoch - width_s + slide_s) / slide_s).cast("long")
     starts = F.transform(
-        F.sequence(first, (epoch / slide_s).cast("long")),
+        F.sequence(first, F.floor(epoch / slide_s).cast("long")),
         lambda i: F.timestamp_seconds(i * slide_s))
     return (df.withColumn("window_start", F.explode(starts))
             .groupBy("window_start", *keys)

@@ -123,10 +123,10 @@ def main() -> None:
                          "deltas) instead of re-aggregating the store")
     ap.add_argument("--bbit", type=int, default=None,
                     choices=(1, 2, 4, 8),
-                    help="with --incremental: verify candidates from "
-                         "packed b-bit words (64/b-fold smaller "
-                         "signature fetch when the band index carries "
-                         "the packed layout)")
+                    help="verify candidates from packed b-bit words "
+                         "(64/b-fold smaller verification shuffle; "
+                         "with --incremental the fetch reads the band "
+                         "index's packed layout at rest when present)")
     ap.add_argument("--paragraph-index", default=None,
                     help="with --paragraph-store: history anti-join "
                          "through this build_pk_index directory")
@@ -243,7 +243,8 @@ def main() -> None:
         deduped = minhash_lsh_dedup(
             survivors, text_col=args.text_col, threshold=args.threshold,
             strategy=args.strategy, k=args.k, bands=args.bands,
-            max_bucket=args.max_bucket, sigs=sigs).persist()
+            max_bucket=args.max_bucket, sigs=sigs,
+            bbit=args.bbit).persist()
     n_final = deduped.count()
     if not args.incremental:
         sigs.unpersist()  # no-op when parquet-backed via --sig-dir

@@ -564,7 +564,7 @@ def test_needs_rebuild_flag_survives_crash_before_reindex(
     assert m.get("needs_rebuild") is True
     assert "2026-01-01" not in m["covered_batches"]
     # next (normal) day picks the flag up and rebuilds unconditionally
-    acct2 = run_daily_via(du, spark, fresh2, state, "2026-01-02")
+    acct2 = du.run_daily(spark, fresh2, state, "2026-01-02")
     assert acct2.get("band_index_needs_rebuild") is True
     assert "band_index_rebuilt" in acct2
     with open(meta_p) as fh:
@@ -572,9 +572,6 @@ def test_needs_rebuild_flag_survives_crash_before_reindex(
     assert "needs_rebuild" not in m2
     assert set(m2["covered_batches"]) == {"2026-01-01", "2026-01-02"}
 
-
-def run_daily_via(du, spark, inp, state, date, **kw):
-    return du.run_daily(spark, inp, state, date, **kw)
 
 
 def test_daily_loop_with_bbit_diet(spark, tmp_path, two_days):

@@ -79,6 +79,30 @@ def test_sliding_panes_engine_byte_equals_explode(spark, events):
     assert ka == kb
 
 
+def test_sliding_engines_agree_on_null_and_preepoch_ts(spark):
+    """Byte-identity must hold on the awkward inputs too: null
+    timestamps (dropped by BOTH engines — explode loses them inside
+    explode(null), panes filters to match) and pre-epoch timestamps
+    (floor division, not cast-truncation, keeps the window grids
+    aligned below zero)."""
+    hll = HLL(p=8)
+    rows = [("1969-12-31 23:50:00", 1), ("1969-12-31 23:59:30", 2),
+            ("1970-01-01 00:00:05", 3), ("1970-01-01 00:14:00", 4),
+            (None, 5)]
+    df = spark.createDataFrame(rows, "ts_s string, user_id long") \
+        .select(F.to_timestamp("ts_s").alias("ts"), "user_id")
+    a = windowed_sketch_agg(df, "ts", "user_id", hll,
+                            width_s=600, slide_s=150, engine="panes")
+    b = windowed_sketch_agg(df, "ts", "user_id", hll,
+                            width_s=600, slide_s=150, engine="explode")
+    sa = {r["window_start"]: bytes(r[STATE_COL]) for r in a.collect()}
+    sb = {r["window_start"]: bytes(r[STATE_COL]) for r in b.collect()}
+    assert sa == sb
+    assert None not in sa
+    # the pre-epoch event's earliest covering window exists in both
+    assert any(w.year == 1969 for w in sa)
+
+
 def test_streaming_sketch_equals_batch(spark, tmp_path):
     """Micro-batch-merged streaming HLL == one-shot batch HLL (byte-equal),
     via a file-source stream drained with availableNow."""
