@@ -341,6 +341,15 @@ def _open_incremental_store(spark, path: str, cols: List[str],
     layout-mixing update is refused BEFORE anything is written
     (partition discovery silently drops root-level files on later
     reads of a mixed store)."""
+    # existence pre-check (Hadoop FS, so remote stores work): a first
+    # batch's missing path would otherwise surface as an analyzer
+    # PATH_NOT_FOUND — handled below, but Spark logs the full stack at
+    # ERROR before we catch it, polluting every first-day run's output
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None, None, False, store_partition is not None
     try:
         raw = spark.read.parquet(path)
         part = "batch" in raw.columns
