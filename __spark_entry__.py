@@ -620,7 +620,12 @@ def _q_incremental_dedup_indexed(spark, sf_dir):
       needed (every history doc's signature is in the store);
     - ``indexed_equals_plain`` rides every row: the indexed survivor
       set compared doc-for-doc against the index-free probe (the LSM
-      contract — base+delta == from-scratch).
+      contract — base+delta == from-scratch);
+    - ``bbit_equals_plain``: the same probe pair under the b=1 b-bit
+      verification diet (the index carries the packed words at rest —
+      round-5 tier) — indexed==plain under the SAME estimator, and
+      every planted re-crawl still dies (identical packed words
+      estimate exactly 1).
 
     Both probes use ``strategy='greedy'`` — the vs-history semantics
     under test are strategy-independent and the cc survivor selection
@@ -639,22 +644,37 @@ def _q_incremental_dedup_indexed(spark, sf_dir):
     with tempfile.TemporaryDirectory() as d:
         store = f"{d}/sigs"
         minhash_signature_table(hist, sig_path=f"{store}/batch=base")
-        build_band_index(spark, store, f"{d}/idx", index_buckets=8)
-        # both probes eagerly materialized (bounded by the 180-doc day)
+        # built WITH packed words (bbit=1): the bbit probes read them
+        # at rest, the full-signature probes ignore the extra column
+        build_band_index(spark, store, f"{d}/idx", index_buckets=8,
+                         bbit=1)
+        # all probes eagerly materialized (bounded by the 180-doc day)
         # so nothing reads the temp store after cleanup
-        wi = incremental_minhash_dedup(
-            day, store, update_store=False, strategy="greedy",
-            band_index=f"{d}/idx").select("doc_id").localCheckpoint()
-        wo = incremental_minhash_dedup(
-            day, store, update_store=False, strategy="greedy") \
-            .select("doc_id").localCheckpoint()
-        n_disagree = (wi.join(wo, "doc_id", "left_anti").count()
-                      + wo.join(wi, "doc_id", "left_anti").count())
+        def _probe(**kw):
+            return incremental_minhash_dedup(
+                day, store, update_store=False, strategy="greedy",
+                **kw).select("doc_id").localCheckpoint()
+
+        wi = _probe(band_index=f"{d}/idx")
+        wo = _probe()
+        wbi = _probe(band_index=f"{d}/idx", bbit=1)
+        wbo = _probe(bbit=1)
+
+        def _sym_diff(a, b):
+            return (a.join(b, "doc_id", "left_anti").count()
+                    + b.join(a, "doc_id", "left_anti").count())
+
+        n_disagree = _sym_diff(wi, wo)
+        recrawl_ids = recrawl.select("doc_id")
+        bbit_ok = (_sym_diff(wbi, wbo) == 0
+                   and wbi.join(recrawl_ids, "doc_id",
+                                "left_semi").count() == 0)
     return (recrawl.select(F.col("doc_id").alias("new_id"))
             .join(wi.select(F.col("doc_id").alias("new_id"),
                             F.lit(True).alias("_s")), "new_id", "left")
             .select("new_id", F.col("_s").isNull().alias("died"),
-                    F.lit(n_disagree == 0).alias("indexed_equals_plain"))
+                    F.lit(n_disagree == 0).alias("indexed_equals_plain"),
+                    F.lit(bool(bbit_ok)).alias("bbit_equals_plain"))
             .orderBy("new_id"))
 
 
@@ -3752,7 +3772,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup_indexed": """
             SELECT doc_id + 10000 AS new_id,
                    TRUE AS died,
-                   TRUE AS indexed_equals_plain
+                   TRUE AS indexed_equals_plain,
+                   TRUE AS bbit_equals_plain
             FROM documents WHERE doc_id < 30
             ORDER BY new_id
         """,

@@ -328,3 +328,29 @@ def test_bbit_mismatched_index_packs_post_fetch(spark, indexed_store):
         day, store, id_col="url", update_store=False, bbit=2)
     assert _ids(wi) == _ids(wo)
     assert not any(u.startswith("http://reb.example/") for u in _ids(wi))
+
+
+def test_bbit_fetch_reads_only_packed_column(spark, tmp_path):
+    """With a matching-bbit index, the candidate signature fetch must
+    PRUNE the full signature column at the scan — the 64x fetch
+    reduction is real only if the k-slot arrays never leave disk."""
+    from gopie_spark.sources.bucketed import read_bucketed
+    store = str(tmp_path / "sigs")
+    incremental_minhash_dedup(_docs(spark, 0, 40), store, id_col="url",
+                              store_partition="d1")
+    idx = str(tmp_path / "index")
+    meta = build_band_index(spark, store, idx, k=128, bands=32,
+                            max_bucket=64, index_buckets=4, bbit=1)
+    probe = spark.range(50).select(
+        F.concat(F.lit("http://d.example/"),
+                 F.col("id").cast("string")).alias("_id"))
+    fetched = read_bucketed(spark, meta["sig_table"]) \
+        .select("_id", "minhash_bbit").join(probe, "_id", "left_semi")
+    plan = fetched._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("Scan parquet"):]
+    schema_line = [ln for ln in scan.splitlines()
+                   if "ReadSchema" in ln][0]
+    assert "minhash_bbit" in schema_line
+    assert "minhash:" not in schema_line and \
+        "minhash," not in schema_line.replace("minhash_bbit", ""), \
+        schema_line
