@@ -220,3 +220,33 @@ def test_stateful_streaming_hll(spark, tmp_path):
                                          p=12).collect()}
     got = {k: v["approx_distinct"] for k, v in last.items()}
     assert got == batch
+
+
+@pytest.mark.parametrize("width_s,slide_s", [
+    (600, 100), (600, 300), (900, 90), (1200, 150), (3600, 450),
+    (120, 60),
+])
+def test_sliding_engines_byte_equal_random_geometries(spark, width_s,
+                                                      slide_s):
+    """Seeded-random timestamps (pre-epoch, sparse, clustered, null)
+    across a spread of width/slide geometries: the two engines must
+    stay byte-identical everywhere — the auto heuristic may pick
+    either, so both must always be safe."""
+    import random
+    rng = random.Random(width_s * 7919 + slide_s)
+    rows = [(rng.randint(-3 * width_s, 10 * width_s), i)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "epoch long, user_id long") \
+        .select(F.timestamp_seconds("epoch").alias("ts"), "user_id") \
+        .unionByName(spark.createDataFrame(
+            [(None, 999)], "ts timestamp, user_id long"))
+    hll = HLL(p=8)
+    a = windowed_sketch_agg(df, "ts", "user_id", hll,
+                            width_s=width_s, slide_s=slide_s,
+                            engine="panes")
+    b = windowed_sketch_agg(df, "ts", "user_id", hll,
+                            width_s=width_s, slide_s=slide_s,
+                            engine="explode")
+    sa = {r["window_start"]: bytes(r[STATE_COL]) for r in a.collect()}
+    sb = {r["window_start"]: bytes(r[STATE_COL]) for r in b.collect()}
+    assert sa == sb and None not in sa and len(sa) > 0
