@@ -648,11 +648,20 @@ def _q_incremental_dedup_indexed(spark, sf_dir):
         # at rest, the full-signature probes ignore the extra column
         build_band_index(spark, store, f"{d}/idx", index_buckets=8,
                          bbit=1)
+        # the day's signatures build ONCE and feed all four probes via
+        # new_sigs= (the k-linear build is the dominant per-probe cost)
+        from gopie_spark.operators.dedup import add_minhash_signatures
+        day_sigs = add_minhash_signatures(day, "text",
+                                          out_col="minhash") \
+            .select(F.col("doc_id").alias("_id"), "minhash") \
+            .localCheckpoint()
+
         # all probes eagerly materialized (bounded by the 180-doc day)
         # so nothing reads the temp store after cleanup
         def _probe(**kw):
             return incremental_minhash_dedup(
                 day, store, update_store=False, strategy="greedy",
+                new_sigs=day_sigs,
                 **kw).select("doc_id").localCheckpoint()
 
         wi = _probe(band_index=f"{d}/idx")

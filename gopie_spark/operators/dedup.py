@@ -879,7 +879,8 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
                               update_store: bool = True,
                               store_partition: Optional[str] = None,
                               band_index: Optional[str] = None,
-                              bbit: Optional[int] = None
+                              bbit: Optional[int] = None,
+                              new_sigs: Optional[DataFrame] = None
                               ) -> DataFrame:
     """Near-dup-dedup a batch of NEW documents against an existing
     corpus represented ONLY by its MinHash signature store — the
@@ -954,6 +955,13 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
     new ids, (history + survivors) equals the full-batch cc rerun
     except for the documented merge-through-new-doc case.
 
+    ``new_sigs``: a pre-built day signature table (``(_id, minhash)``
+    rows matching this call's ``k``/``shingle_width`` — e.g. the one a
+    :func:`lsh_preflight_report` pass or an earlier probe over the
+    SAME batch already computed) skips the k-linear signature build,
+    the most expensive new-batch stage.  Caller keeps ownership of its
+    caching/persistence.
+
     Returns the surviving new docs (original columns).
     """
     if k % bands:
@@ -962,11 +970,21 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
         _check_batch_label(store_partition)
     spark = new_docs.sparkSession
     sig_col = "minhash"
-    new_sigs = add_minhash_signatures(new_docs, text_col, k=k,
-                                      shingle_width=shingle_width,
-                                      out_col=sig_col) \
-        .select(F.col(id_col).alias("_id"), sig_col)
-    new_sigs.cache()
+    caller_sigs = new_sigs is not None
+    if caller_sigs:
+        missing = {"_id", sig_col} - set(new_sigs.columns)
+        if missing:
+            raise ValueError(
+                f"new_sigs is missing column(s) {sorted(missing)} — "
+                "expected the (_id, minhash) layout of "
+                "add_minhash_signatures / minhash_signature_table")
+        new_sigs = new_sigs.select("_id", sig_col)
+    else:
+        new_sigs = add_minhash_signatures(new_docs, text_col, k=k,
+                                          shingle_width=shingle_width,
+                                          out_col=sig_col) \
+            .select(F.col(id_col).alias("_id"), sig_col)
+        new_sigs.cache()
     raw, stored, have_store, store_is_partitioned = \
         _open_incremental_store(spark, sig_store, ["_id", sig_col],
                                 store_partition, update_store,
@@ -1141,7 +1159,8 @@ def incremental_minhash_dedup(new_docs: DataFrame, sig_store: str,
         else:
             keep_sigs.write.mode("append" if have_store else "overwrite") \
                 .parquet(sig_store)
-    new_sigs.unpersist()
+    if not caller_sigs:
+        new_sigs.unpersist()
     return survivors
 
 

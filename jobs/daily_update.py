@@ -370,20 +370,22 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
         # delta) even though it is being replaced.
         shutil.rmtree(os.path.join(sig_store, f"batch={date}"),
                       ignore_errors=True)
+    day_sigs = None
     if preflight:
         # opt-in skew report over the DAY's signatures before the
-        # candidate stage (one extra signature pass over the day only
-        # — history is never touched); same dict dedup_corpus embeds
+        # candidate stage (history is never touched); the SAME
+        # signature table then feeds stage 2 via new_sigs=, so the
+        # k-linear build runs once, not twice
         from gopie_spark.operators.dedup import (add_minhash_signatures,
                                                  lsh_preflight_report)
         day_sigs = add_minhash_signatures(
             kept.select("url", "text"), "text", out_col="minhash") \
-            .select(F.col("url").alias("_id"), "minhash")
+            .select(F.col("url").alias("_id"), "minhash").persist()
         acct["lsh_preflight"] = lsh_preflight_report(day_sigs)
     survivors = incremental_minhash_dedup(
         kept, sig_store, id_col="url", threshold=threshold,
         update_store=True, store_partition=date, band_index=band_index,
-        bbit=bbit)
+        bbit=bbit, new_sigs=day_sigs)
     day_dir = os.path.join(state, "curated", f"day={date}")
     if "warc_ts" not in survivors.columns:
         # the crawl day IS the event time at daily resolution — gives
@@ -393,6 +395,8 @@ def run_daily(spark, input_path: str, state: str, date: str, *,
             "warc_ts", F.lit(date).cast("timestamp"))
     survivors.write.mode("overwrite").parquet(day_dir)
     kept.unpersist()
+    if day_sigs is not None:
+        day_sigs.unpersist()
     n_day = spark.read.parquet(day_dir).count()
     acct["near_dup_dropped"] = (curate_report["output_rows"]
                                 - acct.get("known_url_dropped", 0) - n_day)
