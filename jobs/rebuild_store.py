@@ -144,10 +144,23 @@ def run_rebuild(spark, state: str, *, bloom_n: int = 1_000_000_000,
                     .parquet(os.path.join(sig_new, f"batch={d}"))
             acct["sig_store"] = {"batches": len(days), "k": k,
                                  "shingle_width": shingle_width}
-        _swap_dir(sig_new, os.path.join(state, "sig_store"))
         idx_dir = os.path.join(state, "band_index")
         has_index = os.path.exists(
             os.path.join(idx_dir, "_index_meta.json"))
+        if has_index:
+            # the swap below invalidates the index base (rewritten /
+            # compacted partitions; possibly changed signatures) and
+            # the rebuild only runs AFTER it — persist needs_rebuild
+            # first so a crash inside the window is picked up as
+            # reindex_force by the next daily run instead of probing
+            # through a stale base (the rebuild's fresh meta commit
+            # clears the flag)
+            from gopie_spark.operators.dedup import _write_index_meta
+            with open(os.path.join(idx_dir, "_index_meta.json")) as fh:
+                _imeta = json.load(fh)
+            _imeta["needs_rebuild"] = True
+            _write_index_meta(idx_dir, _imeta)
+        _swap_dir(sig_new, os.path.join(state, "sig_store"))
         if band_index or has_index:
             # an EXISTING index must be rebuilt after the store rewrite
             # even without --band-index: after --compact-sigs its base

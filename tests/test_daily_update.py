@@ -604,3 +604,46 @@ def test_daily_loop_with_bbit_diet(spark, tmp_path, two_days):
         m = json.load(fh)
     assert m["bbit"] == 1
     assert set(m["covered_batches"]) == {"2026-01-01", "2026-01-02"}
+
+
+def test_rebuild_crash_before_index_rebuild_flags_needs_rebuild(
+        spark, tmp_path, two_days, monkeypatch):
+    """run_rebuild rewrites the signature store and only then rebuilds
+    the band index; a crash inside that window must leave
+    needs_rebuild persisted so the next daily run rebuilds instead of
+    probing a stale base covering vanished batch names."""
+    import daily_update as du
+    import rebuild_store as rs
+    from gopie_spark.operators import dedup as dd
+    root, d1, fresh2 = two_days
+    state = str(tmp_path / "state")
+    du.run_daily(spark, d1, state, "2026-01-01", bloom_n=100_000,
+                 hll_p=12)
+    dd.build_band_index(spark, os.path.join(state, "sig_store"),
+                        os.path.join(state, "band_index"),
+                        index_buckets=8)
+    real = dd.build_band_index
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before index rebuild")
+    monkeypatch.setattr(dd, "build_band_index", boom)
+    with pytest.raises(RuntimeError):
+        rs.run_rebuild(spark, state, bloom_n=100_000, hll_p=12,
+                       compact_sigs=True)
+    monkeypatch.setattr(dd, "build_band_index", real)
+    meta_p = os.path.join(state, "band_index", "_index_meta.json")
+    with open(meta_p) as fh:
+        m = json.load(fh)
+    assert m.get("needs_rebuild") is True
+    # the store WAS rewritten (compacted) under the crashed rebuild
+    assert os.path.exists(
+        os.path.join(state, "sig_store", "batch=base"))
+    # next daily run picks the flag up, rebuilds, and the flag clears
+    acct2 = du.run_daily(spark, fresh2, state, "2026-01-02",
+                         bloom_n=100_000, hll_p=12)
+    assert acct2.get("band_index_needs_rebuild") is True
+    assert "band_index_rebuilt" in acct2
+    with open(meta_p) as fh:
+        m2 = json.load(fh)
+    assert "needs_rebuild" not in m2
+    assert set(m2["covered_batches"]) == {"base", "2026-01-02"}
