@@ -835,7 +835,10 @@ def _q_ann_brute_force(spark, sf_dir):
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     out = brute_force_topk(spark, emb, queries, k=5)
-    return out.select("query_id", "match_id", "rank") \
+    # rank cast to long: the oracle's row_number() is int64 and the
+    # driver hash is type-sensitive (the r4 repetition_stats lesson)
+    return out.select("query_id", "match_id",
+                      F.col("rank").cast("long").alias("rank")) \
         .orderBy("query_id", "rank")
 
 

@@ -60,9 +60,25 @@ def test_query_vs_oracle(spark, ddb, name):
     if name not in ORACLES:
         # rows-only contract: non-empty unless genuinely empty-by-design
         return
-    cur = ddb.execute(ORACLES[name])
-    ddb_cols = [d[0] for d in cur.description]
-    ddb_rows = cur.fetchall()
+    tbl = ddb.execute(ORACLES[name]).arrow()
+    ddb_cols = tbl.column_names
+    ddb_rows = [tuple(r.values()) for r in tbl.to_pylist()]
+    # STRICT type-pair guard (the r4 repetition_stats hash-fail class,
+    # generalized past decimals): the driver's value hash is
+    # type-sensitive, so every Spark column type must map to its exact
+    # DuckDB-Arrow twin — int32 vs int64 and float columns are
+    # mismatches waiting to happen even when values compare equal here.
+    _PAIRS = {("LongType()", "int64"), ("StringType()", "string"),
+              ("BooleanType()", "bool"), ("DoubleType()", "double"),
+              ("IntegerType()", "int32"), ("BinaryType()", "binary"),
+              ("TimestampType()", "timestamp[us]"),
+              ("TimestampNTZType()", "timestamp[us]"),
+              ("DateType()", "date32[day]")}
+    stypes = {f.name: str(f.dataType) for f in df.schema.fields}
+    dtypes = {f.name: str(f.type) for f in tbl.schema}
+    bad = [(c, stypes[c], dtypes.get(c, "MISSING")) for c in stypes
+           if (stypes[c], dtypes.get(c, "MISSING")) not in _PAIRS]
+    assert not bad, f"{name}: spark/oracle type mismatch {bad}"
     s_cols, s_vals = _canon(spark_cols, [tuple(r) for r in spark_rows])
     d_cols, d_vals = _canon(ddb_cols, ddb_rows)
     assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
